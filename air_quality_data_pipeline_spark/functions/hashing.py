@@ -1,0 +1,94 @@
+"""Deterministic, engine-portable hashing for dedup / fingerprinting.
+
+Spark's built-in ``hash()`` (Murmur3, seed 42) is JVM-specific, so results
+could never be oracle-checked against another engine. Instead we use a
+polynomial rolling hash over character codes with pure int64 arithmetic:
+``h = (h * 131 + ascii(c)) mod 1_000_003``. Every step is exact integer math,
+so Spark and DuckDB produce identical values, and the whole computation stays
+in Catalyst built-ins (sequence/aggregate/ascii) — no UDF, codegen-friendly,
+and embarrassingly parallel at 100 TB (per-row, no shuffle).
+
+MinHash uses the classic universal-hash family ``(a*h + b) mod P`` over the
+token hash, with fixed (a, b) pairs — again exact int64 math.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+POLY_BASE = 131
+POLY_MOD = 1_000_003
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+# fixed universal-hash parameters (a_k, b_k) for the MinHash family
+MINHASH_PARAMS = [
+    (1299721, 104729),
+    (1299743, 224737),
+    (1299763, 350377),
+    (1299791, 479909),
+    (1299811, 611953),
+    (1299817, 746773),
+    (1299821, 882377),
+    (1299827, 1020379),
+]
+
+
+def poly_hash_spark_sql(col: str) -> str:
+    """Spark SQL fragment: polynomial hash of string expression ``col``."""
+    return (
+        f"aggregate(sequence(1, length({col})), 0L, "
+        f"(h, i) -> (h * {POLY_BASE} + ascii(substring({col}, i, 1))) % {POLY_MOD})"
+    )
+
+
+def poly_hash_long(s: Column | str) -> Column:
+    """Polynomial hash of a string column → bigint in [0, POLY_MOD)."""
+    name = s if isinstance(s, str) else s._jc.toString()  # noqa: SLF001
+    return F.expr(poly_hash_spark_sql(name))
+
+
+def poly_hash_duckdb(col: str) -> str:
+    """DuckDB SQL fragment computing the identical polynomial hash."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, length({col}) + 1), i -> CAST(ascii(substring({col}, i, 1)) AS BIGINT))), "
+        f"(h, c) -> (h * {POLY_BASE} + c) % {POLY_MOD})"
+    )
+
+
+def token_hashes_spark_sql(tokens_col: str) -> str:
+    """Spark SQL: array<string> tokens → array<bigint> polynomial hashes."""
+    return (
+        f"transform({tokens_col}, t -> aggregate(sequence(1, length(t)), 0L, "
+        f"(h, i) -> (h * {POLY_BASE} + ascii(substring(t, i, 1))) % {POLY_MOD}))"
+    )
+
+
+def token_hashes(tokens: str) -> Column:
+    return F.expr(token_hashes_spark_sql(tokens))
+
+
+def token_hashes_duckdb(tokens_col: str) -> str:
+    """DuckDB SQL computing the identical per-token hashes."""
+    return (
+        f"list_transform({tokens_col}, t -> "
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, length(t) + 1), i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))), "
+        f"(h, c) -> (h * {POLY_BASE} + c) % {POLY_MOD}))"
+    )
+
+
+def minhash_signature_spark_sql(hashes_col: str, k: int = 8) -> list[str]:
+    """Spark SQL fragments: k MinHash values over an array<bigint> column."""
+    return [
+        f"array_min(transform({hashes_col}, h -> ({a} * h + {b}) % {MINHASH_P}))"
+        for a, b in MINHASH_PARAMS[:k]
+    ]
+
+
+def minhash_signature_duckdb(hashes_col: str, k: int = 8) -> list[str]:
+    """DuckDB SQL fragments computing the identical MinHash values."""
+    return [
+        f"list_min(list_transform({hashes_col}, h -> ({a} * h + {b}) % {MINHASH_P}))"
+        for a, b in MINHASH_PARAMS[:k]
+    ]

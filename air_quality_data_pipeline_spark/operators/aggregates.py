@@ -1,0 +1,191 @@
+"""Aggregation operators (SURVEY.md §2.D).
+
+The reference aggregates with Python sets and len() (main.py:162-167,
+216-217, 274, 305). Spark plans every groupBy here as partial (map-side)
+aggregation before the shuffle, so at 100 TB the exchange carries one row
+per (partition, group), not per input row.
+
+Reproducibility: money sums go through DECIMAL(38,6) (functions/exact.py);
+``l_quantity`` is integral so plain double sums are already exact;
+set-valued results are canonicalized to sorted CSV strings.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.exact import exact_sum, exact_sum_sql
+from ..registry import register
+from ..session import apply_engine_conf
+from ..tables import table
+
+_AGG_COUNT_GRP_ORACLE = """
+SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type
+"""
+
+
+@register("agg_count_grp", oracle=_AGG_COUNT_GRP_ORACLE, tags=("agg",))
+def agg_count_grp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group count (reference main.py:162-167's matches_count)."""
+    apply_engine_conf(spark)
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+_AGG_COLLECT_SET_ORACLE = """
+SELECT user_id, string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+FROM events GROUP BY user_id
+"""
+
+
+@register("agg_collect_set", oracle=_AGG_COLLECT_SET_ORACLE, tags=("agg",))
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set accumulation (reference main.py:216's covered-set),
+    canonicalized to a sorted CSV string so both engines hash identically."""
+    apply_engine_conf(spark)
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types"))
+    )
+
+
+_AGG_COUNT_DISTINCT_ORACLE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS users
+FROM events GROUP BY event_type
+"""
+
+
+@register("agg_count_distinct", oracle=_AGG_COUNT_DISTINCT_ORACLE, tags=("agg",))
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count (reference main.py:217's used_locations set)."""
+    apply_engine_conf(spark)
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("users"))
+    )
+
+
+@register("agg_approx_distinct", tags=("agg", "rows-only"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct count — the 100 TB-scale variant of
+    agg_count_distinct (sketch-mergeable, one pass, bounded memory).
+    Rows-only check: HLL estimates are engine-specific by construction.
+    """
+    apply_engine_conf(spark)
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+    )
+
+
+_AGG_GLOBAL_COUNT_ORACLE = "SELECT COUNT(*) AS n FROM lineitem"
+
+
+@register("agg_global_count", oracle=_AGG_GLOBAL_COUNT_ORACLE, tags=("agg",))
+def agg_global_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global count (reference main.py:305's len(all_rows))."""
+    apply_engine_conf(spark)
+    return table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+_AGG_SUPERSET_ORACLE = """
+SELECT user_id, COUNT(DISTINCT event_type) AS n_types
+FROM events
+WHERE event_type IN ('click', 'view', 'purchase', 'error')
+GROUP BY user_id
+HAVING COUNT(DISTINCT event_type) = 4
+"""
+
+
+@register("agg_superset", oracle=_AGG_SUPERSET_ORACLE, tags=("agg",))
+def agg_superset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage gate: groups whose value-set covers the full allowlist
+    (reference main.py:278's covered.issuperset(PARAMETERS))."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type").isin("click", "view", "purchase", "error"))
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("n_types"))
+        .filter(F.col("n_types") == 4)
+    )
+
+
+_AGG_STATS_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS cnt,
+       SUM(l_quantity) AS sum_qty,
+       SUM(l_quantity) / COUNT(l_quantity) AS avg_qty,
+       {exact_sum_sql('l_extendedprice')} AS sum_price,
+       {exact_sum_sql('l_extendedprice')} / COUNT(l_extendedprice) AS avg_price,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("agg_stats", oracle=_AGG_STATS_ORACLE, tags=("agg",))
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum/avg/min/max hash aggregate (engine completeness beyond the
+    reference, SURVEY §2.D note) — TPC-H Q1's shape."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("l_quantity").alias("sum_qty"),
+        (F.sum("l_quantity") / F.count("l_quantity")).alias("avg_qty"),
+        exact_sum(F.col("l_extendedprice")).alias("sum_price"),
+        (exact_sum(F.col("l_extendedprice")) / F.count("l_extendedprice")).alias("avg_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+_AGG_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+       COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_rollup", oracle=_AGG_ROLLUP_ORACLE, tags=("agg",))
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchical aggregate with grouping-id disambiguation."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
+_AGG_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+       COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_cube", oracle=_AGG_CUBE_ORACLE, tags=("agg",))
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate over all grouping-set combinations."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )

@@ -1,0 +1,140 @@
+"""Join operators (SURVEY.md §2.C).
+
+The reference's joins are imperative: a dict build+probe (reference
+main.py:152-161, 238-241), a "kept iff produced rows" semi join
+(main.py:273-275), and a per-key correlated fetch loop (main.py:220-226).
+Here each becomes a declarative equi-join; Catalyst/AQE pick broadcast vs
+sort-merge, and explicit ``broadcast()`` hints pin the build side where we
+know the dimension is small — at 100 TB that's the difference between a
+map-side join and a full fact-table shuffle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.exact import exact_sum, exact_sum_sql
+from ..registry import register
+from ..session import apply_engine_conf
+from ..tables import table
+
+_JOIN_BCAST_ORACLE = """
+SELECT p_brand, COUNT(*) AS line_cnt, SUM(l_quantity) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 25
+GROUP BY p_brand
+"""
+
+
+@register("join_bcast", oracle=_JOIN_BCAST_ORACLE, tags=("join",))
+def join_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash join, small build side (the reference's sensor_map
+    dict, main.py:152-161, probed per measurement at main.py:238-241).
+
+    ``part`` is filtered before broadcast, so the fact table never shuffles.
+    """
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("line_cnt"), F.sum("l_quantity").alias("sum_qty"))
+    )
+
+
+_JOIN_SEMI_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+"""
+
+
+@register("join_semi", oracle=_JOIN_SEMI_ORACLE, tags=("join",))
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with ≥1 completed order (reference
+    main.py:273-275 keeps stations that produced ≥1 valid row)."""
+    apply_engine_conf(spark)
+    cust = table(spark, sf_dir, "customer")
+    done = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return cust.join(done, cust.c_custkey == done.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+_JOIN_ANTI_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+"""
+
+
+@register("join_anti", oracle=_JOIN_ANTI_ORACLE, tags=("join",))
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no pending orders (complement of the
+    reference's warn-and-skip at main.py:211-213)."""
+    apply_engine_conf(spark)
+    cust = table(spark, sf_dir, "customer")
+    pending = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return cust.join(pending, cust.c_custkey == pending.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+_JOIN_DIM_ORACLE = f"""
+SELECT r_name AS region, n_name AS nation,
+       COUNT(*) AS order_cnt,
+       {exact_sum_sql('o_totalprice')} AS total_revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+@register("join_dim", oracle=_JOIN_DIM_ORACLE, tags=("join",))
+def join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema dimension enrichment (the reference tags every row with
+    its config city, main.py:209, 263): orders ⋈ customer ⋈ nation ⋈ region
+    with all dimensions broadcast."""
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            exact_sum(F.col("o_totalprice")).alias("total_revenue"),
+        )
+    )
+
+
+_JOIN_NESTED_CORR_ORACLE = """
+SELECT c_custkey, c_name,
+       (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS order_cnt
+FROM customer
+"""
+
+
+@register("join_nested_corr", oracle=_JOIN_NESTED_CORR_ORACLE, tags=("join",))
+def join_nested_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated per-key lookup (the reference's per-location /latest fetch
+    loop, main.py:220-226) flattened into one aggregate + outer join — the
+    N-network-calls pattern becomes a single distributed join."""
+    apply_engine_conf(spark)
+    cust = table(spark, sf_dir, "customer")
+    counts = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return cust.join(counts, cust.c_custkey == counts.o_custkey, "left").select(
+        "c_custkey",
+        "c_name",
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("order_cnt"),
+    )

@@ -1,0 +1,132 @@
+"""Window-function operators (SURVEY.md §2.H).
+
+The reference's per-city ranking loop (main.py:171-172) and its reliance on
+the API's "latest per sensor" endpoint (main.py:175-180) are both window
+shapes. Every window here orders by a unique tiebreak so row_number is
+deterministic under any partitioning; partition keys are the natural
+distribution keys (user_id), so at 100 TB each executor sorts only its own
+key ranges after one hash exchange.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..registry import register
+from ..session import apply_engine_conf
+from ..tables import table
+
+_WIN_RANK_ORACLE = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS rn,
+       RANK()       OVER (PARTITION BY c_mktsegment ORDER BY c_nationkey ASC) AS rnk,
+       DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_nationkey ASC) AS drnk
+FROM customer
+QUALIFY rn <= 10
+"""
+
+
+@register("win_rank", oracle=_WIN_RANK_ORACLE, tags=("window",))
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ranking (the reference's per-city sort-then-slice,
+    main.py:171-172): row_number/rank/dense_rank + rank filter."""
+    apply_engine_conf(spark)
+    cust = table(spark, sf_dir, "customer")
+    w_rn = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    w_nk = Window.partitionBy("c_mktsegment").orderBy(F.asc("c_nationkey"))
+    return (
+        cust.select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.row_number().over(w_rn).alias("rn"),
+            F.rank().over(w_nk).alias("rnk"),
+            F.dense_rank().over(w_nk).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 10)
+    )
+
+
+_WIN_LATEST_ORACLE = """
+SELECT user_id, event_id, ts, event_type, value FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@register("win_latest", oracle=_WIN_LATEST_ORACLE, tags=("window",))
+def win_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-to-latest (the reference delegates this to the OpenAQ /latest
+    endpoint, main.py:175-180) — the canonical row_number()=1 pattern."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+_WIN_FRAME_ORACLE = """
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER w AS cnt_7d,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sum_7d
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id
+  ORDER BY epoch(ts)::BIGINT
+  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@register("win_frame", oracle=_WIN_FRAME_ORACLE, tags=("window",))
+def win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling range-frame aggregate (the reference's 30-day freshness horizon
+    as a moving window, main.py:36, 97): per-user 7-day rolling count/sum.
+    The sum is decimal-exact so any frame evaluation order matches the oracle.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_sec").rangeBetween(-604800, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("cnt_7d"),
+        F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double").alias("sum_7d"),
+    )
+
+
+_WIN_OFFSETS_ORACLE = """
+SELECT event_id, user_id, ts, value,
+       LAG(value)  OVER w AS prev_value,
+       LEAD(value) OVER w AS next_value,
+       NTILE(4)    OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS quartile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+
+@register("win_offsets", oracle=_WIN_OFFSETS_ORACLE, tags=("window",))
+def win_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset window functions: lag/lead/ntile over per-user event history."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    w_val = Window.partitionBy("user_id").orderBy(F.asc("value"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.ntile(4).over(w_val).alias("quartile"),
+    )

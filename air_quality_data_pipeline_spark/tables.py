@@ -1,0 +1,51 @@
+"""Fixture-table loaders.
+
+All engine queries read the driver's parquet fixtures (TESTDATA.md) through
+this module so schema quirks are handled in exactly one place:
+
+- ``events.parquet`` stores its ``ts`` column as parquet TIMESTAMP(NANOS),
+  which Spark's vectorized reader rejects outright. We read it as a raw
+  nanosecond ``long`` (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a
+  ``TIMESTAMP_NTZ`` by adding microseconds to the epoch — an arithmetic
+  construction with no session-timezone dependence, so results hash
+  identically regardless of the host timezone. DuckDB truncates the same
+  nanos to microseconds, so the two engines agree to the microsecond.
+- every other table is a plain parquet scan (columnar, predicate/column
+  pushdown handled by Catalyst).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# timezone-independent ns→TIMESTAMP_NTZ conversion (truncating to µs, which is
+# exactly what DuckDB's parquet reader does with TIMESTAMP(NANOS)).
+_NS_TO_TS_NTZ = "timestampadd(MICROSECOND, {col} div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame with canonical column types."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.expr(_NS_TO_TS_NTZ.format(col="ts")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    """Load several fixture tables at once."""
+    return tuple(table(spark, sf_dir, n) for n in names)
