@@ -1,1 +1,356 @@
-"""Placeholder — queries registered in a later milestone."""
+"""Scalar-function operators (SURVEY.md §2.F).
+
+The reference's helper functions are its de-facto UDF surface
+(`_parse_dt` main.py:60-72, `_haversine_m` main.py:75-86, lowercase
+main.py:159, coalesce chains main.py:160/223/233/256, int casts
+main.py:234-237, strftime main.py:284, f-strings main.py:223/285,
+JSON access main.py:93-94/136-137, explode loops main.py:153/231,
+sensor_map build main.py:158-161, min-clamp main.py:85).
+
+Every one compiles to built-in Catalyst expressions here — zero Python in
+the hot path, full whole-stage codegen, trivially parallel at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.geo import HAVERSINE_SQL, SYNTH_LAT_SQL, SYNTH_LON_SQL, haversine_m, synthetic_lat, synthetic_lon
+from ..registry import register
+from ..session import apply_engine_conf
+from ..tables import table
+
+# --- f_parse_ts -------------------------------------------------------------
+
+_F_PARSE_TS_ORACLE = """
+SELECT event_id,
+       TRY_CAST(replace(s, 'Z', '') AS TIMESTAMP) AS parsed,
+       TRY_CAST(replace(s, 'Z', '') AS TIMESTAMP) IS NOT NULL AS valid
+FROM (
+  SELECT event_id,
+         CASE WHEN event_id % 5 = 0 THEN 'not-a-timestamp'
+              ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' END AS s
+  FROM events
+)
+"""
+
+
+@register("f_parse_ts", oracle=_F_PARSE_TS_ORACLE, tags=("function",))
+def f_parse_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-8601 parse with Z-normalization and null-on-error (the
+    reference's `_parse_dt`, main.py:60-72): strings (some invalid) →
+    TRY_CAST to timestamp after stripping the Z suffix."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    s = F.when(F.col("event_id") % 5 == 0, F.lit("not-a-timestamp")).otherwise(
+        F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), F.lit("Z"))
+    )
+    parsed = F.expr("try_cast(replace(s, 'Z', '') AS timestamp_ntz)")
+    return (
+        ev.withColumn("s", s)
+        .select(
+            "event_id",
+            parsed.alias("parsed"),
+            parsed.isNotNull().alias("valid"),
+        )
+    )
+
+
+# --- f_haversine ------------------------------------------------------------
+
+_PART_DIST = HAVERSINE_SQL.format(
+    lat1=SYNTH_LAT_SQL.format(key="p_partkey"),
+    lon1=SYNTH_LON_SQL.format(key="p_partkey"),
+    lat2="40.7128",
+    lon2="-74.006",
+)
+
+_F_HAVERSINE_ORACLE = f"""
+SELECT p_partkey, ROUND({_PART_DIST}, 0) AS dist_m FROM part
+"""
+
+
+@register("f_haversine", oracle=_F_HAVERSINE_ORACLE, tags=("function", "geo"))
+def f_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle distance as a pure column expression (reference
+    `_haversine_m`, main.py:75-86) — rounded to whole meters because libm
+    trig differs in the last ulp across engines."""
+    apply_engine_conf(spark)
+    part = table(spark, sf_dir, "part")
+    dist = haversine_m(
+        synthetic_lat(F.col("p_partkey")),
+        synthetic_lon(F.col("p_partkey")),
+        F.lit(40.7128),
+        F.lit(-74.006),
+    )
+    return part.select("p_partkey", F.round(dist, 0).alias("dist_m"))
+
+
+# --- f_lower ----------------------------------------------------------------
+
+_F_LOWER_ORACLE = """
+SELECT doc_id, lower(source) AS src_lower, upper(lang) AS lang_upper,
+       trim('  ' || source || ' ') AS trimmed, length(text) AS text_len,
+       substring(text, 1, 10) AS head10
+FROM documents
+"""
+
+
+@register("f_lower", oracle=_F_LOWER_ORACLE, tags=("function",))
+def f_lower(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String normalization (the reference lowercases parameter names,
+    main.py:159): lower/upper/trim/length/substring."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.lower("source").alias("src_lower"),
+        F.upper("lang").alias("lang_upper"),
+        F.trim(F.concat(F.lit("  "), F.col("source"), F.lit(" "))).alias("trimmed"),
+        F.length("text").alias("text_len"),
+        F.substring("text", 1, 10).alias("head10"),
+    )
+
+
+# --- f_coalesce -------------------------------------------------------------
+
+_F_COALESCE_ORACLE = """
+SELECT c_custkey,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'id:' || CAST(c_custkey AS VARCHAR)) AS resolved_name,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), NULLIF(c_mktsegment, 'AUTOMOBILE'), '') AS unit
+FROM customer
+"""
+
+
+@register("f_coalesce", oracle=_F_COALESCE_ORACLE, tags=("function",))
+def f_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-non-null fallback chains (the reference's `or`-chains for unit,
+    name and date fields, main.py:160, 223, 233, 256), incl. the formatted
+    `id:{id}` last resort of main.py:223."""
+    apply_engine_conf(spark)
+    cust = table(spark, sf_dir, "customer")
+    seg = F.col("c_mktsegment")
+    return cust.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(seg, F.lit("BUILDING")),
+            F.concat(F.lit("id:"), F.col("c_custkey").cast("string")),
+        ).alias("resolved_name"),
+        F.coalesce(
+            F.nullif(seg, F.lit("BUILDING")),
+            F.nullif(seg, F.lit("AUTOMOBILE")),
+            F.lit(""),
+        ).alias("unit"),
+    )
+
+
+# --- f_cast_int -------------------------------------------------------------
+
+_F_CAST_INT_ORACLE = """
+SELECT event_id, TRY_CAST(s AS BIGINT) AS sid
+FROM (
+  SELECT event_id,
+         CASE WHEN event_id % 2 = 0 THEN CAST(user_id AS VARCHAR) ELSE event_type END AS s
+  FROM events
+)
+"""
+
+
+@register("f_cast_int", oracle=_F_CAST_INT_ORACLE, tags=("function",))
+def f_cast_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int cast with null-on-failure (the reference's int(sid) try/except,
+    main.py:234-237) — TRY_CAST keeps it ANSI-safe."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "s",
+            F.when(F.col("event_id") % 2 == 0, F.col("user_id").cast("string")).otherwise(
+                F.col("event_type")
+            ),
+        )
+        .select("event_id", F.expr("try_cast(s AS bigint)").alias("sid"))
+    )
+
+
+# --- f_fmt_ts ---------------------------------------------------------------
+
+_F_FMT_TS_ORACLE = """
+SELECT event_id,
+       strftime(ts, '%Y%m%d_%H%M%S') AS fname_ts,
+       CAST(year(ts) AS BIGINT) AS y,
+       CAST(month(ts) AS BIGINT) AS m,
+       date_trunc('day', ts) AS day_ts
+FROM events
+"""
+
+
+@register("f_fmt_ts", oracle=_F_FMT_TS_ORACLE, tags=("function",))
+def f_fmt_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp → string formatting (the reference's strftime filename,
+    main.py:284) plus calendar extraction and truncation."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyyMMdd_HHmmss").alias("fname_ts"),
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.date_trunc("day", F.col("ts")).alias("day_ts"),
+    )
+
+
+# --- f_interp ---------------------------------------------------------------
+
+_F_INTERP_ORACLE = """
+SELECT doc_id,
+       printf('%s/%s-%04d', source, lang, doc_id % 1000) AS path,
+       source || ':' || lang AS tag
+FROM documents
+"""
+
+
+@register("f_interp", oracle=_F_INTERP_ORACLE, tags=("function",))
+def f_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String interpolation (the reference's f-strings for names/paths,
+    main.py:223, 285, 305): format_string + concat."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.format_string("%s/%s-%04d", F.col("source"), F.col("lang"), F.col("doc_id") % 1000).alias("path"),
+        F.concat_ws(":", "source", "lang").alias("tag"),
+    )
+
+
+# --- f_json_get -------------------------------------------------------------
+
+_F_JSON_GET_ORACLE = """
+SELECT event_id,
+       TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k,
+       regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS k_str
+FROM events
+"""
+
+
+@register("f_json_get", oracle=_F_JSON_GET_ORACLE, tags=("function",))
+def f_json_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ad-hoc JSON field access (the reference's .get() chains into parsed
+    payloads, main.py:93-94, 136-137): get_json_object on the raw string.
+    The oracle extracts the same field with a regex, so no DuckDB JSON
+    extension is assumed."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    k_str = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k_str.cast("long").alias("k"),
+        k_str.alias("k_str"),
+    )
+
+
+# --- f_explode --------------------------------------------------------------
+
+_F_EXPLODE_ORACLE = """
+SELECT doc_id, CAST(i - 1 AS INT) AS pos, string_split(text, ' ')[i] AS token
+FROM documents,
+     UNNEST(range(1, least(5, len(string_split(text, ' '))) + 1)) AS t(i)
+"""
+
+
+@register("f_explode", oracle=_F_EXPLODE_ORACLE, tags=("function",))
+def f_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array flatten with position (the reference's for-loops over nested
+    sensor/measurement arrays, main.py:153, 231): split → slice → posexplode."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.slice(F.split("text", " "), 1, 5)).alias("pos", "token"),
+    )
+
+
+# --- f_map_build ------------------------------------------------------------
+
+_F_MAP_BUILD_ORACLE = """
+SELECT user_id,
+       COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END), 0) AS error_cnt,
+       COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END), 0) AS purchase_cnt
+FROM events GROUP BY user_id
+"""
+
+
+@register("f_map_build", oracle=_F_MAP_BUILD_ORACLE, tags=("function",))
+def f_map_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + keyed lookup (the reference's sensor_map dict,
+    main.py:158-161): per-user map<event_type, count> built with
+    map_from_entries, then element_at probes — the declarative dict."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    with_map = per_type.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "cnt"))).alias("m")
+    )
+    return with_map.select(
+        "user_id",
+        F.coalesce(F.element_at("m", "error"), F.lit(0)).cast("long").alias("error_cnt"),
+        F.coalesce(F.element_at("m", "purchase"), F.lit(0)).cast("long").alias("purchase_cnt"),
+    )
+
+
+# --- f_least ----------------------------------------------------------------
+
+_F_LEAST_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       least(1.0, sqrt(l_discount)) AS clamped,
+       least(l_discount, l_tax) AS lo,
+       greatest(l_discount, l_tax) AS hi
+FROM lineitem
+"""
+
+
+@register("f_least", oracle=_F_LEAST_ORACLE, tags=("function",))
+def f_least(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric clamp via least/greatest (the reference's min(1, √a),
+    main.py:85). sqrt is IEEE correctly-rounded, so no rounding is needed —
+    unlike trig, results are bit-identical across engines."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.least(F.lit(1.0), F.sqrt("l_discount")).alias("clamped"),
+        F.least("l_discount", "l_tax").alias("lo"),
+        F.greatest("l_discount", "l_tax").alias("hi"),
+    )
+
+
+# --- f_trig -----------------------------------------------------------------
+
+_F_TRIG_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(sin(radians(l_quantity * 3.0)), 9) AS s,
+       ROUND(cos(radians(l_quantity * 3.0)), 9) AS c,
+       ROUND(asin(l_discount), 9) AS a,
+       pow(l_quantity, 2.0) AS q2
+FROM lineitem
+"""
+
+
+@register("f_trig", oracle=_F_TRIG_ORACLE, tags=("function",))
+def f_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric/power built-ins (the haversine internals, main.py:81-85).
+    Trig rounded to 9 decimals: java.lang.Math vs C libm differ in the final
+    ulp. pow with integral exponents is exact, so it is left unrounded."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    rad = F.radians(F.col("l_quantity") * 3.0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sin(rad), 9).alias("s"),
+        F.round(F.cos(rad), 9).alias("c"),
+        F.round(F.asin("l_discount"), 9).alias("a"),
+        F.pow("l_quantity", F.lit(2.0)).alias("q2"),
+    )

@@ -1,1 +1,143 @@
-"""Placeholder — queries registered in a later milestone."""
+"""Structured Streaming jobs (SURVEY.md §2.I, streaming half).
+
+The reference is a cron-triggered batch re-run (readme.md:72-90); the
+Spark-native equivalent is ``readStream`` + ``Trigger.AvailableNow`` —
+incremental processing of whatever arrived since the last checkpoint, which
+at 100 TB/day is the difference between reprocessing the world and touching
+only new files. Watermarks implement the reference's 30-day late-data cutoff
+(main.py:258-259) as engine-managed state eviction.
+
+Queries here run a real streaming query to completion per call (memory or
+parquet sink, isolated checkpoint), then return the materialized result.
+Where the final streaming state is deterministic (availableNow over a fixed
+fixture), the query carries a DuckDB oracle; watermark-timing behaviors are
+rows-only by design.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..session import apply_engine_conf
+from ..tables import table
+
+_COUNTER = itertools.count()
+_NS_TO_TS_NTZ = "timestampadd(MICROSECOND, {col} div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str, ltz: bool = False) -> DataFrame:
+    """events.parquet as a file-source stream with the ns→timestamp conversion.
+
+    ``ltz=True`` produces a TIMESTAMP (instant) column built directly from the
+    raw epoch nanos — required by watermarks, and timezone-independent since
+    no session-zone interpretation is involved.
+    """
+    apply_engine_conf(spark)
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if ltz:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.expr(_NS_TO_TS_NTZ.format(col="ts")))
+
+
+def run_available_now(sdf: DataFrame, output_mode: str, query_name_prefix: str) -> DataFrame:
+    """Run a streaming DataFrame to completion (AvailableNow) into a memory
+    sink and return the materialized table."""
+    spark = sdf.sparkSession
+    name = f"{query_name_prefix}_{os.getpid()}_{next(_COUNTER)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_ST_INGEST_ORACLE = """
+SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type
+"""
+
+
+@register("st_ingest", oracle=_ST_INGEST_ORACLE, tags=("streaming",))
+def st_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scheduled-batch ingestion as an incremental stream (the reference's
+    daily cron trigger, readme.md:84-90): readStream + AvailableNow, complete
+    mode. The final state equals the batch aggregate, so it oracle-checks."""
+    sdf = read_events_stream(spark, sf_dir)
+    agg = sdf.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    return run_available_now(agg, "complete", "st_ingest")
+
+
+@register("st_watermark", tags=("streaming", "rows-only"))
+def st_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window count (the reference's 30-day late-data
+    cutoff, main.py:258-259, as engine-managed state eviction). Update mode;
+    watermark advancement timing is engine-internal → rows-only check."""
+    sdf = read_events_stream(spark, sf_dir, ltz=True)
+    agg = (
+        sdf.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.unix_timestamp("w.start").alias("win_start_sec"), "event_type", "cnt")
+    )
+    return run_available_now(agg, "update", "st_watermark")
+
+
+_ST_DEDUP_ORACLE = """
+SELECT event_id, user_id, event_type FROM events
+"""
+
+
+@register("st_dedup", oracle=_ST_DEDUP_ORACLE, tags=("streaming",))
+def st_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup within watermark (the reference's set-based station
+    dedup, main.py:274): a self-union doubles every event; the engine emits
+    each event_id exactly once."""
+    sdf = read_events_stream(spark, sf_dir, ltz=True).select("event_id", "user_id", "event_type", "ts")
+    doubled = sdf.union(sdf)
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return run_available_now(deduped, "append", "st_dedup")
+
+
+_ST_SINK_ORACLE = """
+SELECT event_id, user_id, event_type FROM events WHERE event_type = 'purchase'
+"""
+
+
+@register("st_sink", oracle=_ST_SINK_ORACLE, tags=("streaming",))
+def st_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming file sink with checkpoint (the reference's per-run CSV
+    upload, main.py:283-303): filtered stream → parquet sink → read back.
+    Exactly-once file semantics make the read-back oracle-checkable."""
+    sdf = read_events_stream(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="st_sink_out_")
+    q = (
+        sdf.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "event_type")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="st_sink_ckpt_"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
