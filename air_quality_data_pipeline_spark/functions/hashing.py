@@ -1,12 +1,14 @@
 """Deterministic, engine-portable hashing for dedup / fingerprinting.
 
 Spark's built-in ``hash()`` (Murmur3, seed 42) is JVM-specific, so results
-could never be oracle-checked against another engine. Instead we use a
-polynomial rolling hash over character codes with pure int64 arithmetic:
-``h = (h * 131 + ascii(c)) mod 1_000_003``. Every step is exact integer math,
-so Spark and DuckDB produce identical values, and the whole computation stays
-in Catalyst built-ins (sequence/aggregate/ascii) — no UDF, codegen-friendly,
-and embarrassingly parallel at 100 TB (per-row, no shuffle).
+could never be oracle-checked against another engine. Token hashing uses
+md5 (present and bit-identical in both engines) folded to a bigint; shingle
+hashes compose token hashes with a polynomial ``h = (h*131 + t) mod
+1_000_003`` — exact integer math, identical in Spark and DuckDB, all
+Catalyst built-ins (md5/conv/transform) — no UDF, codegen-friendly, and
+embarrassingly parallel at 100 TB (per-row, no shuffle). A per-char
+polynomial variant (``poly_hash_*``) is kept for rolling-hash
+fingerprinting where md5 doesn't apply.
 
 MinHash uses the classic universal-hash family ``(a*h + b) mod P`` over the
 token hash, with fixed (a, b) pairs — again exact int64 math.
@@ -57,10 +59,15 @@ def poly_hash_duckdb(col: str) -> str:
 
 
 def token_hashes_spark_sql(tokens_col: str) -> str:
-    """Spark SQL: array<string> tokens → array<bigint> polynomial hashes."""
+    """Spark SQL: array<string> tokens → array<bigint> hashes.
+
+    md5 → first 14 hex digits → bigint, mod POLY_MOD. md5 runs JVM-side in
+    whole-stage codegen (unlike an interpreted per-char ``aggregate`` lambda,
+    which Catalyst's ``InferFiltersFromConstraints`` can inline many times
+    over into pushed-down filters — a measured 100× blowup)."""
     return (
-        f"transform({tokens_col}, t -> aggregate(sequence(1, length(t)), 0L, "
-        f"(h, i) -> (h * {POLY_BASE} + ascii(substring(t, i, 1))) % {POLY_MOD}))"
+        f"transform({tokens_col}, t -> "
+        f"cast(conv(substring(md5(t), 1, 14), 16, 10) as bigint) % {POLY_MOD})"
     )
 
 
@@ -72,9 +79,30 @@ def token_hashes_duckdb(tokens_col: str) -> str:
     """DuckDB SQL computing the identical per-token hashes."""
     return (
         f"list_transform({tokens_col}, t -> "
-        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(range(1, length(t) + 1), i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))), "
-        f"(h, c) -> (h * {POLY_BASE} + c) % {POLY_MOD}))"
+        f"CAST(('0x' || substring(md5(t), 1, 14)) AS BIGINT) % {POLY_MOD})"
+    )
+
+
+def shingle_hashes_spark_sql(token_hashes_col: str, n: int = 3) -> str:
+    """Spark SQL: array<bigint> token hashes → array<bigint> n-gram shingle
+    hashes by polynomial composition — integer ops only, no per-char work."""
+    terms = f"element_at({token_hashes_col}, i)"
+    for j in range(1, n):
+        terms = f"({terms} * {POLY_BASE} + element_at({token_hashes_col}, i + {j})) % {POLY_MOD}"
+    return (
+        f"CASE WHEN size({token_hashes_col}) >= {n} THEN "
+        f"transform(sequence(1, size({token_hashes_col}) - {n - 1}), i -> {terms}) "
+        f"ELSE array() END"
+    )
+
+
+def shingle_hashes_duckdb(token_hashes_col: str, n: int = 3) -> str:
+    terms = f"{token_hashes_col}[i]"
+    for j in range(1, n):
+        terms = f"({terms} * {POLY_BASE} + {token_hashes_col}[i + {j}]) % {POLY_MOD}"
+    return (
+        f"list_transform(range(1, greatest(len({token_hashes_col}) - {n - 1}, 0) + 1), "
+        f"i -> {terms})"
     )
 
 

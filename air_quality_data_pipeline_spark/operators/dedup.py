@@ -1,1 +1,327 @@
-"""Placeholder — queries registered in a later milestone."""
+"""Deduplication operators (SURVEY.md §2.K): exact, MinHash, SimHash, Jaccard.
+
+Scale design:
+- exact dedup is a hash-groupBy on a content digest — one shuffle on the
+  digest, no text comparison;
+- MinHash dedup never compares all pairs: signatures are per-row expressions,
+  candidates come from an equi-join on (band, value), and the exact Jaccard
+  verification joins only candidate pairs. At 100 TB the candidate join is
+  the only super-linear step and it is data-dependent sparse;
+- hashing is the engine-portable polynomial family (functions/hashing.py), so
+  every stage is oracle-checkable — Spark's Murmur3 would be unverifiable.
+
+MinHashLSH from Spark MLlib is exposed as the non-portable, battle-tested
+alternative (rows-only check).
+
+Because the fixture corpus has no true duplicates, near-dups are synthesized
+in-query: every document is unioned with a copy that lost its final token
+(ids offset by 1_000_000) — both engines construct the identical corpus.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.hashing import (
+    minhash_signature_duckdb,
+    minhash_signature_spark_sql,
+    shingle_hashes_duckdb,
+    shingle_hashes_spark_sql,
+    token_hashes_duckdb,
+    token_hashes_spark_sql,
+)
+from ..functions.text import (
+    drop_last_token_duckdb,
+    drop_last_token_spark,
+    shingles_duckdb,
+    shingles_spark,
+    tokens_duckdb,
+    tokens_spark,
+)
+from ..registry import register
+from ..session import apply_engine_conf
+from ..tables import table
+
+# --- llm_exact_dedup ---------------------------------------------------------
+
+_EXACT_DEDUP_ORACLE = """
+SELECT sha256(text) AS text_hash, MIN(doc_id) AS canonical_doc, COUNT(*) AS dup_cnt
+FROM documents
+GROUP BY sha256(text)
+"""
+
+
+@register("llm_exact_dedup", oracle=_EXACT_DEDUP_ORACLE, tags=("llm", "dedup"))
+def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest: group on sha2(text, 256), keep the
+    minimum doc_id as canonical. The shuffle key is the 32-byte digest, not
+    the document — at 100 TB the exchange carries hashes, not text."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.sha2("text", 256).alias("text_hash"))
+        .agg(F.min("doc_id").alias("canonical_doc"), F.count(F.lit(1)).alias("dup_cnt"))
+    )
+
+
+# --- llm_minhash_dedup --------------------------------------------------------
+
+_MH_SPARK_ARR = "array(" + ", ".join(minhash_signature_spark_sql("sh_hashes", 8)) + ")"
+_MH_DUCK_ARR = "[" + ", ".join(minhash_signature_duckdb("sh_hashes", 8)) + "]"
+
+_MINHASH_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, {drop_last_token_duckdb('text')} AS text
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, {token_hashes_duckdb(tokens_duckdb('text'))} AS th FROM corpus
+),
+shingled AS (
+  SELECT doc_id, list_distinct({shingle_hashes_duckdb('th')}) AS sh_hashes FROM hashed
+),
+sigs AS (
+  SELECT doc_id, sh_hashes, {_MH_DUCK_ARR} AS sig FROM shingled
+),
+bands AS (
+  SELECT doc_id, i AS band, sig[i] AS mh
+  FROM sigs, UNNEST(range(1, 9)) AS t(i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+),
+exploded AS (
+  SELECT doc_id, UNNEST(sh_hashes) AS shingle FROM shingled
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN exploded ea ON ea.doc_id = c.doc_a
+  JOIN exploded eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+sizes AS (
+  SELECT doc_id, len(sh_hashes) AS n_sh FROM shingled
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.6
+"""
+
+
+@register("llm_minhash_dedup", oracle=_MINHASH_ORACLE, tags=("llm", "dedup"))
+def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup detection, fully engine-portable: tokens are hashed
+    once per document (per-char polynomial), 3-gram shingle hashes are
+    composed from token hashes with pure integer ops, 8 MinHash bands feed a
+    band-equality candidate join, and an exact Jaccard ≥ 0.6 on the shingle
+    hash sets verifies candidates only — never all pairs.
+
+    Every synthesized near-dup (doc + copy-minus-last-token) must surface;
+    random cross-doc pairs are killed by the Jaccard gate. Staging each hash
+    level as a materialized column keeps the (interpreted) higher-order
+    expressions linear — inlining them repeatedly was an 8× slowdown.
+    """
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.expr(drop_last_token_spark("text")).alias("text"),
+        )
+    )
+    hashed = corpus.select(
+        "doc_id", F.expr(token_hashes_spark_sql(tokens_spark("text"))).alias("th")
+    )
+    shingled = hashed.select(
+        "doc_id", F.array_distinct(F.expr(shingle_hashes_spark_sql("th"))).alias("sh_hashes")
+    )
+    # Persist the signature base: it feeds three subtrees (bands, shingle
+    # explode, set sizes) and the barrier stops Catalyst from pushing inferred
+    # not-null filters below it — which would inline the hash chain per use.
+    # At cluster scale this is the "materialize signatures once" step every
+    # LSH dedup pipeline has.
+    shingled = shingled.persist()
+    sigs = shingled.select("doc_id", "sh_hashes", F.expr(_MH_SPARK_ARR).alias("sig"))
+    bands = sigs.select(
+        "doc_id", F.posexplode("sig").alias("band0", "mh")
+    ).select("doc_id", (F.col("band0") + 1).alias("band"), "mh")
+    b2 = bands.select(
+        F.col("doc_id").alias("doc_b_id"), F.col("band").alias("band_b"), F.col("mh").alias("mh_b")
+    )
+    cand = (
+        bands.join(
+            b2,
+            (bands.band == b2.band_b) & (bands.mh == b2.mh_b) & (bands.doc_id < b2.doc_b_id),
+        )
+        .select(F.col("doc_id").alias("doc_a"), F.col("doc_b_id").alias("doc_b"))
+        .distinct()
+    )
+    exploded = shingled.select("doc_id", F.explode("sh_hashes").alias("shingle"))
+    ea = exploded.select(F.col("doc_id").alias("doc_a"), "shingle")
+    eb = exploded.select(F.col("doc_id").alias("eb_doc"), F.col("shingle").alias("eb_shingle"))
+    inter = (
+        cand.join(ea, "doc_a")
+        .join(eb, (F.col("doc_b") == F.col("eb_doc")) & (F.col("shingle") == F.col("eb_shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = shingled.select("doc_id", F.size("sh_hashes").cast("long").alias("n_sh"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.6)
+    )
+
+
+# --- llm_simhash --------------------------------------------------------------
+
+_SIMHASH_BITS = 24  # token hashes are < 2^20·· (mod 1_000_003), 24 bits inspected
+
+_simhash_sum_cols_spark = ", ".join(
+    f"SUM(CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(_SIMHASH_BITS)
+)
+_simhash_sum_cols_duck = ", ".join(
+    f"SUM(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(_SIMHASH_BITS)
+)
+_simhash_fold = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIMHASH_BITS))
+
+_SIMHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST({token_hashes_duckdb(tokens_duckdb('text'))}) AS h
+  FROM documents
+),
+bits AS (
+  SELECT doc_id, {_simhash_sum_cols_duck}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, CAST({_simhash_fold} AS BIGINT) AS simhash
+FROM bits
+"""
+
+
+@register("llm_simhash", oracle=_SIMHASH_ORACLE, tags=("llm", "dedup"))
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprint: per-token polynomial hashes vote ±1 on
+    each of 24 bit positions; the sign vector is folded back into one bigint.
+    Near-dup docs differ in few bits (Hamming distance) — pair search then
+    bands the fingerprint bytes, same pattern as llm_minhash_dedup."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.expr(token_hashes_spark_sql(tokens_spark("text")))).alias("h"),
+    )
+    # the 24 vote columns as generated expressions
+    agg_exprs = [
+        F.sum(
+            F.when((F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(_SIMHASH_BITS)
+    ]
+    bits = tok.groupBy("doc_id").agg(*agg_exprs)
+    fold = None
+    for j in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fold = term if fold is None else fold + term
+    return bits.select("doc_id", fold.cast("long").alias("simhash"))
+
+
+# --- llm_ngram_jaccard ---------------------------------------------------------
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH sub AS (
+  SELECT doc_id, list_distinct({shingles_duckdb(tokens_duckdb('text'))}) AS sh
+  FROM documents WHERE doc_id < 100
+),
+e AS (SELECT doc_id, UNNEST(sh) AS s FROM sub),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, len(sh) AS n FROM sub)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.05
+"""
+
+
+@register("llm_ngram_jaccard", oracle=_NGRAM_JACCARD_ORACLE, tags=("llm", "dedup"))
+def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity join on a bounded subset (doc_id <
+    100): the ground-truth variant MinHash approximates. The pairwise stage
+    is the explicit O(n²)-capable path — bounded input by construction."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sub = docs.select(
+        "doc_id", F.array_distinct(F.expr(shingles_spark(tokens_spark("text")))).alias("sh")
+    )
+    e = sub.select("doc_id", F.explode("sh").alias("s"))
+    e2 = e.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    inter = (
+        e.join(e2, (e.s == e2.s_b) & (e.doc_id < e2.doc_b))
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz = sub.select("doc_id", F.size("sh").cast("long").alias("n"))
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.05)
+    )
+
+
+# --- llm_minhash_lsh (MLlib, rows-only) ----------------------------------------
+
+
+@register("llm_minhash_lsh", tags=("llm", "dedup", "rows-only"))
+def llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHashLSH near-dup join via Spark MLlib (HashingTF → MinHashLSH →
+    approxSimilarityJoin) — the battle-tested scale path. Rows-only check:
+    MLlib's hash family is JVM-specific, unverifiable cross-engine."""
+    apply_engine_conf(spark)
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.expr(drop_last_token_spark("text")).alias("text"),
+        )
+    )
+    shingled = corpus.select(
+        "doc_id",
+        F.array_distinct(F.expr(shingles_spark(tokens_spark("text")))).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(shingled)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.4, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.col("jaccard_dist"),
+        )
+    )

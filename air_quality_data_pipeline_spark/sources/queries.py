@@ -1,1 +1,182 @@
-"""Placeholder — queries registered in a later milestone."""
+"""Source / sink operators (SURVEY.md §2.A).
+
+The reference's I/O surface: paginated REST scans (main.py:45-57, 125-132),
+nested-JSON ingestion (main.py:119, 180), a header'd CSV sink with
+timestamped filename (main.py:284-293) and an object-store upload
+(main.py:295-303). Spark-first equivalents: a custom Python DataSource whose
+partitions are the pages (parallel fetch instead of a sequential loop),
+from_json ingestion, and CSV/Parquet writers — on a cluster the "upload" is
+just writing to the object store URI, no separate copy step.
+
+Sink queries write to a fresh temp dir and return the read-back DataFrame,
+so the full write→read round trip is what gets oracle-checked.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.exact import exact_sum, exact_sum_sql
+from ..registry import register
+from ..session import apply_engine_conf
+from ..tables import table
+
+_SRC_PARQUET_ORACLE = """
+SELECT l_orderkey, l_extendedprice FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_extendedprice > 50000.0
+"""
+
+
+@register("src_parquet", oracle=_SRC_PARQUET_ORACLE, tags=("source",))
+def src_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar scan with predicate + projection pushdown: only 3 of 11
+    lineitem columns are read and both filters reach the parquet reader
+    (PushedFilters in the plan — asserted by tests/test_plans.py)."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+            & (F.col("l_extendedprice") > 50000.0)
+        )
+        .select("l_orderkey", "l_extendedprice")
+    )
+
+
+_SRC_NESTED_JSON_ORACLE = """
+SELECT TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) % 10 AS k_bucket,
+       COUNT(*) AS cnt
+FROM events
+GROUP BY k_bucket
+"""
+
+
+@register("src_nested_json", oracle=_SRC_NESTED_JSON_ORACLE, tags=("source",))
+def src_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion with a declared schema (the reference's
+    payload.get("results") dict-walking, main.py:119, 180): from_json with a
+    StructType, then relational ops over the extracted field."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k BIGINT"))
+    return (
+        parsed.groupBy((F.col("p.k") % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# canned REST payloads: 3 pages of station results (the pagination loop of
+# reference main.py:125-132, one partition per page → parallel fetch)
+_REST_ORACLE = """
+SELECT * FROM (VALUES
+  (1, CAST(101 AS BIGINT), 'Warszawa-Centrum', 'pm25', 17.2),
+  (1, CAST(102 AS BIGINT), 'Warszawa-Praga',   'pm10', 25.1),
+  (2, CAST(201 AS BIGINT), 'NYC-Manhattan',    'o3',   0.031),
+  (2, CAST(202 AS BIGINT), 'NYC-Queens',       'no2',  0.012),
+  (3, CAST(301 AS BIGINT), 'NYC-Bronx',        'pm25', 9.5)
+) AS t(page, id, name, parameter, value)
+"""
+
+
+@register("src_http", oracle=_REST_ORACLE, tags=("source",))
+def src_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paginated REST scan as a Spark 4 Python DataSource (the reference's
+    _get_json page loop, main.py:45-57, 125-132). Each page is an
+    InputPartition, so a 1000-page crawl fans out across executors instead
+    of looping on one driver. Payloads are canned (network-free, same JSON
+    shape as the OpenAQ /locations results)."""
+    apply_engine_conf(spark)
+
+    # defined inside the builder so cloudpickle ships it by value — executors
+    # need no import path to this package.
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    canned_pages = {
+        1: '{"results": [{"id": 101, "name": "Warszawa-Centrum", "parameter": "pm25", "value": 17.2},'
+           ' {"id": 102, "name": "Warszawa-Praga", "parameter": "pm10", "value": 25.1}]}',
+        2: '{"results": [{"id": 201, "name": "NYC-Manhattan", "parameter": "o3", "value": 0.031},'
+           ' {"id": 202, "name": "NYC-Queens", "parameter": "no2", "value": 0.012}]}',
+        3: '{"results": [{"id": 301, "name": "NYC-Bronx", "parameter": "pm25", "value": 9.5}]}',
+    }
+
+    class RestPagesReader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(p) for p in sorted(canned_pages)]
+
+        def read(self, partition):
+            import json
+
+            page = partition.value
+            for rec in json.loads(canned_pages[page])["results"]:
+                yield (page, rec["id"], rec["name"], rec["parameter"], rec["value"])
+
+    class RestPagesSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "rest_pages"
+
+        def schema(self):
+            return "page int, id bigint, name string, parameter string, value double"
+
+        def reader(self, schema):
+            return RestPagesReader()
+
+    spark.dataSource.register(RestPagesSource)
+    return spark.read.format("rest_pages").load()
+
+
+_SNK_BASE_SQL = f"""
+SELECT r_name AS region, COUNT(*) AS order_cnt,
+       {exact_sum_sql('o_totalprice')} AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def _region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, cust, nation, region = (
+        table(spark, sf_dir, n) for n in ("orders", "customer", "nation", "region")
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            exact_sum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+@register("snk_csv", oracle=_SNK_BASE_SQL, tags=("sink",))
+def snk_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink with header + read-back (the reference's DictWriter sink,
+    main.py:284-293). coalesce(1) mirrors its single-file output — for a
+    100 TB result you would drop the coalesce and let every task write its
+    own part file."""
+    apply_engine_conf(spark)
+    out = tempfile.mkdtemp(prefix="snk_csv_")
+    _region_revenue(spark, sf_dir).coalesce(1).write.mode("overwrite").option(
+        "header", True
+    ).csv(out)
+    return spark.read.option("header", True).schema(
+        "region string, order_cnt bigint, revenue double"
+    ).csv(out)
+
+
+@register("snk_parquet", oracle=_SNK_BASE_SQL, tags=("sink",))
+def snk_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + read-back — the engine-native format
+    (SURVEY §2.A snk_parquet). partitionBy(region) demonstrates the layout
+    that enables partition pruning on subsequent scans."""
+    apply_engine_conf(spark)
+    out = tempfile.mkdtemp(prefix="snk_parquet_")
+    _region_revenue(spark, sf_dir).write.mode("overwrite").partitionBy("region").parquet(out)
+    return spark.read.parquet(out).select("region", "order_cnt", "revenue")
