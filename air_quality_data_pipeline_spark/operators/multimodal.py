@@ -1,1 +1,164 @@
-"""Placeholder — queries registered in a later milestone."""
+"""Multimodal-column operators (SURVEY.md §2.K): opaque binary payloads with
+typed metadata, decoded/feature-extracted via Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the *decode* step is a
+deterministic fake (md5-derived dimensions) clearly separated behind
+``decode_image_real`` (NotImplementedError until PIL exists). Everything
+Spark-side is real: the binary column, the typed metadata struct, the
+``mapInPandas`` batch iteration, the output schema contract, and the
+frame-sampling explode — which is what matters for the 100 TB pipeline
+shape (payload bytes never leave the executor; only Arrow record batches
+cross the JVM↔Python boundary, and only for the decode stage).
+
+Because the fake decode is pure md5 arithmetic, even the Python
+``mapInPandas`` path is oracle-checked bit-exact against DuckDB SQL — the
+check proves the Arrow plumbing preserves every row and value.
+
+Reference parity: the reference treats payloads as opaque JSON and never
+decodes media; this implements the north-star multimodal mandate
+(BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..session import apply_engine_conf
+from ..tables import table
+
+# --- the synthetic media table ------------------------------------------------
+# documents.text encoded to utf-8 bytes stands in for an image/audio payload;
+# kind and a typed metadata struct ride alongside, as a real lakehouse media
+# table would (payload binary + metadata columns, partitioned by kind).
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("kind"),
+        F.struct(
+            F.col("source").alias("origin"),
+            F.col("n_chars").cast("long").alias("content_length"),
+            F.lit("fake/v1").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def decode_image_real(payload: bytes) -> tuple[int, int]:
+    """Real image decode — requires an image codec library.
+
+    STUB: the container ships no PIL/opencv; the engine's tested path is the
+    deterministic fake in ``mm_decode``. Drop-in once a codec exists.
+    """
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "image codecs not available in this environment; "
+            "mm_decode uses the deterministic fake decoder"
+        ) from exc
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload))
+    return img.width, img.height
+
+
+# --- mm_decode: Arrow-batched decode via mapInPandas -------------------------
+
+_DECODE_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(('0x' || substring(md5(text), 1, 4)) AS BIGINT) % 1920 AS width,
+       CAST(('0x' || substring(md5(text), 5, 4)) AS BIGINT) % 1080 AS height
+FROM documents
+"""
+
+
+@register("mm_decode", oracle=_DECODE_ORACLE, tags=("llm", "multimodal"))
+def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract binary payloads with ``mapInPandas``: Arrow
+    batches of (doc_id, payload, kind) enter Python, a vectorized decoder
+    emits (doc_id, kind, n_bytes, width, height). The decoder body is the
+    deterministic md5 fake (see module docstring); swapping in
+    ``decode_image_real`` changes one function, not the plumbing. Executors
+    process batches independently — no shuffle, linear scale."""
+    apply_engine_conf(spark)
+    media = _media(spark, sf_dir)
+
+    # defined inside the builder so cloudpickle ships it by value (driver
+    # workers have no PYTHONPATH to this repo)
+    def decode_batches(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            digests = [hashlib.md5(p).hexdigest() for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "width": [int(d[0:4], 16) % 1920 for d in digests],
+                    "height": [int(d[4:8], 16) % 1080 for d in digests],
+                }
+            )
+
+    return media.select("doc_id", "payload", "kind").mapInPandas(
+        decode_batches,
+        schema="doc_id long, kind string, n_bytes long, width long, height long",
+    )
+
+
+# --- mm_frame_sample: per-payload frame explode ------------------------------
+
+_FRAME_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(strlen(text) AS BIGINT) AS n_bytes,
+         greatest(CAST(strlen(text) AS BIGINT) // 100, 1) AS n_frames
+  FROM documents
+)
+SELECT m.doc_id, t.i AS frame_no,
+       t.i * 1000 // m.n_frames AS ts_ms,
+       CAST(('0x' || substring(md5(m.doc_id || ':' || t.i), 1, 8)) AS BIGINT)
+         AS frame_sig
+FROM m, UNNEST(range(0, m.n_frames)) AS t(i)
+"""
+
+
+@register("mm_frame_sample", oracle=_FRAME_ORACLE, tags=("llm", "multimodal"))
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over media payloads: derive a frame count from the
+    payload size, explode one row per frame with a timestamp and a
+    deterministic frame signature — the shape of video→frames fan-out
+    (decode itself stubbed, §module docstring). Generate (explode) is
+    pipelined; output cardinality = sum of frame counts, no shuffle."""
+    apply_engine_conf(spark)
+    media = _media(spark, sf_dir)
+    m = media.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        # floor of 1 frame: sequence(0, -1) would generate a DESCENDING range
+        F.greatest(F.expr("length(payload) div 100"), F.lit(1)).cast("long").alias("n_frames"),
+    )
+    frames = m.select(
+        "doc_id", "n_frames", F.explode(F.expr("sequence(0, n_frames - 1)")).alias("frame_no")
+    )
+    return frames.select(
+        "doc_id",
+        "frame_no",
+        F.expr("frame_no * 1000 div n_frames").alias("ts_ms"),
+        F.expr(
+            "cast(conv(substring(md5(concat(cast(doc_id as string), ':', "
+            "cast(frame_no as string))), 1, 8), 16, 10) as bigint)"
+        ).alias("frame_sig"),
+    )

@@ -1,1 +1,253 @@
-"""Placeholder — queries registered in a later milestone."""
+"""Similarity search over embedding columns (SURVEY.md §2.K).
+
+Three tiers, all pure Catalyst expressions (no UDF, no MLlib dependency):
+
+- ``llm_sim_search``: brute-force cosine top-k — the exactness baseline.
+  The query side is tiny and broadcast; scoring is per-row map work, the
+  only shuffle is the per-query top-k (TakeOrdered-style window).
+- ``llm_emb_neardup``: embedding-cosine near-duplicate pairs. The fixture
+  vectors are random (no true near-dups), so the corpus is augmented
+  in-query with deterministically perturbed copies — both engines build the
+  identical corpus, keeping the check bit-exact.
+- ``llm_sim_search_ivf``: the 100 TB path. Centroids (a small table) are
+  broadcast; every vector gets a nearest-centroid bucket in one shuffle-free
+  pass; queries probe only their ``nprobe`` closest buckets. On a cluster
+  the corpus would be written bucketed/partitioned by ``cid`` so a probe
+  reads only matching partitions (partition pruning), turning top-k search
+  over 100 TB into a scan of ~nprobe/k of the data.
+
+Dot products / norms use sequential ``aggregate`` folds over doubles
+(functions/vectors.py) which evaluate left-to-right identically in Spark
+and DuckDB — similarity scores are bit-exact, so even the IVF variant is
+fully oracle-checked (assignment, probing, and ranking are deterministic
+relational algebra in both engines).
+
+Reference parity: the reference has no vector search; this implements the
+north-star LLM-pipeline mandate (BASELINE.json). Its only "similarity"
+computation is the geo-radius haversine filter (main.py:75-86, 140-141),
+covered by flt_geo/f_haversine.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.vectors import cosine_similarity, cosine_similarity_duckdb
+from ..registry import register
+from ..session import apply_engine_conf
+from ..tables import table
+
+DIMS = 64  # fixture embedding width (TESTDATA.md)
+
+# --- shared corpus fragments --------------------------------------------------
+
+# Deterministic perturbation: integer-hash noise per coordinate, exact in
+# both engines (no trig — libm ulp differences would break bit-exactness).
+_PERTURB_SPARK = (
+    "transform(sequence(1, 64), i -> cast(element_at(embedding, i) as double)"
+    " + cast((i * 2654435761) % 997 as double) / 50000.0 - 0.01)"
+)
+_PERTURB_DUCK = (
+    "list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)"
+    " + CAST((i * 2654435761) % 997 AS DOUBLE) / 50000.0 - 0.01)"
+)
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("vec")
+    )
+
+
+# --- llm_sim_search: brute-force cosine top-k --------------------------------
+
+_SIM_SEARCH_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, vec AS qvec FROM v WHERE vec_id < 10),
+scored AS (
+  SELECT q.qid, v.vec_id,
+         {cosine_similarity_duckdb('q.qvec', 'v.vec', DIMS)} AS cosine
+  FROM q JOIN v ON v.vec_id >= 10
+),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT qid, vec_id, cosine, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+@register("llm_sim_search", oracle=_SIM_SEARCH_ORACLE, tags=("llm", "similarity"))
+def llm_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: 10 query vectors (broadcast) against the
+    corpus; per-query rank window keeps the 5 nearest. Exact — the baseline
+    the ANN variant is measured against."""
+    apply_engine_conf(spark)
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    corpus = v.filter(F.col("vec_id") >= 10)
+    scored = corpus.join(F.broadcast(q)).select(
+        "qid", "vec_id", cosine_similarity(F.col("qvec"), F.col("vec")).alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "vec_id", "cosine", "rnk")
+    )
+
+
+# --- llm_emb_neardup: cosine near-duplicate pairs ----------------------------
+
+_EMB_NEARDUP_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings WHERE vec_id < 150
+),
+corpus AS (
+  SELECT vec_id, vec FROM base
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, {_PERTURB_DUCK} AS vec
+  FROM (SELECT vec_id, vec AS embedding FROM base)
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {cosine_similarity_duckdb('a.vec', 'b.vec', DIMS)} AS cosine
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.98
+"""
+
+
+@register("llm_emb_neardup", oracle=_EMB_NEARDUP_ORACLE, tags=("llm", "similarity", "dedup"))
+def llm_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection on a bounded slice: corpus ∪
+    perturbed copies, all-pairs cosine ≥ 0.98. The all-pairs stage is the
+    exactness oracle for bucketed variants; at scale the same predicate runs
+    after an LSH/IVF candidate join (llm_sim_search_ivf) instead of a cross
+    join."""
+    apply_engine_conf(spark)
+    base = _vectors(spark, sf_dir).filter(F.col("vec_id") < 150)
+    pert = base.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr(_PERTURB_SPARK.replace("embedding", "vec")).alias("vec"),
+    )
+    corpus = base.unionByName(pert)
+    b = corpus.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vec_rhs"))
+    return (
+        corpus.join(b, F.col("vec_id") < F.col("vec_b"))
+        .select(
+            F.col("vec_id").alias("vec_a"),
+            "vec_b",
+            cosine_similarity(F.col("vec"), F.col("vec_rhs")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.98)
+    )
+
+
+# --- llm_sim_search_ivf: bucketed ANN (the scale path) ------------------------
+
+_N_CENT = 16
+_NPROBE = 4
+
+_IVF_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < {_N_CENT}),
+assign_scored AS (
+  SELECT v.vec_id, cent.cid,
+         {cosine_similarity_duckdb('v.vec', 'cent.cvec', DIMS)} AS csim,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {cosine_similarity_duckdb('v.vec', 'cent.cvec', DIMS)} DESC, cent.cid
+         ) AS crnk
+  FROM v CROSS JOIN cent
+),
+assigned AS (SELECT vec_id, cid FROM assign_scored WHERE crnk = 1),
+q AS (SELECT vec_id AS qid, vec AS qvec FROM v WHERE vec_id % 50 = 7),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, cent.cid,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY {cosine_similarity_duckdb('q.qvec', 'cent.cvec', DIMS)} DESC, cent.cid
+           ) AS prnk
+    FROM q CROSS JOIN cent
+  ) WHERE prnk <= {_NPROBE}
+),
+cand AS (
+  SELECT p.qid, a.vec_id FROM probes p JOIN assigned a ON a.cid = p.cid
+),
+scored AS (
+  SELECT c.qid, c.vec_id,
+         {cosine_similarity_duckdb('q.qvec', 'v.vec', DIMS)} AS cosine
+  FROM cand c JOIN q ON q.qid = c.qid JOIN v ON v.vec_id = c.vec_id
+  WHERE c.vec_id != c.qid
+)
+SELECT qid, vec_id, cosine, rnk FROM (
+  SELECT qid, vec_id, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+
+@register("llm_sim_search_ivf", oracle=_IVF_ORACLE, tags=("llm", "similarity"))
+def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate nearest neighbor — the 100 TB architecture.
+
+    Centroids (tiny, broadcast) partition the corpus into buckets in one
+    shuffle-free pass; each query probes its nprobe=4 nearest buckets only.
+    At cluster scale the assigned corpus is persisted partitioned by cid so
+    probing prunes ~(k - nprobe)/k of all partitions before any scoring.
+    Deterministic seeding (first k vectors as centroids) keeps the whole
+    plan oracle-checkable — assignment, probe choice, and final ranking are
+    bit-exact relational algebra in both engines."""
+    apply_engine_conf(spark)
+    v = _vectors(spark, sf_dir)
+    cent = v.filter(F.col("vec_id") < _N_CENT).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+    )
+    csim = cosine_similarity(F.col("vec"), F.col("cvec")).alias("csim")
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    assigned = (
+        v.join(F.broadcast(cent))
+        .select("vec_id", "cid", csim)
+        .withColumn("crnk", F.row_number().over(aw))
+        .filter(F.col("crnk") == 1)
+        .select("vec_id", "cid")
+    )
+    q = v.filter(F.col("vec_id") % 50 == 7).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    qsim = cosine_similarity(F.col("qvec"), F.col("cvec")).alias("qsim")
+    pw = Window.partitionBy("qid").orderBy(F.desc("qsim"), F.asc("cid"))
+    probes = (
+        q.join(F.broadcast(cent))
+        .select("qid", "cid", qsim)
+        .withColumn("prnk", F.row_number().over(pw))
+        .filter(F.col("prnk") <= _NPROBE)
+        .select("qid", "cid")
+    )
+    cand = probes.join(assigned, "cid").select("qid", "vec_id")
+    scored = (
+        cand.filter(F.col("vec_id") != F.col("qid"))
+        .join(F.broadcast(q), "qid")
+        .join(v, "vec_id")
+        .select("qid", "vec_id", cosine_similarity(F.col("qvec"), F.col("vec")).alias("cosine"))
+    )
+    rw = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "vec_id", "cosine", "rnk")
+    )

@@ -1,1 +1,290 @@
-"""Placeholder — queries registered in a later milestone."""
+"""Text-analysis operators for LLM data pipelines (SURVEY.md §2.K).
+
+All five operators are pure Catalyst column expressions over the
+``documents`` fixture — per-row map work with at most one aggregation
+shuffle, so they scale linearly and stay inside whole-stage codegen. Every
+one is oracle-checked bit-exact against DuckDB.
+
+Reference parity: the reference's only string processing is lowercasing and
+f-string interpolation (main.py:159, 223); these operators implement the
+north-star LLM-pipeline mandate (BASELINE.json): language-ID, quality
+scoring, token counting, fingerprinting, corpus statistics.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.hashing import POLY_BASE, POLY_MOD, token_hashes_duckdb, token_hashes_spark_sql
+from ..functions.text import tokens_duckdb, tokens_spark
+from ..registry import register
+from ..session import apply_engine_conf
+from ..tables import table
+
+# --- llm_text_stats -----------------------------------------------------------
+
+_TEXT_STATS_ORACLE = """
+WITH t AS (
+  SELECT lang, source, n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS doc_cnt,
+       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens) AS chars_per_token,
+       CAST(SUM(n_distinct) AS DOUBLE) / COUNT(*) AS avg_vocab,
+       COUNT(DISTINCT source) AS n_sources
+FROM t GROUP BY lang
+"""
+
+
+@register("llm_text_stats", oracle=_TEXT_STATS_ORACLE, tags=("llm", "text"))
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language: doc/token counts, chars-per-token,
+    per-doc vocabulary, source coverage. One hash-aggregate shuffle on a
+    low-cardinality key; ratios derived from exact integer sums so the
+    doubles divide identically in both engines."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    t = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("doc_cnt"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_chars").cast("double") / F.sum("n_tokens")).alias("chars_per_token"),
+        (F.sum("n_distinct").cast("double") / F.count(F.lit(1))).alias("avg_vocab"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+# --- llm_token_count ----------------------------------------------------------
+
+# BPE-ish lexer: letter runs, digit runs, any other non-space symbol.
+# Spelled with a literal space class so Java regex and RE2 agree.
+_TOKEN_RE = "[a-z]+|[0-9]+|[^ a-z0-9]"
+
+_TOKEN_COUNT_ORACLE = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '{_TOKEN_RE}')) AS bpe_tokens,
+       length(text) AS chars
+FROM documents
+"""
+
+
+@register("llm_token_count", oracle=_TOKEN_COUNT_ORACLE, tags=("llm", "text"))
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split (word count) and a BPE-ish
+    regex lexer (letter runs / digit runs / symbols) — the cheap proxy for
+    LLM token budgeting. Per-row expressions, embarrassingly parallel."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_TOKEN_RE}', 0)")).cast("long").alias(
+            "bpe_tokens"
+        ),
+        F.length("text").cast("long").alias("chars"),
+    )
+
+
+# --- llm_lang_id --------------------------------------------------------------
+
+# Tiny stopword profiles. The heuristic is the operator under test — scoring
+# + argmax with a deterministic tiebreak — not linguistic accuracy (the
+# fixture corpus is a synthetic token soup).
+_PROFILES = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "de", "y", "es"],
+    "fr": ["le", "la", "de", "et", "est"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+_LANGS = list(_PROFILES)  # tiebreak priority order
+
+
+def _score_spark(lang: str) -> str:
+    arr = ", ".join(f"'{w}'" for w in _PROFILES[lang])
+    return f"size(filter(split(text, ' '), t -> array_contains(array({arr}), t)))"
+
+
+def _score_duck(lang: str) -> str:
+    arr = ", ".join(f"'{w}'" for w in _PROFILES[lang])
+    return f"len(list_filter(string_split(text, ' '), t -> list_contains([{arr}], t)))"
+
+
+def _argmax_case(scores: dict[str, str]) -> str:
+    """CASE chain: first language (in _LANGS order) whose score is maximal."""
+    clauses = []
+    for lang in _LANGS:
+        others = " AND ".join(
+            f"{scores[lang]} >= {scores[o]}" for o in _LANGS if o != lang
+        )
+        clauses.append(f"WHEN {others} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + " END"
+
+
+_LANG_ID_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {", ".join(f"{_score_duck(lg)} AS s_{lg}" for lg in _LANGS)}
+  FROM documents
+)
+SELECT doc_id, labeled_lang,
+       {_argmax_case({lg: f"s_{lg}" for lg in _LANGS})} AS predicted_lang,
+       {" + ".join(f"s_{lg}" for lg in _LANGS)} AS stopword_hits
+FROM scored
+"""
+
+
+@register("llm_lang_id", oracle=_LANG_ID_ORACLE, tags=("llm", "text"))
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification by stopword-profile scoring: count tokens in
+    each language's profile, argmax with a fixed tiebreak order. Profiles
+    are literals folded into the plan — per-row work, no shuffle, no UDF."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[F.expr(_score_spark(lg)).cast("long").alias(f"s_{lg}") for lg in _LANGS],
+    )
+    pred = F.expr(_argmax_case({lg: f"s_{lg}" for lg in _LANGS}))
+    hits = None
+    for lg in _LANGS:
+        c = F.col(f"s_{lg}")
+        hits = c if hits is None else hits + c
+    return scored.select(
+        "doc_id", "labeled_lang", pred.alias("predicted_lang"), hits.alias("stopword_hits")
+    )
+
+
+# --- llm_quality_score --------------------------------------------------------
+
+_QUALITY_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq,
+         len(list_filter(string_split(text, ' '),
+             t -> list_contains(['the', 'a', 'of', 'and', 'is'], t))) AS n_stop,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_uniq AS DOUBLE) / n_tok AS type_token_ratio,
+       CAST(n_stop AS DOUBLE) / n_tok AS stopword_ratio,
+       CAST(n_chars - n_tok + 1 AS DOUBLE) / n_tok AS avg_token_len,
+       CASE WHEN n_tok >= 20 AND CAST(n_uniq AS DOUBLE) / n_tok >= 0.3 THEN 1 ELSE 0 END
+         AS keep_flag
+FROM m
+"""
+
+
+@register("llm_quality_score", oracle=_QUALITY_ORACLE, tags=("llm", "text"))
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: type-token ratio, stopword ratio, mean
+    token length, and the keep/drop gate a pretraining filter would apply.
+    Pure per-row arithmetic from exact integer counts."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop = F.array(*[F.lit(w) for w in _PROFILES["en"]])
+    m = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("long").alias("n_stop"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    ttr = F.col("n_uniq").cast("double") / F.col("n_tok")
+    return m.select(
+        "doc_id",
+        ttr.alias("type_token_ratio"),
+        (F.col("n_stop").cast("double") / F.col("n_tok")).alias("stopword_ratio"),
+        ((F.col("n_chars") - F.col("n_tok") + 1).cast("double") / F.col("n_tok")).alias(
+            "avg_token_len"
+        ),
+        F.when((F.col("n_tok") >= 20) & (ttr >= 0.3), 1).otherwise(0).alias("keep_flag"),
+    )
+
+
+# --- llm_fingerprint (winnowing) ----------------------------------------------
+
+_FP_K = 4  # rolling window width over token hashes (winnowing w)
+
+# rolling 4-gram composite hash at position i over token-hash array {th}
+def _roll_spark(th: str) -> str:
+    expr = f"element_at({th}, i)"
+    for j in range(1, _FP_K):
+        expr = f"({expr} * {POLY_BASE} + element_at({th}, i + {j})) % {POLY_MOD}"
+    return expr
+
+
+def _roll_duck(th: str) -> str:
+    expr = f"{th}[i]"
+    for j in range(1, _FP_K):
+        expr = f"({expr} * {POLY_BASE} + {th}[i + {j}]) % {POLY_MOD}"
+    return expr
+
+
+_FINGERPRINT_ORACLE = f"""
+WITH hashed AS (
+  SELECT doc_id, {token_hashes_duckdb(tokens_duckdb('text'))} AS th FROM documents
+  WHERE len(string_split(text, ' ')) >= {_FP_K}
+),
+grams AS (
+  SELECT doc_id,
+         list_transform(range(1, len(th) - {_FP_K - 1} + 1),
+                        i -> {_roll_duck('th')}) AS g
+  FROM hashed
+),
+fp AS (
+  SELECT doc_id, list_distinct(g) AS f FROM grams
+)
+SELECT doc_id,
+       len(f) AS fp_size,
+       list_min(f) AS fp_min,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), f), (s, x) -> xor(s, x)) AS fp_xor
+FROM fp
+"""
+
+
+@register("llm_fingerprint", oracle=_FINGERPRINT_ORACLE, tags=("llm", "text"))
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: md5 token hashes composed into
+    rolling 4-gram polynomial hashes; the distinct-gram set is summarized as
+    (size, min, xor-fold) — an order-insensitive content signature robust to
+    small edits. Per-row array expressions only."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    # Pre-filter short docs on the CHEAP predicate so no filter sits above
+    # the hash projection — a pushed-down filter over `g` would inline the
+    # md5 transform into the rolling lambda and re-evaluate it per gram
+    # position (measured quadratic blowup).
+    hashed = docs.filter(F.size(F.split("text", " ")) >= _FP_K).select(
+        "doc_id", F.expr(token_hashes_spark_sql(tokens_spark("text"))).alias("th")
+    )
+    grams = hashed.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, size(th) - {_FP_K - 1}), i -> {_roll_spark('th')})"
+        ).alias("g"),
+    )
+    fp = grams.select("doc_id", F.array_distinct("g").alias("f"))
+    return fp.select(
+        "doc_id",
+        F.size("f").cast("long").alias("fp_size"),
+        F.array_min("f").alias("fp_min"),
+        F.expr("aggregate(f, 0L, (s, x) -> s ^ x)").alias("fp_xor"),
+    )
