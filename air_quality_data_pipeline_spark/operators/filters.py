@@ -180,3 +180,34 @@ def flt_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
         "c_custkey", "c_name"
     )
+
+
+# --- proj_select (SURVEY §2.B) ----------------------------------------------
+
+_PROJ_SELECT_ORACLE = """
+SELECT l_orderkey AS order_id,
+       l_linenumber AS line_no,
+       lower(l_returnflag) AS return_flag,
+       l_quantity AS qty,
+       l_extendedprice * (1 - l_discount) AS net_price,
+       l_shipdate AS ship_date
+FROM lineitem
+"""
+
+
+@register("proj_select", oracle=_PROJ_SELECT_ORACLE, tags=("projection",))
+def proj_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection to a fixed output schema with renames and computed columns
+    (the reference's 6-column row build, main.py:262-269). Catalyst's
+    ColumnPruning pushes the 6-of-16 column selection into the parquet scan
+    (ReadSchema) — at 100 TB the scan reads ~1/3 of the bytes."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_no"),
+        F.lower("l_returnflag").alias("return_flag"),
+        F.col("l_quantity").alias("qty"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        F.col("l_shipdate").alias("ship_date"),
+    )

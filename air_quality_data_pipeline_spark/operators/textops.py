@@ -288,3 +288,35 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("f").alias("fp_min"),
         F.expr("aggregate(f, 0L, (s, x) -> s ^ x)").alias("fp_xor"),
     )
+
+
+# --- llm_json_extract (SURVEY §2.K) ------------------------------------------
+
+_JSON_EXTRACT_ORACLE = """
+WITH x AS (
+  SELECT event_type,
+         TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, k % 10 AS k_bucket, COUNT(*) AS cnt
+FROM x WHERE k IS NOT NULL
+GROUP BY event_type, k % 10
+"""
+
+
+@register("llm_json_extract", oracle=_JSON_EXTRACT_ORACLE, tags=("llm", "text"))
+def llm_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed semi-structured extraction: from_json with an explicit schema
+    (vs f_json_get's ad-hoc path access), then aggregate on the extracted
+    field — the metadata-column pattern for multimodal/semi-structured
+    tables. Schema-on-read stays in the scan stage; one hash-agg shuffle."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k bigint").alias("p")
+    ).select("event_type", F.col("p.k").alias("k"))
+    return (
+        parsed.filter(F.col("k").isNotNull())
+        .groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

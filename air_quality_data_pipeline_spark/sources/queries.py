@@ -180,3 +180,18 @@ def snk_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="snk_parquet_")
     _region_revenue(spark, sf_dir).write.mode("overwrite").partitionBy("region").parquet(out)
     return spark.read.parquet(out).select("region", "order_cnt", "revenue")
+
+
+@register("snk_object_store", oracle=_SNK_BASE_SQL, tags=("sink",))
+def snk_object_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-store sink (the reference's GCS upload, main.py:295-303):
+    Spark writes DIRECTLY to an object-store URI via the Hadoop FS connector
+    (gs://bucket/airquality/dt=.../) — no local-file-then-upload step.
+    Locally the same code targets a filesystem path; the key layout
+    (prefix + date partition) is what an object store sees. The partition
+    value derives from the data (not wall-clock) so runs are deterministic."""
+    apply_engine_conf(spark)
+    out = tempfile.mkdtemp(prefix="snk_object_store_") + "/airquality"
+    df = _region_revenue(spark, sf_dir).withColumn("dt", F.lit("19980802"))
+    df.write.mode("overwrite").partitionBy("dt").parquet(out)
+    return spark.read.parquet(out).select("region", "order_cnt", "revenue")
