@@ -218,13 +218,18 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
     )
     csim = cosine_similarity(F.col("vec"), F.col("cvec")).alias("csim")
-    aw = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    # Nearest-centroid assignment as an AGGREGATE, not a window: a
+    # row_number window over vec_id would shuffle 16x the corpus; the
+    # max(struct) aggregate partially combines map-side, collapsing the 16
+    # candidate rows per vector to 1 before the exchange. Struct ordering is
+    # lexicographic, so (csim, -cid) == "highest csim, lowest cid" — the
+    # same deterministic tiebreak as the oracle's row_number.
     assigned = (
         v.join(F.broadcast(cent))
         .select("vec_id", "cid", csim)
-        .withColumn("crnk", F.row_number().over(aw))
-        .filter(F.col("crnk") == 1)
-        .select("vec_id", "cid")
+        .groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("csim"), (-F.col("cid")).alias("ncid"))).alias("best"))
+        .select("vec_id", (-F.col("best.ncid")).alias("cid"))
     )
     q = v.filter(F.col("vec_id") % 50 == 7).select(
         F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")

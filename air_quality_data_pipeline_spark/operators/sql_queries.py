@@ -1,0 +1,271 @@
+"""SQL-surface queries: the engine's ``spark.sql`` layer plus relational
+forms beyond the SURVEY §2 minimum (grouping sets, pivot/unpivot,
+deterministic sampling, subquery shapes).
+
+The reference has no SQL layer (SURVEY §3: a single imperative function);
+a complete analytics engine must accept declarative SQL, so these queries
+run as SQL text against temp views of the fixture tables and go through
+the full parse → analyze → optimize → execute path. TPC-H-shaped headliners
+(q1/q3/q6 over the fixture schema) double as optimizer benchmarks: each is
+the canonical pattern Catalyst must handle well (wide agg, join-then-topk,
+selective scan).
+
+Scale notes: sampling is content-hash based (deterministic, no seed
+coordination across engines or executors — the property you want for
+reproducible 100 TB subsets); pivot uses an explicit value list so the plan
+is a single pass (no distinct-collect on the driver).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..session import apply_engine_conf
+from ..tables import table
+
+# --- the SQL layer -----------------------------------------------------------
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+_SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20, 4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20, 4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20, 4))) AS DOUBLE)
+         AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("sql_q1", oracle=_SQL_Q1, tags=("sql",))
+def sql_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape through the SQL layer: selective date scan + wide
+    hash aggregate. Decimal-cast sums make the result order-independent
+    (exact arithmetic), then cast back to double for the contract. Partial
+    aggregation (map-side combine) happens automatically; the only exchange
+    carries 6 aggregate cells per (flag, status) group."""
+    apply_engine_conf(spark)
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_SQL_Q1)
+
+
+_SQL_Q3 = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20, 4))) AS DOUBLE)
+         AS revenue,
+       o_orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '1995-03-15'
+      AND l_shipdate > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("sql_q3", oracle=_SQL_Q3, tags=("sql",))
+def sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: filtered 3-way join → agg → top-10. Catalyst pushes
+    each filter into its scan and plans TakeOrderedAndProject for the
+    ORDER BY+LIMIT (no global sort). The customer side is broadcast at test
+    scale by AQE; at 100 TB it flips to shuffle join on the same plan."""
+    apply_engine_conf(spark)
+    _views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_SQL_Q3)
+
+
+_SQL_Q6 = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(20, 4))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+@register("sql_q6", oracle=_SQL_Q6, tags=("sql",))
+def sql_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-predicate benchmark. All four
+    predicates reach the parquet reader as PushedFilters (row-group pruning
+    at scale); the aggregate is a single global cell."""
+    apply_engine_conf(spark)
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_SQL_Q6)
+
+
+# --- grouping sets -----------------------------------------------------------
+
+_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20, 4))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS cnt
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register("agg_grouping_sets", oracle=_GROUPING_SETS, tags=("agg", "sql"))
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (generalization of the cube/rollup pair,
+    SURVEY §2.D note): one Expand + one hash aggregate, not one pass per
+    set."""
+    apply_engine_conf(spark)
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_GROUPING_SETS)
+
+
+# --- pivot / unpivot ---------------------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT n_name,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                     THEN CAST(o_totalprice AS DECIMAL(20, 4)) END) AS DOUBLE) AS urgent,
+       CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+                     THEN CAST(o_totalprice AS DECIMAL(20, 4)) END) AS DOUBLE) AS high,
+       CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                     THEN CAST(o_totalprice AS DECIMAL(20, 4)) END) AS DOUBLE) AS low
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@register("pivot_wide", oracle=_PIVOT_ORACLE, tags=("agg",))
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot long→wide with an EXPLICIT value list: a single-pass
+    conditional aggregation. Without the list Spark first runs a distinct
+    scan and collects pivot values to the driver — never do that at 100
+    TB."""
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "o_orderpriority", F.col("o_totalprice").cast("decimal(20,4)").alias("p"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "5-LOW"])
+        .sum("p")
+        .select(
+            "n_name",
+            F.col("1-URGENT").cast("double").alias("urgent"),
+            F.col("2-HIGH").cast("double").alias("high"),
+            F.col("5-LOW").cast("double").alias("low"),
+        )
+    )
+
+
+_UNPIVOT_ORACLE = """
+SELECT c_custkey, metric, val FROM (
+  SELECT c_custkey,
+         'acctbal' AS metric, CAST(c_acctbal AS DOUBLE) AS val FROM customer
+  UNION ALL
+  SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+)
+"""
+
+
+@register("unpivot_long", oracle=_UNPIVOT_ORACLE, tags=("agg",))
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot wide→long via the native unpivot (melt) operator — planned
+    as Expand, one pass, output 2x rows, no shuffle."""
+    apply_engine_conf(spark)
+    cust = table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    ).unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "val")
+
+
+# --- deterministic sampling --------------------------------------------------
+
+_SAMPLE_ORACLE = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+"""
+
+
+@register("sample_hash", oracle=_SAMPLE_ORACLE, tags=("sample",))
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample by content hash of the key — reproducible
+    across engines, runs, and partitionings (unlike seed-based
+    ``df.sample``, whose output depends on partition layout). This is how a
+    100 TB pipeline takes an auditable subset; the predicate pushes to the
+    scan and needs no shuffle."""
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    bucket = F.expr(
+        "cast(conv(substring(md5(cast(o_orderkey as string)), 1, 8), 16, 10) as bigint) % 100"
+    )
+    return orders.filter(bucket < 10).select("o_orderkey", "o_totalprice")
+
+
+# --- subquery shapes ---------------------------------------------------------
+
+_SUB_SCALAR = """
+SELECT l_orderkey, l_linenumber,
+       CAST(l_extendedprice AS DOUBLE) AS price
+FROM lineitem
+WHERE l_extendedprice > (SELECT 2 * AVG(l_extendedprice) FROM lineitem)
+"""
+
+
+@register("sub_scalar", oracle=_SUB_SCALAR, tags=("sql", "subquery"))
+def sub_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: planned as a 1-row subquery broadcast
+    into the filter — the scan streams once, no self-join."""
+    apply_engine_conf(spark)
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_SUB_SCALAR)
+
+
+_SUB_IN = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+)
+"""
+
+
+@register("sub_in", oracle=_SUB_IN, tags=("sql", "subquery"))
+def sub_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery → planned as left-semi join (same physical shape as
+    flt_exists, reached from SQL)."""
+    apply_engine_conf(spark)
+    _views(spark, sf_dir, "orders", "customer")
+    return spark.sql(_SUB_IN)
+
+
+_SUB_CORR_EXISTS = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000.0
+)
+"""
+
+
+@register("sub_not_exists", oracle=_SUB_CORR_EXISTS, tags=("sql", "subquery"))
+def sub_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS → decorrelated by Catalyst into a left-anti
+    join; no per-row re-execution of the inner query."""
+    apply_engine_conf(spark)
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_SUB_CORR_EXISTS)

@@ -39,6 +39,7 @@ _QUERY_MODULES = [
     "air_quality_data_pipeline_spark.operators.windows",
     "air_quality_data_pipeline_spark.operators.scalar_functions",
     "air_quality_data_pipeline_spark.operators.udfs",
+    "air_quality_data_pipeline_spark.operators.sql_queries",
     "air_quality_data_pipeline_spark.operators.dedup",
     "air_quality_data_pipeline_spark.operators.similarity",
     "air_quality_data_pipeline_spark.operators.textops",
