@@ -94,25 +94,18 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
 ),
-exploded AS (
-  SELECT doc_id, UNNEST(sh_hashes) AS shingle FROM shingled
-),
-inter AS (
-  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.sh_hashes, sb.sh_hashes)) AS n_inter,
+         len(sa.sh_hashes) AS n_a, len(sb.sh_hashes) AS n_b
   FROM cand c
-  JOIN exploded ea ON ea.doc_id = c.doc_a
-  JOIN exploded eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
-  GROUP BY c.doc_a, c.doc_b
-),
-sizes AS (
-  SELECT doc_id, len(sh_hashes) AS n_sh FROM shingled
+  JOIN shingled sa ON sa.doc_id = c.doc_a
+  JOIN shingled sb ON sb.doc_id = c.doc_b
 )
-SELECT i.doc_a, i.doc_b,
-       CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
-FROM inter i
-JOIN sizes sa ON sa.doc_id = i.doc_a
-JOIN sizes sb ON sb.doc_id = i.doc_b
-WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.6
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
+FROM verified
+WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.6
 """
 
 
@@ -164,23 +157,27 @@ def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("doc_a"), F.col("doc_b_id").alias("doc_b"))
         .distinct()
     )
-    exploded = shingled.select("doc_id", F.explode("sh_hashes").alias("shingle"))
-    ea = exploded.select(F.col("doc_id").alias("doc_a"), "shingle")
-    eb = exploded.select(F.col("doc_id").alias("eb_doc"), F.col("shingle").alias("eb_shingle"))
-    inter = (
-        cand.join(ea, "doc_a")
-        .join(eb, (F.col("doc_b") == F.col("eb_doc")) & (F.col("shingle") == F.col("eb_shingle")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # Exact verification by joining the (persisted) shingle sets onto the
+    # sparse candidate pairs and intersecting arrays per pair — two joins
+    # and zero aggregations, vs the explode/equi-join/count formulation
+    # which costs four joins plus a groupBy. Candidate pairs are the only
+    # super-linear object and LSH keeps them sparse by construction.
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh_hashes").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh_hashes").alias("sh_b"))
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_inter"),
+            F.size("sh_a").cast("long").alias("n_a"),
+            F.size("sh_b").cast("long").alias("n_b"),
+        )
     )
-    sizes = shingled.select("doc_id", F.size("sh_hashes").cast("long").alias("n_sh"))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        verified.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.6)
     )
 

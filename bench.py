@@ -66,9 +66,10 @@ def main() -> None:
     # warm the JVM/session on the smallest fixture so the first measured
     # query doesn't pay one-time init (codegen compiler, parquet footer
     # caches, Python worker pool)
-    specs["flagship"].builder(spark, "/root/testdata/sf0.001").write.mode(
-        "overwrite"
-    ).format("noop").save()
+    for warm in ("flagship", "mm_decode"):
+        specs[warm].builder(spark, "/root/testdata/sf0.001").write.mode(
+            "overwrite"
+        ).format("noop").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
