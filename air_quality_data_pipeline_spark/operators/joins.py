@@ -11,6 +11,9 @@ map-side join and a full fact-table shuffle.
 
 from __future__ import annotations
 
+import itertools
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -18,6 +21,8 @@ from ..functions.exact import exact_sum, exact_sum_sql
 from ..registry import register
 from ..session import apply_engine_conf
 from ..tables import table
+
+_BUCKET_COUNTER = itertools.count()
 
 _JOIN_BCAST_ORACLE = """
 SELECT p_brand, COUNT(*) AS line_cnt, SUM(l_quantity) AS sum_qty
@@ -137,4 +142,102 @@ def join_nested_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_name",
         F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("order_cnt"),
+    )
+
+
+# --- join_salted: skew mitigation (beyond-reference scale technique) ---------
+
+_SALTS = 8
+
+_JOIN_SALTED_ORACLE = """
+WITH fact AS (
+  SELECT o_orderkey, o_custkey % 10 AS hot_key, o_totalprice FROM orders
+),
+dim AS (
+  SELECT n_nationkey % 10 AS hot_key, MIN(n_name) AS dim_name
+  FROM nation GROUP BY n_nationkey % 10
+)
+SELECT f.hot_key, d.dim_name, COUNT(*) AS cnt,
+       CAST(SUM(CAST(f.o_totalprice AS DECIMAL(20, 4))) AS DOUBLE) AS total
+FROM fact f JOIN dim d ON f.hot_key = d.hot_key
+GROUP BY f.hot_key, d.dim_name
+"""
+
+
+@register("join_salted", oracle=_JOIN_SALTED_ORACLE, tags=("join", "scale"))
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join for skewed keys: the fact side's key is deliberately
+    collapsed to 10 hot values (every key ~10% of all rows — pathological
+    skew). The fact side appends a content-derived salt, the dim side
+    explodes x8, and the join runs on (key, salt) — splitting each hot key
+    across 8 tasks instead of melting one reducer. Result is provably
+    identical to the unsalted join (the oracle IS the unsalted join).
+    AQE's skew-split handles moderate skew automatically; explicit salting
+    is the deterministic fallback for extreme generators like this."""
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    nation = table(spark, sf_dir, "nation")
+    fact = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 10).alias("hot_key"),
+        "o_totalprice",
+        (F.expr("cast(conv(substring(md5(cast(o_orderkey as string)), 1, 8), 16, 10) as bigint)")
+         % _SALTS).alias("salt"),
+    )
+    dim = (
+        nation.groupBy((F.col("n_nationkey") % 10).alias("hot_key"))
+        .agg(F.min("n_name").alias("dim_name"))
+        .withColumn("salt", F.explode(F.expr(f"sequence(0, {_SALTS - 1})")))
+    )
+    return (
+        fact.join(dim, ["hot_key", "salt"])
+        .groupBy("hot_key", "dim_name")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,4)")).cast("double").alias("total"),
+        )
+    )
+
+
+# --- join_bucketed: co-located (zero-exchange) join --------------------------
+
+_JOIN_BUCKETED_ORACLE = """
+SELECT o.o_custkey, COUNT(*) AS order_cnt,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(20, 4))) AS DOUBLE) AS total,
+       MIN(c.c_name) AS c_name
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY o.o_custkey
+"""
+
+
+@register("join_bucketed", oracle=_JOIN_BUCKETED_ORACLE, tags=("join", "scale"))
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides are written bucketed by the join
+    key (8 buckets), so the join consumes the tables' bucketing as its
+    required distribution — NO exchange on either side (asserted in
+    tests/test_plans.py). At 100 TB this is the difference between
+    shuffling two fact tables per join and shuffling them once at write
+    time for every future join; the groupBy on the same key also reuses
+    the bucketing."""
+    apply_engine_conf(spark)
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="bucketed_")
+    n = next(_BUCKET_COUNTER)
+    ot, ct = f"orders_b_{os.getpid()}_{n}", f"customer_b_{os.getpid()}_{n}"
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    (orders.write.mode("overwrite").option("path", f"{base}/{ot}")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ot))
+    (cust.write.mode("overwrite").option("path", f"{base}/{ct}")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(ct))
+    o, c = spark.table(ot), spark.table(ct)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,4)")).cast("double").alias("total"),
+            F.min("c_name").alias("c_name"),
+        )
     )

@@ -141,3 +141,84 @@ def st_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+_ST_STREAM_JOIN_ORACLE = """
+WITH p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.user_id,
+       epoch_us(p.ts) AS purchase_us,
+       epoch_us(c.ts) AS click_us,
+       p.value
+FROM p JOIN c
+  ON p.user_id = c.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+"""
+
+
+@register("st_stream_join", oracle=_ST_STREAM_JOIN_ORACLE, tags=("streaming",))
+def st_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks: purchases join the clicks
+    that preceded them within 1 hour per user. Both sides carry watermarks
+    and the join has an event-time range bound, so state for either side is
+    evicted once the other's watermark passes — bounded memory on an
+    unbounded stream. Inner join in append mode emits exactly the batch
+    join's rows → oracle-checkable."""
+    ev = read_events_stream(spark, sf_dir, ltz=True)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"), "value")
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select(
+        "user_id",
+        F.unix_micros("p_ts").alias("purchase_us"),
+        F.unix_micros("c_ts").alias("click_us"),
+        "value",
+    )
+    return run_available_now(joined, "append", "st_stream_join")
+
+
+@register("st_stateful", tags=("streaming", "rows-only"))
+def st_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per event_type,
+    state carries (count, value sum) across micro-batches and each batch
+    emits the updated running totals. This is the engine's escape hatch for
+    aggregations Spark lacks natively (the reference's imperative per-city
+    accumulators, main.py:216-217, generalized). Per-batch emission cadence
+    is engine-internal → rows-only check."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    sdf = read_events_stream(spark, sf_dir, ltz=True).select("event_type", "value")
+
+    # defined inside the builder so cloudpickle ships it by value
+    def running_totals(key, pdfs, state):
+        import pandas as pd
+
+        cnt, total = state.get() if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((cnt, total))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "running_cnt": [cnt], "running_sum": [total]}
+        )
+
+    out = sdf.groupBy("event_type").applyInPandasWithState(
+        running_totals,
+        outputStructType="event_type string, running_cnt long, running_sum double",
+        stateStructType="cnt long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_available_now(out, "update", "st_stateful")

@@ -1,0 +1,87 @@
+"""Physical-plan quality gates.
+
+Correctness says the right rows come back; these tests pin the plan SHAPE
+that makes each operator survive a 100 TB scale-up: broadcasts where a side
+is known-small, zero exchanges where bucketing co-locates, top-k planned as
+TakeOrderedAndProject (no global sort), predicates reaching the parquet
+scan, and no accidental cartesian anywhere in the relational core.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from air_quality_data_pipeline_spark.registry import load_all_queries
+
+SPECS = load_all_queries()
+
+
+def _executed_plan(spark, name, sf_dir) -> str:
+    df = SPECS[name].builder(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(spark, name, sf_dir) -> str:
+    df = SPECS[name].builder(spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    # no SHUFFLE exchange anywhere: the join consumes the tables' bucketing
+    # and the same-key aggregate reuses it (a broadcast exchange on the dim
+    # side is fine — AQE picks BHJ at test scale; at 100 TB both sides being
+    # bucketed makes it a zero-shuffle sort-merge join on the same plan)
+    plan = _executed_plan(spark, "join_bucketed", sf_dir)
+    assert "Exchange hashpartitioning" not in plan, (
+        f"bucketed join+agg should need no shuffle:\n{plan}"
+    )
+    assert "Bucketed: true" in plan
+
+
+def test_flagship_broadcasts_dimensions(spark, sf_dir):
+    plan = _executed_plan(spark, "flagship", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = _executed_plan(spark, "topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan, "ORDER BY+LIMIT must not be a global sort"
+
+
+def test_sql_q6_pushes_all_predicates(spark, sf_dir):
+    fmt = _formatted(spark, "sql_q6", sf_dir)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", fmt)
+    assert any("l_shipdate" in p and "l_discount" in p and "l_quantity" in p for p in pushed), (
+        f"q6 predicates must reach the scan:\n{pushed}"
+    )
+
+
+def test_proj_select_prunes_columns(spark, sf_dir):
+    fmt = _formatted(spark, "proj_select", sf_dir)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", fmt)
+    assert m, "no ReadSchema found"
+    cols = [c.split(":")[0] for c in m.group(1).split(",")]
+    assert len(cols) <= 7, f"projection should prune the scan to <=7 columns, got {cols}"
+
+
+def test_ivf_assignment_is_partial_aggregate(spark, sf_dir):
+    plan = _executed_plan(spark, "llm_sim_search_ivf", sf_dir)
+    # the assignment argmax must be a partial+final aggregate (max-of-struct
+    # plans as SortAggregate — structs aren't hash-aggregable — but the
+    # map-side partial_max is what prevents shuffling 16x the corpus), and
+    # centroid joins must be broadcast
+    assert "partial_max" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["join_dim", "join_bcast", "join_semi", "join_anti", "join_salted", "topk", "flagship"],
+)
+def test_relational_core_has_no_cartesian(spark, sf_dir, name):
+    plan = _executed_plan(spark, name, sf_dir)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
