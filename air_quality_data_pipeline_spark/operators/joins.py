@@ -241,3 +241,112 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("c_name").alias("c_name"),
         )
     )
+
+
+# --- join_asof: as-of (nearest-preceding-event) join -------------------------
+
+_JOIN_ASOF_ORACLE = """
+WITH p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.user_id,
+       epoch_us(p.ts) AS purchase_us,
+       epoch_us(c.ts) AS asof_click_us,
+       p.value
+FROM p ASOF JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
+@register("join_asof", oracle=_JOIN_ASOF_ORACLE, tags=("join", "timeseries"))
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — an operator Spark lacks natively, built as the
+    single-shuffle union+window formulation: tag both sides, union, sort
+    within each user by (ts, side) so a click at the same instant precedes
+    the purchase, and carry the latest click timestamp forward with
+    last(..., ignorenulls) over a running row frame. ONE exchange on
+    user_id total — versus a naive range join, which at 100 TB degenerates
+    to per-key nested loops. Oracle is DuckDB's native ASOF JOIN (inner,
+    equality included), proving the rewrite implements textbook as-of
+    semantics."""
+    apply_engine_conf(spark)
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros(F.to_timestamp("ts")).alias("us"), "value", F.lit(0).alias("side")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros(F.to_timestamp("ts")).alias("us"),
+        F.lit(None).cast("double").alias("value"), F.lit(1).alias("side"),
+    )
+    # side=1 (click) sorts before side=0 (purchase) at equal ts via desc
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("us"), F.desc("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = p.unionByName(c).withColumn(
+        "asof_click_us",
+        F.last(F.when(F.col("side") == 1, F.col("us")), ignorenulls=True).over(w),
+    )
+    return (
+        tagged.filter((F.col("side") == 0) & F.col("asof_click_us").isNotNull())
+        .select("user_id", F.col("us").alias("purchase_us"), "asof_click_us", "value")
+    )
+
+
+# --- join_range: interval join via bucket expansion --------------------------
+
+_RANGE_WIDTH = 25000.0  # bucket width; each 50k band spans exactly 2 buckets
+
+_JOIN_RANGE_ORACLE = """
+WITH bands AS (
+  SELECT n_nationkey AS band_id,
+         n_nationkey * 50000.0 AS lo,
+         (n_nationkey + 1) * 50000.0 AS hi
+  FROM nation WHERE n_nationkey < 12
+)
+SELECT b.band_id, COUNT(*) AS cnt,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(20, 4))) AS DOUBLE) AS total
+FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.band_id
+"""
+
+
+@register("join_range", oracle=_JOIN_RANGE_ORACLE, tags=("join", "timeseries"))
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join — rewritten as a bucket-expansion equi-join:
+    facts compute bucket = floor(price / width); each band row is exploded
+    to the buckets it overlaps; the join runs on bucket equality and the
+    exact range predicate refines survivors. Work scales with
+    rows x overlap (2 buckets/band here), not rows x bands — the standard
+    cure for non-equi joins that Catalyst would otherwise plan as a
+    broadcast nested loop over every (row, band) pair."""
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    nation = table(spark, sf_dir, "nation")
+    bands = (
+        nation.filter(F.col("n_nationkey") < 12)
+        .select(
+            F.col("n_nationkey").alias("band_id"),
+            (F.col("n_nationkey") * 50000.0).alias("lo"),
+            ((F.col("n_nationkey") + 1) * 50000.0).alias("hi"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(F.expr(f"sequence(cast(floor(lo / {_RANGE_WIDTH}) as bigint), "
+                             f"cast(floor((hi - 0.0001) / {_RANGE_WIDTH}) as bigint))")),
+        )
+    )
+    facts = orders.select(
+        "o_totalprice",
+        F.floor(F.col("o_totalprice") / _RANGE_WIDTH).cast("bigint").alias("bucket"),
+    )
+    return (
+        facts.join(F.broadcast(bands), "bucket")
+        .filter((F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")))
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,4)")).cast("double").alias("total"),
+        )
+    )

@@ -130,3 +130,34 @@ def win_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("value").over(w).alias("next_value"),
         F.ntile(4).over(w_val).alias("quartile"),
     )
+
+
+# --- win_distribution (engine completeness, SURVEY §2.H note) ----------------
+
+_WIN_DISTRIBUTION_ORACLE = """
+SELECT c_custkey,
+       c_nationkey,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd,
+       dense_rank() OVER w AS dr
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@register("win_distribution", oracle=_WIN_DISTRIBUTION_ORACLE, tags=("window",))
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank / cume_dist /
+    dense_rank) per nation ordered by balance — rank normalization for
+    quantile bucketing. One exchange on the partition key; the tiebreak on
+    c_custkey makes every rank deterministic."""
+    apply_engine_conf(spark)
+    cust = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.dense_rank().over(w).alias("dr"),
+    )
