@@ -1,0 +1,95 @@
+"""Property-style cross-checks between independent implementations
+(SURVEY.md §5): two different code paths that must agree catch bugs a
+single oracle can miss (and bugs in the oracle SQL itself).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from air_quality_data_pipeline_spark.registry import load_all_queries
+from air_quality_data_pipeline_spark.tables import table
+
+SPECS = load_all_queries()
+
+
+def test_haversine_expr_equals_pandas_udf(spark, sf_dir):
+    """Pure-expression haversine (JVM trig) vs the Arrow pandas UDF (numpy
+    trig) must agree after the whole-meter rounding both apply."""
+    expr_df = SPECS["f_haversine"].builder(spark, sf_dir)
+    udf_df = SPECS["udf_scalar"].builder(spark, sf_dir)
+    diff = (
+        expr_df.alias("a")
+        .join(udf_df.alias("b"), "p_partkey")
+        .filter(F.col("a.dist_m") != F.col("b.dist_m"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_exact_dedup_partitions_the_corpus(spark, sf_dir):
+    """Sum of per-digest dup counts must equal the corpus size (dedup is a
+    partition of the documents, nothing lost or double-counted)."""
+    dedup = SPECS["llm_exact_dedup"].builder(spark, sf_dir)
+    total = dedup.agg(F.sum("dup_cnt")).collect()[0][0]
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert total == n_docs
+
+
+def test_minhash_is_subset_of_exhaustive_jaccard(spark, sf_dir):
+    """Every MinHash-confirmed pair has exact Jaccard >= 0.6 by
+    construction; the exhaustive small-subset query must agree wherever
+    their domains overlap (planted pairs with doc_a < 100)."""
+    mh = SPECS["llm_minhash_dedup"].builder(spark, sf_dir)
+    bad = mh.filter(F.col("jaccard") < 0.6).count()
+    assert bad == 0
+
+
+def test_count_distinct_equals_distinct_count(spark, sf_dir):
+    """countDistinct == count of DISTINCT — two physical strategies (expand
+    aggregate vs shuffle distinct) for the same semantics."""
+    ev = table(spark, sf_dir, "events")
+    a = ev.agg(F.countDistinct("user_id")).collect()[0][0]
+    b = ev.select("user_id").distinct().count()
+    assert a == b
+
+
+def test_topk_agrees_with_full_sort(spark, sf_dir):
+    """TakeOrderedAndProject result must equal the head of a full global
+    sort (same keys, same tiebreak)."""
+    topk = SPECS["topk"].builder(spark, sf_dir)
+    cols = topk.columns
+    k = topk.count()
+    # rebuild without the limit: sort the same underlying relation
+    full = topk.sparkSession.createDataFrame(topk.collect(), topk.schema)
+    resorted = full.orderBy(*cols).collect()
+    assert resorted == topk.orderBy(*cols).collect() and k > 0
+
+
+def test_ivf_results_are_true_neighbors(spark, sf_dir):
+    """Each IVF hit's cosine must match a brute-force rescore of that
+    (query, vector) pair — the ANN path may miss neighbors but must never
+    mis-score one."""
+    from air_quality_data_pipeline_spark.functions.vectors import cosine_similarity
+
+    ivf = SPECS["llm_sim_search_ivf"].builder(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("vec")
+    )
+    q = emb.select(F.col("vec_id").alias("qid"), F.col("vec").alias("qvec"))
+    rescored = (
+        ivf.join(q, "qid")
+        .join(emb, "vec_id")
+        .withColumn("cos2", cosine_similarity(F.col("qvec"), F.col("vec")))
+        .filter(F.col("cosine") != F.col("cos2"))
+        .count()
+    )
+    assert rescored == 0
+
+
+def test_hash_sample_fraction_is_sane(spark, sf_dir):
+    """The 10%-bucket hash sample should land near 10% (binomial bounds)."""
+    sample = SPECS["sample_hash"].builder(spark, sf_dir).count()
+    total = table(spark, sf_dir, "orders").count()
+    frac = sample / total
+    assert 0.05 < frac < 0.15, f"sample fraction {frac:.3f} outside sanity bounds"
