@@ -320,3 +320,65 @@ def llm_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+# --- llm_tfidf ----------------------------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY token
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / df.doc_freq) AS tfidf
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+)
+SELECT doc_id, token, tfidf, rnk FROM (
+  SELECT doc_id, token, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+
+
+@register("llm_tfidf", oracle=_TFIDF_ORACLE, tags=("llm", "text"))
+def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document. IDF is the linear ratio
+    n_docs/doc_freq (not log-scaled) so both engines compute it as one
+    exact-int division — bit-exact without libm. Shape: explode → two hash
+    aggs (tf by (doc,token), df by token) → broadcast-joined rescore →
+    per-doc rank. The df table is vocabulary-sized (small), so the rescore
+    join is a broadcast; the only big shuffles are the two aggregations."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("tf").cast("double")
+                * (F.col("n_docs").cast("double") / F.col("doc_freq"))
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "tfidf", "rnk")
+    )

@@ -222,3 +222,43 @@ def st_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_available_now(out, "update", "st_stateful")
+
+
+_ST_FOREACH_BATCH_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS purchase_cnt,
+       CAST(SUM(CAST(value AS DECIMAL(20, 4))) AS DOUBLE) AS total_value
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id
+"""
+
+
+@register("st_foreach_batch", oracle=_ST_FOREACH_BATCH_ORACLE, tags=("streaming",))
+def st_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: each micro-batch runs arbitrary batch logic — here
+    an aggregate-and-overwrite into parquet, the pattern used for upserts
+    into warehouses that lack a streaming writer. Complete mode makes the
+    final file state equal the batch aggregate → oracle-checkable."""
+    out_dir = tempfile.mkdtemp(prefix="st_feb_out_")
+    sdf = read_events_stream(spark, sf_dir)
+    agg = (
+        sdf.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("purchase_cnt"),
+            F.sum(F.col("value").cast("decimal(20,4)")).cast("double").alias("total_value"),
+        )
+    )
+
+    def upsert(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        agg.writeStream.foreachBatch(upsert)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="st_feb_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
