@@ -112,15 +112,13 @@ WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.6
 @register("llm_minhash_dedup", oracle=_MINHASH_ORACLE, tags=("llm", "dedup"))
 def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash near-dup detection, fully engine-portable: tokens are hashed
-    once per document (per-char polynomial), 3-gram shingle hashes are
-    composed from token hashes with pure integer ops, 8 MinHash bands feed a
-    band-equality candidate join, and an exact Jaccard ≥ 0.6 on the shingle
-    hash sets verifies candidates only — never all pairs.
+    once per document (md5-fold, functions/hashing.py), 3-gram shingle
+    hashes are composed from token hashes with pure integer ops, 8 MinHash
+    bands feed a band-equality candidate join, and an exact Jaccard ≥ 0.6
+    on the shingle hash sets verifies candidates only — never all pairs.
 
     Every synthesized near-dup (doc + copy-minus-last-token) must surface;
-    random cross-doc pairs are killed by the Jaccard gate. Staging each hash
-    level as a materialized column keeps the (interpreted) higher-order
-    expressions linear — inlining them repeatedly was an 8× slowdown.
+    random cross-doc pairs are killed by the Jaccard gate.
     """
     apply_engine_conf(spark)
     docs = table(spark, sf_dir, "documents")
@@ -321,4 +319,71 @@ def llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("datasetB.doc_id").alias("doc_b"),
             F.col("jaccard_dist"),
         )
+    )
+
+
+# --- llm_dedup_clusters: connected components over near-dup pairs ------------
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE.strip().rstrip(';')})
+),
+und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+)
+SELECT a AS doc_id, least(a, MIN(b)) AS cluster_rep,
+       CASE WHEN least(a, MIN(b)) = a THEN 1 ELSE 0 END AS is_canonical
+FROM reach GROUP BY a
+"""
+
+
+@register("llm_dedup_clusters", oracle=_CLUSTERS_ORACLE, tags=("llm", "dedup", "iterative"))
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup pairs — the step that
+    turns pairwise matches into dedup decisions (keep one canonical doc per
+    cluster). Pregel-style min-label propagation: each round every doc
+    adopts the minimum label in its neighborhood; converges to the
+    component minimum in O(diameter) rounds. Each round localCheckpoints to
+    truncate lineage (the standard guard for iterative DataFrame
+    algorithms) and the driver reads ONE scalar (changed-count) per round —
+    the data itself never leaves the executors. The oracle computes the
+    same fixpoint via DuckDB's recursive transitive closure, so the
+    iterative implementation is verified against closed-form reachability.
+    """
+    apply_engine_conf(spark)
+    pairs = llm_minhash_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    und = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    und = und.localCheckpoint()
+    labels = und.select(F.col("a").alias("doc_id")).distinct().withColumn(
+        "label", F.col("doc_id")
+    )
+    for _ in range(10):  # diameter bound; every fixture graph converges in <4
+        nbr_min = (
+            und.join(labels, und.b == labels.doc_id)
+            .groupBy(F.col("a").alias("doc_id2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.doc_id2, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                F.col("label").alias("old_label"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+        labels = new_labels.select("doc_id", "label")
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_rep"),
+        F.when(F.col("label") == F.col("doc_id"), 1).otherwise(0).alias("is_canonical"),
     )
