@@ -189,3 +189,43 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.sum("l_quantity").alias("sum_qty"),
     )
+
+
+# --- agg_quantiles (engine completeness, SURVEY §2.D note) -------------------
+
+_AGG_QUANTILES_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS p50_qty,
+       quantile_cont(l_quantity, 0.95) AS p95_qty,
+       quantile_cont(l_extendedprice, 0.25) AS p25_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("agg_quantiles", oracle=_AGG_QUANTILES_ORACLE, tags=("agg",))
+def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (SQL PERCENTILE_CONT semantics): both
+    engines compute index p*(n-1) with linear interpolation, so results are
+    bit-exact. Exact percentiles require a per-group sort — fine on bounded
+    groups; for 100 TB unbounded groups use agg_approx_quantiles."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5D)").alias("p50_qty"),
+        F.expr("percentile(l_quantity, 0.95D)").alias("p95_qty"),
+        F.expr("percentile(l_extendedprice, 0.25D)").alias("p25_price"),
+    )
+
+
+@register("agg_approx_quantiles", tags=("agg", "rows-only"))
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style sketch): mergeable partial state, no
+    per-group sort — the percentile you actually run on 100 TB. Sketch
+    internals are engine-specific → rows-only check (accuracy is asserted
+    against the exact percentiles in tests/test_properties.py)."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_quantity, 0.5D, 10000)").alias("p50_qty"),
+        F.expr("approx_percentile(l_quantity, 0.95D, 10000)").alias("p95_qty"),
+    )

@@ -195,3 +195,26 @@ def snk_object_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _region_revenue(spark, sf_dir).withColumn("dt", F.lit("19980802"))
     df.write.mode("overwrite").partitionBy("dt").parquet(out)
     return spark.read.parquet(out).select("region", "order_cnt", "revenue")
+
+
+_SRC_PARTITIONED_ORACLE = """
+SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'
+"""
+
+
+@register("src_partitioned", oracle=_SRC_PARTITIONED_ORACLE, tags=("source", "scale"))
+def src_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan: events written partitioned by event_type
+    (the standard lakehouse layout), then read back with a partition
+    predicate. The filter becomes a PartitionFilter — directories for other
+    event types are never opened (asserted in tests/test_plans.py). At
+    100 TB partition pruning is the first and cheapest 10-100x."""
+    apply_engine_conf(spark)
+    out = tempfile.mkdtemp(prefix="src_partitioned_")
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value", "event_type")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )

@@ -85,3 +85,9 @@ def test_ivf_assignment_is_partial_aggregate(spark, sf_dir):
 def test_relational_core_has_no_cartesian(spark, sf_dir, name):
     plan = _executed_plan(spark, name, sf_dir)
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_partitioned_scan_prunes_partitions(spark, sf_dir):
+    fmt = _formatted(spark, "src_partitioned", sf_dir)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", fmt)
+    assert m and "event_type" in m.group(1), f"partition filter missing:\n{fmt[:2000]}"

@@ -93,3 +93,17 @@ def test_hash_sample_fraction_is_sane(spark, sf_dir):
     total = table(spark, sf_dir, "orders").count()
     frac = sample / total
     assert 0.05 < frac < 0.15, f"sample fraction {frac:.3f} outside sanity bounds"
+
+
+def test_approx_percentile_near_exact(spark, sf_dir):
+    """The sketch percentile must land within 5% of the exact percentile."""
+    exact = {
+        r["l_returnflag"]: r["p50_qty"]
+        for r in SPECS["agg_quantiles"].builder(spark, sf_dir).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["p50_qty"]
+        for r in SPECS["agg_approx_quantiles"].builder(spark, sf_dir).collect()
+    }
+    for k, v in exact.items():
+        assert abs(approx[k] - v) <= 0.05 * max(v, 1.0), (k, approx[k], v)
