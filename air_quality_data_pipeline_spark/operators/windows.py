@@ -161,3 +161,61 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cd"),
         F.dense_rank().over(w).alias("dr"),
     )
+
+
+# --- win_sessionize (engine completeness, gap-based sessions) ----------------
+
+_WIN_SESSIONIZE_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, event_type,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+)
+SELECT user_id, session_no, COUNT(*) AS n_events,
+       epoch_us(MIN(ts)) AS start_us, epoch_us(MAX(ts)) AS end_us
+FROM sess GROUP BY user_id, session_no
+"""
+
+
+@register("win_sessionize", oracle=_WIN_SESSIONIZE_ORACLE, tags=("window",))
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization as window functions: mark rows >30 min
+    after their predecessor as session starts (lag), number sessions with a
+    running sum, aggregate per session. The window formulation needs ONE
+    exchange on user_id shared by both windows — the classic alternative to
+    session_window (st_session) when you need per-event session IDs, not
+    just session aggregates."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.to_timestamp("ts"))
+    )
+    w_lag = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev = F.lag("us").over(w_lag)
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(
+            prev.isNull() | (F.col("us") - prev > 1800 * 1_000_000), 1
+        ).otherwise(0).alias("is_start"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.withColumn("session_no", F.sum("is_start").over(w_run))
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_micros(F.to_timestamp(F.min("ts"))).alias("start_us"),
+        F.unix_micros(F.to_timestamp(F.max("ts"))).alias("end_us"),
+    )
