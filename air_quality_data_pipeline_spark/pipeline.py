@@ -188,8 +188,69 @@ def air_quality_report(spark: SparkSession, as_of: str = "2024-01-31T00:00:00Z")
     )
 
 
-@register("ref_pipeline", tags=("pipeline", "rows-only"))
+def _ref_pipeline_oracle() -> str:
+    """DuckDB replica of the reference pipeline over the SAME canned
+    literals (sensors flattened — the oracle mirrors results, not the
+    nested shape). Trig ulp differences cannot flip the geo predicate: no
+    canned station sits near the 75 km boundary (nearest ~3 km, farthest
+    ~103 km), and distance itself is not an output column."""
+    cities = ", ".join(
+        f"('{c}', '{iso}', {lat}, {lon}, {r})" for c, iso, lat, lon, r in CITY_CFG_ROWS
+    )
+    locs = ", ".join(
+        f"({lid}, {'NULL' if name is None else repr(name)}, {'NULL' if loc is None else repr(loc)}, "
+        f"{lat}, {lon}, '{dtl}')"
+        for lid, name, loc, lat, lon, dtl, _sensors in CANNED_LOCATIONS
+    )
+    sensors = ", ".join(
+        f"({lid}, {sid}, '{param}', {'NULL' if units is None else repr(units)})"
+        for lid, _n, _l, _la, _lo, _d, sens in CANNED_LOCATIONS
+        for sid, param, units in sens
+    )
+    meas = ", ".join(
+        f"({lid}, {sid}, {val}, '{dt}')" for lid, sid, val, dt in CANNED_MEASUREMENTS
+    )
+    params = ", ".join(f"'{p}'" for p in PARAMETERS)
+    hav = (
+        "2 * 6371000.0 * asin(least(1.0, sqrt("
+        "pow(sin(radians(city_lat - lat) / 2), 2) + "
+        "cos(radians(lat)) * cos(radians(city_lat)) * "
+        "pow(sin(radians(city_lon - lon) / 2), 2))))"
+    )
+    return f"""
+WITH cities(city, iso, city_lat, city_lon, radius_m) AS (VALUES {cities}),
+locs(loc_id, name, locality, lat, lon, datetime_last) AS (VALUES {locs}),
+sens(loc_id, sensor_id, parameter, units) AS (VALUES {sensors}),
+meas(loc_id, sensor_id, value, datetime_utc) AS (VALUES {meas}),
+candidates AS (
+  SELECT l.loc_id, c.city,
+         coalesce(l.name, l.locality, 'id:' || l.loc_id) AS location
+  FROM locs l CROSS JOIN cities c
+  WHERE {hav} <= c.radius_m
+    AND CAST(l.datetime_last AS TIMESTAMPTZ)
+        >= CAST('2024-01-31T00:00:00Z' AS TIMESTAMPTZ) - INTERVAL {FRESH_DAYS} DAY
+),
+sensor_dim AS (
+  SELECT cd.city, cd.loc_id, cd.location, s.sensor_id,
+         lower(s.parameter) AS parameter, coalesce(s.units, '') AS unit
+  FROM candidates cd JOIN sens s ON s.loc_id = cd.loc_id
+  WHERE lower(s.parameter) IN ({params})
+)
+SELECT sd.city, sd.location, sd.parameter,
+       CAST(m.value AS DOUBLE) AS value, sd.unit, m.datetime_utc AS date
+FROM meas m
+JOIN sensor_dim sd ON sd.loc_id = m.loc_id AND sd.sensor_id = m.sensor_id
+WHERE m.value IS NOT NULL AND m.sensor_id IS NOT NULL
+  AND CAST(m.datetime_utc AS TIMESTAMPTZ)
+      >= CAST('2024-01-31T00:00:00Z' AS TIMESTAMPTZ) - INTERVAL {FRESH_DAYS} DAY
+"""
+
+
+@register("ref_pipeline", oracle=_ref_pipeline_oracle(), tags=("pipeline",))
 def ref_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference pipeline semantics on canned data (rows-only check)."""
+    """Reference pipeline semantics on canned data, oracle-checked: the
+    full air-quality report (freshness + geo-radius + allowlist + validity
+    filters, sensor join, coalesce fallbacks, 6-column projection) must
+    match a DuckDB replica built from the same literals."""
     apply_engine_conf(spark)
     return air_quality_report(spark)
