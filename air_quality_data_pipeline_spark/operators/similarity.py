@@ -157,6 +157,117 @@ def llm_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_CENT = 16
 _NPROBE = 4
 
+# --- centroid math shared by llm_emb_centroid / llm_kmeans_iter ---------------
+#
+# Per-dimension means must be ORDER-INDEPENDENT (hash-agg combine order is
+# nondeterministic) yet bit-identical across engines. Plain SUM(double) is
+# neither; instead each coordinate is quantized with floor(val * 1e9) to
+# BIGINT. Integer sums are exact, commutative, and partially aggregate
+# map-side — the scale answer and the exactness answer are the same plan.
+# Quantization error is < 1e-9 per coordinate, irrelevant for centroids;
+# overflow needs ~4e9 members per cluster at |x| ≤ 2 before int64 saturates.
+
+_QUANT = "CAST(floor(val * 1000000000.0) AS BIGINT)"
+_MEAN = "CAST(SUM(qv) AS DOUBLE) / (COUNT(*) * 1000000000.0)"
+
+
+_EMB_CENTROID_ORACLE = """
+WITH v AS (
+  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+e AS (
+  SELECT label, i AS dim, vec[i] AS val
+  FROM v, UNNEST(range(1, 65)) AS t(i)
+),
+q AS (SELECT label, dim, {quant} AS qv FROM e)
+SELECT label, dim, {mean} AS centroid, COUNT(*) AS n_members
+FROM q GROUP BY label, dim
+""".format(quant=_QUANT, mean=_MEAN)
+
+
+@register("llm_emb_centroid", oracle=_EMB_CENTROID_ORACLE, tags=("llm", "similarity", "clustering"))
+def llm_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid: explode 64 dims, fixed-point quantize,
+    one hash aggregate on (label, dim). The only shuffle carries (label,
+    dim, qv) triples with map-side partial sums — at 100 TB the exchange is
+    ~k·64 rows per map task regardless of corpus size. This is the
+    reduce step of k-means / IVF training (llm_sim_search_ivf consumes
+    such centroids)."""
+    apply_engine_conf(spark)
+    v = table(spark, sf_dir, "embeddings").select(
+        "label", F.expr("transform(embedding, x -> cast(x as double))").alias("vec")
+    )
+    e = v.select("label", F.posexplode("vec").alias("pos", "val")).select(
+        "label", (F.col("pos") + 1).alias("dim"), F.expr(_QUANT).alias("qv")
+    )
+    return e.groupBy("label", "dim").agg(
+        F.expr(_MEAN).alias("centroid"), F.count(F.lit(1)).alias("n_members")
+    )
+
+
+_KM_ASSIGN_DUCK = f"""
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < {{k}}),
+assign_scored AS (
+  SELECT v.vec_id, cent.cid,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {cosine_similarity_duckdb('v.vec', 'cent.cvec', DIMS)} DESC, cent.cid
+         ) AS crnk
+  FROM v CROSS JOIN cent
+),
+assigned AS (SELECT vec_id, cid FROM assign_scored WHERE crnk = 1)
+"""
+
+_KMEANS_ORACLE = """
+WITH {assign},
+e AS (
+  SELECT a.cid, i AS dim, v.vec[i] AS val
+  FROM assigned a JOIN v ON v.vec_id = a.vec_id, UNNEST(range(1, 65)) AS t(i)
+),
+q AS (SELECT cid, dim, {quant} AS qv FROM e)
+SELECT cid, dim, {mean} AS centroid, COUNT(*) AS n_members
+FROM q GROUP BY cid, dim
+""".format(assign=_KM_ASSIGN_DUCK.format(k=_N_CENT), quant=_QUANT, mean=_MEAN)
+
+
+@register("llm_kmeans_iter", oracle=_KMEANS_ORACLE, tags=("llm", "similarity", "clustering", "iterative"))
+def llm_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd's k-means iteration, fully oracle-checked: deterministic
+    seeds (first k vectors), nearest-centroid assignment via the broadcast +
+    max(struct) argmax aggregate (same shape as llm_sim_search_ivf — one
+    shuffle of (vec_id, best) pairs, never 16× the corpus), then the
+    fixed-point centroid recompute of llm_emb_centroid grouped by cluster.
+    Iterating this plan (re-broadcasting the k·64-row output as the next
+    seed) is exactly IVF index training at 100 TB: per iteration, one
+    corpus scan, one argmax shuffle, one k·64-row aggregate."""
+    apply_engine_conf(spark)
+    v = _vectors(spark, sf_dir)
+    cent = v.filter(F.col("vec_id") < _N_CENT).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+    )
+    csim = cosine_similarity(F.col("vec"), F.col("cvec")).alias("csim")
+    assigned = (
+        v.join(F.broadcast(cent))
+        .select("vec_id", "cid", csim)
+        .groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("csim"), (-F.col("cid")).alias("ncid"))).alias("best"))
+        .select("vec_id", (-F.col("best.ncid")).alias("cid"))
+    )
+    e = (
+        assigned.join(v, "vec_id")
+        .select("cid", F.posexplode("vec").alias("pos", "val"))
+        .select("cid", (F.col("pos") + 1).alias("dim"), F.expr(_QUANT).alias("qv"))
+    )
+    return e.groupBy("cid", "dim").agg(
+        F.expr(_MEAN).alias("centroid"), F.count(F.lit(1)).alias("n_members")
+    )
+
+
 _IVF_ORACLE = f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
