@@ -382,3 +382,170 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "token", "tfidf", "rnk")
     )
+
+
+# --- llm_doc_chunk: context-window chunking ----------------------------------
+
+_CHUNK = 64  # tokens per chunk
+_STRIDE = 48  # chunk stride (overlap = _CHUNK - _STRIDE = 16 tokens)
+
+_DOC_CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks, len(string_split(text, ' ')) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks, n,
+         1 + ((greatest(n - {_CHUNK}, 0) + {_STRIDE - 1}) // {_STRIDE}) AS n_chunks
+  FROM t
+),
+x AS (
+  SELECT doc_id, toks, n, i AS chunk_id, 1 + (i - 1) * {_STRIDE} AS chunk_start
+  FROM c, UNNEST(range(1, n_chunks + 1)) AS u(i)
+)
+SELECT doc_id, chunk_id, chunk_start,
+       least({_CHUNK}, n - chunk_start + 1) AS chunk_tokens,
+       array_to_string(list_slice(toks, chunk_start, chunk_start + {_CHUNK - 1}), ' ') AS chunk_text
+FROM x
+"""
+
+
+@register("llm_doc_chunk", oracle=_DOC_CHUNK_ORACLE, tags=("llm", "text", "chunking"))
+def llm_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: each document becomes ceil-division many
+    overlapping 64-token chunks (stride 48). Pure per-row explode — zero
+    shuffles, embarrassingly parallel, output size is a fixed ~4/3 expansion
+    of the corpus. This is the chunking step of a training-data / RAG
+    pipeline; the reference has no analog (north-star mandate).
+
+    Chunk count uses integer ceil-division (Spark ``div`` / DuckDB ``//``);
+    ``greatest(..., 0)`` guards the short-doc case so ``sequence`` never
+    sees a negative length (Spark would generate a DESCENDING range)."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    c = docs.select(
+        "doc_id",
+        F.expr(tokens_spark("text")).alias("toks"),
+        F.expr(f"size({tokens_spark('text')})").alias("n"),
+        F.expr(
+            f"1 + ((greatest(size({tokens_spark('text')}) - {_CHUNK}, 0)"
+            f" + {_STRIDE - 1}) div {_STRIDE})"
+        ).alias("n_chunks"),
+    )
+    x = c.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(F.expr("sequence(1, n_chunks)")).alias("chunk_id"),
+    ).withColumn("chunk_start", F.expr(f"1 + (chunk_id - 1) * {_STRIDE}"))
+    return x.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_start",
+        F.expr(f"least({_CHUNK}, n - chunk_start + 1)").alias("chunk_tokens"),
+        F.expr(f"concat_ws(' ', slice(toks, chunk_start, {_CHUNK}))").alias("chunk_text"),
+    )
+
+
+# --- llm_seq_pack: contiguous sequence packing -------------------------------
+
+_PACK_CTX = 512  # tokens per packed training sequence
+_PACK_BUCKETS = 32  # independent packing streams (parallelism unit)
+
+_SEQ_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {_PACK_BUCKETS} AS bucket,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, bucket, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY bucket ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_tokens AS start_off
+  FROM t
+)
+SELECT doc_id, bucket, n_tokens,
+       bucket * 1000000 + (start_off // {_PACK_CTX}) AS pack_id,
+       start_off % {_PACK_CTX} AS pack_offset
+FROM r
+"""
+
+
+@register("llm_seq_pack", oracle=_SEQ_PACK_ORACLE, tags=("llm", "text", "packing"))
+def llm_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (concat-and-split): documents are laid
+    end-to-end in doc_id order and cut into 512-token training sequences;
+    each doc is assigned the pack where its first token lands, plus its
+    offset inside that pack. Packing runs independently inside 32
+    hash-buckets, so the running-sum window parallelizes across buckets —
+    at 100 TB each bucket is one partition-local sort + prefix sum, no
+    global ordering anywhere. Deterministic (doc_id order), hence
+    oracle-checked exactly."""
+    apply_engine_conf(spark)
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_BUCKETS).alias("bucket"),
+        F.expr(f"size({tokens_spark('text')})").alias("n_tokens"),
+    )
+    w = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = t.withColumn("start_off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return r.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        (F.col("bucket") * 1000000 + F.expr(f"start_off div {_PACK_CTX}")).alias("pack_id"),
+        (F.col("start_off") % _PACK_CTX).alias("pack_offset"),
+    )
+
+
+# --- llm_stratified_sample: per-stratum deterministic quota ------------------
+
+_STRAT_QUOTA = 50  # docs kept per language
+
+_STRAT_SAMPLE_ORACLE = f"""
+WITH h AS (
+  SELECT lang, doc_id,
+         CAST(('0x' || substring(md5(text), 1, 14)) AS BIGINT) AS sample_key
+  FROM documents
+),
+r AS (
+  SELECT lang, doc_id, sample_key,
+         row_number() OVER (PARTITION BY lang ORDER BY sample_key, doc_id) AS rnk
+  FROM h
+)
+SELECT lang, doc_id, sample_key FROM r WHERE rnk <= {_STRAT_QUOTA}
+"""
+
+
+@register("llm_stratified_sample", oracle=_STRAT_SAMPLE_ORACLE, tags=("llm", "text", "sample"))
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling: exactly 50 documents per language,
+    chosen by content-hash order (md5-fold of the text) — reproducible
+    across engines, runs, and partition layouts, unlike seed-based
+    ``df.sample``. One shuffle on the stratum key. With few strata the
+    exchange is skewed; at 100 TB swap the exact rank for a hash-threshold
+    pre-filter (``sample_key % K < quota·K/stratum_count``, cf.
+    sample_hash) and rank only the survivors — same output distribution,
+    bounded per-stratum fan-in."""
+    apply_engine_conf(spark)
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    h = docs.select(
+        "lang",
+        "doc_id",
+        F.expr("cast(conv(substring(md5(text), 1, 14), 16, 10) as bigint)").alias("sample_key"),
+    )
+    w = Window.partitionBy("lang").orderBy("sample_key", "doc_id")
+    return (
+        h.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _STRAT_QUOTA)
+        .select("lang", "doc_id", "sample_key")
+    )
