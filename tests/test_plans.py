@@ -91,3 +91,26 @@ def test_partitioned_scan_prunes_partitions(spark, sf_dir):
     fmt = _formatted(spark, "src_partitioned", sf_dir)
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", fmt)
     assert m and "event_type" in m.group(1), f"partition filter missing:\n{fmt[:2000]}"
+
+
+def test_doc_chunk_has_no_exchange(spark, sf_dir):
+    # chunking is per-row fan-out: any Exchange means a formulation bug
+    plan = _executed_plan(spark, "llm_doc_chunk", sf_dir)
+    assert "Exchange" not in plan, f"chunking must be shuffle-free:\n{plan}"
+
+
+def test_kmeans_assignment_is_partial_aggregate(spark, sf_dir):
+    # same gate as IVF: the argmax must partially combine map-side (never
+    # shuffle k x corpus), the seed join must broadcast, and the centroid
+    # recompute must be a partial+final integer-sum hash aggregate
+    plan = _executed_plan(spark, "llm_kmeans_iter", sf_dir)
+    assert "partial_max" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+
+
+def test_seq_pack_single_exchange(spark, sf_dir):
+    # packing must shuffle once (on bucket) and nothing else
+    plan = _executed_plan(spark, "llm_seq_pack", sf_dir)
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n == 1, f"expected exactly 1 shuffle (bucket), got {n}:\n{plan}"
