@@ -401,3 +401,46 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_rep"),
         F.when(F.col("label") == F.col("doc_id"), 1).otherwise(0).alias("is_canonical"),
     )
+
+
+# --- llm_incr_dedup: incremental batch-vs-corpus dedup ------------------------
+
+_INCR_DEDUP_ORACLE = """
+WITH batch AS (
+  SELECT doc_id, sha256(text) AS text_hash FROM documents WHERE doc_id % 10 = 7
+),
+corpus AS (
+  SELECT DISTINCT sha256(text) AS text_hash FROM documents WHERE doc_id % 10 != 7
+),
+fresh AS (
+  SELECT b.doc_id, b.text_hash
+  FROM batch b LEFT JOIN corpus c ON c.text_hash = b.text_hash
+  WHERE c.text_hash IS NULL
+)
+SELECT text_hash, MIN(doc_id) AS canonical_doc, COUNT(*) AS batch_dup_cnt
+FROM fresh GROUP BY text_hash
+"""
+
+
+@register("llm_incr_dedup", oracle=_INCR_DEDUP_ORACLE, tags=("llm", "dedup"))
+def llm_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the daily-ingest pattern: dedup a new batch
+    (docs with doc_id % 10 = 7 stand in for today's crawl) against the
+    existing corpus, then within itself. The anti join and the group-by
+    both key on the 32-byte digest, so at 100 TB the corpus side is a
+    digest index scan, never the documents; the batch (typically orders of
+    magnitude smaller) is the build side. Exchanges carry hashes only."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 7).select(
+        "doc_id", F.sha2("text", 256).alias("text_hash")
+    )
+    corpus = (
+        docs.filter(F.col("doc_id") % 10 != 7)
+        .select(F.sha2("text", 256).alias("text_hash"))
+        .distinct()
+    )
+    fresh = batch.join(corpus, "text_hash", "left_anti")
+    return fresh.groupBy("text_hash").agg(
+        F.min("doc_id").alias("canonical_doc"), F.count(F.lit(1)).alias("batch_dup_cnt")
+    )
