@@ -107,3 +107,77 @@ def test_approx_percentile_near_exact(spark, sf_dir):
     }
     for k, v in exact.items():
         assert abs(approx[k] - v) <= 0.05 * max(v, 1.0), (k, approx[k], v)
+
+
+def test_doc_chunks_reassemble_to_original(spark, sf_dir):
+    """Concatenating chunk 1 with the non-overlapping tail (last STRIDE
+    tokens) of every later chunk must rebuild each document exactly —
+    chunking loses nothing and overlaps are consistent."""
+    chunks = SPECS["llm_doc_chunk"].builder(spark, sf_dir)
+    rebuilt = (
+        chunks.withColumn("toks", F.expr("split(chunk_text, ' ')"))
+        .withColumn(
+            "part",
+            F.expr(
+                "CASE WHEN chunk_id = 1 THEN toks "
+                "ELSE slice(toks, greatest(size(toks) - 48 + 1, 17), 48) END"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "concat_ws(' ', flatten(transform("
+                "array_sort(collect_list(struct(chunk_id, part))), s -> s.part)))"
+            ).alias("rebuilt")
+        )
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    diff = (
+        docs.join(rebuilt, "doc_id")
+        .filter(F.col("text") != F.col("rebuilt"))
+        .count()
+    )
+    assert diff == 0
+    assert rebuilt.count() == docs.count()
+
+
+def test_seq_pack_partitions_the_token_stream(spark, sf_dir):
+    """Within every bucket the packed docs tile the token stream with no
+    gaps or overlaps: offsets are contiguous (each doc starts where the
+    previous one ended) and the stream length equals the token total."""
+    packed = SPECS["llm_seq_pack"].builder(spark, sf_dir)
+    packed = packed.withColumn(
+        "start_off", (F.col("pack_id") % 1000000) * 512 + F.col("pack_offset")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    gaps = (
+        packed.withColumn("prev_end", F.lag(F.col("start_off") + F.col("n_tokens")).over(w))
+        .filter(F.col("prev_end").isNotNull() & (F.col("prev_end") != F.col("start_off")))
+        .count()
+    )
+    assert gaps == 0
+    totals = packed.groupBy("bucket").agg(
+        F.sum("n_tokens").alias("sum_tok"),
+        F.max(F.col("start_off") + F.col("n_tokens")).alias("stream_len"),
+    )
+    bad = totals.filter(F.col("sum_tok") != F.col("stream_len")).count()
+    assert bad == 0
+
+
+def test_stratified_sample_quota_and_membership(spark, sf_dir):
+    """Exactly min(quota, stratum size) docs per language, all of which
+    exist in the source corpus under that language."""
+    sample = SPECS["llm_stratified_sample"].builder(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("lang", "doc_id")
+    per_lang = sample.groupBy("lang").count()
+    avail = docs.groupBy("lang").agg(F.count("*").alias("n_avail"))
+    bad_quota = (
+        per_lang.join(avail, "lang")
+        .filter(F.col("count") != F.least(F.lit(50), F.col("n_avail")))
+        .count()
+    )
+    assert bad_quota == 0
+    orphans = sample.join(docs, ["lang", "doc_id"], "left_anti").count()
+    assert orphans == 0
