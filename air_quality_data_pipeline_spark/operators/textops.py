@@ -17,7 +17,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.hashing import POLY_BASE, POLY_MOD, token_hashes_duckdb, token_hashes_spark_sql
-from ..functions.text import tokens_duckdb, tokens_spark
+from ..functions.text import shingles_duckdb, shingles_spark, tokens_duckdb, tokens_spark
 from ..registry import register
 from ..session import apply_engine_conf
 from ..tables import table
@@ -548,4 +548,52 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _STRAT_QUOTA)
         .select("lang", "doc_id", "sample_key")
+    )
+
+
+# --- llm_ngram_counts: n-gram language-model statistics ----------------------
+
+_NGRAM_TOP = 20  # bigrams kept per language
+
+_NGRAM_COUNTS_ORACLE = f"""
+WITH g AS (
+  SELECT lang, UNNEST({shingles_duckdb(tokens_duckdb('text'), 2)}) AS bigram
+  FROM documents
+),
+c AS (
+  SELECT lang, bigram, COUNT(*) AS cnt
+  FROM g GROUP BY lang, bigram
+),
+r AS (
+  SELECT lang, bigram, cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS rnk
+  FROM c
+)
+SELECT lang, bigram, cnt, rnk FROM r WHERE rnk <= {_NGRAM_TOP}
+"""
+
+
+@register("llm_ngram_counts", oracle=_NGRAM_COUNTS_ORACLE, tags=("llm", "text"))
+def llm_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-20 bigram counts — n-gram LM statistics over the
+    corpus. Explode is per-row; the count is one hash aggregate with
+    map-side combine on (lang, bigram); the rank window runs over the
+    already-aggregated distinct-bigram table, which is vocabulary-sized,
+    not corpus-sized. At 100 TB with a huge vocabulary, pre-prune with a
+    per-partition top-N before the final rank (heavy-hitters pattern) —
+    the aggregate itself needs no change."""
+    apply_engine_conf(spark)
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    g = docs.select(
+        "lang",
+        F.explode(F.expr(shingles_spark(tokens_spark("text"), 2))).alias("bigram"),
+    )
+    c = g.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("bigram"))
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _NGRAM_TOP)
+        .select("lang", "bigram", "cnt", "rnk")
     )
