@@ -71,17 +71,42 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct", tags=("agg", "rows-only"))
+_AGG_APPROX_DISTINCT_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS users,
+       1 AS within_5pct
+FROM events GROUP BY event_type
+"""
+
+
+@register("agg_approx_distinct", oracle=_AGG_APPROX_DISTINCT_ORACLE, tags=("agg",))
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct count — the 100 TB-scale variant of
     agg_count_distinct (sketch-mergeable, one pass, bounded memory).
-    Rows-only check: HLL estimates are engine-specific by construction.
-    """
+    HLL estimates are engine-specific, so the oracle checks an accuracy
+    gate instead of the raw sketch: the exact count plus a within-5%
+    flag (deterministic on fixed data — HLL++ hashing has no RNG); the
+    DuckDB side recomputes exactly and hardcodes the flag true."""
     apply_engine_conf(spark)
     return (
         table(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        )
+        .select(
+            "event_type",
+            "users",
+            F.when(
+                F.abs(F.col("approx_users") - F.col("users"))
+                / F.col("users")
+                <= 0.05,
+                1,
+            )
+            .otherwise(0)
+            .alias("within_5pct"),
+        )
     )
 
 
@@ -217,15 +242,39 @@ def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_quantiles", tags=("agg", "rows-only"))
+_AGG_APPROX_QUANTILES_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS p50_qty,
+       quantile_cont(l_quantity, 0.95) AS p95_qty,
+       1 AS p50_within_5pct,
+       1 AS p95_within_5pct
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("agg_approx_quantiles", oracle=_AGG_APPROX_QUANTILES_ORACLE, tags=("agg",))
 def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style sketch): mergeable partial state, no
     per-group sort — the percentile you actually run on 100 TB. Sketch
-    internals are engine-specific → rows-only check (accuracy is asserted
-    against the exact percentiles in tests/test_properties.py)."""
+    internals are engine-specific, so the oracle checks an accuracy gate:
+    exact percentiles as value columns plus within-5% flags comparing the
+    sketch against them (deterministic on fixed data); DuckDB recomputes
+    exactly and hardcodes the flags true."""
     apply_engine_conf(spark)
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_quantity, 0.5D, 10000)").alias("p50_qty"),
-        F.expr("approx_percentile(l_quantity, 0.95D, 10000)").alias("p95_qty"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5D)").alias("p50_qty"),
+        F.expr("percentile(l_quantity, 0.95D)").alias("p95_qty"),
+        F.expr("approx_percentile(l_quantity, 0.5D, 10000)").alias("ap50"),
+        F.expr("approx_percentile(l_quantity, 0.95D, 10000)").alias("ap95"),
+    )
+    within = lambda a, e: (  # noqa: E731
+        F.when(F.abs(F.col(a) - F.col(e)) / F.col(e) <= 0.05, 1).otherwise(0)
+    )
+    return agg.select(
+        "l_returnflag",
+        "p50_qty",
+        "p95_qty",
+        within("ap50", "p50_qty").alias("p50_within_5pct"),
+        within("ap95", "p95_qty").alias("p95_within_5pct"),
     )

@@ -275,8 +275,9 @@ def f_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _F_MAP_BUILD_ORACLE = """
 SELECT user_id,
-       COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END), 0) AS error_cnt,
-       COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END), 0) AS purchase_cnt
+       -- CAST: DuckDB SUM yields HUGEINT (→ pandas float64); Spark emits BIGINT
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END), 0) AS BIGINT) AS error_cnt,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END), 0) AS BIGINT) AS purchase_cnt
 FROM events GROUP BY user_id
 """
 

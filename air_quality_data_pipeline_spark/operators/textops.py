@@ -33,7 +33,8 @@ WITH t AS (
 )
 SELECT lang,
        COUNT(*) AS doc_cnt,
-       SUM(n_tokens) AS total_tokens,
+       -- CAST: DuckDB SUM yields HUGEINT (→ pandas float64); Spark emits BIGINT
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens) AS chars_per_token,
        CAST(SUM(n_distinct) AS DOUBLE) / COUNT(*) AS avg_vocab,
        COUNT(DISTINCT source) AS n_sources
@@ -467,8 +468,11 @@ r AS (
   FROM t
 )
 SELECT doc_id, bucket, n_tokens,
-       bucket * 1000000 + (start_off // {_PACK_CTX}) AS pack_id,
-       start_off % {_PACK_CTX} AS pack_offset
+       -- CAST: start_off is a window SUM → HUGEINT in DuckDB (→ pandas
+       -- float64), and HUGEINT propagates through the arithmetic; Spark
+       -- emits BIGINT for both derived columns.
+       CAST(bucket * 1000000 + (start_off // {_PACK_CTX}) AS BIGINT) AS pack_id,
+       CAST(start_off % {_PACK_CTX} AS BIGINT) AS pack_offset
 FROM r
 """
 

@@ -165,9 +165,11 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- win_sessionize (engine completeness, gap-based sessions) ----------------
 
+# session_no: DuckDB's windowed SUM returns HUGEINT (pandas float64) while
+# Spark returns BIGINT — the driver hashes dtypes, so cast explicitly.
 _WIN_SESSIONIZE_ORACLE = """
 WITH marked AS (
-  SELECT user_id, ts, event_type,
+  SELECT user_id, event_id, ts, event_type,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > INTERVAL 30 MINUTE
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -176,8 +178,8 @@ WITH marked AS (
 ),
 sess AS (
   SELECT user_id, ts, event_type,
-         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
-                             ROWS UNBOUNDED PRECEDING) AS session_no
+         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
   FROM marked
 )
 SELECT user_id, session_no, COUNT(*) AS n_events,
@@ -202,15 +204,18 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("us").over(w_lag)
     marked = ev.select(
         "user_id",
+        "event_id",
         "ts",
         "event_type",
         F.when(
             prev.isNull() | (F.col("us") - prev > 1800 * 1_000_000), 1
         ).otherwise(0).alias("is_start"),
     )
+    # event_id tiebreak: a (user_id, ts) tie would otherwise make the
+    # running sum's row order — and thus session_no — nondeterministic.
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy(F.asc("ts"))
+        .orderBy(F.asc("ts"), F.asc("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sess = marked.withColumn("session_no", F.sum("is_start").over(w_run))

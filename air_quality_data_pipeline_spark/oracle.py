@@ -70,6 +70,17 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
     if len(a) != len(b):
         problems.append(f"row count mismatch: spark={len(a)} oracle={len(b)}")
         return problems
+    # Dtype gate: canonicalize() collapses integer widths to int64 and floats
+    # to float64, so any dtype mismatch left here (float-vs-int from DuckDB
+    # HUGEINT leakage, object-vs-numeric) is real and WOULD fail the driver's
+    # value hash even when elements compare equal — reject it locally.
+    for col in a.columns:
+        if a[col].dtype != b[col].dtype:
+            problems.append(
+                f"dtype mismatch col {col!r}: spark={a[col].dtype} oracle={b[col].dtype}"
+            )
+    if problems:
+        return problems
     for col in a.columns:
         av, bv = a[col], b[col]
         if pd.api.types.is_float_dtype(av) and pd.api.types.is_float_dtype(bv):

@@ -58,4 +58,8 @@ def apply_engine_conf(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Epoch-µs derivations (win_sessionize, join_asof) interpret TIMESTAMP_NTZ
+    # in the session zone; pin UTC so results don't shift under a non-UTC
+    # driver session. Runtime-settable, unlike most session confs.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark
