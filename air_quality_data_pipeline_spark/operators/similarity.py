@@ -268,6 +268,101 @@ def llm_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- llm_kmeans_train: multi-iteration Lloyd's (IVF index training) -----------
+
+_TRAIN_ITERS = 3
+
+
+def _kmeans_train_oracle(k: int, iters: int) -> str:
+    """Unrolled DuckDB replica of ``iters`` Lloyd's rounds: each round is the
+    llm_kmeans_iter CTE block (argmax assignment → fixed-point centroid
+    recompute), with round i's centroids re-listed (ordered by dim) as round
+    i+1's seeds. Unrolling keeps the oracle plain ANSI SQL."""
+    cos = cosine_similarity_duckdb
+    sql = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+cent0 AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < {k})"""
+    for i in range(1, iters + 1):
+        sql += f""",
+assigned{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {cos('v.vec', 'c.cvec', DIMS)} DESC, c.cid
+           ) AS crnk
+    FROM v CROSS JOIN cent{i - 1} c
+  ) WHERE crnk = 1
+),
+e{i} AS (
+  SELECT a.cid, i AS dim, v.vec[i] AS val
+  FROM assigned{i} a JOIN v ON v.vec_id = a.vec_id, UNNEST(range(1, {DIMS} + 1)) AS t(i)
+),
+q{i} AS (SELECT cid, dim, {_QUANT} AS qv FROM e{i}),
+cstat{i} AS (
+  SELECT cid, dim, {_MEAN} AS centroid, COUNT(*) AS n_members
+  FROM q{i} GROUP BY cid, dim
+),
+cent{i} AS (
+  SELECT cid, list(centroid ORDER BY dim) AS cvec FROM cstat{i} GROUP BY cid
+)"""
+    sql += f"\nSELECT cid, dim, centroid, n_members FROM cstat{iters}"
+    return sql
+
+
+@register(
+    "llm_kmeans_train",
+    oracle=_kmeans_train_oracle(_N_CENT, _TRAIN_ITERS),
+    tags=("llm", "similarity", "clustering", "iterative"),
+)
+def llm_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lloyd's k-means training loop (3 iterations) — the IVF index
+    build llm_kmeans_iter proves one step of. Per round: broadcast the
+    current k centroids, assign via the map-side-combining max(struct)
+    argmax (one shuffle of (vec_id, cid) pairs), recompute centroids with
+    the fixed-point quantized aggregate (one k·64-row exchange), then
+    ``localCheckpoint`` the k·64-row centroid table so the next round's
+    plan starts from materialized data instead of an ever-deepening
+    lineage (same driver-loop pattern as llm_dedup_clusters — per round
+    the driver handles only a k·64-row table, the corpus never leaves the
+    executors). At 100 TB each round costs one corpus scan + one argmax
+    shuffle, independent of the number of rounds."""
+    apply_engine_conf(spark)
+    v = _vectors(spark, sf_dir)
+    cent = v.filter(F.col("vec_id") < _N_CENT).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+    )
+    cstat = None
+    for _ in range(_TRAIN_ITERS):
+        csim = cosine_similarity(F.col("vec"), F.col("cvec")).alias("csim")
+        assigned = (
+            v.join(F.broadcast(cent))
+            .select("vec_id", "cid", csim)
+            .groupBy("vec_id")
+            .agg(F.max(F.struct(F.col("csim"), (-F.col("cid")).alias("ncid"))).alias("best"))
+            .select("vec_id", (-F.col("best.ncid")).alias("cid"))
+        )
+        e = (
+            assigned.join(v, "vec_id")
+            .select("cid", F.posexplode("vec").alias("pos", "val"))
+            .select("cid", (F.col("pos") + 1).alias("dim"), F.expr(_QUANT).alias("qv"))
+        )
+        cstat = (
+            e.groupBy("cid", "dim")
+            .agg(F.expr(_MEAN).alias("centroid"), F.count(F.lit(1)).alias("n_members"))
+            .localCheckpoint(eager=True)
+        )
+        cent = cstat.groupBy("cid").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, centroid))), s -> s.centroid)"
+            ).alias("cvec")
+        )
+    return cstat
+
+
 _IVF_ORACLE = f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec

@@ -60,8 +60,78 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+# Verification-priority ordering. The driver's correctness pass evaluates the
+# FIRST 50 registry entries only (CORRECTNESS_r01.json covered exactly the
+# first 50 of 110), so each round we rotate the names most in need of a driver
+# row to the front: queries never yet driver-verified, queries whose code or
+# oracle changed this round, and newly added queries. Names absent from the
+# registry are ignored (lets the list name queries before they land);
+# everything not listed keeps module order after the priority block.
+#
+# Round-2 window: the 60 round-1-unchecked entries (llm_*/mm_*/sql_*/udf_*/
+# src_*/snk_*), the four whose oracles were fixed this round (win_sessionize,
+# f_map_build, agg_approx_*), the modified ref_pipeline, and new queries.
+# Deferred to round 3: f_json_get/f_explode/f_least/f_trig, llm_minhash_lsh,
+# and the st_* family, plus re-verification of the round-1 greens.
+DRIVER_PRIORITY = [
+    "ref_pipeline",
+    "win_sessionize",
+    "agg_approx_distinct",
+    "agg_approx_quantiles",
+    "f_map_build",
+    "llm_exact_dedup",
+    "llm_minhash_dedup",
+    "llm_simhash",
+    "llm_ngram_jaccard",
+    "llm_dedup_clusters",
+    "llm_incr_dedup",
+    "llm_sim_search",
+    "llm_emb_neardup",
+    "llm_emb_centroid",
+    "llm_kmeans_iter",
+    "llm_kmeans_train",
+    "llm_sim_search_ivf",
+    "llm_text_stats",
+    "llm_token_count",
+    "llm_lang_id",
+    "llm_quality_score",
+    "llm_fingerprint",
+    "llm_json_extract",
+    "llm_tfidf",
+    "llm_doc_chunk",
+    "llm_seq_pack",
+    "llm_stratified_sample",
+    "llm_ngram_counts",
+    "mm_decode",
+    "mm_frame_sample",
+    "sql_q1",
+    "sql_q3",
+    "sql_q6",
+    "agg_grouping_sets",
+    "pivot_wide",
+    "unpivot_long",
+    "sample_hash",
+    "sub_scalar",
+    "sub_in",
+    "sub_not_exists",
+    "udf_scalar",
+    "udf_agg",
+    "udf_table",
+    "src_parquet",
+    "src_nested_json",
+    "src_http",
+    "src_partitioned",
+    "snk_csv",
+    "snk_parquet",
+    "snk_object_store",
+]
+
+
 def load_all_queries() -> dict[str, QuerySpec]:
-    """Import every operator module (idempotent) and return the registry."""
+    """Import every operator module (idempotent) and return the registry,
+    reordered so DRIVER_PRIORITY names come first (see comment above)."""
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
-    return QUERIES
+    prioritized = [n for n in DRIVER_PRIORITY if n in QUERIES]
+    rest = [n for n in QUERIES if n not in set(prioritized)]
+    return {n: QUERIES[n] for n in [*prioritized, *rest]}

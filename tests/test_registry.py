@@ -1,0 +1,27 @@
+"""Registry-ordering contract: the driver's correctness pass reads only the
+first 50 ``queries()`` entries, so the rotation in DRIVER_PRIORITY must
+actually land at the front of the dict."""
+
+from air_quality_data_pipeline_spark.registry import DRIVER_PRIORITY, load_all_queries
+
+SPECS = load_all_queries()
+
+
+def test_priority_names_all_registered():
+    missing = [n for n in DRIVER_PRIORITY if n not in SPECS]
+    assert not missing, f"DRIVER_PRIORITY names not in registry: {missing}"
+
+
+def test_first_window_is_exactly_the_priority_list():
+    assert list(SPECS)[: len(DRIVER_PRIORITY)] == DRIVER_PRIORITY
+
+
+def test_priority_window_fits_driver_cap():
+    assert len(DRIVER_PRIORITY) == 50
+
+
+def test_priority_window_is_oracle_checked():
+    # Every slot in the 50-row window should carry an oracle — a rows-only
+    # entry in the window wastes a verification slot.
+    rows_only = [n for n in DRIVER_PRIORITY if SPECS[n].oracle is None]
+    assert not rows_only, f"rows-only queries occupying window slots: {rows_only}"
