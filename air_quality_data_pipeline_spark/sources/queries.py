@@ -158,14 +158,39 @@ def _region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("snk_csv", oracle=_SNK_BASE_SQL, tags=("sink",))
 def snk_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink with header + read-back (the reference's DictWriter sink,
-    main.py:284-293). coalesce(1) mirrors its single-file output — for a
-    100 TB result you would drop the coalesce and let every task write its
-    own part file."""
+    main.py:284-293), matching its file fidelity: ``utf-8-sig`` encoding
+    (``encoding`` + an explicit UTF-8 BOM prefix is what ``open(...,
+    encoding="utf-8-sig")`` produces) and a timestamped directory name
+    (``openaq_data_%Y%m%d_%H%M%S``, main.py:284-285) — derived from the
+    DATA (max o_orderdate), not wall-clock, so runs are deterministic.
+    coalesce(1) mirrors its single-file output — for a 100 TB result you
+    would drop the coalesce and let every task write its own part file."""
     apply_engine_conf(spark)
-    out = tempfile.mkdtemp(prefix="snk_csv_")
-    _region_revenue(spark, sf_dir).coalesce(1).write.mode("overwrite").option(
-        "header", True
+    df = _region_revenue(spark, sf_dir)
+    # data-derived timestamp for the reference's strftime filename: one
+    # scalar read (an aggregate of an already-small dimension), not a
+    # collect of data rows.
+    stamp_row = (
+        table(spark, sf_dir, "orders")
+        .agg(F.date_format(F.max("o_orderdate"), "yyyyMMdd_HHmmss").alias("s"))
+        .first()
+    )
+    out = tempfile.mkdtemp(prefix="snk_csv_") + f"/openaq_data_{stamp_row['s']}"
+    df.coalesce(1).write.mode("overwrite").option("header", True).option(
+        "encoding", "utf-8"
     ).csv(out)
+    # The BOM: Spark's CSV writer has no utf-8-sig mode; the reference's
+    # Excel-compatibility BOM is prepended per file (a rename-size metadata
+    # op, not a data pass; only the coalesced single file here).
+    import pathlib
+
+    for part in pathlib.Path(out).glob("part-*.csv"):
+        raw = part.read_bytes()
+        if not raw.startswith(b"\xef\xbb\xbf"):
+            part.write_bytes(b"\xef\xbb\xbf" + raw)
+        # drop the local-FS checksum sidecar the out-of-band edit invalidated
+        crc = part.parent / f".{part.name}.crc"
+        crc.unlink(missing_ok=True)
     return spark.read.option("header", True).schema(
         "region string, order_cnt bigint, revenue double"
     ).csv(out)

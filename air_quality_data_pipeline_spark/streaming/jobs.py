@@ -82,19 +82,91 @@ def st_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(agg, "complete", "st_ingest")
 
 
-@register("st_watermark", tags=("streaming", "rows-only"))
+# st_watermark fixture: three micro-batches (one file each, ordered by mtime).
+# Batch A establishes the watermark (max 12:30 → wm 11:30); batch M advances
+# the metadata one step so A's watermark becomes the late-event filter for
+# batch B (Spark applies late-row drops with a one-batch lag); batch B holds
+# the provable drop set: a row whose window closed behind the watermark
+# (DROPPED), a late row whose window is still open (KEPT), an on-time row,
+# and a far-future sentinel that finalizes every real window so append mode
+# emits them all. The sentinel's own window never closes → never emitted.
+_WM_BATCH_A = [
+    ("click", "2024-02-01 10:15:00"),
+    ("click", "2024-02-01 10:45:00"),
+    ("view", "2024-02-01 11:20:00"),
+    ("click", "2024-02-01 12:30:00"),
+]
+_WM_BATCH_M = [("tick", "2024-02-01 12:59:00")]
+_WM_BATCH_B = [
+    ("click", "2024-02-01 10:20:00"),     # window end 11:00 <= wm 11:30 → dropped
+    ("view", "2024-02-01 11:40:00"),      # late, but window end 12:00 > wm → kept
+    ("purchase", "2024-02-01 12:10:00"),  # on time
+    ("tick", "2024-02-10 00:30:00"),      # sentinel: finalizes all real windows
+]
+
+
+def _st_watermark_oracle() -> str:
+    rows = lambda batch: ", ".join(  # noqa: E731
+        f"('{et}', TIMESTAMP '{ts}')" for et, ts in batch
+    )
+    return f"""
+WITH a(event_type, ts) AS (VALUES {rows(_WM_BATCH_A)}),
+m(event_type, ts) AS (VALUES {rows(_WM_BATCH_M)}),
+b(event_type, ts) AS (VALUES {rows(_WM_BATCH_B)}),
+wm_late AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM a),
+final_wm AS (
+  SELECT max(ts) - INTERVAL 1 HOUR AS w
+  FROM (SELECT ts FROM a UNION ALL SELECT ts FROM m UNION ALL SELECT ts FROM b)
+),
+kept AS (
+  SELECT * FROM a
+  UNION ALL SELECT * FROM m
+  UNION ALL
+  SELECT b.* FROM b, wm_late
+  WHERE date_trunc('hour', b.ts) + INTERVAL 1 HOUR > wm_late.w
+)
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start_sec,
+       event_type, COUNT(*) AS cnt
+FROM kept, final_wm
+GROUP BY 1, 2, final_wm.w
+HAVING min(date_trunc('hour', ts)) + INTERVAL 1 HOUR <= final_wm.w
+"""
+
+
+@register("st_watermark", oracle=_st_watermark_oracle(), tags=("streaming",))
 def st_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window count (the reference's 30-day late-data
-    cutoff, main.py:258-259, as engine-managed state eviction). Update mode;
-    watermark advancement timing is engine-internal → rows-only check."""
-    sdf = read_events_stream(spark, sf_dir, ltz=True)
+    cutoff, main.py:258-259, as engine-managed state eviction), made
+    oracle-checkable: a three-micro-batch fixture (maxFilesPerTrigger=1,
+    file order pinned by mtime) where the watermark provably drops a known
+    late row and append mode emits exactly the drop-filtered aggregate.
+    The oracle replicates the SEMANTICS — watermark = max event time − 1 h
+    applied with Spark's one-batch filter lag, drop iff window end ≤
+    watermark, emit iff window end ≤ final watermark — not the timing."""
+    apply_engine_conf(spark)
+    d = tempfile.mkdtemp(prefix="st_watermark_fix_")
+    batches = [("a", _WM_BATCH_A, 1_700_000_000), ("m", _WM_BATCH_M, 1_700_005_000),
+               ("b", _WM_BATCH_B, 1_700_009_999)]
+    for name, rows, mtime in batches:
+        df = spark.createDataFrame(rows, "event_type string, ts_s string").select(
+            "event_type", F.to_timestamp("ts_s").alias("ts")
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/batch_{name}")
+        for root, _, files in os.walk(f"{d}/batch_{name}"):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (mtime, mtime))
+    sdf = (
+        spark.readStream.schema("event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d + "/*")
+    )
     agg = (
-        sdf.withWatermark("ts", "1 day")
-        .groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.unix_timestamp("w.start").alias("win_start_sec"), "event_type", "cnt")
     )
-    return run_available_now(agg, "update", "st_watermark")
+    return run_available_now(agg, "append", "st_watermark")
 
 
 _ST_DEDUP_ORACLE = """
