@@ -68,11 +68,14 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # registry are ignored (lets the list name queries before they land);
 # everything not listed keeps module order after the priority block.
 #
-# Round-2 window: the 60 round-1-unchecked entries (llm_*/mm_*/sql_*/udf_*/
-# src_*/snk_*), the four whose oracles were fixed this round (win_sessionize,
-# f_map_build, agg_approx_*), the modified ref_pipeline, and new queries.
+# Round-2 window: the round-1-unchecked llm_*/mm_*/sql_*/udf_*/src_* families,
+# the queries whose oracles were fixed this round (win_sessionize, f_map_build,
+# agg_approx_*), the modified ref_pipeline/snk_csv, the new llm_kmeans_train,
+# and two streaming representatives (st_watermark — newly oracle-checked this
+# round — and st_tumble).
 # Deferred to round 3: f_json_get/f_explode/f_least/f_trig, llm_minhash_lsh,
-# and the st_* family, plus re-verification of the round-1 greens.
+# snk_parquet/snk_object_store, the remaining st_* queries, plus
+# re-verification of the round-1 greens.
 DRIVER_PRIORITY = [
     "ref_pipeline",
     "win_sessionize",
@@ -122,8 +125,8 @@ DRIVER_PRIORITY = [
     "src_http",
     "src_partitioned",
     "snk_csv",
-    "snk_parquet",
-    "snk_object_store",
+    "st_watermark",
+    "st_tumble",
 ]
 
 
