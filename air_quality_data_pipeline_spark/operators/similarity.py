@@ -379,7 +379,8 @@ assign_scored AS (
   FROM v CROSS JOIN cent
 ),
 assigned AS (SELECT vec_id, cid FROM assign_scored WHERE crnk = 1),
-q AS (SELECT vec_id AS qid, vec AS qvec FROM v WHERE vec_id % 50 = 7),
+q AS (SELECT vec_id AS qid, vec AS qvec FROM v
+      WHERE vec_id % 50 = 7 AND vec_id < 2000),
 probes AS (
   SELECT qid, cid FROM (
     SELECT q.qid, cent.cid,
@@ -437,7 +438,12 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.struct(F.col("csim"), (-F.col("cid")).alias("ncid"))).alias("best"))
         .select("vec_id", (-F.col("best.ncid")).alias("cid"))
     )
-    q = v.filter(F.col("vec_id") % 50 == 7).select(
+    # fixed query panel: the cap keeps the panel size CONSTANT as the corpus
+    # grows (identical sets at every driver sf; ≤40 queries at any scale), so
+    # benchmarks measure corpus scaling at fixed query load — without it,
+    # queries × per-query candidates both grow with the corpus and total work
+    # is quadratic in scale factor.
+    q = v.filter((F.col("vec_id") % 50 == 7) & (F.col("vec_id") < 2000)).select(
         F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
     )
     qsim = cosine_similarity(F.col("qvec"), F.col("cvec")).alias("qsim")

@@ -43,6 +43,10 @@ def get_spark(
         # reader rejects; read as long and convert (tables.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # fixtures are one parquet file per table; 128 MB splits would scan
+        # them single-threaded. 16 MB keeps local[32] busy and is harmless on
+        # a real cluster (row-group-aligned splits, AQE re-coalesces shuffles).
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
@@ -62,4 +66,7 @@ def apply_engine_conf(spark: SparkSession) -> SparkSession:
     # in the session zone; pin UTC so results don't shift under a non-UTC
     # driver session. Runtime-settable, unlike most session confs.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # single-file-per-table fixtures: 16 MB splits instead of 128 MB so scans
+    # parallelize (row-group aligned; AQE re-coalesces downstream shuffles).
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     return spark
