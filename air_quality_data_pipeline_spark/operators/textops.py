@@ -16,7 +16,14 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions.hashing import POLY_BASE, POLY_MOD, token_hashes_duckdb, token_hashes_spark_sql
+from ..functions.hashing import (
+    POLY_BASE,
+    POLY_MOD,
+    shingle_hashes_duckdb,
+    shingle_hashes_spark_sql,
+    token_hashes_duckdb,
+    token_hashes_spark_sql,
+)
 from ..functions.text import shingles_duckdb, shingles_spark, tokens_duckdb, tokens_spark
 from ..registry import register
 from ..session import apply_engine_conf
@@ -600,4 +607,160 @@ def llm_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _NGRAM_TOP)
         .select("lang", "bigram", "cnt", "rnk")
+    )
+
+
+# --- llm_rep_filter: repetition-based quality gates ---------------------------
+
+# Gopher-style repetition filters (Rae et al. 2021, table A1): a document is
+# low-quality when a single 2-gram dominates it or when a large fraction of
+# its 3-grams are repeats. Thresholds are tuned so the synthetic fixture
+# corpus splits into both classes.
+_REP_TOP2_MAX = 0.08  # max fraction of 2-gram occurrences taken by the mode
+_REP_DUP3_MAX = 0.12  # max fraction of 3-gram occurrences that are repeats
+
+_REP_TOKENS_DUCK = token_hashes_duckdb("string_split(text, ' ')")
+
+_REP_FILTER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_REP_TOKENS_DUCK} AS th FROM documents
+),
+g AS (
+  SELECT doc_id, 2 AS n, UNNEST({shingle_hashes_duckdb('th', 2)}) AS h FROM t
+  UNION ALL
+  SELECT doc_id, 3 AS n, UNNEST({shingle_hashes_duckdb('th', 3)}) AS h FROM t
+),
+c AS (SELECT doc_id, n, h, COUNT(*) AS cnt FROM g GROUP BY doc_id, n, h),
+p AS (
+  SELECT doc_id,
+         MAX(cnt) FILTER (n = 2) AS top2_cnt,
+         CAST(SUM(cnt) FILTER (n = 2) AS BIGINT) AS tot2,
+         CAST(COALESCE(SUM(cnt) FILTER (n = 3 AND cnt > 1), 0) AS BIGINT) AS dup3_cnt,
+         CAST(SUM(cnt) FILTER (n = 3) AS BIGINT) AS tot3
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id, top2_cnt, tot2, dup3_cnt, tot3,
+       CAST(top2_cnt AS DOUBLE) / tot2 AS top2_frac,
+       CAST(dup3_cnt AS DOUBLE) / tot3 AS dup3_frac,
+       (CAST(top2_cnt AS DOUBLE) / tot2 <= {_REP_TOP2_MAX}
+        AND CAST(dup3_cnt AS DOUBLE) / tot3 <= {_REP_DUP3_MAX}) AS keep
+FROM p
+"""
+
+
+@register("llm_rep_filter", oracle=_REP_FILTER_ORACLE, tags=("llm", "text", "quality"))
+def llm_rep_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gates: per document, the fraction of
+    2-gram occurrences taken by the most frequent 2-gram and the fraction of
+    3-gram occurrences that are repeats; a doc is kept only when both stay
+    under threshold.
+
+    Scale shape: n-grams are hashed (md5-fold composed polynomially,
+    functions/hashing.py) BEFORE the explode, so the one per-gram exchange
+    carries (doc_id, n, bigint) — never gram text. Both n-gram sizes ride a
+    single explode/aggregate pipeline (a constant marker column) instead of
+    two corpus passes; the (doc_id, n, h) count combines map-side, and the
+    per-doc reduction is a second tiny exchange. All ratios divide exact
+    BIGINTs, so doubles agree bit-exactly with the oracle.
+
+    Reference parity: none (no text analytics in the reference, main.py) —
+    north-star LLM-pipeline mandate."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(token_hashes_spark_sql("split(text, ' ')")).alias("th")
+    )
+    both = (
+        f"concat(transform({shingle_hashes_spark_sql('th', 2)}, h -> named_struct('n', 2, 'h', h)),"
+        f" transform({shingle_hashes_spark_sql('th', 3)}, h -> named_struct('n', 3, 'h', h)))"
+    )
+    grams = docs.select("doc_id", F.explode(F.expr(both)).alias("g")).select(
+        "doc_id", F.col("g.n").alias("n"), F.col("g.h").alias("h")
+    )
+    cnts = grams.groupBy("doc_id", "n", "h").agg(F.count(F.lit(1)).alias("cnt"))
+    two, three = F.col("n") == 2, F.col("n") == 3
+    p = cnts.groupBy("doc_id").agg(
+        F.max(F.when(two, F.col("cnt"))).alias("top2_cnt"),
+        F.sum(F.when(two, F.col("cnt"))).alias("tot2"),
+        F.coalesce(
+            F.sum(F.when(three & (F.col("cnt") > 1), F.col("cnt"))), F.lit(0).cast("long")
+        ).alias("dup3_cnt"),
+        F.sum(F.when(three, F.col("cnt"))).alias("tot3"),
+    )
+    top2_frac = F.col("top2_cnt").cast("double") / F.col("tot2")
+    dup3_frac = F.col("dup3_cnt").cast("double") / F.col("tot3")
+    return p.select(
+        "doc_id",
+        "top2_cnt",
+        "tot2",
+        "dup3_cnt",
+        "tot3",
+        top2_frac.alias("top2_frac"),
+        dup3_frac.alias("dup3_frac"),
+        ((top2_frac <= _REP_TOP2_MAX) & (dup3_frac <= _REP_DUP3_MAX)).alias("keep"),
+    )
+
+
+# --- llm_decontaminate: eval-set n-gram overlap check -------------------------
+
+# Deterministic stand-in for an external benchmark: a fixed 5-doc panel
+# (identical at every shipped sf). Real decontamination joins the corpus
+# against the benchmark's n-grams exactly like this — the panel being drawn
+# from the corpus itself just guarantees planted verbatim "leaks" to find.
+_EVAL_PANEL_SQL = "doc_id % 97 = 13 AND doc_id < 500"
+_DECON_N = 8  # n-gram width (GPT-3 used 13-gram document-level checks)
+
+_DECON_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {shingle_hashes_duckdb(token_hashes_duckdb("string_split(text, ' ')"), _DECON_N)} AS grams
+  FROM documents
+),
+probes AS (
+  SELECT DISTINCT UNNEST(grams) AS h FROM t WHERE {_EVAL_PANEL_SQL}
+),
+hits AS (
+  SELECT g.doc_id, g.total_grams, COUNT(DISTINCT g.h) AS hit_grams
+  FROM (SELECT doc_id, CAST(len(grams) AS BIGINT) AS total_grams, UNNEST(grams) AS h FROM t) g
+  JOIN probes p ON p.h = g.h
+  GROUP BY g.doc_id, g.total_grams
+)
+SELECT doc_id, hit_grams, total_grams,
+       ({_EVAL_PANEL_SQL}) AS is_eval
+FROM hits
+"""
+
+
+@register("llm_decontaminate", oracle=_DECON_ORACLE, tags=("llm", "text", "dedup"))
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any 8-token
+    n-gram with an evaluation set (here a fixed 5-doc panel standing in for
+    the benchmark; eval docs flag themselves via ``is_eval``).
+
+    Scale shape: the eval side reduces to a DISTINCT set of hashed n-grams —
+    small by construction (a benchmark, not a corpus) — and is broadcast, so
+    the corpus-side probe is a map-side hash join on bigints with NO shuffle
+    of corpus data; only (doc_id, matched-hash) hit pairs reach the per-doc
+    count. At 100 TB this is one corpus scan against a broadcast hash set,
+    the same join geometry as llm_incr_dedup's digest anti join.
+
+    Reference parity: none — north-star LLM-pipeline mandate."""
+    apply_engine_conf(spark)
+    grams_expr = shingle_hashes_spark_sql(
+        token_hashes_spark_sql("split(text, ' ')"), _DECON_N
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(grams_expr).alias("grams")
+    )
+    probes = (
+        docs.filter(F.expr(_EVAL_PANEL_SQL))
+        .select(F.explode("grams").alias("h"))
+        .distinct()
+    )
+    exploded = docs.select(
+        "doc_id", F.size("grams").cast("long").alias("total_grams"), F.explode("grams").alias("h")
+    )
+    return (
+        exploded.join(F.broadcast(probes), "h")
+        .groupBy("doc_id", "total_grams")
+        .agg(F.countDistinct("h").alias("hit_grams"))
+        .select("doc_id", "hit_grams", "total_grams", F.expr(_EVAL_PANEL_SQL).alias("is_eval"))
     )
