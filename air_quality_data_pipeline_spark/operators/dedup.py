@@ -41,7 +41,7 @@ from ..functions.text import (
 )
 from ..registry import register
 from ..session import apply_engine_conf
-from ..tables import table
+from ..tables import rebalance_for_map, table
 
 # --- llm_exact_dedup ---------------------------------------------------------
 
@@ -128,6 +128,9 @@ def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(drop_last_token_spark("text")).alias("text"),
         )
     )
+    # spread the md5/shingle map work across every core (tiny text exchange
+    # vs per-token compute; see tables.rebalance_for_map)
+    corpus = rebalance_for_map(corpus, spark)
     hashed = corpus.select(
         "doc_id", F.expr(token_hashes_spark_sql(tokens_spark("text"))).alias("th")
     )
@@ -229,7 +232,7 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Near-dup docs differ in few bits (Hamming distance) — pair search then
     bands the fingerprint bytes, same pattern as llm_minhash_dedup."""
     apply_engine_conf(spark)
-    docs = table(spark, sf_dir, "documents")
+    docs = rebalance_for_map(table(spark, sf_dir, "documents"), spark)
     tok = docs.select(
         "doc_id",
         F.explode(F.expr(token_hashes_spark_sql(tokens_spark("text")))).alias("h"),

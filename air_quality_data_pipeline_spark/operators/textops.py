@@ -27,7 +27,7 @@ from ..functions.hashing import (
 from ..functions.text import shingles_duckdb, shingles_spark, tokens_duckdb, tokens_spark
 from ..registry import register
 from ..session import apply_engine_conf
-from ..tables import table
+from ..tables import rebalance_for_map, table
 
 # --- llm_text_stats -----------------------------------------------------------
 
@@ -275,7 +275,7 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (size, min, xor-fold) — an order-insensitive content signature robust to
     small edits. Per-row array expressions only."""
     apply_engine_conf(spark)
-    docs = table(spark, sf_dir, "documents")
+    docs = rebalance_for_map(table(spark, sf_dir, "documents"), spark)
     # Pre-filter short docs on the CHEAP predicate so no filter sits above
     # the hash projection — a pushed-down filter over `g` would inline the
     # md5 transform into the rolling lambda and re-evaluate it per gram
@@ -365,7 +365,7 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc rank. The df table is vocabulary-sized (small), so the rescore
     join is a broadcast; the only big shuffles are the two aggregations."""
     apply_engine_conf(spark)
-    docs = table(spark, sf_dir, "documents")
+    docs = rebalance_for_map(table(spark, sf_dir, "documents"), spark)
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("doc_freq"))
@@ -666,7 +666,7 @@ def llm_rep_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: none (no text analytics in the reference, main.py) —
     north-star LLM-pipeline mandate."""
     apply_engine_conf(spark)
-    docs = table(spark, sf_dir, "documents").select(
+    docs = rebalance_for_map(table(spark, sf_dir, "documents"), spark).select(
         "doc_id", F.expr(token_hashes_spark_sql("split(text, ' ')")).alias("th")
     )
     both = (
@@ -747,7 +747,7 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams_expr = shingle_hashes_spark_sql(
         token_hashes_spark_sql("split(text, ' ')"), _DECON_N
     )
-    docs = table(spark, sf_dir, "documents").select(
+    docs = rebalance_for_map(table(spark, sf_dir, "documents"), spark).select(
         "doc_id", F.expr(grams_expr).alias("grams")
     )
     probes = (

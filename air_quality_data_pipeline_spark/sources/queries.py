@@ -243,3 +243,56 @@ def src_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "value")
     )
+
+
+_SRC_CSV_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+"""
+
+
+@register("src_csv", oracle=_SRC_CSV_ORACLE, tags=("source",))
+def src_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source: schema'd, header'd read with FAILFAST mode (any malformed
+    row aborts instead of silently nulling — the right default for a typed
+    pipeline; the reference's DictWriter CSV is the write side of this,
+    main.py:284-293). The write→read round trip is what gets oracle-checked:
+    doubles must survive text formatting bit-exactly. CSV is a row format —
+    no column pruning or predicate pushdown — so at scale it is an
+    ingest-once format, converted to parquet on first touch (src_parquet)."""
+    apply_engine_conf(spark)
+    out = tempfile.mkdtemp(prefix="src_csv_")
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    cust.write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.schema(
+        "c_custkey bigint, c_name string, c_acctbal double, c_mktsegment string"
+    ).option("header", True).option("mode", "FAILFAST").csv(out)
+
+
+_SRC_JSONL_ORACLE = """
+SELECT doc_id, lang, source, length(text) AS n_chars_rt FROM documents
+"""
+
+
+@register("src_jsonl", oracle=_SRC_JSONL_ORACLE, tags=("source", "llm"))
+def src_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source — the interchange format of LLM training-data pipelines
+    (one JSON document per line). Write side: to_json(struct(...)) → text
+    files; read side: schema'd spark.read.json (schema declared, NOT
+    inferred — inference is a full extra pass at 100 TB). The oracle
+    compares post-round-trip text length against the original, so JSON
+    escaping must preserve every character. Like CSV, JSONL is row-major
+    ingest-only at scale: first touch converts to parquet."""
+    apply_engine_conf(spark)
+    out = tempfile.mkdtemp(prefix="src_jsonl_")
+    docs = table(spark, sf_dir, "documents")
+    docs.select(
+        F.to_json(F.struct("doc_id", "text", "lang", "source")).alias("line")
+    ).write.mode("overwrite").text(out)
+    back = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string"
+    ).json(out)
+    return back.select(
+        "doc_id", "lang", "source", F.length("text").cast("long").alias("n_chars_rt")
+    )

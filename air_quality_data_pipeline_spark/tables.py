@@ -49,3 +49,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     """Load several fixture tables at once."""
     return tuple(table(spark, sf_dir, n) for n in names)
+
+
+def rebalance_for_map(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Round-robin repartition to all cores before CPU-heavy per-row map work.
+
+    A small or poorly-split input (the fixtures are one parquet file per
+    table; documents.parquet is well under one split) scans as 1-2
+    partitions, so md5-hashing / shingling every token would run on 1-2
+    cores while the rest idle — measured 3-4× of llm_minhash_dedup's wall
+    time. Re-exchanging the raw text is orders of magnitude cheaper than
+    the per-token compute, on a cluster as much as on local[32] (there the
+    culprit is a few huge gzip files instead of one tiny one). Semantically
+    a no-op: callers' downstream operators are set-based.
+    """
+    return df.repartition(spark.sparkContext.defaultParallelism)
