@@ -764,3 +764,87 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("h").alias("hit_grams"))
         .select("doc_id", "hit_grams", "total_grams", F.expr(_EVAL_PANEL_SQL).alias("is_eval"))
     )
+
+
+# --- llm_pii_scrub: regex PII redaction ---------------------------------------
+
+# Patterns restricted to the Java-regex ∩ RE2 common subset (no lookaround,
+# no backrefs) so Spark and DuckDB match identically.
+_PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+?\d[\d -]{7,}\d"
+
+# The fixture corpus is PII-free token soup, so PII is injected
+# deterministically in-query (both engines build the identical corpus) —
+# the operator under test is the scrubber, not the generator.
+_PII_AUG_SQL = (
+    "CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || CAST(doc_id AS {str_t})"
+    " || '@example.com now'"
+    " WHEN doc_id % 7 = 3 THEN text || ' call +1 555 0100 200 or ping 10.0.'"
+    " || CAST(doc_id % 256 AS {str_t}) || '.7 ok'"
+    " ELSE text END"
+)
+
+
+def _pii_scrub_oracle() -> str:
+    aug = _PII_AUG_SQL.format(str_t="VARCHAR")
+    scrub = (
+        f"regexp_replace(regexp_replace(regexp_replace(aug,"
+        f" '{_PII_EMAIL}', '<EMAIL>', 'g'),"
+        f" '{_PII_IPV4}', '<IP>', 'g'),"
+        f" '{_PII_PHONE}', '<PHONE>', 'g')"
+    )
+    return f"""
+WITH a AS (SELECT doc_id, {aug} AS aug FROM documents),
+s AS (
+  SELECT doc_id, aug,
+         CAST(len(regexp_extract_all(aug, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+         CAST(len(regexp_extract_all(aug, '{_PII_IPV4}')) AS BIGINT) AS n_ip,
+         {scrub} AS scrubbed
+  FROM a
+)
+SELECT doc_id, n_email, n_ip,
+       CAST(length(scrubbed) AS BIGINT) AS scrub_len,
+       md5(scrubbed) AS scrub_md5
+FROM s
+"""
+
+
+@register("llm_pii_scrub", oracle=_pii_scrub_oracle(), tags=("llm", "text", "quality"))
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction for training corpora: email / IPv4 / phone patterns
+    replaced with typed placeholder tokens, counts kept for audit. Patterns
+    stay in the Java-regex ∩ RE2 subset so the oracle matches char-exact —
+    asserted by comparing md5(scrubbed_text), not just counts. Pure per-row
+    regexp expressions (JVM codegen, no UDF): embarrassingly parallel, the
+    standard first pass of a 100 TB corpus cleanup.
+
+    Reference parity: none (no text processing beyond lowercasing in the
+    reference) — north-star LLM-pipeline mandate."""
+    apply_engine_conf(spark)
+    docs = rebalance_for_map(table(spark, sf_dir, "documents"), spark)
+    aug = docs.select(
+        "doc_id", F.expr(_PII_AUG_SQL.format(str_t="STRING")).alias("aug")
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("aug"), F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(_PII_IPV4),
+            F.lit("<IP>"),
+        ),
+        F.lit(_PII_PHONE),
+        F.lit("<PHONE>"),
+    )
+    s = aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("aug", F.lit(_PII_EMAIL), F.lit(0))).cast("long").alias("n_email"),
+        F.size(F.regexp_extract_all("aug", F.lit(_PII_IPV4), F.lit(0))).cast("long").alias("n_ip"),
+        scrubbed.alias("scrubbed"),
+    )
+    return s.select(
+        "doc_id",
+        "n_email",
+        "n_ip",
+        F.length("scrubbed").cast("long").alias("scrub_len"),
+        F.md5("scrubbed").alias("scrub_md5"),
+    )

@@ -74,7 +74,8 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # and two streaming representatives (st_watermark — newly oracle-checked this
 # round — and st_tumble).
 # Deferred to round 3: f_json_get/f_explode/f_least/f_trig, llm_minhash_lsh,
-# snk_parquet/snk_object_store, the remaining st_* queries, plus
+# snk_parquet/snk_object_store, the remaining st_* queries, the round-2 late
+# adds (llm_rep_filter, llm_decontaminate, src_csv, src_jsonl), plus
 # re-verification of the round-1 greens.
 DRIVER_PRIORITY = [
     "ref_pipeline",

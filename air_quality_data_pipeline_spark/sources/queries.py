@@ -87,7 +87,14 @@ def src_http(spark: SparkSession, sf_dir: str) -> DataFrame:
     _get_json page loop, main.py:45-57, 125-132). Each page is an
     InputPartition, so a 1000-page crawl fans out across executors instead
     of looping on one driver. Payloads are canned (network-free, same JSON
-    shape as the OpenAQ /locations results)."""
+    shape as the OpenAQ /locations results).
+
+    Error contract not reproduced here (canned payloads cannot fail): the
+    reference's _get_json uses timeout=15 s and maps any HTTP error to None
+    → page skipped (main.py:39-40, 45-57). The networked version of this
+    DataSource would put the same try/except around the per-partition GET —
+    a partition-local policy, unlike the driver-global retry a sequential
+    loop forces."""
     apply_engine_conf(spark)
 
     # defined inside the builder so cloudpickle ships it by value — executors
