@@ -848,3 +848,60 @@ def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("scrubbed").cast("long").alias("scrub_len"),
         F.md5("scrubbed").alias("scrub_md5"),
     )
+
+
+# --- llm_domain_mix: mixture-weighted domain sampling -------------------------
+
+# Target training mixture: budgeted picks per domain (weights × budget 60);
+# domains absent from the map are excluded entirely (the "drop low-quality
+# domains" case). Every quota is under the 25-docs-per-source fixture floor,
+# so the mix is exactly fillable at every sf.
+_MIX_QUOTAS = {"src0": 24, "src1": 18, "src2": 12, "src3": 6}
+
+_MIX_CASE = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {q}" for s, q in _MIX_QUOTAS.items())
+    + " ELSE 0 END"
+)
+_MIX_IN = ", ".join(f"'{s}'" for s in _MIX_QUOTAS)
+
+_DOMAIN_MIX_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id)
+           AS mix_rank
+  FROM documents
+  WHERE source IN ({_MIX_IN})
+)
+SELECT doc_id, source, mix_rank FROM ranked
+WHERE mix_rank <= {_MIX_CASE.replace("CASE source", "CASE ranked.source")}
+"""
+
+
+@register("llm_domain_mix", oracle=_DOMAIN_MIX_ORACLE, tags=("llm", "text", "sampling"))
+def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weighted domain sampling: fill per-domain quotas (a target
+    training mixture, e.g. 40/30/20/10 over four kept domains) in
+    content-hash order — reproducible across engines, runs, and partition
+    layouts, unlike rand()-based sampling.
+
+    Scale shape: the IN-list prunes excluded domains AT THE SCAN (pushed
+    filter on a base column), then one shuffle on ``source`` feeds the
+    per-domain rank. With few huge domains the rank partitions are hot; at
+    100 TB the fix is the hash-threshold pre-filter noted in
+    llm_stratified_sample — take md5(text) below an approximate per-domain
+    quantile first, then exact-rank only the surviving ~quota rows.
+
+    Reference parity: none — north-star LLM-pipeline mandate."""
+    apply_engine_conf(spark)
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("source").isin(*_MIX_QUOTAS)
+    )
+    w = Window.partitionBy("source").orderBy(F.md5("text"), F.col("doc_id"))
+    return (
+        docs.withColumn("mix_rank", F.row_number().over(w))
+        .filter(F.col("mix_rank") <= F.expr(_MIX_CASE))
+        .select("doc_id", "source", "mix_rank")
+    )
