@@ -114,3 +114,38 @@ def test_seq_pack_single_exchange(spark, sf_dir):
     plan = _executed_plan(spark, "llm_seq_pack", sf_dir)
     n = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n == 1, f"expected exactly 1 shuffle (bucket), got {n}:\n{plan}"
+
+
+def test_decontaminate_probes_are_broadcast(spark, sf_dir):
+    # the eval-gram set must build a broadcast hash side; corpus rows must
+    # not be exchanged to meet it (the only hashpartitioning exchanges are
+    # the tiny probe-side DISTINCT and the per-doc hit count)
+    plan = _executed_plan(spark, "llm_decontaminate", sf_dir)
+    assert "BroadcastHashJoin" in plan, f"probe join must broadcast:\n{plan}"
+    assert "SortMergeJoin" not in plan
+
+
+def test_domain_mix_pushes_source_filter(spark, sf_dir):
+    # excluded domains must be pruned at the parquet scan, not post-scan
+    fmt = _formatted(spark, "llm_domain_mix", sf_dir)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", fmt)
+    assert any("source" in p and "In(" in p for p in pushed), (
+        f"source IN-list must reach the scan:\n{pushed}"
+    )
+
+
+def test_pii_scrub_is_map_only(spark, sf_dir):
+    # regex scrubbing is per-row: the only exchange allowed is the
+    # round-robin rebalance (no hashpartitioning, no join, no aggregate)
+    plan = _executed_plan(spark, "llm_pii_scrub", sf_dir)
+    assert "Exchange hashpartitioning" not in plan, f"scrub must not shuffle:\n{plan}"
+    assert "Join" not in plan
+
+
+def test_rep_filter_two_hash_aggregates(spark, sf_dir):
+    # one (doc,n,gram) count + one per-doc reduction; both must partially
+    # combine map-side, and nothing else may shuffle
+    plan = _executed_plan(spark, "llm_rep_filter", sf_dir)
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n == 2, f"expected exactly 2 shuffles, got {n}:\n{plan}"
+    assert "partial_count" in plan or "count(1)" in plan
