@@ -261,35 +261,56 @@ def st_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(joined, "append", "st_stream_join")
 
 
-@register("st_stateful", tags=("streaming", "rows-only"))
+_ST_STATEFUL_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS running_cnt,
+       CAST(SUM(CAST(floor(value * 1000000000.0) AS BIGINT)) AS BIGINT)
+         AS running_sum_q
+FROM events GROUP BY event_type
+"""
+
+
+@register("st_stateful", oracle=_ST_STATEFUL_ORACLE, tags=("streaming",))
 def st_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per event_type,
-    state carries (count, value sum) across micro-batches and each batch
-    emits the updated running totals. This is the engine's escape hatch for
-    aggregations Spark lacks natively (the reference's imperative per-city
-    accumulators, main.py:216-217, generalized). Per-batch emission cadence
-    is engine-internal → rows-only check."""
+    state carries (count, fixed-point value sum) across micro-batches and
+    each batch emits the updated running totals. This is the engine's
+    escape hatch for aggregations Spark lacks natively (the reference's
+    imperative per-city accumulators, main.py:216-217, generalized).
+
+    Oracle-checkable because the state is ORDER-INDEPENDENT: values are
+    quantized ``floor(v·1e9)`` to int64 in the Python worker (numpy doubles
+    compute the identical IEEE product/floor as Spark/DuckDB), so the
+    accumulated total is exact whatever the partition or batch order — the
+    same fixed-point trick as llm_emb_centroid. Emission cadence: the
+    fixture table is a single parquet file, so Trigger.AvailableNow runs
+    exactly one micro-batch and update mode emits exactly the final row
+    per key (with multi-file sources each batch would add one row per
+    touched key — the timing-dependent case the old rows-only check
+    covered)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     sdf = read_events_stream(spark, sf_dir, ltz=True).select("event_type", "value")
 
     # defined inside the builder so cloudpickle ships it by value
     def running_totals(key, pdfs, state):
+        import numpy as np
         import pandas as pd
 
-        cnt, total = state.get() if state.exists else (0, 0.0)
+        cnt, total_q = state.get() if state.exists else (0, 0)
         for pdf in pdfs:
             cnt += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((cnt, total))
+            v = pdf["value"].dropna().to_numpy(dtype="float64")
+            total_q += int(np.floor(v * 1e9).astype("int64").sum())
+        state.update((cnt, total_q))
         yield pd.DataFrame(
-            {"event_type": [key[0]], "running_cnt": [cnt], "running_sum": [total]}
+            {"event_type": [key[0]], "running_cnt": [cnt], "running_sum_q": [total_q]}
         )
 
     out = sdf.groupBy("event_type").applyInPandasWithState(
         running_totals,
-        outputStructType="event_type string, running_cnt long, running_sum double",
-        stateStructType="cnt long, total double",
+        outputStructType="event_type string, running_cnt long, running_sum_q long",
+        stateStructType="cnt long, total_q long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
