@@ -21,7 +21,7 @@ in-query: every document is unioned with a copy that lost its final token
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.hashing import (
     minhash_signature_duckdb,
@@ -446,4 +446,108 @@ def llm_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fresh = batch.join(corpus, "text_hash", "left_anti")
     return fresh.groupBy("text_hash").agg(
         F.min("doc_id").alias("canonical_doc"), F.count(F.lit(1)).alias("batch_dup_cnt")
+    )
+
+
+# --- llm_line_dedup: C4-style corpus-wide line dedup -------------------------
+
+_LINE_W = 8  # tokens per "line" (the fixture corpus is single-line text, so
+# fixed 8-token windows stand in for newline-delimited lines; on real data the
+# chunker is split(text, '\n') and everything downstream is identical)
+
+_LINE_DEDUP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, i AS line_no,
+         array_to_string(list_slice(toks, (i - 1) * {_LINE_W} + 1, i * {_LINE_W}), ' ') AS line
+  FROM t, UNNEST(range(1, 1 + (n - 1) // {_LINE_W} + 1)) AS u(i)
+),
+hashed AS (
+  SELECT doc_id, line_no, line, md5(line) AS lh FROM lines
+),
+k AS (
+  SELECT doc_id, line_no, line,
+         row_number() OVER (PARTITION BY lh ORDER BY doc_id, line_no) AS rn
+  FROM hashed
+),
+kept AS (SELECT doc_id, line_no, line FROM k WHERE rn = 1),
+clean AS (
+  SELECT doc_id,
+         array_to_string(list(line ORDER BY line_no), ' ') AS text_clean,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(1 + (n - 1) // {_LINE_W} AS BIGINT) AS n_lines,
+       CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+       md5(COALESCE(text_clean, '')) AS clean_md5,
+       CAST(length(COALESCE(text_clean, '')) AS BIGINT) AS n_chars_clean
+FROM t LEFT JOIN clean ON clean.doc_id = t.doc_id
+"""
+
+
+@register("llm_line_dedup", oracle=_LINE_DEDUP_ORACLE, tags=("llm", "dedup", "text"))
+def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide line deduplication: split every document into
+    lines (fixed 8-token windows on this single-line fixture corpus), keep
+    only the globally FIRST occurrence of each distinct line — (doc_id,
+    line_no) order, which also removes within-document repeats — and
+    reassemble each document from its surviving lines.
+
+    Scale shape: the dedup exchange is keyed on md5(line) (32 bytes), never
+    on raw text, and the first-occurrence rule is a min-struct window on
+    that digest — one shuffle over the line set. Reassembly groups by
+    doc_id (second shuffle, carries only surviving lines). Output carries
+    md5(text_clean) + counts rather than the cleaned corpus so the query
+    result stays bounded; the full cleaned text is one concat_ws away.
+    This is the dedup C4 applies before training (three-sentence / line
+    dedup) — the reference has no analog (north-star mandate)."""
+    apply_engine_conf(spark)
+    docs = rebalance_for_map(table(spark, sf_dir, "documents"), spark)
+    t = docs.select(
+        "doc_id",
+        F.expr("split(text, ' ')").alias("toks"),
+        F.expr("size(split(text, ' '))").alias("n"),
+    )
+    chunks = F.expr(
+        f"transform(sequence(1, 1 + (n - 1) div {_LINE_W}),"
+        f" i -> concat_ws(' ', slice(toks, (i - 1) * {_LINE_W} + 1, {_LINE_W})))"
+    )
+    lines = t.select("doc_id", F.posexplode(chunks).alias("pos", "line")).select(
+        "doc_id", (F.col("pos") + 1).alias("line_no"), "line", F.md5("line").alias("lh")
+    )
+    # first global occurrence per line digest: min-struct window, the same
+    # argmin-as-aggregate trick as the IVF assignment (no self-join)
+    wk = Window.partitionBy("lh")
+    kept = (
+        lines.withColumn("keep", F.min(F.struct("doc_id", "line_no")).over(wk))
+        .filter(
+            (F.col("keep.doc_id") == F.col("doc_id"))
+            & (F.col("keep.line_no") == F.col("line_no"))
+        )
+        .select("doc_id", "line_no", "line")
+    )
+    clean = kept.groupBy("doc_id").agg(
+        F.expr(
+            "concat_ws(' ', transform(array_sort(collect_list(struct(line_no, line))),"
+            " s -> s.line))"
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        t.select("doc_id", F.expr(f"1 + (n - 1) div {_LINE_W}").cast("long").alias("n_lines"))
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+            F.md5(F.coalesce(F.col("text_clean"), F.lit(""))).alias("clean_md5"),
+            F.length(F.coalesce(F.col("text_clean"), F.lit(""))).cast("long").alias(
+                "n_chars_clean"
+            ),
+        )
     )

@@ -363,7 +363,7 @@ def llm_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cstat
 
 
-_IVF_ORACLE = f"""
+_IVF_CTES = f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
   FROM embeddings
@@ -399,27 +399,22 @@ scored AS (
          {cosine_similarity_duckdb('q.qvec', 'v.vec', DIMS)} AS cosine
   FROM cand c JOIN q ON q.qid = c.qid JOIN v ON v.vec_id = c.vec_id
   WHERE c.vec_id != c.qid
-)
+)"""
+
+_IVF_ORACLE = (
+    _IVF_CTES
+    + """
 SELECT qid, vec_id, cosine, rnk FROM (
   SELECT qid, vec_id, cosine,
          row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk
   FROM scored
 ) WHERE rnk <= 5
 """
+)
 
 
-@register("llm_sim_search_ivf", oracle=_IVF_ORACLE, tags=("llm", "similarity"))
-def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate nearest neighbor — the 100 TB architecture.
-
-    Centroids (tiny, broadcast) partition the corpus into buckets in one
-    shuffle-free pass; each query probes its nprobe=4 nearest buckets only.
-    At cluster scale the assigned corpus is persisted partitioned by cid so
-    probing prunes ~(k - nprobe)/k of all partitions before any scoring.
-    Deterministic seeding (first k vectors as centroids) keeps the whole
-    plan oracle-checkable — assignment, probe choice, and final ranking are
-    bit-exact relational algebra in both engines."""
-    apply_engine_conf(spark)
+def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared IVF top-k plan (see llm_sim_search_ivf docstring)."""
     v = _vectors(spark, sf_dir)
     cent = v.filter(F.col("vec_id") < _N_CENT).select(
         F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
@@ -467,4 +462,93 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(rw))
         .filter(F.col("rnk") <= 5)
         .select("qid", "vec_id", "cosine", "rnk")
+    )
+
+
+@register("llm_sim_search_ivf", oracle=_IVF_ORACLE, tags=("llm", "similarity"))
+def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate nearest neighbor — the 100 TB architecture.
+
+    Centroids (tiny, broadcast) partition the corpus into buckets in one
+    shuffle-free pass; each query probes its nprobe=4 nearest buckets only.
+    At cluster scale the assigned corpus is persisted partitioned by cid so
+    probing prunes ~(k - nprobe)/k of all partitions before any scoring.
+    Deterministic seeding (first k vectors as centroids) keeps the whole
+    plan oracle-checkable — assignment, probe choice, and final ranking are
+    bit-exact relational algebra in both engines."""
+    apply_engine_conf(spark)
+    return _ivf_topk(spark, sf_dir)
+
+
+# --- llm_ann_recall: IVF quality audit vs exact top-k ------------------------
+
+_ANN_RECALL_ORACLE = (
+    _IVF_CTES
+    + f""",
+ivf AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk
+    FROM scored
+  ) WHERE rnk <= 5
+),
+bscored AS (
+  SELECT q.qid, v.vec_id,
+         {cosine_similarity_duckdb('q.qvec', 'v.vec', DIMS)} AS cosine
+  FROM q JOIN v ON v.vec_id != q.qid
+),
+brute AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk
+    FROM bscored
+  ) WHERE rnk <= 5
+)
+SELECT i.qid,
+       COUNT(b.vec_id) AS n_hits,
+       CAST(COUNT(b.vec_id) AS DOUBLE) / 5.0 AS recall_at_5
+FROM ivf i LEFT JOIN brute b ON b.qid = i.qid AND b.vec_id = i.vec_id
+GROUP BY i.qid
+"""
+)
+
+
+@register("llm_ann_recall", oracle=_ANN_RECALL_ORACLE, tags=("llm", "similarity", "audit"))
+def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF index against exact brute-force top-5 on the same
+    fixed query panel — the audit every production ANN deployment runs
+    before trusting the index. Both branches are deterministic, so the
+    recall values themselves are oracle-checked exactly (not gated).
+
+    The brute-force branch is the expensive half (full corpus × panel), but
+    the panel is capped (≤40 queries at any scale) so the audit costs one
+    corpus scan regardless of corpus size — on a cluster you run it on a
+    sampled bucket subset. The intersection joins on (qid, vec_id): 5-row
+    sets per query, negligible exchange."""
+    apply_engine_conf(spark)
+    v = _vectors(spark, sf_dir)
+    ivf = _ivf_topk(spark, sf_dir).select("qid", "vec_id")
+    q = v.filter((F.col("vec_id") % 50 == 7) & (F.col("vec_id") < 2000)).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    bscored = (
+        v.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id", cosine_similarity(F.col("qvec"), F.col("vec")).alias("cosine")
+        )
+    )
+    bw = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    brute = (
+        bscored.withColumn("rnk", F.row_number().over(bw))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "vec_id", F.lit(1).alias("hit"))
+    )
+    return (
+        ivf.join(brute, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            (F.count("hit").cast("double") / 5.0).alias("recall_at_5"),
+        )
     )

@@ -269,3 +269,48 @@ def sub_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     _views(spark, sf_dir, "customer", "orders")
     return spark.sql(_SUB_CORR_EXISTS)
+
+
+# --- sql_merge_upsert: batch MERGE / CDC upsert ------------------------------
+
+# Deterministic change batch derived from the base table itself:
+#  - UPDATE rows: every 7th customer gets +1000.0 balance, segment 'UPSERTED'
+#  - INSERT rows: every 101st customer re-keyed +1000000 (net-new keys)
+# Expected state = base rows overridden by key-matching batch rows, plus the
+# net-new batch rows (classic MERGE WHEN MATCHED UPDATE / NOT MATCHED INSERT).
+_MERGE_UPSERT = """
+WITH batch AS (
+  SELECT c_custkey, c_name, c_acctbal + 1000.0 AS c_acctbal,
+         'UPSERTED' AS c_mktsegment
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000 AS c_custkey, c_name, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 101 = 0
+),
+merged AS (
+  SELECT c_custkey, c_name, c_acctbal, c_mktsegment, src,
+         row_number() OVER (PARTITION BY c_custkey ORDER BY src DESC) AS rn
+  FROM (
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment, 0 AS src FROM customer
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment, 1 AS src FROM batch
+  )
+)
+SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM merged WHERE rn = 1
+"""
+
+
+@register("sql_merge_upsert", oracle=_MERGE_UPSERT, tags=("sql", "lakehouse"))
+def sql_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE (CDC upsert) without a table format: base ∪ batch with a
+    source-priority tag, then one row per key via a row_number window
+    (batch wins). This is the engine's upsert primitive when the target is
+    plain parquet — one shuffle on the merge key, linear in |base| + |batch|.
+    On a cluster the window partitions by the same key the target is
+    bucketed on, so the exchange co-locates with the subsequent write. With
+    a transactional table format the same plan becomes MERGE INTO; the
+    union+window formulation is the format-free equivalent (and what a
+    MERGE compiles to physically: outer-join-shaped key alignment)."""
+    apply_engine_conf(spark)
+    _views(spark, sf_dir, "customer")
+    return spark.sql(_MERGE_UPSERT)

@@ -224,3 +224,104 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.to_timestamp(F.min("ts"))).alias("start_us"),
         F.unix_micros(F.to_timestamp(F.max("ts"))).alias("end_us"),
     )
+
+
+# --- win_funnel (ordered multi-stage conversion funnel) -----------------------
+
+# Ordered funnel view -> click -> purchase: each stage's timestamp is the
+# MINIMUM event time STRICTLY AFTER the previous stage's timestamp. The
+# min-chain formulation below is the ground truth; the Spark side computes the
+# identical chain in ONE pass with a sorted-array fold (see builder docstring).
+_WIN_FUNNEL_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+s1 AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN us END) AS view_us
+  FROM e GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(us) AS click_us
+  FROM e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.us > s1.view_us
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(us) AS purchase_us
+  FROM e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.us > s2.click_us
+  GROUP BY e.user_id
+)
+SELECT s1.user_id, view_us, click_us, purchase_us,
+       CASE WHEN purchase_us IS NOT NULL THEN 3
+            WHEN click_us    IS NOT NULL THEN 2
+            WHEN view_us     IS NOT NULL THEN 1
+            ELSE 0 END AS stage
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+# Sorted-array state-machine fold: state = (view_us, click_us, purchase_us);
+# events arrive in (us, event_id) order, so the first qualifying event per
+# stage carries that stage's minimum timestamp.
+_FUNNEL_FOLD = """
+aggregate(
+  evs,
+  named_struct('t1', CAST(NULL AS BIGINT), 't2', CAST(NULL AS BIGINT),
+               't3', CAST(NULL AS BIGINT)),
+  (s, e) -> CASE
+    WHEN e.event_type = 'view' AND s.t1 IS NULL
+      THEN named_struct('t1', e.us, 't2', s.t2, 't3', s.t3)
+    WHEN e.event_type = 'click' AND s.t1 IS NOT NULL AND s.t2 IS NULL
+         AND e.us > s.t1
+      THEN named_struct('t1', s.t1, 't2', e.us, 't3', s.t3)
+    WHEN e.event_type = 'purchase' AND s.t2 IS NOT NULL AND s.t3 IS NULL
+         AND e.us > s.t2
+      THEN named_struct('t1', s.t1, 't2', s.t2, 't3', e.us)
+    ELSE s
+  END
+)
+"""
+
+
+@register("win_funnel", oracle=_WIN_FUNNEL_ORACLE, tags=("window", "analytics"))
+def win_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase) per user: each
+    stage matches the earliest event strictly after the previous stage.
+
+    The three-stage min-chain would naively be three grouped aggregations
+    with two re-joins of the event table (the oracle's formulation). Here it
+    is ONE shuffle: collect each user's events into a (us, event_id)-sorted
+    array and run a higher-order ``aggregate`` fold whose struct state is
+    the per-stage timestamps — because the array is time-sorted, the first
+    qualifying event per stage IS that stage's minimum, so the fold output
+    equals the min-chain exactly. The fold is a JVM codegen'd expression
+    (no Python). At 100 TB per-user event counts are bounded (human activity,
+    thousands at most), so the collected arrays stay small; a pathological
+    hot key would fall back to the join formulation."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.to_timestamp("ts")).alias("us"),
+    )
+    folded = (
+        ev.groupBy("user_id")
+        .agg(
+            F.expr(
+                "array_sort(collect_list(struct(us, event_id, event_type)))"
+            ).alias("evs")
+        )
+        .select("user_id", F.expr(_FUNNEL_FOLD).alias("f"))
+    )
+    return folded.select(
+        "user_id",
+        F.col("f.t1").alias("view_us"),
+        F.col("f.t2").alias("click_us"),
+        F.col("f.t3").alias("purchase_us"),
+        F.when(F.col("f.t3").isNotNull(), 3)
+        .when(F.col("f.t2").isNotNull(), 2)
+        .when(F.col("f.t1").isNotNull(), 1)
+        .otherwise(0)
+        .alias("stage"),
+    )

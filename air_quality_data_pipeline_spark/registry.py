@@ -75,8 +75,10 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # round — and st_tumble).
 # Deferred to round 3: f_json_get/f_explode/f_least/f_trig, llm_minhash_lsh,
 # snk_parquet/snk_object_store, the remaining st_* queries, the round-2 late
-# adds (llm_rep_filter, llm_decontaminate, src_csv, src_jsonl), plus
-# re-verification of the round-1 greens.
+# adds (llm_rep_filter, llm_decontaminate, llm_pii_scrub, llm_domain_mix,
+# src_csv, src_jsonl, win_funnel, sql_merge_upsert, llm_ann_recall,
+# llm_line_dedup, src_orc, snk_part_overwrite, st_stateful with its new
+# oracle), plus re-verification of the round-1 greens.
 DRIVER_PRIORITY = [
     "ref_pipeline",
     "win_sessionize",

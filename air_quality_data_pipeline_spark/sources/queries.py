@@ -303,3 +303,52 @@ def src_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "doc_id", "lang", "source", F.length("text").cast("long").alias("n_chars_rt")
     )
+
+
+_SRC_ORC_ORACLE = """
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+"""
+
+
+@register("src_orc", oracle=_SRC_ORC_ORACLE, tags=("source",))
+def src_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip — the second columnar format the engine speaks
+    natively (Hive-ecosystem interchange). Same pushdown properties as
+    parquet (stripe/row-group statistics drive predicate skipping); the
+    write→read round trip must preserve int/double/varchar exactly. At
+    scale ORC vs parquet is an ecosystem choice, not a capability gap."""
+    apply_engine_conf(spark)
+    out = tempfile.mkdtemp(prefix="src_orc_")
+    table(spark, sf_dir, "supplier").write.mode("overwrite").orc(out)
+    return spark.read.orc(out).select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+
+
+_SNK_PART_OVERWRITE_ORACLE = """
+SELECT event_id, user_id, event_type, value FROM events
+WHERE event_type <> 'purchase'
+UNION ALL
+SELECT event_id, user_id, event_type, value * 2.0 AS value FROM events
+WHERE event_type = 'purchase'
+"""
+
+
+@register("snk_part_overwrite", oracle=_SNK_PART_OVERWRITE_ORACLE, tags=("sink", "scale"))
+def snk_part_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent daily-rerun primitive.
+    Full table written partitioned by event_type; a correction batch then
+    rewrites ONLY the partitions it contains (here: 'purchase', values
+    doubled) with ``partitionOverwriteMode=dynamic``, leaving every other
+    partition's files untouched. This is how a 100 TB table absorbs a
+    re-run of one day/one source without rewriting (or locking) the rest;
+    static overwrite mode would truncate the whole table. Read-back of the
+    merged table is what gets oracle-checked."""
+    apply_engine_conf(spark)
+    out = tempfile.mkdtemp(prefix="snk_part_overwrite_")
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value", "event_type")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    correction = ev.filter(F.col("event_type") == "purchase").withColumn(
+        "value", F.col("value") * 2.0
+    )
+    correction.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    return spark.read.parquet(out).select("event_id", "user_id", "event_type", "value")

@@ -149,3 +149,39 @@ def test_rep_filter_two_hash_aggregates(spark, sf_dir):
     n = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n == 2, f"expected exactly 2 shuffles, got {n}:\n{plan}"
     assert "partial_count" in plan or "count(1)" in plan
+
+
+def test_funnel_single_shuffle_no_join(spark, sf_dir):
+    # the whole three-stage funnel must be one groupBy(user_id) exchange;
+    # the oracle's two re-joins of the event table must NOT appear
+    plan = _executed_plan(spark, "win_funnel", sf_dir)
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n == 1, f"expected exactly 1 shuffle (user_id), got {n}:\n{plan}"
+    assert "Join" not in plan
+
+
+def test_merge_upsert_single_shuffle(spark, sf_dir):
+    # union + key window: one exchange on the merge key, no join
+    plan = _executed_plan(spark, "sql_merge_upsert", sf_dir)
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n == 1, f"expected exactly 1 shuffle (merge key), got {n}:\n{plan}"
+    assert "Join" not in plan
+
+
+def test_ann_recall_broadcasts_queries(spark, sf_dir):
+    # both branches' query panels are tiny → every join touching the corpus
+    # must broadcast its small side; assignment argmax stays map-combining
+    plan = _executed_plan(spark, "llm_ann_recall", sf_dir)
+    assert "partial_max" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_line_dedup_shuffles_digests_not_text(spark, sf_dir):
+    # dedup window must exchange on the md5 digest column (lh), never on
+    # raw line text; reassembly exchanges on doc_id
+    plan = _executed_plan(spark, "llm_line_dedup", sf_dir)
+    assert re.search(r"Exchange hashpartitioning\(lh", plan), (
+        f"dedup exchange must key on the line digest:\n{plan}"
+    )
+    assert "CartesianProduct" not in plan

@@ -241,3 +241,72 @@ def test_pii_scrub_is_idempotent_and_counts_injections(spark, sf_dir):
     assert missed == 0
     missed_ip = res.filter((F.col("doc_id") % 7 == 3) & (F.col("n_ip") < 1)).count()
     assert missed_ip == 0
+
+
+def test_funnel_stage_timestamps_are_ordered(spark, sf_dir):
+    """Stage timestamps must be strictly increasing where present, nulls
+    must match the stage number, and stage-3 users must be a subset of
+    users who did purchase at all."""
+    f = SPECS["win_funnel"].builder(spark, sf_dir)
+    bad_order = f.filter(
+        (F.col("click_us").isNotNull() & (F.col("click_us") <= F.col("view_us")))
+        | (F.col("purchase_us").isNotNull() & (F.col("purchase_us") <= F.col("click_us")))
+    ).count()
+    assert bad_order == 0
+    bad_stage = f.filter(
+        ((F.col("stage") >= 1) != F.col("view_us").isNotNull())
+        | ((F.col("stage") >= 2) != F.col("click_us").isNotNull())
+        | ((F.col("stage") == 3) != F.col("purchase_us").isNotNull())
+    ).count()
+    assert bad_stage == 0
+
+
+def test_merge_upsert_row_count_and_updates(spark, sf_dir):
+    """Merged size = base + net-new keys; every %7 key carries the batch
+    balance (+1000) and segment; every other key is untouched."""
+    cust = table(spark, sf_dir, "customer")
+    merged = SPECS["sql_merge_upsert"].builder(spark, sf_dir)
+    n_base = cust.count()
+    n_new = cust.filter(F.col("c_custkey") % 101 == 0).count()
+    assert merged.count() == n_base + n_new
+    updated = merged.filter(
+        (F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") <= n_base * 100)
+    )
+    assert updated.filter(F.col("c_mktsegment") != "UPSERTED").count() == 0
+
+
+def test_ann_recall_bounds_and_panel(spark, sf_dir):
+    """Recall is n_hits/5 in [0,1]; one row per panel query."""
+    r = SPECS["llm_ann_recall"].builder(spark, sf_dir).collect()
+    emb = table(spark, sf_dir, "embeddings")
+    panel = emb.filter((F.col("vec_id") % 50 == 7) & (F.col("vec_id") < 2000)).count()
+    assert len(r) == panel
+    for row in r:
+        assert 0 <= row["n_hits"] <= 5
+        assert abs(row["recall_at_5"] - row["n_hits"] / 5.0) < 1e-15
+
+
+def test_line_dedup_conserves_distinct_lines(spark, sf_dir):
+    """Kept lines across the corpus == number of DISTINCT lines, and no
+    document keeps more lines than it has."""
+    ld = SPECS["llm_line_dedup"].builder(spark, sf_dir)
+    agg = ld.agg(
+        F.sum("n_kept").alias("kept"),
+        F.sum((F.col("n_kept") > F.col("n_lines")).cast("int")).alias("overfull"),
+    ).collect()[0]
+    assert agg["overfull"] == 0
+    docs = table(spark, sf_dir, "documents")
+    n_distinct = (
+        docs.select(
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, 1 + (size(split(text,' ')) - 1) div 8),"
+                    " i -> concat_ws(' ', slice(split(text,' '), (i-1)*8+1, 8)))"
+                )
+            ).alias("pos", "line")
+        )
+        .select("line")
+        .distinct()
+        .count()
+    )
+    assert agg["kept"] == n_distinct
