@@ -1,0 +1,241 @@
+"""Data-quality operators: column profiling, rule audits, statistical
+anomaly detection (SURVEY.md §2.L additions; Deequ-style, but pure
+DataFrame algebra — no library dependency).
+
+The reference validates nothing: a malformed OpenAQ payload flows straight
+into the CSV (main.py:146-199 extracts with ``.get`` defaults and moves
+on). A pipeline feeding 100 TB into training jobs needs the opposite
+posture — cheap, always-on checks that run as ONE pass over the data and
+produce a tiny report table. All three operators follow that shape:
+
+- ``dq_profile``: per-column metrics (rows, nulls, distinct, min/max) for
+  the hot lineitem columns, computed in a single aggregate pass and
+  unpivoted to a long report. Distinct counts are exact (Expand-based
+  multi-distinct); at 100 TB swap in approx_count_distinct — the sketch
+  variant of the same plan (the accuracy-gate pattern of
+  agg_approx_distinct shows how to keep that driver-checkable).
+- ``dq_rules``: a rule catalog (range, positivity, referential integrity,
+  key uniqueness, non-null) evaluated as aggregates; each rule emits one
+  (rule, violations, passed) row. The referential check is a left-anti
+  join on the fact's join key — broadcast at test scale, shuffle SMJ at
+  100 TB, same plan either way.
+- ``dq_anomaly``: per-group z-score outlier flags. Group mean/stddev come
+  from fixed-point quantized integer/decimal sums (order-independent,
+  map-side combinable — the llm_emb_centroid trick), broadcast-joined back
+  to the stream; only outlier rows leave the executors.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..session import apply_engine_conf
+from ..tables import table
+
+# --- dq_profile ---------------------------------------------------------------
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       COUNT(*) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS DOUBLE) AS min_val,
+       CAST(MAX({c}) AS DOUBLE) AS max_val
+FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("dq_profile", oracle=_PROFILE_ORACLE, tags=("quality", "agg"))
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of the fact table's numeric columns: row
+    count, null count, exact distinct count, min, max — then ``stack`` into
+    a long (column_name, metrics) report. The whole profile is a single
+    aggregate over one scan (multi-distinct plans as one Expand +
+    aggregate); the report is 4 rows however large the input."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__null, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_rows, n_null, n_distinct, min_val, max_val)"
+    )
+
+
+# --- dq_rules -----------------------------------------------------------------
+
+_RULES_ORACLE = """
+SELECT 'lineitem_quantity_in_range' AS rule_name,
+       CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT)
+         AS violations
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_discount_in_range',
+       CAST(SUM(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'orders_totalprice_positive',
+       CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'lineitem_orderkey_references_orders',
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'customer_custkey_unique',
+       COUNT(*) - COUNT(DISTINCT c_custkey)
+FROM customer
+UNION ALL
+SELECT 'events_value_not_null',
+       CAST(COUNT(*) - COUNT(value) AS BIGINT)
+FROM events
+"""
+
+_RULES_FINAL_ORACLE = f"""
+WITH r AS ({_RULES_ORACLE})
+SELECT rule_name, violations,
+       CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
+FROM r
+"""
+
+
+@register("dq_rules", oracle=_RULES_FINAL_ORACLE, tags=("quality", "agg", "join"))
+def dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-rule audit: each rule reduces a table to ONE row
+    (rule_name, violations, passed). Range/null/uniqueness rules are plain
+    aggregates (one scan each, map-side combined); the referential rule is
+    a left-anti join from lineitem to orders on the order key (broadcast
+    under AQE at test scale; hash-partitioned SMT at 100 TB). The union of
+    six 1-row frames is driver-negligible."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+    ev = table(spark, sf_dir, "events")
+
+    def rule(name: str, df: DataFrame, violations_col) -> DataFrame:
+        return df.agg(violations_col.alias("violations")).select(
+            F.lit(name).alias("rule_name"), "violations"
+        )
+
+    bad = lambda cond: F.sum(F.when(cond, 0).otherwise(1)).cast("long")  # noqa: E731
+    orphans = li.join(od, li.l_orderkey == od.o_orderkey, "left_anti")
+    frames = [
+        rule(
+            "lineitem_quantity_in_range", li, bad(F.col("l_quantity").between(1, 50))
+        ),
+        rule(
+            "lineitem_discount_in_range", li, bad(F.col("l_discount").between(0, 1))
+        ),
+        rule("orders_totalprice_positive", od, bad(F.col("o_totalprice") > 0)),
+        rule(
+            "lineitem_orderkey_references_orders",
+            orphans,
+            F.count(F.lit(1)).cast("long"),
+        ),
+        rule(
+            "customer_custkey_unique",
+            cu,
+            (F.count(F.lit(1)) - F.countDistinct("c_custkey")).cast("long"),
+        ),
+        rule("events_value_not_null", ev, (F.count(F.lit(1)) - F.count("value")).cast("long")),
+    ]
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out.select(
+        "rule_name",
+        "violations",
+        F.when(F.col("violations") == 0, F.lit(1)).otherwise(F.lit(0)).alias("passed"),
+    )
+
+
+# --- dq_anomaly ---------------------------------------------------------------
+
+# Fixed-point stats: qv = floor(value * 1e6) as BIGINT; sums of qv (BIGINT)
+# and qv^2 (DECIMAL(38,0) — qv^2 reaches ~2.4e17, times row count overflows
+# int64) are exact and combine-order independent. mean/sigma then derive
+# from the SAME double expressions in both engines, so the 3-sigma
+# comparison is bit-identical.
+_ANOMALY_ORACLE = """
+WITH q AS (
+  SELECT event_id, event_type, value,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS qv
+  FROM events
+),
+s AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(qv) AS BIGINT) AS sm,
+         SUM(CAST(qv AS DECIMAL(38, 0)) * qv) AS s2
+  FROM q GROUP BY event_type
+),
+m AS (
+  SELECT event_type,
+         CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS mean,
+         sqrt(CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000000.0)
+              - (CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0))
+                * (CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0))) AS sigma
+  FROM s
+)
+SELECT q.event_id, q.event_type, q.value,
+       (q.value - m.mean) / m.sigma AS zscore
+FROM q JOIN m ON q.event_type = m.event_type
+WHERE abs(q.value - m.mean) > 3 * m.sigma
+"""
+
+_MEAN_EXPR = "CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)"
+_SIGMA_EXPR = (
+    "sqrt(CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000000.0)"
+    f" - ({_MEAN_EXPR}) * ({_MEAN_EXPR}))"
+)
+
+
+@register("dq_anomaly", oracle=_ANOMALY_ORACLE, tags=("quality", "agg", "join"))
+def dq_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers (|value - mean| > 3 sigma). Stats are
+    ONE aggregate over fixed-point quantized sums (exact, order-independent,
+    map-side combined — one 5-row exchange), broadcast back onto the
+    stream, so the second scan emits only outliers. At 100 TB this is the
+    standard two-pass screen: stats pass + filter pass, nothing wide."""
+    apply_engine_conf(spark)
+    q = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.expr("CAST(floor(value * 1000000.0) AS BIGINT)").alias("qv"),
+    )
+    s = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qv").alias("sm"),
+        F.sum(F.expr("CAST(qv AS DECIMAL(38,0)) * qv")).alias("s2"),
+    )
+    m = s.select(
+        "event_type", F.expr(_MEAN_EXPR).alias("mean"), F.expr(_SIGMA_EXPR).alias("sigma")
+    )
+    return (
+        q.join(F.broadcast(m), "event_type")
+        .filter(F.abs(F.col("value") - F.col("mean")) > 3 * F.col("sigma"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            ((F.col("value") - F.col("mean")) / F.col("sigma")).alias("zscore"),
+        )
+    )

@@ -44,6 +44,8 @@ _QUERY_MODULES = [
     "air_quality_data_pipeline_spark.operators.similarity",
     "air_quality_data_pipeline_spark.operators.textops",
     "air_quality_data_pipeline_spark.operators.multimodal",
+    "air_quality_data_pipeline_spark.operators.timeseries",
+    "air_quality_data_pipeline_spark.operators.quality",
     "air_quality_data_pipeline_spark.sources.queries",
     "air_quality_data_pipeline_spark.streaming.timewindow",
     "air_quality_data_pipeline_spark.streaming.jobs",
