@@ -21,6 +21,7 @@ import os
 import tempfile
 
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import register
@@ -32,11 +33,14 @@ _NS_TO_TS_NTZ = "timestampadd(MICROSECOND, {col} div 1000, TIMESTAMP_NTZ '1970-0
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str, ltz: bool = False) -> DataFrame:
-    """events.parquet as a file-source stream with the ns→timestamp conversion.
+    """events.parquet as a file-source stream with ts normalised to a timestamp.
 
-    ``ltz=True`` produces a TIMESTAMP (instant) column built directly from the
-    raw epoch nanos — required by watermarks, and timezone-independent since
-    no session-zone interpretation is involved.
+    Handles both fixture vintages (TIMESTAMP(NANOS)-as-long under
+    ``nanosAsLong``, and native ``timestamp[us]``) exactly like
+    ``tables.table``. ``ltz=True`` produces a TIMESTAMP (instant) column —
+    required by watermarks — built either directly from the raw epoch nanos
+    or by reinterpreting the NTZ value under the pinned-UTC session zone;
+    both are timezone-independent given ``apply_engine_conf``.
     """
     apply_engine_conf(spark)
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -45,9 +49,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str, ltz: bool = False) -> D
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    ts_is_long = isinstance(batch_schema["ts"].dataType, T.LongType)
     if ltz:
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw.withColumn("ts", F.expr(_NS_TO_TS_NTZ.format(col="ts")))
+        if ts_is_long:
+            return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return raw.withColumn(
+            "ts", F.to_utc_timestamp(F.col("ts").cast("timestamp_ntz"), "UTC")
+        )
+    if ts_is_long:
+        return raw.withColumn("ts", F.expr(_NS_TO_TS_NTZ.format(col="ts")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
 def run_available_now(sdf: DataFrame, output_mode: str, query_name_prefix: str) -> DataFrame:

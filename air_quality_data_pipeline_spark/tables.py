@@ -3,13 +3,16 @@
 All engine queries read the driver's parquet fixtures (TESTDATA.md) through
 this module so schema quirks are handled in exactly one place:
 
-- ``events.parquet`` stores its ``ts`` column as parquet TIMESTAMP(NANOS),
-  which Spark's vectorized reader rejects outright. We read it as a raw
-  nanosecond ``long`` (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a
-  ``TIMESTAMP_NTZ`` by adding microseconds to the epoch — an arithmetic
-  construction with no session-timezone dependence, so results hash
-  identically regardless of the host timezone. DuckDB truncates the same
-  nanos to microseconds, so the two engines agree to the microsecond.
+- ``events.parquet`` has shipped with two encodings of its ``ts`` column
+  across fixture vintages: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+  reader rejects outright, so we read it as a raw nanosecond ``long`` via
+  ``spark.sql.legacy.parquet.nanosAsLong`` and rebuild a ``TIMESTAMP_NTZ`` by
+  adding microseconds to the epoch — an arithmetic construction with no
+  session-timezone dependence), and plain ``timestamp[us]`` (which Spark reads
+  natively; we only normalise to ``TIMESTAMP_NTZ``). The loader branches on
+  the dtype it actually observes, so either vintage produces the same
+  canonical ``TIMESTAMP_NTZ`` column and both engines (Spark, DuckDB) agree
+  to the microsecond.
 - every other table is a plain parquet scan (columnar, predicate/column
   pushdown handled by Catalyst).
 """
@@ -17,6 +20,7 @@ this module so schema quirks are handled in exactly one place:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 
 TABLE_NAMES = [
@@ -40,9 +44,14 @@ _NS_TO_TS_NTZ = "timestampadd(MICROSECOND, {col} div 1000, TIMESTAMP_NTZ '1970-0
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame with canonical column types."""
     if name == "events":
+        # nanosAsLong is inert on timestamp[us] files, so it is safe to keep
+        # enabled for old-vintage TIMESTAMP(NANOS) fixtures.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.expr(_NS_TO_TS_NTZ.format(col="ts")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn("ts", F.expr(_NS_TO_TS_NTZ.format(col="ts")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
