@@ -239,3 +239,57 @@ def dq_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("value") - F.col("mean")) / F.col("sigma")).alias("zscore"),
         )
     )
+
+
+# --- dq_freshness -------------------------------------------------------------
+
+# fixed reference instant: freshness must be deterministic for the oracle, so
+# "now" is pinned past the fixture's time range (TESTDATA.md: events span
+# early 2024) rather than taken from the wall clock.
+_AS_OF = "2024-03-01 00:00:00"
+_FRESH_DAYS = 7
+
+_FRESHNESS_ORACLE = f"""
+SELECT event_type,
+       MAX(ts) AS last_ts,
+       COUNT(*) AS n_events,
+       (epoch_us(TIMESTAMP '{_AS_OF}') - epoch_us(MAX(ts))) // 60000000
+         AS staleness_min,
+       CAST(CASE WHEN MAX(ts) >= TIMESTAMP '{_AS_OF}' - INTERVAL {_FRESH_DAYS} DAY
+            THEN 1 ELSE 0 END AS INT) AS is_fresh
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("dq_freshness", oracle=_FRESHNESS_ORACLE, tags=("quality", "agg"))
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source freshness audit — the check the reference implicitly does
+    with its 48-hour datetime_last cut (main.py:125-136) but never reports:
+    for each event source, when did data last arrive and is it within SLA?
+    One map-side-combinable hash aggregate (max/count), so the exchange
+    carries one row per source regardless of input size; the report is the
+    tiny table a scheduler alerts on. ``_AS_OF`` is a pinned instant so the
+    result is deterministic (a production run would bind it to the job's
+    logical date)."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+        # complete-minutes staleness via epoch INTEGER division (not
+        # date_diff, which counts minute-boundary crossings in DuckDB but
+        # complete minutes in Spark; not float floor, which can misround at
+        # exact minute multiples) — bigint `div` is identical in both.
+        F.expr(
+            f"(unix_micros(to_timestamp('{_AS_OF}')) - unix_micros(to_timestamp(max(ts))))"
+            " div 60000000"
+        ).alias("staleness_min"),
+        F.when(
+            F.max("ts") >= F.expr(f"TIMESTAMP_NTZ '{_AS_OF}' - INTERVAL {_FRESH_DAYS} DAY"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_fresh"),
+    )

@@ -905,3 +905,46 @@ def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("mix_rank") <= F.expr(_MIX_CASE))
         .select("doc_id", "source", "mix_rank")
     )
+
+
+# --- llm_dataset_split --------------------------------------------------------
+
+_SPLIT_TRAIN_PCT = 90
+_SPLIT_VAL_PCT = 95  # train < 90 <= val < 95 <= test
+
+_DATASET_SPLIT_ORACLE = f"""
+SELECT doc_id,
+       CASE WHEN b < {_SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN b < {_SPLIT_VAL_PCT}   THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 100 AS b
+  FROM documents
+)
+"""
+
+
+@register("llm_dataset_split", oracle=_DATASET_SPLIT_ORACLE, tags=("llm", "sample"))
+def llm_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash of the
+    document key — the split step every training-data pipeline runs last.
+    Hash-based (not seed-based `randomSplit`) so membership is a pure
+    function of the key: stable across runs, engines, partition layouts,
+    and incremental re-ingestion (a re-crawled doc lands in the same split,
+    so val/test never leak into train as the corpus grows). Zero shuffles —
+    a per-row expression the scan pipeline absorbs; at 100 TB this is a
+    free column, not a job."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100"
+    )
+    return docs.select(
+        "doc_id",
+        F.when(bucket < _SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < _SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -154,3 +154,105 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("volume"),
         )
     )
+
+
+# --- win_retention ------------------------------------------------------------
+
+_RETENTION_OFFSETS = (0, 1, 3, 7, 14, 30)
+
+_RETENTION_ORACLE = f"""
+WITH act AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+coh AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id
+)
+SELECT coh.cohort_day,
+       CAST(date_diff('day', coh.cohort_day, act.day) AS BIGINT) AS offset_days,
+       COUNT(*) AS n_users
+FROM act JOIN coh ON act.user_id = coh.user_id
+WHERE date_diff('day', coh.cohort_day, act.day) IN {_RETENTION_OFFSETS}
+GROUP BY coh.cohort_day, offset_days
+"""
+
+
+@register("win_retention", oracle=_RETENTION_ORACLE, tags=("timeseries", "agg"))
+def win_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (the product-analytics companion to win_funnel,
+    which the reference — a one-shot snapshot fetcher, main.py:198-309 —
+    cannot express): users are cohorted by their first active day, and each
+    (cohort, day-offset) cell counts users still active at that offset.
+
+    Spark-first shape: ONE shuffle keyed on user_id builds each user's
+    activity calendar (min day + collect_set of active days — bounded by
+    days-in-range, not events), the offsets are derived by exploding that
+    per-user set (zero-shuffle fan-out), and the final (cohort, offset)
+    aggregate exchanges only |cohorts|x|offsets| rows. No join, no distinct
+    over the raw stream, no per-event exchange: the classic
+    act-join-cohorts formulation ships the activity table twice; this ships
+    each user once."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    per_user = (
+        ev.select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("cohort_day"), F.collect_set("day").alias("days"))
+    )
+    offsets = per_user.select(
+        "cohort_day",
+        F.explode("days").alias("day"),
+    ).select(
+        "cohort_day",
+        F.datediff(F.col("day"), F.col("cohort_day")).cast("bigint").alias("offset_days"),
+    )
+    return (
+        offsets.filter(F.col("offset_days").isin(*_RETENTION_OFFSETS))
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# --- ts_rolling ---------------------------------------------------------------
+
+_ROLL_USERS = 100
+_HOUR_US = 3_600_000_000
+
+_ROLLING_ORACLE = f"""
+SELECT user_id, event_id, ts,
+       COUNT(*) OVER w AS roll_cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18, 6))) OVER w AS DOUBLE) AS roll_sum
+FROM events
+WHERE user_id < {_ROLL_USERS}
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY epoch_us(ts)
+  RANGE BETWEEN {_HOUR_US - 1} PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@register("ts_rolling", oracle=_ROLLING_ORACLE, tags=("timeseries", "window"))
+def ts_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour rolling count/sum per user as a RANGE-frame window —
+    the time-based frame (win_frame covers ROWS frames; RANGE frames bound
+    by event TIME are what monitoring/rate-limit features actually need).
+    Ordering key is epoch microseconds, so the frame bound is exact integer
+    arithmetic in both engines; the rolling sum goes through DECIMAL so the
+    within-frame accumulation order (peers with equal timestamps) cannot
+    perturb the double. One exchange keyed on user_id; each partition sorts
+    once and every frame is computed by the sliding-window aggregator, not
+    per-row rescans."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < _ROLL_USERS)
+    us = F.unix_micros(F.to_timestamp("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-(_HOUR_US - 1), 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("roll_cnt"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("roll_sum"),
+    )

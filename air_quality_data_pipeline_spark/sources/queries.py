@@ -89,12 +89,14 @@ def src_http(spark: SparkSession, sf_dir: str) -> DataFrame:
     of looping on one driver. Payloads are canned (network-free, same JSON
     shape as the OpenAQ /locations results).
 
-    Error contract not reproduced here (canned payloads cannot fail): the
-    reference's _get_json uses timeout=15 s and maps any HTTP error to None
-    → page skipped (main.py:39-40, 45-57). The networked version of this
-    DataSource would put the same try/except around the per-partition GET —
-    a partition-local policy, unlike the driver-global retry a sequential
-    loop forces."""
+    The reference's error contract IS reproduced: _get_json uses
+    timeout=15 s and maps any HTTP error/timeout to None → page skipped
+    (main.py:39-40, 45-57). Page 4 here is a failure-injection page whose
+    fetch always raises; the reader's try/except converts it to an empty
+    page exactly like the reference, so the oracle (which expects only
+    pages 1-3's five rows) pins the skip behavior. On Spark the policy is
+    partition-local — one bad page costs one empty partition, not a
+    driver-global abort the sequential loop risks."""
     apply_engine_conf(spark)
 
     # defined inside the builder so cloudpickle ships it by value — executors
@@ -108,16 +110,31 @@ def src_http(spark: SparkSession, sf_dir: str) -> DataFrame:
            ' {"id": 202, "name": "NYC-Queens", "parameter": "no2", "value": 0.012}]}',
         3: '{"results": [{"id": 301, "name": "NYC-Bronx", "parameter": "pm25", "value": 9.5}]}',
     }
+    FAILING_PAGE = 4  # stand-in for an HTTP 5xx / timeout mid-crawl
 
     class RestPagesReader(DataSourceReader):
         def partitions(self):
-            return [InputPartition(p) for p in sorted(canned_pages)]
+            return [InputPartition(p) for p in sorted([*canned_pages, FAILING_PAGE])]
 
         def read(self, partition):
             import json
 
             page = partition.value
-            for rec in json.loads(canned_pages[page])["results"]:
+
+            def fetch(p):
+                # the canned analogue of requests.get(url, timeout=15).json()
+                if p not in canned_pages:
+                    raise TimeoutError(f"simulated HTTP timeout on page {p}")
+                return json.loads(canned_pages[p])
+
+            # reference main.py:45-57: any error → None → skip the page
+            try:
+                payload = fetch(page)
+            except Exception:
+                payload = None
+            if payload is None:
+                return
+            for rec in payload["results"]:
                 yield (page, rec["id"], rec["name"], rec["parameter"], rec["value"])
 
     class RestPagesSource(DataSource):
@@ -346,9 +363,18 @@ def snk_part_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="snk_part_overwrite_")
     ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value", "event_type")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    # scope the dynamic-overwrite conf to this one write so no session-level
+    # behavior change leaks to whatever query the driver runs next
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    correction = ev.filter(F.col("event_type") == "purchase").withColumn(
-        "value", F.col("value") * 2.0
-    )
-    correction.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    try:
+        correction = ev.filter(F.col("event_type") == "purchase").withColumn(
+            "value", F.col("value") * 2.0
+        )
+        correction.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return spark.read.parquet(out).select("event_id", "user_id", "event_type", "value")

@@ -90,3 +90,39 @@ def test_fixture_columns_snapshot(name):
         f"{name}.parquet columns drifted: missing={sorted(expected - got)} "
         f"extra={sorted(got - expected)}"
     )
+
+
+def test_events_loader_handles_legacy_long_nanos(spark, tmp_path):
+    """The old fixture vintage (BIGINT epoch-nanos under nanosAsLong — still
+    produced by scripts/make_sf1.py) must keep loading: synthesize a tiny
+    events.parquet with a long ts and assert the loader rebuilds the same
+    TIMESTAMP_NTZ values a native timestamp[us] file would give."""
+    import pyarrow as pa
+
+    micros = [1_704_500_000_000_000, 1_704_500_060_500_000]  # 2024-01-05-ish
+    legacy = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([m * 1000 for m in micros], pa.int64()),
+            "user_id": pa.array([10, 11], pa.int64()),
+            "event_type": pa.array(["view", "click"]),
+            "value": pa.array([1.5, 2.5], pa.float64()),
+            "props": pa.array(['{"k": 1}', '{"k": 2}']),
+        }
+    )
+    modern = legacy.set_column(
+        1, "ts", pa.array(micros, pa.int64()).cast(pa.timestamp("us"))
+    )
+    d_legacy, d_modern = tmp_path / "legacy", tmp_path / "modern"
+    for d, t in ((d_legacy, legacy), (d_modern, modern)):
+        d.mkdir()
+        pq.write_table(t, d / "events.parquet")
+
+    df_legacy = table(spark, str(d_legacy), "events")
+    df_modern = table(spark, str(d_modern), "events")
+    for df in (df_legacy, df_modern):
+        assert isinstance(df.schema["ts"].dataType, T.TimestampNTZType)
+    assert (
+        [r.ts for r in df_legacy.orderBy("event_id").collect()]
+        == [r.ts for r in df_modern.orderBy("event_id").collect()]
+    )

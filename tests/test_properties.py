@@ -310,3 +310,39 @@ def test_line_dedup_conserves_distinct_lines(spark, sf_dir):
         .count()
     )
     assert agg["kept"] == n_distinct
+
+
+def test_src_http_skips_failing_page(spark, sf_dir):
+    """The REST DataSource reproduces the reference's error contract
+    (main.py:45-57): an HTTP error/timeout maps to None → page skipped.
+    Page 4 is a failure-injection partition; the scan must still succeed
+    and yield exactly the 5 rows from the 3 healthy pages."""
+    from air_quality_data_pipeline_spark.registry import QUERIES
+
+    df = QUERIES["src_http"].builder(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 5
+    assert {r.page for r in rows} == {1, 2, 3}  # the failing page 4 is absent
+
+
+def test_minhash_lsh_covers_portable_pairs(spark, sf_dir):
+    """Correctness anchor for the rows-only MLlib query: every near-dup pair
+    the portable MinHash pipeline certifies (exact Jaccard >= 0.6 over the
+    same 3-gram shingle sets) must also be found by MLlib's
+    approxSimilarityJoin at the matching distance threshold (0.4). Both
+    branches are deterministic for fixed fixtures + seed, so this pins the
+    MLlib query to an oracle-checked twin even though its hash family is
+    not reproducible in DuckDB."""
+    from air_quality_data_pipeline_spark.registry import QUERIES
+
+    portable = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["llm_minhash_dedup"].builder(spark, sf_dir).collect()
+    }
+    mllib = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["llm_minhash_lsh"].builder(spark, sf_dir).collect()
+    }
+    assert portable, "portable MinHash found no near-dup pairs — fixture drift?"
+    missing = portable - mllib
+    assert not missing, f"MLlib LSH missed {len(missing)} certified pairs: {sorted(missing)[:5]}"
