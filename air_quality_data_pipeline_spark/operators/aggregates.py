@@ -278,3 +278,102 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         within("ap50", "p50_qty").alias("p50_within_5pct"),
         within("ap95", "p95_qty").alias("p95_within_5pct"),
     )
+
+
+# --- agg_corr -----------------------------------------------------------------
+
+# Pearson correlation from EXACT fixed-point sums. Built-in corr() is a
+# streaming/Welford-style aggregate in both engines whose float state depends
+# on combine order — unverifiable cross-engine. Instead: quantize both
+# columns to integer cents (quantities are integral, prices have cents — the
+# double multiply+floor is the same IEEE op in both engines), accumulate the
+# five sums in BIGINT/DECIMAL (exact, combine-order independent), then derive
+# r with the SAME double expression in both engines.
+_CORR_NUM = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+_CORR_DEN_X = "sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+_CORR_DEN_Y = "sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+_CORR_EXPR = f"{_CORR_NUM} / ({_CORR_DEN_X} * {_CORR_DEN_Y})"
+
+_AGG_CORR_ORACLE = f"""
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity * 100.0) AS BIGINT) AS qx,
+         CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS qy
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(qx) AS BIGINT) AS sx,
+         CAST(SUM(qy) AS BIGINT) AS sy,
+         SUM(CAST(qx AS DECIMAL(38, 0)) * qy) AS sxy,
+         SUM(CAST(qx AS DECIMAL(38, 0)) * qx) AS sx2,
+         SUM(CAST(qy AS DECIMAL(38, 0)) * qy) AS sy2
+  FROM q GROUP BY l_returnflag
+)
+SELECT l_returnflag, n AS n_rows, {_CORR_EXPR} AS corr_qty_price
+FROM s
+"""
+
+
+@register("agg_corr", oracle=_AGG_CORR_ORACLE, tags=("agg",))
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation as ONE hash aggregate of five exact
+    fixed-point sums (map-side combinable BIGINT/DECIMAL state — the same
+    exchange shape as a plain SUM), with the float math deferred to a final
+    per-group scalar expression. The built-in ``corr()`` keeps float state
+    whose result drifts with partition combine order; this formulation is
+    bit-stable at any parallelism — on 32 cores or 1000 executors."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    q = li.select(
+        "l_returnflag",
+        F.expr("CAST(floor(l_quantity * 100.0) AS BIGINT)").alias("qx"),
+        F.expr("CAST(floor(l_extendedprice * 100.0) AS BIGINT)").alias("qy"),
+    )
+    s = q.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qx").alias("sx"),
+        F.sum("qy").alias("sy"),
+        F.sum(F.expr("CAST(qx AS DECIMAL(38,0)) * qy")).alias("sxy"),
+        F.sum(F.expr("CAST(qx AS DECIMAL(38,0)) * qx")).alias("sx2"),
+        F.sum(F.expr("CAST(qy AS DECIMAL(38,0)) * qy")).alias("sy2"),
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        F.expr(_CORR_EXPR).alias("corr_qty_price"),
+    )
+
+
+# --- agg_mode -----------------------------------------------------------------
+
+_AGG_MODE_ORACLE = """
+WITH c AS (
+  SELECT event_type, user_id, COUNT(*) AS cnt
+  FROM events GROUP BY event_type, user_id
+)
+SELECT event_type,
+       (MAX(struct_pack(cnt := cnt, user_id := user_id))).user_id AS mode_user,
+       (MAX(struct_pack(cnt := cnt, user_id := user_id))).cnt AS mode_cnt
+FROM c GROUP BY event_type
+"""
+
+
+@register("agg_mode", oracle=_AGG_MODE_ORACLE, tags=("agg",))
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group (most frequent user per event source) via
+    two hash aggregates: count per (group, value), then argmax as
+    ``max(struct(cnt, value))`` — deterministic tiebreak on the larger
+    value, no window, no sort, both exchanges map-side combined. The
+    built-in ``mode()`` has engine-specific ties; the struct-max contract
+    is portable and is the formulation that survives 100 TB (the heavy
+    first aggregate keys on (group, value), so hot groups still spread)."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    s = F.struct("cnt", "user_id")
+    return c.groupBy("event_type").agg(
+        F.max(s)["user_id"].alias("mode_user"),
+        F.max(s)["cnt"].alias("mode_cnt"),
+    )

@@ -350,3 +350,52 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(20,4)")).cast("double").alias("total"),
         )
     )
+
+
+# --- join_outer ---------------------------------------------------------------
+
+_JOIN_OUTER_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, COUNT(*) AS order_cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE) AS total_spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+       c.c_name,
+       COALESCE(o.order_cnt, 0) AS order_cnt,
+       COALESCE(o.total_spend, 0.0) AS total_spend,
+       CAST(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END AS INT) AS orphan_order,
+       CAST(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END AS INT) AS inactive_customer
+FROM customer c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+"""
+
+
+@register("join_outer", oracle=_JOIN_OUTER_ORACLE, tags=("join",))
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join — the reconciliation shape (which side is missing?)
+    the other join demos can't express: customers with no orders AND
+    orders whose customer is gone survive, with COALESCE key/metric
+    repair. Orders are pre-aggregated per customer BEFORE the join (the
+    exchange carries one row per customer, not per order), and both sides
+    then hash-partition on the same key — at 100 TB this is one shuffle
+    per side into a sort-merge full join, no broadcast (full outer can't
+    broadcast) and no row explosion. The spend sum is DECIMAL-exact."""
+    apply_engine_conf(spark)
+    cu = table(spark, sf_dir, "customer")
+    od = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_spend"),
+        )
+    )
+    j = cu.join(od, cu.c_custkey == od.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce(cu.c_custkey, od.o_custkey).alias("custkey"),
+        cu.c_name,
+        F.coalesce(od.order_cnt, F.lit(0)).alias("order_cnt"),
+        F.coalesce(od.total_spend, F.lit(0.0)).alias("total_spend"),
+        F.when(cu.c_custkey.isNull(), 1).otherwise(0).cast("int").alias("orphan_order"),
+        F.when(od.o_custkey.isNull(), 1).otherwise(0).cast("int").alias("inactive_customer"),
+    )

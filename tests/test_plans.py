@@ -185,3 +185,46 @@ def test_line_dedup_shuffles_digests_not_text(spark, sf_dir):
         f"dedup exchange must key on the line digest:\n{plan}"
     )
     assert "CartesianProduct" not in plan
+
+
+def test_dataset_split_is_zero_shuffle_projection(spark, sf_dir):
+    # split assignment must be a free column on the scan: no exchange, and
+    # the scan reads only the key column
+    plan = _executed_plan(spark, "llm_dataset_split", sf_dir)
+    assert "Exchange" not in plan, f"dataset split must not shuffle:\n{plan}"
+    fmt = _formatted(spark, "llm_dataset_split", sf_dir)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", fmt)
+    assert m and m.group(1).split(":")[0] == "doc_id", "scan must read only doc_id"
+
+
+def test_agg_corr_is_single_exchange(spark, sf_dir):
+    # five exact sums in ONE partial+final hash aggregate — same exchange
+    # shape as a plain per-group SUM
+    plan = _executed_plan(spark, "agg_corr", sf_dir)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "partial" in plan.lower()
+
+
+def test_join_outer_preaggregates_orders(spark, sf_dir):
+    # the orders side must aggregate BEFORE the full join (exchange carries
+    # one row per customer, not per order) and full outer must not broadcast
+    plan = _executed_plan(spark, "join_outer", sf_dir)
+    assert "SortMergeJoin" in plan and "FullOuter" in plan, plan
+    assert "BroadcastHashJoin" not in plan
+    join_pos = plan.index("SortMergeJoin")
+    agg_pos = plan.index("HashAggregate")
+    assert agg_pos > join_pos, "orders pre-aggregate should sit under the join"
+
+
+def test_ts_rolling_is_one_exchange_one_window(spark, sf_dir):
+    plan = _executed_plan(spark, "ts_rolling", sf_dir)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "RangeFrame" in plan, "rolling frame must be a RANGE frame"
+
+
+def test_win_retention_has_no_join(spark, sf_dir):
+    # the activity calendar formulation must not plan a join or a
+    # per-event distinct: one user-keyed exchange + one tiny final agg
+    plan = _executed_plan(spark, "win_retention", sf_dir)
+    assert "Join" not in plan, f"retention must be join-free:\n{plan}"
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
