@@ -25,26 +25,48 @@ from conftest import SF_SMALL
 # add it here AND teach tables.table() to normalise it.
 _SUPPORTED_EVENTS_TS = {"timestamp[ns]", "timestamp[us]", "int64"}
 
-# Column-name snapshot per fixture table (order-insensitive), taken from the
-# round-4 driver fixtures. A driver-side rename/add/drop fails here by name.
-_EXPECTED_COLUMNS = {
-    "region": {"r_regionkey", "r_name"},
-    "nation": {"n_nationkey", "n_name", "n_regionkey"},
-    "customer": {"c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"},
-    "supplier": {"s_suppkey", "s_name", "s_nationkey", "s_acctbal"},
-    "part": {"p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"},
+# Full column:type snapshot per fixture table (order-insensitive names),
+# taken from the round-4 driver fixtures. Round 3 broke on a silent
+# RETYPING (events.ts nanos→µs), not a rename — so types are pinned too.
+# events.ts is special-cased: any encoding in _SUPPORTED_EVENTS_TS is fine.
+_EXPECTED_SCHEMA = {
+    "region": {"r_regionkey": "int32", "r_name": "string"},
+    "nation": {"n_nationkey": "int32", "n_name": "string", "n_regionkey": "int32"},
+    "customer": {
+        "c_custkey": "int64", "c_name": "string", "c_nationkey": "int32",
+        "c_acctbal": "double", "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "int64", "s_name": "string", "s_nationkey": "int32",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "int64", "p_name": "string", "p_brand": "string",
+        "p_type": "string", "p_size": "int32", "p_retailprice": "double",
+    },
     "orders": {
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-        "o_orderdate", "o_orderpriority",
+        "o_orderkey": "int64", "o_custkey": "int64", "o_orderstatus": "string",
+        "o_totalprice": "double", "o_orderdate": "timestamp[us]",
+        "o_orderpriority": "string",
     },
     "lineitem": {
-        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
-        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
-        "l_linestatus", "l_shipdate",
+        "l_orderkey": "int64", "l_partkey": "int64", "l_suppkey": "int64",
+        "l_linenumber": "int32", "l_quantity": "double",
+        "l_extendedprice": "double", "l_discount": "double", "l_tax": "double",
+        "l_returnflag": "string", "l_linestatus": "string",
+        "l_shipdate": "timestamp[us]",
     },
-    "events": {"event_id", "ts", "user_id", "event_type", "value", "props"},
-    "documents": {"doc_id", "text", "lang", "source", "n_chars"},
-    "embeddings": {"vec_id", "embedding", "label"},
+    "events": {
+        "event_id": "int64", "ts": "*supported*", "user_id": "int64",
+        "event_type": "string", "value": "double", "props": "string",
+    },
+    "documents": {
+        "doc_id": "int64", "text": "string", "lang": "string",
+        "source": "string", "n_chars": "int64",
+    },
+    "embeddings": {
+        "vec_id": "int64", "embedding": "list<element: float>", "label": "int32",
+    },
 }
 
 
@@ -81,15 +103,25 @@ def test_events_loader_yields_timestamp_ntz(spark, sf_dir_any):
 
 
 @pytest.mark.parametrize("name", TABLE_NAMES)
-def test_fixture_columns_snapshot(name):
-    """Every fixture table keeps its column inventory; renames fail by name."""
+def test_fixture_schema_snapshot(name):
+    """Every fixture table keeps its column inventory AND types; a silent
+    driver-side rename or retyping fails here by name."""
     schema = pq.read_schema(f"{SF_SMALL}/{name}.parquet")
-    got = set(schema.names)
-    expected = _EXPECTED_COLUMNS[name]
-    assert got == expected, (
-        f"{name}.parquet columns drifted: missing={sorted(expected - got)} "
-        f"extra={sorted(got - expected)}"
+    got = {f.name: str(f.type) for f in schema}
+    expected = _EXPECTED_SCHEMA[name]
+    assert set(got) == set(expected), (
+        f"{name}.parquet columns drifted: missing={sorted(set(expected) - set(got))} "
+        f"extra={sorted(set(got) - set(expected))}"
     )
+    for col, typ in expected.items():
+        if typ == "*supported*":
+            assert got[col] in _SUPPORTED_EVENTS_TS, (
+                f"{name}.{col} encoding {got[col]!r} not handled by the loader"
+            )
+        else:
+            assert got[col] == typ, (
+                f"{name}.{col} retyped: {got[col]!r} (snapshot: {typ!r})"
+            )
 
 
 def test_events_loader_handles_legacy_long_nanos(spark, tmp_path):
