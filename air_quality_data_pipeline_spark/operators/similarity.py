@@ -552,3 +552,153 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("hit").cast("double") / 5.0).alias("recall_at_5"),
         )
     )
+
+
+# --- llm_emb_lsh: random-hyperplane LSH near-dup (the sparse scale path) -----
+
+# Signed-random-projection LSH: _LSH_BITS sign bits per vector, grouped into
+# _LSH_BANDS bands; vectors sharing any band key become candidate pairs and
+# only candidates get an exact cosine check. Hyperplane components are a
+# fixed deterministic table inlined as LITERALS into both engines' SQL, so
+# signatures are identical by construction (no RNG, no libm).
+_LSH_BANDS = 4
+_LSH_BAND_BITS = 8
+_LSH_BITS = _LSH_BANDS * _LSH_BAND_BITS
+_LSH_CAP = 1000  # bounded corpus for the oracle-checked demo (see docstring)
+
+
+def _lsh_hyperplane(b: int, d: int) -> float:
+    # integer-hash pseudo-random in [-1, 1); exact decimal literals below
+    return ((((b + 1) * 2654435761 + (d + 1) * 40503) % 8191) - 4095) / 4096.0
+
+
+_LSH_PLANES = [
+    [_lsh_hyperplane(b, d) for d in range(DIMS)] for b in range(_LSH_BITS)
+]
+
+
+def _lsh_band_expr_spark(g: int) -> str:
+    bits = []
+    for j in range(_LSH_BAND_BITS):
+        plane = _LSH_PLANES[g * _LSH_BAND_BITS + j]
+        arr = "array(" + ", ".join(f"{c}D" for c in plane) + ")"
+        dot = (
+            f"aggregate(zip_with({arr}, vec, (h, x) -> h * x), 0.0D, (s, x) -> s + x)"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0.0D THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _lsh_band_expr_duck(g: int) -> str:
+    bits = []
+    for j in range(_LSH_BAND_BITS):
+        plane = _LSH_PLANES[g * _LSH_BAND_BITS + j]
+        arr = "[" + ", ".join(f"CAST({c} AS DOUBLE)" for c in plane) + "]"
+        dot = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {DIMS} + 1), i -> {arr}[i] * vec[i])), "
+            f"(s, x) -> s + x)"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0.0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+_EMB_LSH_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings WHERE vec_id < {_LSH_CAP}
+),
+corpus AS (
+  SELECT vec_id, vec FROM base
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, {_PERTURB_DUCK} AS vec
+  FROM (SELECT vec_id, vec AS embedding FROM base)
+),
+sigs AS (
+  SELECT vec_id, vec,
+         [{", ".join(_lsh_band_expr_duck(g) for g in range(_LSH_BANDS))}] AS bands
+  FROM corpus
+),
+banded AS (
+  SELECT vec_id, g.i AS band, bands[g.i + 1] AS key
+  FROM sigs, range(0, {_LSH_BANDS}) g(i)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       {cosine_similarity_duckdb('sa.vec', 'sb.vec', DIMS)} AS cosine
+FROM cand c
+JOIN sigs sa ON sa.vec_id = c.vec_a
+JOIN sigs sb ON sb.vec_id = c.vec_b
+WHERE {cosine_similarity_duckdb('sa.vec', 'sb.vec', DIMS)} >= 0.98
+"""
+
+
+@register("llm_emb_lsh", oracle=_EMB_LSH_ORACLE, tags=("llm", "similarity", "dedup"))
+def llm_emb_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs via random-hyperplane LSH — the
+    SPARSE formulation that replaces llm_emb_neardup's bounded all-pairs
+    baseline at scale: 32 sign bits per vector (4 bands x 8 bits),
+    candidates from a band-key equi-join (the
+    same one-shuffle bucket-expand pattern as llm_minhash_dedup), exact
+    cosine only on candidates. Per-row signature cost is a fixed
+    2048-term fold — linear scan work any executor count absorbs; the
+    candidate join keys on (band, key) so the exchange carries ids, not
+    vectors. The corpus is capped and augmented with deterministic
+    perturbed copies (as llm_emb_neardup) so planted near-dups exist and
+    both engines build the identical input. Demo cap exists only because
+    the ORACLE must also run; the Spark side has no all-pairs stage."""
+    apply_engine_conf(spark)
+    base = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _LSH_CAP)
+        .select("vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("vec"))
+    )
+    corpus = base.unionByName(
+        base.select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.expr(_PERTURB_SPARK.replace("embedding", "vec")).alias("vec"),
+        )
+    )
+    sigs = corpus.select(
+        "vec_id",
+        "vec",
+        F.expr(
+            "array(" + ", ".join(_lsh_band_expr_spark(g) for g in range(_LSH_BANDS)) + ")"
+        ).alias("bands"),
+    ).persist()
+    banded = sigs.select(
+        "vec_id", F.posexplode("bands").alias("band", "key")
+    )
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.collect_list("vec_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))),"
+                    " p -> p.a < p.b)"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("vec_a"), F.col("p.b").alias("vec_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    sb = sigs.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    return (
+        cand.join(sa, "vec_a")
+        .join(sb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine_similarity(F.col("va"), F.col("vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.98)
+    )

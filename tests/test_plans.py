@@ -228,3 +228,11 @@ def test_win_retention_has_no_join(spark, sf_dir):
     plan = _executed_plan(spark, "win_retention", sf_dir)
     assert "Join" not in plan, f"retention must be join-free:\n{plan}"
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+
+
+def test_emb_lsh_has_no_all_pairs_join(spark, sf_dir):
+    # candidates must come from band-bucket expansion, never a cartesian /
+    # nested-loop pairing of the corpus with itself
+    plan = _executed_plan(spark, "llm_emb_lsh", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
