@@ -948,3 +948,79 @@ def llm_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+# --- llm_corpus_prep: composed end-to-end corpus pipeline ---------------------
+
+_PREP_MIN_CHARS = 200
+_PREP_MIN_TOKENS = 20
+
+_CORPUS_PREP_ORACLE = f"""
+WITH filtered AS (
+  SELECT doc_id, lang, text, n_chars
+  FROM documents
+  WHERE n_chars >= {_PREP_MIN_CHARS}
+    AND len(string_split(text, ' ')) >= {_PREP_MIN_TOKENS}
+),
+deduped AS (
+  SELECT (MIN(struct_pack(doc_id := doc_id, lang := lang, n_chars := n_chars))).doc_id AS doc_id,
+         (MIN(struct_pack(doc_id := doc_id, lang := lang, n_chars := n_chars))).lang AS lang,
+         (MIN(struct_pack(doc_id := doc_id, lang := lang, n_chars := n_chars))).n_chars AS n_chars
+  FROM filtered
+  GROUP BY md5(text)
+),
+split AS (
+  SELECT lang, n_chars,
+         CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT lang, n_chars,
+           CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % 100 AS b
+    FROM deduped
+  )
+)
+SELECT lang, split, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM split GROUP BY lang, split
+"""
+
+
+@register("llm_corpus_prep", oracle=_CORPUS_PREP_ORACLE, tags=("llm", "pipeline"))
+def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-prep pipeline COMPOSED as one logical plan:
+    quality gate (length + token count) → exact dedup (first-occurrence by
+    content digest, argmin-as-aggregate — one digest-keyed shuffle, never a
+    window-over-everything) → deterministic train/val/test assignment
+    (md5 bucket of the surviving key) → per-(lang, split) report. This is
+    the shape a real 100 TB prep job has, and composing it as DataFrame
+    algebra means Catalyst optimizes ACROSS stages: the quality predicates
+    and the column pruning reach the scan below the dedup shuffle, and the
+    whole job is two exchanges (digest, report) end to end — stages don't
+    re-materialize between steps the way a script-per-stage pipeline (the
+    reference's architecture, main.py:198-309) forces."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    filtered = docs.filter(
+        (F.col("n_chars") >= _PREP_MIN_CHARS)
+        & (F.size(F.split(F.col("text"), " ")) >= _PREP_MIN_TOKENS)
+    ).select("doc_id", "lang", "n_chars", F.md5("text").alias("digest"))
+    first = (
+        filtered.groupBy("digest")
+        .agg(F.min(F.struct("doc_id", "lang", "n_chars")).alias("s"))
+        .select(F.col("s.doc_id"), F.col("s.lang"), F.col("s.n_chars"))
+    )
+    bucket = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100"
+    )
+    labeled = first.select(
+        "lang",
+        "n_chars",
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    return labeled.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -77,10 +77,10 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # (b) the 7 queries the driver sampled as errors in r3 — all casualties of
 #     the events.ts fixture retyping, fixed this round in tables.py;
 # (c) src_http, whose reader changed this round (failure-injection page),
-#     plus the eight queries ADDED this round (win_retention, ts_rolling,
+#     plus the nine queries ADDED this round (win_retention, ts_rolling,
 #     dq_freshness, llm_dataset_split, agg_corr, agg_mode, join_outer,
-#     llm_emb_lsh);
-# (d) 3 more events-readers that were r1-green but broken by the same
+#     llm_emb_lsh, llm_corpus_prep);
+# (d) 2 more events-readers that were r1-green but broken by the same
 #     fixture retyping, for driver re-confirmation under the new loader.
 # Deferred: round-1/2/3 greens whose code is untouched this round.
 DRIVER_PRIORITY = [
@@ -134,11 +134,11 @@ DRIVER_PRIORITY = [
     "agg_mode",
     "join_outer",
     "llm_emb_lsh",
+    "llm_corpus_prep",
     # (d) events-readers broken r3, unsampled then, re-verify under new loader
     # (win_latest/win_frame/st_tumble are additionally covered by bench.py)
     "join_asof",
     "flt_fresh",
-    "agg_count_grp",
 ]
 
 

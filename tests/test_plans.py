@@ -236,3 +236,15 @@ def test_emb_lsh_has_no_all_pairs_join(spark, sf_dir):
     plan = _executed_plan(spark, "llm_emb_lsh", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_prep_two_exchanges_pushed_filter(spark, sf_dir):
+    # the composed filter->dedup->split->report pipeline must stay ONE plan:
+    # exactly two shuffles (digest, report) and the length gate pushed into
+    # the parquet scan below the dedup shuffle
+    plan = _executed_plan(spark, "llm_corpus_prep", sf_dir)
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n == 2, f"expected exactly 2 shuffles, got {n}:\n{plan}"
+    fmt = _formatted(spark, "llm_corpus_prep", sf_dir)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", fmt)
+    assert any("n_chars" in p for p in pushed), f"length gate must reach the scan:\n{pushed}"
