@@ -78,20 +78,24 @@ def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LIMIT_PAGE_ORACLE = """
 SELECT l_orderkey, l_linenumber, l_extendedprice
 FROM lineitem
-ORDER BY l_orderkey, l_linenumber
+ORDER BY l_orderkey, l_linenumber, l_extendedprice
 LIMIT 100 OFFSET 100
 """
 
 
 @register("limit_page", oracle=_LIMIT_PAGE_ORACLE, tags=("sort",))
 def limit_page(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic pagination: ORDER BY unique key + LIMIT/OFFSET (the
-    reference's page-size/page-cap scan, main.py:111, 126-127)."""
+    """Deterministic pagination: ORDER BY + LIMIT/OFFSET (the reference's
+    page-size/page-cap scan, main.py:111, 126-127). The sort covers EVERY
+    output column — the fixture's (l_orderkey, l_linenumber) is not unique,
+    so a prefix sort would leave the page boundary tie-dependent (caught by
+    the sf1 oracle replay); with a total key, boundary ties are identical
+    rows and the page is a deterministic multiset on any engine."""
     apply_engine_conf(spark)
     li = table(spark, sf_dir, "lineitem")
     return (
         li.select("l_orderkey", "l_linenumber", "l_extendedprice")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
         .offset(100)
         .limit(100)
     )

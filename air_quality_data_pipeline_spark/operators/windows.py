@@ -78,7 +78,7 @@ SELECT event_id, user_id, ts,
 FROM events
 WINDOW w AS (
   PARTITION BY user_id
-  ORDER BY epoch(ts)::BIGINT
+  ORDER BY epoch_us(ts) // 1000000
   RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
 )
 """
@@ -89,10 +89,15 @@ def win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling range-frame aggregate (the reference's 30-day freshness horizon
     as a moving window, main.py:36, 97): per-user 7-day rolling count/sum.
     The sum is decimal-exact so any frame evaluation order matches the oracle.
+    The frame key is epoch-µs INTEGER-divided to seconds in both engines —
+    DuckDB's ``epoch(ts)::BIGINT`` ROUNDS fractional seconds where Spark's
+    ``timestampdiff(SECOND, ...)`` floors, an off-by-one that only surfaces
+    when an event pair straddles the frame edge by < 0.5 s (caught by the
+    sf1 oracle replay; shipped SFs never hit the boundary).
     """
     apply_engine_conf(spark)
     ev = table(spark, sf_dir, "events").withColumn(
-        "ts_sec", F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+        "ts_sec", F.expr("unix_micros(to_timestamp(ts)) div 1000000")
     )
     w = Window.partitionBy("user_id").orderBy("ts_sec").rangeBetween(-604800, 0)
     return ev.select(

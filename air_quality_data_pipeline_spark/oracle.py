@@ -30,11 +30,25 @@ TABLE_NAMES = [
 
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    """Fresh DuckDB connection with the fixture tables registered as views."""
+    """Fresh DuckDB connection with the fixture tables registered as views.
+
+    Mirrors ``tables.table``'s vintage handling: if ``events.ts`` is stored
+    as BIGINT epoch-nanos (the legacy fixture encoding, still produced by
+    scripts/make_sf1.py), the view rebuilds a TIMESTAMP at microsecond
+    truncation — the same value Spark's loader constructs — so oracle SQL
+    can always treat ``ts`` as a timestamp.
+    """
     con = duckdb.connect()
     for name in TABLE_NAMES:
+        select = "*"
+        if name == "events":
+            import pyarrow.parquet as pq
+
+            ts_type = str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
+            if ts_type == "int64":
+                select = "* REPLACE (make_timestamp(ts // 1000) AS ts)"
         con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+            f"CREATE VIEW {name} AS SELECT {select} FROM read_parquet('{sf_dir}/{name}.parquet')"
         )
     return con
 
