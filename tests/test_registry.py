@@ -25,3 +25,34 @@ def test_priority_window_is_oracle_checked():
     # entry in the window wastes a verification slot.
     rows_only = [n for n in DRIVER_PRIORITY if SPECS[n].oracle is None]
     assert not rows_only, f"rows-only queries occupying window slots: {rows_only}"
+
+
+def test_priority_window_covers_unsampled_queries():
+    """The driver verifies only the first 50 registry entries, so every
+    oracle-checked query the driver has NEVER sampled (per the recorded
+    CORRECTNESS_r*.json files) must sit inside the priority window —
+    otherwise it can never earn a driver row. Rows-only queries are exempt
+    (they'd waste a slot on a weaker check)."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sampled: set[str] = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        try:
+            sampled |= set(json.load(open(path)))
+        except Exception:
+            pass
+    if not sampled:  # fresh checkout without driver artifacts
+        return
+    window = set(DRIVER_PRIORITY)
+    missed = [
+        n
+        for n, spec in SPECS.items()
+        if spec.oracle is not None and n not in sampled and n not in window
+    ]
+    assert not missed, (
+        f"oracle-checked queries never driver-sampled AND outside the "
+        f"50-slot priority window: {sorted(missed)}"
+    )
