@@ -290,8 +290,12 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # five sums in BIGINT/DECIMAL (exact, combine-order independent), then derive
 # r with the SAME double expression in both engines.
 _CORR_NUM = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
-_CORR_DEN_X = "sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
-_CORR_DEN_Y = "sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+# greatest(0, ...) guards a zero-variance group: the double expression can
+# round to a tiny negative, and DuckDB's sqrt raises Out of Range on it
+# (aborting the whole oracle query) where Spark would return NaN. The clamp
+# is shared by both engines since _CORR_EXPR is embedded in each.
+_CORR_DEN_X = "sqrt(greatest(CAST(0 AS DOUBLE), CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+_CORR_DEN_Y = "sqrt(greatest(CAST(0 AS DOUBLE), CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
 _CORR_EXPR = f"{_CORR_NUM} / ({_CORR_DEN_X} * {_CORR_DEN_Y})"
 
 _AGG_CORR_ORACLE = f"""

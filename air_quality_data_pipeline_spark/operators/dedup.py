@@ -40,7 +40,7 @@ from ..functions.text import (
     tokens_spark,
 )
 from ..registry import register
-from ..session import apply_engine_conf
+from ..session import apply_engine_conf, scoped_persist
 from ..tables import rebalance_for_map, table
 
 # --- llm_exact_dedup ---------------------------------------------------------
@@ -142,7 +142,7 @@ def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not-null filters below it — which would inline the hash chain per use.
     # At cluster scale this is the "materialize signatures once" step every
     # LSH dedup pipeline has.
-    shingled = shingled.persist()
+    shingled = scoped_persist(shingled)
     sigs = shingled.select("doc_id", "sh_hashes", F.expr(_MH_SPARK_ARR).alias("sig"))
     bands = sigs.select(
         "doc_id", F.posexplode("sig").alias("band0", "mh")

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.vectors import cosine_similarity, cosine_similarity_duckdb
 from ..registry import register
-from ..session import apply_engine_conf
+from ..session import apply_engine_conf, scoped_persist
 from ..tables import table
 
 DIMS = 64  # fixture embedding width (TESTDATA.md)
@@ -663,31 +663,27 @@ def llm_emb_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_PERTURB_SPARK.replace("embedding", "vec")).alias("vec"),
         )
     )
-    sigs = corpus.select(
-        "vec_id",
-        "vec",
-        F.expr(
-            "array(" + ", ".join(_lsh_band_expr_spark(g) for g in range(_LSH_BANDS)) + ")"
-        ).alias("bands"),
-    ).persist()
+    sigs = scoped_persist(
+        corpus.select(
+            "vec_id",
+            "vec",
+            F.expr(
+                "array(" + ", ".join(_lsh_band_expr_spark(g) for g in range(_LSH_BANDS)) + ")"
+            ).alias("bands"),
+        )
+    )
     banded = sigs.select(
         "vec_id", F.posexplode("bands").alias("band", "key")
     )
-    buckets = (
-        banded.groupBy("band", "key")
-        .agg(F.collect_list("vec_id").alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
+    # Candidate pairs via a SELF-EQUI-JOIN on (band, key) — the same shape as
+    # the oracle. Unlike a collect_list-per-bucket expansion, a degenerate hot
+    # band key never materializes a quadratic array inside one task: the join
+    # spreads the bucket across tasks and AQE skew-join splits it further.
     cand = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))),"
-                    " p -> p.a < p.b)"
-                )
-            ).alias("p")
-        )
-        .select(F.col("p.a").alias("vec_a"), F.col("p.b").alias("vec_b"))
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "key"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
     sa = sigs.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))

@@ -47,6 +47,11 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
             ts_type = str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
             if ts_type == "int64":
                 select = "* REPLACE (make_timestamp(ts // 1000) AS ts)"
+            elif ts_type == "timestamp[ns]":
+                # Spark reads TIMESTAMP(NANOS) parquet with nanosAsLong +
+                # µs truncation; mirror that here so a sub-microsecond
+                # component can never shift epoch/window math between engines.
+                select = "* REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts)"
         con.execute(
             f"CREATE VIEW {name} AS SELECT {select} FROM read_parquet('{sf_dir}/{name}.parquet')"
         )

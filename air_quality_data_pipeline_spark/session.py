@@ -12,7 +12,37 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+# DataFrames persisted for the duration of ONE registered query (see
+# scoped_persist). Drained by apply_engine_conf, which every query builder
+# calls first — so in a long-lived driver session (the verification driver,
+# a notebook) cached signature blocks from the previous query are released
+# before the next query starts instead of lingering until session shutdown.
+_SCOPED_PERSISTS: list[DataFrame] = []
+
+
+def scoped_persist(df: DataFrame) -> DataFrame:
+    """Persist a DataFrame with query-scoped lifetime.
+
+    The cache fills on the query's own actions as usual; the blocks are
+    freed when the NEXT registered query calls apply_engine_conf. This keeps
+    the laziness contract (builders return unexecuted DataFrames, the caller
+    materializes) while bounding executor storage memory across a session
+    running many queries back to back.
+    """
+    df = df.persist()
+    _SCOPED_PERSISTS.append(df)
+    return df
+
+
+def release_scoped_persists() -> None:
+    """Unpersist every DataFrame registered by scoped_persist."""
+    while _SCOPED_PERSISTS:
+        try:
+            _SCOPED_PERSISTS.pop().unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
 
 
 def get_spark(
@@ -60,6 +90,7 @@ def apply_engine_conf(spark: SparkSession) -> SparkSession:
     Query builders call this so they work under the verification driver's
     own SparkSession, not just ours. Only runtime-mutable confs here.
     """
+    release_scoped_persists()
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     # Epoch-µs derivations (win_sessionize, join_asof) interpret TIMESTAMP_NTZ

@@ -8,8 +8,8 @@ here. Rows-only queries just have to execute.
 
 Usage: python scripts/oracle_replay.py [sf_dir] [--skip name,name,...]
 """
-import sys, time
-sys.path.insert(0, "/root/repo")
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/tmp/sf1"
 skip = set()
