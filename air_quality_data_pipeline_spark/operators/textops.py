@@ -26,7 +26,7 @@ from ..functions.hashing import (
 )
 from ..functions.text import shingles_duckdb, shingles_spark, tokens_duckdb, tokens_spark
 from ..registry import register
-from ..session import apply_engine_conf
+from ..session import apply_engine_conf, scoped_persist
 from ..tables import rebalance_for_map, table
 
 # --- llm_text_stats -----------------------------------------------------------
@@ -360,15 +360,24 @@ SELECT doc_id, token, tfidf, rnk FROM (
 def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document. IDF is the linear ratio
     n_docs/doc_freq (not log-scaled) so both engines compute it as one
-    exact-int division — bit-exact without libm. Shape: explode → two hash
-    aggs (tf by (doc,token), df by token) → broadcast-joined rescore →
-    per-doc rank. The df table is vocabulary-sized (small), so the rescore
-    join is a broadcast; the only big shuffles are the two aggregations."""
+    exact-int division — bit-exact without libm. Shape: explode → ONE big
+    hash agg (tf by (doc, token)); doc_freq then derives from tf itself —
+    tf has exactly one row per (doc, token), so ``count(*)`` per token IS
+    the distinct-doc count. That removes the second full tokenize +
+    count-distinct pass the naive formulation pays: Catalyst's
+    ReuseExchange executes the tf aggregation once and feeds both the
+    rescore side and the vocabulary side, so the only full-corpus shuffles
+    are the tf agg and the per-doc rank window."""
     apply_engine_conf(spark)
     docs = rebalance_for_map(table(spark, sf_dir, "documents"), spark)
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    # scoped_persist makes the sharing explicit: the aggregated tf table
+    # (vocab x docs pairs — the standard "materialize term stats once" step)
+    # computes once and feeds both the rescore join and the doc_freq rollup.
+    tf = scoped_persist(
+        tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(F.broadcast(dfreq), "token")
@@ -709,10 +718,19 @@ def llm_rep_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVAL_PANEL_SQL = "doc_id % 97 = 13 AND doc_id < 500"
 _DECON_N = 8  # n-gram width (GPT-3 used 13-gram document-level checks)
 
+# Token hashes are staged as a CTE column BEFORE shingling: the shingle
+# expression references its input once per gram offset (8x here), and DuckDB
+# does not hoist a loop-invariant subexpression out of the lambda — inlining
+# the md5 token-hash transform there re-hashed every token 8x per gram
+# position (measured 35 s -> 0.2 s at sf0.1 for this staging alone).
 _DECON_ORACLE = f"""
-WITH t AS (
-  SELECT doc_id, {shingle_hashes_duckdb(token_hashes_duckdb("string_split(text, ' ')"), _DECON_N)} AS grams
+WITH th AS (
+  SELECT doc_id, {token_hashes_duckdb("string_split(text, ' ')")} AS th
   FROM documents
+),
+t AS (
+  SELECT doc_id, {shingle_hashes_duckdb('th', _DECON_N)} AS grams
+  FROM th
 ),
 probes AS (
   SELECT DISTINCT UNNEST(grams) AS h FROM t WHERE {_EVAL_PANEL_SQL}
@@ -744,11 +762,17 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: none — north-star LLM-pipeline mandate."""
     apply_engine_conf(spark)
-    grams_expr = shingle_hashes_spark_sql(
-        token_hashes_spark_sql("split(text, ' ')"), _DECON_N
-    )
-    docs = rebalance_for_map(table(spark, sf_dir, "documents"), spark).select(
-        "doc_id", F.expr(grams_expr).alias("grams")
+    # Stage token hashes before shingling AND persist the gram table: the
+    # shingle expression references its input once per gram offset, and
+    # Catalyst's CollapseProject re-inlines a staged projection — without a
+    # barrier every gram position re-hashes its 8 tokens from scratch, and
+    # the gram table computes twice (probe side + corpus side). The persist
+    # is the difference between 183 s and 0.9 s at sf0.1 (measured); the
+    # DuckDB oracle needs the identical staging for the identical reason.
+    docs = scoped_persist(
+        rebalance_for_map(table(spark, sf_dir, "documents"), spark)
+        .select("doc_id", F.expr(token_hashes_spark_sql("split(text, ' ')")).alias("th"))
+        .select("doc_id", F.expr(shingle_hashes_spark_sql("th", _DECON_N)).alias("grams"))
     )
     probes = (
         docs.filter(F.expr(_EVAL_PANEL_SQL))
