@@ -8,12 +8,19 @@ column on every row, no driver transfer). The headline set spans the engine:
 scan→join→agg→topk (flagship), the shuffle-heavy relational core, windows,
 batch time-windowing, and the LLM-pipeline operators (dedup / similarity /
 text / multimodal).
+
+Noise handling (this host shows ±40% run-to-run variance, BASELINE.md):
+each query is timed SPARK_GRAFT_BENCH_RUNS times (default 5) and the
+per-query MEDIAN is reported; "value" is the sum of medians. A query that
+raises is recorded in "errors" with its exception and excluded from the
+total instead of aborting the whole bench (round 3's DNF failure mode).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -43,6 +50,7 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
 
     from pyspark.sql import SparkSession
@@ -67,29 +75,41 @@ def main() -> None:
     # query doesn't pay one-time init (codegen compiler, parquet footer
     # caches, Python worker pool)
     for warm in ("flagship", "mm_decode"):
-        specs[warm].builder(spark, "/root/testdata/sf0.001").write.mode(
-            "overwrite"
-        ).format("noop").save()
+        try:
+            specs[warm].builder(spark, "/root/testdata/sf0.001").write.mode(
+                "overwrite"
+            ).format("noop").save()
+        except Exception:
+            pass  # warmup failure is the measured query's problem, not fatal
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        df = specs[name].builder(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples: list[float] = []
+        for _ in range(runs):
+            try:
+                df = specs[name].builder(spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.mode("overwrite").format("noop").save()
+                samples.append(time.perf_counter() - t0)
+            except Exception as ex:  # isolate: one broken query ≠ DNF bench
+                errors[name] = f"{type(ex).__name__}: {str(ex)[:200]}"
+                break
+        if samples and name not in errors:
+            timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": f"headline_{len(HEADLINE)}q_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": f"headline_{len(HEADLINE)}q_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs_per_query": runs,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
