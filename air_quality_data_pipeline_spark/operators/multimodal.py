@@ -48,25 +48,65 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_image_real(payload: bytes) -> tuple[int, int]:
-    """Real image decode — requires an image codec library.
-
-    STUB: the container ships no PIL/opencv; the engine's tested path is the
-    deterministic fake in ``mm_decode``. Drop-in once a codec exists.
-    """
+def _require_pil():
+    """Import-gate for the optional image codec dependency."""
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
     except ImportError as exc:  # pragma: no cover - environment-dependent
         raise NotImplementedError(
             "image codecs not available in this environment; "
             "mm_decode uses the deterministic fake decoder"
         ) from exc
-    import io
+    return Image
 
-    from PIL import Image
+
+def decode_image_real(payload: bytes) -> tuple[int, int]:
+    """Real image decode (width, height) — functional when PIL is
+    installed, NotImplementedError otherwise (this container ships no
+    codecs, so the engine's oracle-checked path is the deterministic fake
+    in ``mm_decode``). tests/test_multimodal.py exercises both branches:
+    a skipif(PIL)-gated round-trip and the gate itself."""
+    Image = _require_pil()
+    import io
 
     img = Image.open(io.BytesIO(payload))
     return img.width, img.height
+
+
+def mm_decode_real(media: DataFrame) -> DataFrame:
+    """REAL-codec variant of mm_decode over a (doc_id, payload, kind) frame:
+    same mapInPandas plumbing, schema, and batch shape as the registered
+    fake-decoder query, with PIL doing the decode. Not registered — it
+    cannot run (or be oracle-checked) in a codec-less container — but the
+    PIL-gated test proves it end-to-end where the dependency exists, so
+    swapping decoders really is a one-function change."""
+
+    def decode_batches(batches):
+        import io
+
+        import pandas as pd
+        from PIL import Image
+
+        for pdf in batches:
+            dims = []
+            for p in pdf["payload"]:
+                with Image.open(io.BytesIO(bytes(p))) as img:
+                    dims.append((img.width, img.height))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "width": [w for w, _ in dims],
+                    "height": [h for _, h in dims],
+                }
+            )
+
+    _require_pil()  # fail fast on the driver, not inside executor tasks
+    return media.select("doc_id", "payload", "kind").mapInPandas(
+        decode_batches,
+        schema="doc_id long, kind string, n_bytes long, width long, height long",
+    )
 
 
 # --- mm_decode: Arrow-batched decode via mapInPandas -------------------------
