@@ -70,75 +70,76 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # registry are ignored (lets the list name queries before they land);
 # everything not listed keeps module order after the priority block.
 #
-# Round-4 window, in need-order:
-# (a) the 31 oracle-checked queries never yet sampled by the driver across
-#     r1-r3 (computed from CORRECTNESS_r01-r03.json; llm_minhash_lsh is also
-#     never-sampled but rows-only by design, so it would waste a slot);
-# (b) the 7 queries the driver sampled as errors in r3 — all casualties of
-#     the events.ts fixture retyping, fixed this round in tables.py;
-# (c) src_http, whose reader changed this round (failure-injection page),
-#     plus the nine queries ADDED this round (win_retention, ts_rolling,
-#     dq_freshness, llm_dataset_split, agg_corr, agg_mode, join_outer,
-#     llm_emb_lsh, llm_corpus_prep);
-# (d) 2 more events-readers that were r1-green but broken by the same
-#     fixture retyping, for driver re-confirmation under the new loader.
-# Deferred: round-1/2/3 greens whose code is untouched this round.
+# Round-5 window, in need-order. Every oracle-checked query has been
+# driver-sampled green at least once across r1-r4, so the rotation switches
+# from coverage-chasing to staleness + change tracking:
+# (a) llm_minhash_lsh FIRST — the only registered query with NO driver row
+#     after four rounds (rows-only by design: MLlib's JVM Murmur3 hash
+#     family is not DuckDB-reproducible; its correctness anchor is the
+#     pair-superset property test vs llm_minhash_dedup,
+#     tests/test_properties.py). Spending one window slot finally records
+#     the driver's rows-only check for it (VERDICT r4 item 1).
+# (b) the 6 queries whose code or oracle changed THIS round: agg_corr
+#     (variance clamp), llm_emb_lsh (self-join pair generation),
+#     llm_minhash_dedup (scoped persist), llm_tfidf (doc_freq derived from
+#     tf), dq_rules (fused single-pass-per-table), llm_decontaminate
+#     (staged token hashes + persisted grams, both engines);
+# (c) the 43 stalest greens — every remaining slot goes to queries whose
+#     last driver sample is round 1, oldest evidence first in module order.
 DRIVER_PRIORITY = [
-    # (a) never sampled
-    "win_funnel",
-    "f_json_get",
-    "f_explode",
-    "f_least",
-    "f_trig",
-    "sql_merge_upsert",
-    "llm_line_dedup",
-    "llm_ann_recall",
-    "llm_rep_filter",
-    "llm_decontaminate",
-    "llm_pii_scrub",
-    "llm_domain_mix",
-    "ts_gapfill",
-    "ts_ohlc",
-    "dq_profile",
-    "dq_rules",
-    "dq_anomaly",
-    "snk_parquet",
-    "snk_object_store",
-    "src_csv",
-    "src_jsonl",
-    "src_orc",
-    "snk_part_overwrite",
-    "st_slide",
-    "st_session",
-    "st_ingest",
-    "st_dedup",
-    "st_sink",
-    "st_stream_join",
-    "st_stateful",
-    "st_foreach_batch",
-    # (b) r3 sampled errors (events.ts fixture retyping, now fixed)
-    "win_sessionize",
-    "agg_approx_distinct",
-    "f_map_build",
-    "llm_json_extract",
-    "src_nested_json",
-    "src_partitioned",
-    "st_tumble",
-    # (c) changed or added this round
-    "src_http",
-    "win_retention",
-    "ts_rolling",
-    "dq_freshness",
-    "llm_dataset_split",
+    # (a) the one query without a driver row
+    "llm_minhash_lsh",
+    # (b) changed this round
     "agg_corr",
-    "agg_mode",
-    "join_outer",
     "llm_emb_lsh",
-    "llm_corpus_prep",
-    # (d) events-readers broken r3, unsampled then, re-verify under new loader
-    # (win_latest/win_frame/st_tumble are additionally covered by bench.py)
-    "join_asof",
-    "flt_fresh",
+    "llm_minhash_dedup",
+    "llm_tfidf",
+    "dq_rules",
+    "llm_decontaminate",
+    # (c) stalest greens (all last sampled r1)
+    "flagship",
+    "flt_isin",
+    "flt_notnull",
+    "flt_numeric",
+    "flt_geo",
+    "flt_exists",
+    "proj_select",
+    "join_bcast",
+    "join_semi",
+    "join_anti",
+    "join_dim",
+    "join_nested_corr",
+    "join_salted",
+    "join_bucketed",
+    "join_range",
+    "agg_count_grp",
+    "agg_collect_set",
+    "agg_count_distinct",
+    "agg_global_count",
+    "agg_superset",
+    "agg_stats",
+    "agg_rollup",
+    "agg_cube",
+    "agg_quantiles",
+    "sort_asc",
+    "topk",
+    "limit_page",
+    "stop_early",
+    "set_union",
+    "set_distinct",
+    "set_intersect",
+    "set_except",
+    "win_rank",
+    "win_latest",
+    "win_frame",
+    "win_offsets",
+    "win_distribution",
+    "f_parse_ts",
+    "f_haversine",
+    "f_lower",
+    "f_coalesce",
+    "f_cast_int",
+    "f_fmt_ts",
 ]
 
 

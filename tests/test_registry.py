@@ -20,10 +20,21 @@ def test_priority_window_fits_driver_cap():
     assert len(DRIVER_PRIORITY) == 50
 
 
+# Rows-only queries normally waste a window slot (the driver records only a
+# weaker rows-only check for them) — but llm_minhash_lsh is deliberately
+# spending one in round 5: it is the single registered query with no driver
+# row after four rounds of rotation, and a recorded rows-only check is the
+# strongest driver evidence its non-reproducible JVM hash family allows
+# (its value-level anchor is the pair-superset test in test_properties.py).
+ROWS_ONLY_WINDOW_ALLOWED = {"llm_minhash_lsh"}
+
+
 def test_priority_window_is_oracle_checked():
-    # Every slot in the 50-row window should carry an oracle — a rows-only
-    # entry in the window wastes a verification slot.
-    rows_only = [n for n in DRIVER_PRIORITY if SPECS[n].oracle is None]
+    rows_only = [
+        n
+        for n in DRIVER_PRIORITY
+        if SPECS[n].oracle is None and n not in ROWS_ONLY_WINDOW_ALLOWED
+    ]
     assert not rows_only, f"rows-only queries occupying window slots: {rows_only}"
 
 
