@@ -248,3 +248,26 @@ def test_corpus_prep_two_exchanges_pushed_filter(spark, sf_dir):
     fmt = _formatted(spark, "llm_corpus_prep", sf_dir)
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", fmt)
     assert any("n_chars" in p for p in pushed), f"length gate must reach the scan:\n{pushed}"
+
+
+def test_dq_rules_one_pass_per_table(spark, sf_dir):
+    # the fused rule audit reads lineitem ONCE (two range rules + the
+    # referential check share the scan through the orders-key left join);
+    # total parquet scans are 5: lineitem x1, orders x2 (full-row aggregate
+    # + key-only join side), customer x1, events x1 — down from 7 in the
+    # rule-per-scan formulation
+    fmt = _formatted(spark, "dq_rules", sf_dir)
+    ops = re.findall(r"^\s*\(\d+\)\s+Scan parquet", fmt, re.M)
+    assert len(ops) == 5, f"expected 5 parquet scans, got {len(ops)}:\n{fmt}"
+    li_scans = len(re.findall(r"Location:.*lineitem", fmt))
+    assert li_scans == 1, f"lineitem must be scanned exactly once, got {li_scans}"
+
+
+def test_tfidf_shares_tf_aggregation(spark, sf_dir):
+    # doc_freq derives from the persisted tf table instead of a second full
+    # tokenize pass: the plan must consume the shared InMemoryRelation and
+    # scan raw documents at most twice (tf build + the 1-row n_docs count)
+    fmt = _formatted(spark, "llm_tfidf", sf_dir)
+    assert "InMemoryTableScan" in fmt, "tf must be a shared materialized table"
+    ops = re.findall(r"^\s*\(\d+\)\s+Scan parquet", fmt, re.M)
+    assert len(ops) <= 2, f"documents scanned {len(ops)}x — tf stage not shared:\n{fmt}"
