@@ -381,3 +381,100 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(s)["user_id"].alias("mode_user"),
         F.max(s)["cnt"].alias("mode_cnt"),
     )
+
+
+# --- agg_histogram ------------------------------------------------------------
+
+# fixed-width bins chosen from the TPC-H price domain (l_extendedprice spans
+# ~900..110k); a literal bin spec keeps the operator a pure one-pass
+# aggregate — a data-derived min/max would need a second scan, and at 100 TB
+# the profile pass (dq_profile) already supplies the domain.
+_HIST_BINS = 20
+_HIST_WIDTH = 5_500.0
+_HIST_LO = 0.0
+
+_AGG_HISTOGRAM_ORACLE = f"""
+WITH b AS (
+  SELECT least({_HIST_BINS - 1},
+               CAST(floor((l_extendedprice - {_HIST_LO}) / {_HIST_WIDTH}) AS INT)) AS bin,
+         l_extendedprice
+  FROM lineitem
+)
+SELECT bin,
+       CAST({_HIST_LO} + bin * {_HIST_WIDTH} AS DOUBLE) AS bin_lo,
+       CAST({_HIST_LO} + (bin + 1) * {_HIST_WIDTH} AS DOUBLE) AS bin_hi,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 2))) AS DOUBLE) AS total
+FROM b GROUP BY bin
+"""
+
+
+@register("agg_histogram", oracle=_AGG_HISTOGRAM_ORACLE, tags=("agg",))
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of the fact table's price column: bin id via a
+    single ``floor((x - lo) / width)`` expression (clamped into the last
+    bin), then ONE map-side-combined hash aggregate keyed on the bin — the
+    exchange carries at most ``_HIST_BINS`` rows per map task regardless of
+    input size, the exact shape a 100 TB profile scan wants. Per-bin sums
+    go through DECIMAL so combine order cannot perturb them. Spark's own
+    ``histogram_numeric`` is an approximating sketch with engine-specific
+    centroids; this fixed-grid formulation is portable and exact."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.expr(
+            f"least({_HIST_BINS - 1}, "
+            f"CAST(floor((l_extendedprice - {_HIST_LO}) / {_HIST_WIDTH}) AS INT))"
+        ).alias("bin"),
+        "l_extendedprice",
+    )
+    return b.groupBy("bin").agg(
+        F.expr(f"CAST({_HIST_LO} + bin * {_HIST_WIDTH} AS DOUBLE)").alias("bin_lo"),
+        F.expr(f"CAST({_HIST_LO} + (bin + 1) * {_HIST_WIDTH} AS DOUBLE)").alias("bin_hi"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(l_extendedprice AS DECIMAL(18,2))"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+# --- agg_sketch_union ---------------------------------------------------------
+
+
+@register("agg_sketch_union", oracle=None, tags=("agg", "scale"))
+def agg_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-day HyperLogLog sketches of distinct
+    users (``hll_sketch_agg``, the Apache DataSketches HLL), then
+    ``hll_union_agg`` merges the daily partials into the period-wide
+    distinct estimate — alongside the exact ``count_distinct`` so the
+    query self-audits its error. This is THE 100 TB pattern for distinct
+    counting over rolling windows: the daily rollup is computed once (a
+    few-KB sketch per day instead of a user-id set), any date range is
+    answered by unioning sketches — no re-scan of raw events, and the
+    union is associative so 1000 executors merge partials in a tree.
+    Rows-only: the sketch registers are deterministic for fixed input but
+    DuckDB's HLL is a different implementation, so cross-engine value
+    equality is not defined; tests/test_properties.py asserts the estimate
+    lands within 5%% of exact (standard error at lgK=12 is ~1.6%%)."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    merged = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("n_events"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct_users"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct_users"))
+    return merged.crossJoin(exact).select(
+        "n_days",
+        "n_events",
+        "est_distinct_users",
+        "exact_distinct_users",
+        (
+            F.abs(F.col("est_distinct_users") - F.col("exact_distinct_users"))
+            / F.col("exact_distinct_users")
+        ).alias("rel_err"),
+    )

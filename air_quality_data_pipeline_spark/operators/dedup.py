@@ -551,3 +551,135 @@ def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- llm_dedup_audit: candidate-stage precision/recall vs exact truth ---------
+
+# Bounded audit slice (ann_recall methodology, similarity.py): exact
+# all-pairs Jaccard is quadratic, so the ground truth runs on a fixed-size
+# doc panel at every scale factor — the audit cost stays constant while the
+# pipeline under audit scales. 200 docs + their synthesized near-dup copies
+# = 400 corpus rows, ~80k candidate pairs max.
+_AUDIT_DOCS = 200
+_AUDIT_TAU = 0.6
+
+_AUDIT_CORPUS_DUCK = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < {_AUDIT_DOCS}
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, {drop_last_token_duckdb('text')} AS text
+  FROM documents WHERE doc_id < {_AUDIT_DOCS}
+),
+hashed AS (
+  SELECT doc_id, {token_hashes_duckdb(tokens_duckdb('text'))} AS th FROM corpus
+),
+shingled AS (
+  SELECT doc_id, list_distinct({shingle_hashes_duckdb('th')}) AS sh_hashes FROM hashed
+)"""
+
+_DEDUP_AUDIT_ORACLE = f"""
+WITH {_AUDIT_CORPUS_DUCK},
+truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh_hashes, b.sh_hashes)) AS DOUBLE)
+        / (len(a.sh_hashes) + len(b.sh_hashes)
+           - len(list_intersect(a.sh_hashes, b.sh_hashes))) >= {_AUDIT_TAU}
+),
+sigs AS (
+  SELECT doc_id, {_MH_DUCK_ARR} AS sig FROM shingled
+),
+bands AS (
+  SELECT doc_id, i AS band, sig[i] AS mh
+  FROM sigs, UNNEST(range(1, 9)) AS t(i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+),
+hits AS (SELECT * FROM cand INTERSECT SELECT * FROM truth)
+SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+       (SELECT COUNT(*) FROM cand) AS n_candidates,
+       (SELECT COUNT(*) FROM hits) AS n_hits,
+       CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+         / (SELECT COUNT(*) FROM cand) AS precision,
+       CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+         / (SELECT COUNT(*) FROM truth) AS recall
+"""
+
+
+@register("llm_dedup_audit", oracle=_DEDUP_AUDIT_ORACLE, tags=("llm", "dedup"))
+def llm_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generation quality audit for MinHash dedup: on a fixed
+    bounded panel, exact all-pairs Jaccard (the ground truth nobody can
+    afford corpus-wide) vs the 8-band MinHash candidate set, reported as
+    one (n_truth, n_candidates, n_hits, precision, recall) row. This is
+    the dedup analog of llm_ann_recall: the recall number is what tells
+    you whether the band count is right BEFORE you spend a 100 TB pass,
+    and because both branches are deterministic portable hashing, the
+    audit itself is oracle-checked exactly. The all-pairs join is bounded
+    by the literal panel cap, so audit cost is constant at any sf."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < _AUDIT_DOCS)
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.expr(drop_last_token_spark("text")).alias("text"),
+        )
+    )
+    corpus = rebalance_for_map(corpus, spark)
+    hashed = corpus.select(
+        "doc_id", F.expr(token_hashes_spark_sql(tokens_spark("text"))).alias("th")
+    )
+    shingled = scoped_persist(
+        hashed.select(
+            "doc_id",
+            F.array_distinct(F.expr(shingle_hashes_spark_sql("th"))).alias("sh_hashes"),
+        )
+    )
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh_hashes").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh_hashes").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    truth = (
+        sa.join(sb, F.col("doc_a") < F.col("doc_b"))
+        .filter(inter / (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))) >= _AUDIT_TAU)
+        .select("doc_a", "doc_b")
+    )
+    sigs = shingled.select("doc_id", F.expr(_MH_SPARK_ARR).alias("sig"))
+    bands = sigs.select("doc_id", F.posexplode("sig").alias("band0", "mh")).select(
+        "doc_id", (F.col("band0") + 1).alias("band"), "mh"
+    )
+    buckets = (
+        bands.groupBy("band", "mh")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))),"
+                    " p -> p.a < p.b)"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .distinct()
+    )
+    truth = scoped_persist(truth)
+    cand = scoped_persist(cand)
+    hits = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_hits = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        n_truth.crossJoin(n_cand)
+        .crossJoin(n_hits)
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_candidates")).alias("precision"),
+            (F.col("n_hits").cast("double") / F.col("n_truth")).alias("recall"),
+        )
+    )

@@ -399,3 +399,68 @@ def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(cu.c_custkey.isNull(), 1).otherwise(0).cast("int").alias("orphan_order"),
         F.when(od.o_custkey.isNull(), 1).otherwise(0).cast("int").alias("inactive_customer"),
     )
+
+
+# --- join_runtime_filter ------------------------------------------------------
+
+_JOIN_RTF_ORACLE = """
+SELECT o.o_orderdate,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18, 2))) AS DOUBLE) AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+  AND o.o_orderdate >= DATE '1995-03-01' AND o.o_orderdate < DATE '1995-04-01'
+GROUP BY o.o_orderdate
+"""
+
+# aggressive thresholds so the optimizer injects the bloom filter at test
+# scale too (the defaults gate on a 10 GB application-side scan — exactly
+# the 100 TB regime this operator demonstrates); scoped to this query and
+# restored by the builder.
+_RTF_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    # the optimizer (correctly) skips runtime filters when the creation side
+    # is broadcastable — a broadcast join already prunes at the probe. The
+    # 100 TB regime this operator demonstrates is dim-too-big-to-broadcast
+    # but small-enough-to-bloom; emulate it at test scale by disabling
+    # auto-broadcast for this one query (restored by apply_engine_conf).
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@register("join_runtime_filter", oracle=_JOIN_RTF_ORACLE, tags=("join", "scale"))
+def join_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join: a selective dimension-side predicate
+    (urgent orders from one month, ~1/60 of orders) is turned by the
+    optimizer into a bloom filter that is evaluated ON THE FACT SCAN, so
+    lineitem rows for non-qualifying orders die before the shuffle — the
+    row-level analog of partition pruning, and at 100 TB the difference
+    between shuffling the whole fact table and shuffling 2%% of it. The
+    merge hint keeps the join a shuffle SMJ (a broadcast join would already
+    prune at the probe; runtime filters exist for the case where the
+    creation side fits a bloom filter but not a broadcast table).
+    tests/test_plans.py asserts the injected ``bloom_filter_might_contain``
+    predicate; the result itself is conf-independent and oracle-checked."""
+    apply_engine_conf(spark)
+    for k, v in _RTF_CONFS.items():
+        spark.conf.set(k, v)
+    od = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1995-03-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01").cast("date"))
+        )
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    j = li.hint("merge").join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+    return j.groupBy("o_orderdate").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.expr("CAST(l_extendedprice AS DECIMAL(18,2))"))
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -1048,3 +1048,96 @@ def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+# --- llm_ngram_lm_score: bigram-LM fluency scoring (CCNet-style) -------------
+
+# CCNet (Wenzek et al. 2020) ranks web documents by language-model
+# perplexity; the portable analog here scores each document by the mean
+# corpus probability of its bigrams, p(w2|w1) = c(w1 w2) / c(w1 ·),
+# carried in FIXED-POINT integer math: per bigram q = (1e9 * c2) div c1,
+# per doc lm_score_q = sum(cnt * q) div sum(cnt). Pure integer division is
+# bit-identical in Spark and DuckDB — no log/exp, no float accumulation —
+# so the score is exactly oracle-checkable. Higher = more fluent (the
+# corpus's own common continuations); repetitive spam scores HIGH on
+# p(w2|w1) mass, so this gate composes with llm_rep_filter, it does not
+# replace it. At extreme scale the (1e9 * c2) product moves to DECIMAL.
+_LM_SCALE = 1_000_000_000
+
+
+def _lm_gram_duckdb() -> str:
+    th = token_hashes_duckdb(tokens_duckdb("text"))
+    return f"""
+t AS (SELECT doc_id, {th} AS th FROM documents),
+g AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, greatest(len(th) - 1, 0) + 1),
+           i -> struct_pack(h1 := th[i],
+                            h2 := (th[i] * {POLY_BASE} + th[i + 1]) % {POLY_MOD}))) AS b
+  FROM t
+),
+gb AS (SELECT doc_id, b.h1 AS h1, b.h2 AS h2 FROM g),
+dcnt AS (SELECT doc_id, h1, h2, COUNT(*) AS cnt FROM gb GROUP BY doc_id, h1, h2),
+c2 AS (SELECT h1, h2, CAST(SUM(cnt) AS BIGINT) AS c2 FROM dcnt GROUP BY h1, h2),
+c1 AS (SELECT h1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY h1),
+p AS (SELECT c2.h1, c2.h2, ({_LM_SCALE} * c2.c2) // c1.c1 AS q
+      FROM c2 JOIN c1 ON c2.h1 = c1.h1)
+"""
+
+
+_LM_SCORE_ORACLE = f"""
+WITH {_lm_gram_duckdb()}
+SELECT dcnt.doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+       CAST(SUM(cnt * q) AS BIGINT) // CAST(SUM(cnt) AS BIGINT) AS lm_score_q
+FROM dcnt JOIN p ON dcnt.h1 = p.h1 AND dcnt.h2 = p.h2
+GROUP BY dcnt.doc_id
+"""
+
+
+@register("llm_ngram_lm_score", oracle=_LM_SCORE_ORACLE, tags=("llm", "text"))
+def llm_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency score per document. ONE corpus pass builds the
+    per-doc gram counts (exchange keyed on (doc, gram-hash), carries
+    bigints, never gram text); the global bigram table c2 DERIVES from that
+    aggregate (sum per gram — no second tokenize pass, the llm_tfidf
+    lesson) and the prefix table c1 derives from c2. The probability join
+    touches only vocabulary-sized tables (AQE broadcasts them at test
+    scale; at 100 TB they are vocab-sized, not corpus-sized, and the
+    heavy-hitter split applies if one prefix dominates). Scoring is exact
+    integer math end to end — see module comment — so a 1000-executor run
+    reproduces this result bit for bit."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.expr(token_hashes_spark_sql(tokens_spark("text"))).alias("th")
+    )
+    g = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(th) >= 2 THEN transform(sequence(1, size(th) - 1), "
+                "i -> struct(element_at(th, i) AS h1, "
+                f"(element_at(th, i) * {POLY_BASE} + element_at(th, i + 1)) % {POLY_MOD} AS h2)) "
+                "ELSE array() END"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.h1", "b.h2")
+    dcnt = scoped_persist(
+        g.groupBy("doc_id", "h1", "h2").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c2 = dcnt.groupBy("h1", "h2").agg(F.sum("cnt").alias("c2"))
+    c1 = c2.groupBy("h1").agg(F.sum("c2").alias("c1"))
+    probs = c2.join(c1, "h1").select(
+        "h1", "h2", F.expr(f"({_LM_SCALE}L * c2) div c1").alias("q")
+    )
+    return (
+        dcnt.join(probs, ["h1", "h2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.expr("CAST(sum(cnt * q) AS BIGINT) div CAST(sum(cnt) AS BIGINT)").alias(
+                "lm_score_q"
+            ),
+        )
+    )

@@ -256,3 +256,181 @@ def ts_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("roll_cnt"),
         F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("roll_sum"),
     )
+
+
+# --- ts_seasonal: hour-of-day seasonal baseline + residual anomaly counts ----
+
+# fixed-point stats per (event_type, hour-of-day) cell — same exact-sum
+# machinery as dq_anomaly (quality.py), but profiled along the SEASONAL
+# axis: the baseline a monitor compares "3pm today" against is "3pm on
+# every other day", not the global mean. Output is the compact 5x24
+# seasonal profile with per-cell anomaly counts.
+_SEAS_MEAN = "CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)"
+_SEAS_SIGMA = (
+    "sqrt(CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000000.0)"
+    f" - ({_SEAS_MEAN}) * ({_SEAS_MEAN}))"
+)
+
+_TS_SEASONAL_ORACLE = f"""
+WITH q AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hr, value,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS qv
+  FROM events
+),
+s AS (
+  SELECT event_type, hr, COUNT(*) AS n,
+         CAST(SUM(qv) AS BIGINT) AS sm,
+         SUM(CAST(qv AS DECIMAL(38, 0)) * qv) AS s2
+  FROM q GROUP BY event_type, hr
+),
+m AS (
+  SELECT event_type, hr, n, {_SEAS_MEAN} AS mean_value, {_SEAS_SIGMA} AS sigma
+  FROM s
+)
+SELECT m.event_type, m.hr, m.n, m.mean_value, m.sigma,
+       CAST(SUM(CASE WHEN abs(q.value - m.mean_value) > 3 * m.sigma
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous
+FROM q JOIN m ON q.event_type = m.event_type AND q.hr = m.hr
+GROUP BY m.event_type, m.hr, m.n, m.mean_value, m.sigma
+"""
+
+
+@register("ts_seasonal", oracle=_TS_SEASONAL_ORACLE, tags=("timeseries", "quality", "agg"))
+def ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal (hour-of-day) baseline per event source with per-cell
+    anomaly counts: mean/sigma per (event_type, hour) from ONE fixed-point
+    aggregate (exact BIGINT/DECIMAL sums, map-side combined — the exchange
+    carries one row per cell), broadcast back onto the stream, and a second
+    tiny aggregate counts the |v - mean| > 3 sigma residuals per cell. Two
+    linear scans, two cell-sized exchanges, nothing wide — at 100 TB this
+    is the standard seasonal-profile screen (dq_anomaly is the same screen
+    along the global axis). The float mean/sigma derive from identical
+    expressions in both engines, so the 3-sigma comparison is bit-stable."""
+    apply_engine_conf(spark)
+    q = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hr"),
+        "value",
+        F.expr("CAST(floor(value * 1000000.0) AS BIGINT)").alias("qv"),
+    )
+    s = q.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qv").alias("sm"),
+        F.sum(F.expr("CAST(qv AS DECIMAL(38,0)) * qv")).alias("s2"),
+    )
+    m = s.select(
+        "event_type",
+        "hr",
+        "n",
+        F.expr(_SEAS_MEAN).alias("mean_value"),
+        F.expr(_SEAS_SIGMA).alias("sigma"),
+    )
+    return (
+        q.join(F.broadcast(m), ["event_type", "hr"])
+        .groupBy("event_type", "hr", "n", "mean_value", "sigma")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("mean_value")) > 3 * F.col("sigma"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_anomalous")
+        )
+    )
+
+
+# --- ts_concurrency: sweep-line max-concurrency per day ----------------------
+
+# each event opens a half-open activity interval [ts, ts + _CONC_MIN minutes);
+# intervals that cross midnight are SPLIT at the boundary so the sweep can
+# partition by day — the window never sees more than one day of boundaries,
+# which is what makes the plan hold at 100 TB (a global-ordering sweep would
+# serialize on one task). With [start, end) semantics an interval ending
+# exactly when another starts never overlaps it; aggregating boundary deltas
+# per instant BEFORE the running sum makes the sweep deterministic (no
+# within-tie ordering) and catches every concurrency change, since
+# concurrency only changes at boundary instants.
+_CONC_MIN = 10
+
+_TS_CONCURRENCY_ORACLE = f"""
+WITH iv AS (
+  SELECT ts AS s, ts + INTERVAL {_CONC_MIN} MINUTE AS e FROM events
+),
+seg AS (
+  SELECT s, LEAST(e, date_trunc('day', s) + INTERVAL 1 DAY) AS e FROM iv
+  UNION ALL
+  SELECT date_trunc('day', e) AS s, e FROM iv
+  WHERE e > date_trunc('day', s) + INTERVAL 1 DAY AND e > date_trunc('day', e)
+),
+b AS (
+  SELECT date_trunc('day', s) AS day, s AS t, 1 AS delta FROM seg
+  UNION ALL
+  SELECT date_trunc('day', s) AS day, e AS t, -1 AS delta FROM seg
+  WHERE e > s AND e <= date_trunc('day', s) + INTERVAL 1 DAY
+),
+net AS (
+  SELECT day, t, CAST(SUM(delta) AS BIGINT) AS nd FROM b GROUP BY day, t
+),
+run AS (
+  SELECT day, t,
+         SUM(nd) OVER (PARTITION BY day ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+  FROM net
+)
+SELECT day, CAST(MAX(conc) AS BIGINT) AS max_concurrency,
+       COUNT(*) AS n_boundary_instants
+FROM run GROUP BY day
+"""
+
+
+@register("ts_concurrency", oracle=_TS_CONCURRENCY_ORACLE, tags=("timeseries", "window"))
+def ts_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent activity per day by sweep line: explode each interval
+    into day-clipped segments, each segment into (+1 at start, -1 at end)
+    boundary deltas, aggregate deltas per (day, instant) — one map-side
+    combined exchange — then one running-sum window PARTITIONED BY DAY over
+    the per-day distinct instants (bounded by 2x events-per-day, and
+    order-deterministic because instants are unique after the aggregate).
+    The day-split is what scales: concurrency state never crosses a
+    partition, so 1000 executors sweep 1000 days independently. A -1
+    boundary landing exactly on midnight belongs to the segment's own day
+    (frame end, exclusive); the next day's copy re-opens with +1 at 00:00."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events").select(
+        F.col("ts").alias("s"),
+        F.expr(f"ts + INTERVAL {_CONC_MIN} MINUTE").alias("e"),
+    )
+    seg1 = ev.select(
+        "s",
+        F.least("e", F.expr("date_trunc('day', s) + INTERVAL 1 DAY")).alias("e"),
+    )
+    seg2 = ev.filter(
+        (F.col("e") > F.expr("date_trunc('day', s) + INTERVAL 1 DAY"))
+        & (F.col("e") > F.expr("date_trunc('day', e)"))
+    ).select(F.expr("date_trunc('day', e)").alias("s"), "e")
+    seg = seg1.unionByName(seg2)
+    starts = seg.select(
+        F.date_trunc("day", F.col("s")).alias("day"), F.col("s").alias("t"), F.lit(1).alias("delta")
+    )
+    ends = seg.filter(
+        (F.col("e") > F.col("s"))
+        & (F.col("e") <= F.expr("date_trunc('day', s) + INTERVAL 1 DAY"))
+    ).select(
+        F.date_trunc("day", F.col("s")).alias("day"), F.col("e").alias("t"), F.lit(-1).alias("delta")
+    )
+    net = (
+        starts.unionByName(ends)
+        .groupBy("day", "t")
+        .agg(F.sum("delta").cast("long").alias("nd"))
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = net.select("day", "t", F.sum("nd").over(w).alias("conc"))
+    return run.groupBy("day").agg(
+        F.max("conc").cast("long").alias("max_concurrency"),
+        F.count(F.lit(1)).alias("n_boundary_instants"),
+    )

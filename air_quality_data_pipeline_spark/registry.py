@@ -79,24 +79,37 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     pair-superset property test vs llm_minhash_dedup,
 #     tests/test_properties.py). Spending one window slot finally records
 #     the driver's rows-only check for it (VERDICT r4 item 1).
-# (b) the 6 queries whose code or oracle changed THIS round: agg_corr
+# (b) the 8 operators NEW this round (never driver-sampled): agg_histogram,
+#     ts_seasonal, ts_concurrency, llm_ngram_lm_score, snk_sorted_skip,
+#     join_runtime_filter, agg_sketch_union (rows-only: DataSketches HLL),
+#     llm_dedup_audit;
+# (c) the 6 queries whose code or oracle changed this round: agg_corr
 #     (variance clamp), llm_emb_lsh (self-join pair generation),
 #     llm_minhash_dedup (scoped persist), llm_tfidf (doc_freq derived from
 #     tf), dq_rules (fused single-pass-per-table), llm_decontaminate
 #     (staged token hashes + persisted grams, both engines);
-# (c) the 43 stalest greens — every remaining slot goes to queries whose
-#     last driver sample is round 1, oldest evidence first in module order.
+# (d) stalest greens — every remaining slot goes to queries whose last
+#     driver sample is round 1, oldest evidence first in module order.
 DRIVER_PRIORITY = [
     # (a) the one query without a driver row
     "llm_minhash_lsh",
-    # (b) changed this round
+    # (b) new this round
+    "agg_histogram",
+    "ts_seasonal",
+    "ts_concurrency",
+    "llm_ngram_lm_score",
+    "snk_sorted_skip",
+    "join_runtime_filter",
+    "agg_sketch_union",
+    "llm_dedup_audit",
+    # (c) changed this round
     "agg_corr",
     "llm_emb_lsh",
     "llm_minhash_dedup",
     "llm_tfidf",
     "dq_rules",
     "llm_decontaminate",
-    # (c) stalest greens (all last sampled r1)
+    # (d) stalest greens (all last sampled r1)
     "flagship",
     "flt_isin",
     "flt_notnull",
@@ -132,14 +145,6 @@ DRIVER_PRIORITY = [
     "win_rank",
     "win_latest",
     "win_frame",
-    "win_offsets",
-    "win_distribution",
-    "f_parse_ts",
-    "f_haversine",
-    "f_lower",
-    "f_coalesce",
-    "f_cast_int",
-    "f_fmt_ts",
 ]
 
 

@@ -100,4 +100,18 @@ def apply_engine_conf(spark: SparkSession) -> SparkSession:
     # single-file-per-table fixtures: 16 MB splits instead of 128 MB so scans
     # parallelize (row-group aligned; AQE re-coalesces downstream shuffles).
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+    # join_runtime_filter demonstrates bloom runtime filters by lowering the
+    # injection thresholds for its own run; restore the Spark 4 defaults here
+    # so every OTHER query plans under stock thresholds (plan gates in
+    # tests/test_plans.py count exchanges under these).
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "10GB"
+    )
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try:  # default is unset (falls back to autoBroadcastJoinThreshold)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    except Exception:
+        pass
     return spark

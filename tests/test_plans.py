@@ -271,3 +271,55 @@ def test_tfidf_shares_tf_aggregation(spark, sf_dir):
     assert "InMemoryTableScan" in fmt, "tf must be a shared materialized table"
     ops = re.findall(r"^\s*\(\d+\)\s+Scan parquet", fmt, re.M)
     assert len(ops) <= 2, f"documents scanned {len(ops)}x — tf stage not shared:\n{fmt}"
+
+
+def test_sorted_skip_filter_reaches_scan(spark, sf_dir):
+    # the read-back side of the sort-clustered write must push the shipdate
+    # range into the parquet scan — pushed filters + tight per-file min/max
+    # from the sorted layout are what make row-group skipping fire
+    fmt = _formatted(spark, "snk_sorted_skip", sf_dir)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", fmt)
+    assert any("l_shipdate" in p and "GreaterThanOrEqual" in p for p in pushed), (
+        f"shipdate range must reach the sorted scan:\n{pushed}"
+    )
+
+
+def test_runtime_filter_injects_bloom(spark, sf_dir):
+    # with the operator's thresholds the optimizer must turn the selective
+    # dim predicate into a bloom filter evaluated on the fact side
+    df = SPECS["join_runtime_filter"].builder(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" in opt, f"bloom runtime filter not injected:\n{opt[:2000]}"
+
+
+def test_histogram_single_aggregate_pass(spark, sf_dir):
+    # one scan, one exchange (the bin-keyed aggregate) — the 100 TB profile
+    # shape; a second exchange would mean the bin math broke partial agg
+    plan = _executed_plan(spark, "agg_histogram", sf_dir)
+    assert plan.count("Exchange") <= 1, f"histogram should be one exchange:\n{plan}"
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_concurrency_window_is_day_partitioned(spark, sf_dir):
+    # the sweep-line window must partition by day — a global-ordering sweep
+    # (empty partition spec) serializes the whole corpus through one task
+    plan = _executed_plan(spark, "ts_concurrency", sf_dir)
+    assert re.search(r"windowspecdefinition\(day", plan), (
+        f"sweep window must key on day:\n{plan[:2000]}"
+    )
+    assert "SinglePartition" not in plan, (
+        f"sweep must not collapse to a single partition:\n{plan}"
+    )
+
+
+def test_lm_score_derives_counts_from_one_gram_pass(spark, sf_dir):
+    # the bigram table c2 and prefix table c1 must derive from the per-doc
+    # gram aggregate (one corpus tokenize pass) — the plan may scan the
+    # persisted gram table several times, but documents.parquet only once
+    # per subtree chain; concretely: at most 2 scans of documents (dcnt
+    # reuse via InMemoryRelation), not the 3+ a naive re-tokenize costs
+    df = SPECS["llm_ngram_lm_score"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("documents.parquet") <= 2, (
+        f"c1/c2 must reuse the gram aggregate, not re-tokenize documents:\n{plan}"
+    )

@@ -346,3 +346,32 @@ def test_minhash_lsh_covers_portable_pairs(spark, sf_dir):
     assert portable, "portable MinHash found no near-dup pairs — fixture drift?"
     missing = portable - mllib
     assert not missing, f"MLlib LSH missed {len(missing)} certified pairs: {sorted(missing)[:5]}"
+
+
+def test_sketch_union_estimate_within_5pct(spark, sf_dir):
+    """agg_sketch_union is rows-only (DataSketches HLL registers aren't
+    DuckDB-reproducible) — its value-level anchor: the merged-daily-sketch
+    estimate must land within 5% of the exact distinct count the query
+    itself carries (lgK=12 standard error is ~1.6%, so 5% is a real gate,
+    and the result is deterministic for fixed input)."""
+    from air_quality_data_pipeline_spark.registry import QUERIES
+
+    row = QUERIES["agg_sketch_union"].builder(spark, sf_dir).collect()[0]
+    assert row.exact_distinct_users > 0
+    assert row.rel_err <= 0.05, (
+        f"HLL union estimate {row.est_distinct_users} vs exact "
+        f"{row.exact_distinct_users}: rel_err {row.rel_err:.4f}"
+    )
+
+
+def test_dedup_audit_recall_gate(spark, sf_dir):
+    """The 8-band MinHash candidate stage must retain >= 90% of the exact
+    Jaccard >= 0.6 pairs on the audit panel — the recall bar that justifies
+    running band-join candidate generation instead of all-pairs at scale.
+    (The audit query itself is oracle-checked; this pins the QUALITY level
+    so a band-count regression fails loudly, not silently.)"""
+    from air_quality_data_pipeline_spark.registry import QUERIES
+
+    row = QUERIES["llm_dedup_audit"].builder(spark, sf_dir).collect()[0]
+    assert row.n_truth > 0, "audit panel produced no ground-truth pairs — fixture drift?"
+    assert row.recall >= 0.90, f"candidate recall degraded: {row.recall:.3f}"
