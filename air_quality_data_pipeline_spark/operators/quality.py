@@ -185,7 +185,22 @@ def dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # int64) are exact and combine-order independent. mean/sigma then derive
 # from the SAME double expressions in both engines, so the 3-sigma
 # comparison is bit-identical.
-_ANOMALY_ORACLE = """
+#
+# s2 exceeds 2^53, and the direct wide-integer->DOUBLE cast is NOT
+# identically rounded across engines (Spark rounds through BigDecimal;
+# DuckDB's decimal/hugeint path can differ in the last ulp — observed as
+# 1-ulp sigma drift on ts_seasonal's sf1 replay before its integer-gate
+# rewrite). Split s2 into two sub-2^53 limbs, cast each exactly, and
+# recombine with one fp multiply-add — both engines then perform the
+# identical single rounding. sm stays under 2^53, so its cast is exact.
+_P53 = 9007199254740992  # 2^53
+
+_S2_DBL_DUCK = (
+    f"(CAST(CAST(CAST(s2 AS HUGEINT) // {_P53} AS BIGINT) AS DOUBLE) * {_P53}.0"
+    f" + CAST(CAST(CAST(s2 AS HUGEINT) % {_P53} AS BIGINT) AS DOUBLE))"
+)
+
+_ANOMALY_ORACLE = f"""
 WITH q AS (
   SELECT event_id, event_type, value,
          CAST(floor(value * 1000000.0) AS BIGINT) AS qv
@@ -200,7 +215,7 @@ s AS (
 m AS (
   SELECT event_type,
          CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS mean,
-         sqrt(CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000000.0)
+         sqrt({_S2_DBL_DUCK} / (CAST(n AS DOUBLE) * 1000000000000.0)
               - (CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0))
                 * (CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0))) AS sigma
   FROM s
@@ -211,9 +226,13 @@ FROM q JOIN m ON q.event_type = m.event_type
 WHERE abs(q.value - m.mean) > 3 * m.sigma
 """
 
+_S2_DBL_SPARK = (
+    f"(CAST(CAST(s2 div {_P53} AS BIGINT) AS DOUBLE) * {_P53}.0"
+    f" + CAST(CAST(s2 % {_P53} AS BIGINT) AS DOUBLE))"
+)
 _MEAN_EXPR = "CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)"
 _SIGMA_EXPR = (
-    "sqrt(CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000000.0)"
+    f"sqrt({_S2_DBL_SPARK} / (CAST(n AS DOUBLE) * 1000000000000.0)"
     f" - ({_MEAN_EXPR}) * ({_MEAN_EXPR}))"
 )
 

@@ -265,77 +265,100 @@ def ts_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # axis: the baseline a monitor compares "3pm today" against is "3pm on
 # every other day", not the global mean. Output is the compact 5x24
 # seasonal profile with per-cell anomaly counts.
+#
+# The 3-sigma gate is EXACT INTEGER arithmetic end to end:
+#   |v - mean| > 3 sigma   <=>   (n*qv - sm)^2 > 9 * (n*s2 - sm^2)
+# (both sides through 128-bit integers: DECIMAL(38,0) in Spark, HUGEINT in
+# DuckDB). The naive float formulation casts the ~1e21 DECIMAL sum-of-
+# squares to DOUBLE, and THAT cast is not identically rounded across
+# engines (Spark goes through BigDecimal round-to-nearest; DuckDB's
+# hugeint->double path differs in the last ulp for values beyond 2^53 —
+# observed as 1-ulp sigma drift at sf1). The only float column out of this
+# query is the mean, whose numerator fits well under 2^53.
 _SEAS_MEAN = "CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)"
-_SEAS_SIGMA = (
-    "sqrt(CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000000.0)"
-    f" - ({_SEAS_MEAN}) * ({_SEAS_MEAN}))"
-)
 
 _TS_SEASONAL_ORACLE = f"""
 WITH q AS (
-  SELECT event_type, CAST(hour(ts) AS INT) AS hr, value,
+  SELECT event_type, CAST(hour(ts) AS INT) AS hr,
          CAST(floor(value * 1000000.0) AS BIGINT) AS qv
   FROM events
 ),
 s AS (
   SELECT event_type, hr, COUNT(*) AS n,
          CAST(SUM(qv) AS BIGINT) AS sm,
-         SUM(CAST(qv AS DECIMAL(38, 0)) * qv) AS s2
+         CAST(SUM(CAST(qv AS HUGEINT) * qv) AS HUGEINT) AS s2
   FROM q GROUP BY event_type, hr
 ),
 m AS (
-  SELECT event_type, hr, n, {_SEAS_MEAN} AS mean_value, {_SEAS_SIGMA} AS sigma
+  SELECT event_type, hr, n, sm, s2,
+         CAST(n AS HUGEINT) * s2 - CAST(sm AS HUGEINT) * sm AS var_num
   FROM s
 )
-SELECT m.event_type, m.hr, m.n, m.mean_value, m.sigma,
-       CAST(SUM(CASE WHEN abs(q.value - m.mean_value) > 3 * m.sigma
+SELECT m.event_type, m.hr, m.n, {_SEAS_MEAN} AS mean_value,
+       CAST(SUM(CASE WHEN CAST(m.n * q.qv - m.sm AS HUGEINT)
+                          * CAST(m.n * q.qv - m.sm AS HUGEINT)
+                          > 9 * m.var_num
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous
 FROM q JOIN m ON q.event_type = m.event_type AND q.hr = m.hr
-GROUP BY m.event_type, m.hr, m.n, m.mean_value, m.sigma
+GROUP BY m.event_type, m.hr, m.n, m.sm
 """
 
 
 @register("ts_seasonal", oracle=_TS_SEASONAL_ORACLE, tags=("timeseries", "quality", "agg"))
 def ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal (hour-of-day) baseline per event source with per-cell
-    anomaly counts: mean/sigma per (event_type, hour) from ONE fixed-point
+    anomaly counts: stats per (event_type, hour) from ONE fixed-point
     aggregate (exact BIGINT/DECIMAL sums, map-side combined — the exchange
     carries one row per cell), broadcast back onto the stream, and a second
-    tiny aggregate counts the |v - mean| > 3 sigma residuals per cell. Two
-    linear scans, two cell-sized exchanges, nothing wide — at 100 TB this
-    is the standard seasonal-profile screen (dq_anomaly is the same screen
-    along the global axis). The float mean/sigma derive from identical
-    expressions in both engines, so the 3-sigma comparison is bit-stable."""
+    tiny aggregate counts the 3-sigma residuals per cell. Two linear scans,
+    two cell-sized exchanges, nothing wide — at 100 TB this is the standard
+    seasonal-profile screen (dq_anomaly is the same screen along the global
+    axis). The sigma gate is evaluated in exact 128-bit integer arithmetic
+    ((n*qv - sm)^2 > 9*(n*s2 - sm^2)) — no float boundary anywhere, so the
+    count is bit-stable at any parallelism AND across engines (see the
+    module comment on the DECIMAL->DOUBLE cast ulp divergence)."""
     apply_engine_conf(spark)
     q = table(spark, sf_dir, "events").select(
         "event_type",
         F.hour("ts").cast("int").alias("hr"),
-        "value",
         F.expr("CAST(floor(value * 1000000.0) AS BIGINT)").alias("qv"),
     )
     s = q.groupBy("event_type", "hr").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("qv").alias("sm"),
-        F.sum(F.expr("CAST(qv AS DECIMAL(38,0)) * qv")).alias("s2"),
+        F.sum(F.expr("CAST(qv AS DECIMAL(38,0)) * qv")).cast("decimal(38,0)").alias("s2"),
     )
     m = s.select(
         "event_type",
         "hr",
         "n",
-        F.expr(_SEAS_MEAN).alias("mean_value"),
-        F.expr(_SEAS_SIGMA).alias("sigma"),
+        "sm",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * s2 - CAST(sm AS DECIMAL(38,0)) * CAST(sm AS DECIMAL(38,0))"
+        ).alias("var_num"),
     )
     return (
         q.join(F.broadcast(m), ["event_type", "hr"])
-        .groupBy("event_type", "hr", "n", "mean_value", "sigma")
+        .groupBy("event_type", "hr", "n", "sm")
         .agg(
             F.sum(
                 F.when(
-                    F.abs(F.col("value") - F.col("mean_value")) > 3 * F.col("sigma"), 1
+                    F.expr(
+                        "CAST(n * qv - sm AS DECIMAL(38,0)) * CAST(n * qv - sm AS DECIMAL(38,0))"
+                        " > 9 * var_num"
+                    ),
+                    1,
                 ).otherwise(0)
             )
             .cast("long")
             .alias("n_anomalous")
+        )
+        .select(
+            "event_type",
+            "hr",
+            "n",
+            F.expr(_SEAS_MEAN).alias("mean_value"),
+            "n_anomalous",
         )
     )
 
