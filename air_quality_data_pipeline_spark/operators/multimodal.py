@@ -202,3 +202,71 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(frame_no as string))), 1, 8), 16, 10) as bigint)"
         ).alias("frame_sig"),
     )
+
+
+# --- mm_image_resize: thumbnail-fit resize plumbing ---------------------------
+
+# fit-longest-side-to-256 with integer math (w*256 div max(w,h)), floored at
+# 1px — the standard thumbnail contract, computed on the fake-decoded dims
+# so the whole path (decode → per-image arithmetic → output schema) is
+# oracle-checkable; a real codec swaps the decode line only, exactly like
+# mm_decode vs mm_decode_real.
+_RESIZE_BOX = 256
+
+_RESIZE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(text), 1, 4)) AS BIGINT) % 1920 + 1 AS width,
+         CAST(('0x' || substring(md5(text), 5, 4)) AS BIGINT) % 1080 + 1 AS height
+  FROM documents
+  WHERE doc_id % 2 = 0
+)
+SELECT doc_id, width, height,
+       greatest(width * {_RESIZE_BOX} // greatest(width, height), 1) AS out_w,
+       greatest(height * {_RESIZE_BOX} // greatest(width, height), 1) AS out_h,
+       greatest(width * {_RESIZE_BOX} // greatest(width, height), 1)
+         * greatest(height * {_RESIZE_BOX} // greatest(width, height), 1) * 3 AS out_bytes
+FROM d
+"""
+
+
+@register("mm_image_resize", oracle=_RESIZE_ORACLE, tags=("llm", "multimodal"))
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing over the media table: Arrow batches of image
+    payloads enter ``mapInPandas``, the decoder yields (width, height), and
+    vectorized pandas integer math computes the 256-box thumbnail dims and
+    output byte size. The kind='image' predicate is applied BEFORE the
+    Python boundary, so audio payloads never cross into Arrow — at 100 TB
+    the decode stage only pays for the rows it transforms. Dims are +1
+    offset from mm_decode's so zero-width degenerate images cannot occur
+    (real codecs guarantee >=1px the same way)."""
+    apply_engine_conf(spark)
+    media = _media(spark, sf_dir).filter(F.col("kind") == "image")
+
+    def resize_batches(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            digests = [hashlib.md5(p).hexdigest() for p in pdf["payload"]]
+            w = pd.Series([int(d[0:4], 16) % 1920 + 1 for d in digests], dtype="int64")
+            h = pd.Series([int(d[4:8], 16) % 1080 + 1 for d in digests], dtype="int64")
+            longest = w.combine(h, max)
+            out_w = (w * _RESIZE_BOX // longest).clip(lower=1)
+            out_h = (h * _RESIZE_BOX // longest).clip(lower=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w,
+                    "height": h,
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "out_bytes": out_w * out_h * 3,
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        resize_batches,
+        schema="doc_id long, width long, height long, out_w long, out_h long, out_bytes long",
+    )

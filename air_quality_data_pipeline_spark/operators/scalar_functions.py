@@ -355,3 +355,55 @@ def f_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.asin("l_discount"), 9).alias("a"),
         F.pow("l_quantity", F.lit(2.0)).alias("q2"),
     )
+
+
+# --- f_url_parse --------------------------------------------------------------
+
+# The reference builds and consumes REST URLs (main.py:45-57 constructs the
+# paginated OpenAQ endpoint; the sensor pages embed location refs). A
+# general engine needs the inverse: pull host/path/query components out of
+# a URL column. The URL here is synthesized deterministically from fixture
+# columns (no fixture table carries URLs), which also makes the parse
+# oracle-checkable; Spark's parse_url is the java.net-backed builtin, the
+# DuckDB oracle re-derives the identical components with split_part.
+_URL_EXPR_SPARK = (
+    "concat('https://', source, '.example.com/docs/', cast(doc_id as string),"
+    " '?lang=', lang, '&v=2')"
+)
+_URL_EXPR_DUCK = (
+    "'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)"
+    " || '?lang=' || lang || '&v=2'"
+)
+
+_F_URL_PARSE_ORACLE = f"""
+WITH u AS (SELECT doc_id, {_URL_EXPR_DUCK} AS url FROM documents)
+SELECT doc_id, url,
+       split_part(split_part(url, '://', 2), '/', 1) AS host,
+       '/' || split_part(split_part(split_part(url, '://', 2), '?', 1), '/', 2)
+           || '/' || split_part(split_part(split_part(url, '://', 2), '?', 1), '/', 3)
+           AS path,
+       split_part(url, '?', 2) AS query,
+       split_part(split_part(url, 'lang=', 2), '&', 1) AS lang_param
+FROM u
+"""
+
+
+@register("f_url_parse", oracle=_F_URL_PARSE_ORACLE, tags=("function",))
+def f_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL component extraction with the ``parse_url`` builtin: HOST, PATH,
+    QUERY, and a single query parameter — all JVM-side string ops in one
+    codegen stage, zero shuffles, embarrassingly parallel at any scale.
+    The oracle rebuilds the same components with portable string splits,
+    proving the builtin's semantics on this URL shape rather than assuming
+    them."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    u = docs.select("doc_id", F.expr(_URL_EXPR_SPARK).alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.expr("parse_url(url, 'HOST')").alias("host"),
+        F.expr("parse_url(url, 'PATH')").alias("path"),
+        F.expr("parse_url(url, 'QUERY')").alias("query"),
+        F.expr("parse_url(url, 'QUERY', 'lang')").alias("lang_param"),
+    )

@@ -70,6 +70,20 @@ NARRATIVE = """
   pandas UDFs). Every other operator is JVM expressions inside codegen.
 - **Streaming**: stateful operators keep per-key state with watermark
   eviction, so state size is bounded by (keys × window), not stream length.
+- **Round-5 additions**: agg_histogram is one bin-keyed exchange (≤20 rows
+  per map task); ts_seasonal broadcasts a cell-sized stats table back onto
+  the stream with the 3σ gate in exact 128-bit integer math; ts_concurrency
+  partitions the sweep-line window by day so no task ever sees more than
+  one day of boundaries; llm_ngram_lm_score derives its vocab-sized c1/c2
+  tables from the single per-doc gram aggregate (one tokenize pass,
+  hash-only exchanges); snk_sorted_skip turns pushed range predicates into
+  actual row-group skips via the sorted layout; join_runtime_filter kills
+  fact rows at the scan with an optimizer-injected bloom filter before
+  they reach the shuffle; agg_sketch_union replaces rolling distinct
+  re-scans with associative few-KB sketch merges; llm_dedup_audit's
+  all-pairs truth is bounded by a literal panel cap (constant audit cost
+  at any corpus size); mm_image_resize applies the kind predicate before
+  the Arrow boundary; f_url_parse is a zero-shuffle codegen projection.
 
 ## Knobs that move with cluster size (session.py)
 
