@@ -323,3 +323,115 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_fresh"),
     )
+
+
+# --- dq_drift: distribution drift between time windows ------------------------
+
+# Chi-square drift of the value distribution: reference window (first half
+# of the fixture month) vs current window, over a fixed literal bin grid
+# (10 x 50-unit bins — data-derived bins would need an extra pass and make
+# windows incomparable). Per-bin terms (cur - ref*scale)^2 / (ref*scale)
+# are FIXED-POINT-quantized to BIGINT before summation: a plain double SUM
+# over bins would depend on hash-agg combine order; integer sums are exact
+# and commutative, so the statistic is bit-stable across engines and
+# parallelism. Bins present now but absent in the reference can't enter a
+# chi-square (division by zero expected count) — they are counted
+# separately as n_new_bins, which is itself a strong drift signal.
+_DRIFT_PIVOT = "2024-01-16 00:00:00"
+_DRIFT_BINS = 10
+_DRIFT_W = 50.0
+_DRIFT_TAU_Q = 27_880_000_000  # chi2 > 27.88 = p<0.001 at 9 dof, in 1e-9 units
+
+_DRIFT_ORACLE = f"""
+WITH q AS (
+  SELECT event_type,
+         least({_DRIFT_BINS - 1}, CAST(floor(value / {_DRIFT_W}) AS INT)) AS bin,
+         CASE WHEN ts < TIMESTAMP '{_DRIFT_PIVOT}' THEN 1 ELSE 0 END AS is_ref
+  FROM events
+),
+cell AS (
+  SELECT event_type, bin,
+         CAST(SUM(is_ref) AS BIGINT) AS ref_cnt,
+         CAST(SUM(1 - is_ref) AS BIGINT) AS cur_cnt
+  FROM q GROUP BY event_type, bin
+),
+tot AS (
+  SELECT event_type,
+         CAST(SUM(ref_cnt) AS BIGINT) AS n_ref,
+         CAST(SUM(cur_cnt) AS BIGINT) AS n_cur
+  FROM cell GROUP BY event_type
+),
+term AS (
+  SELECT c.event_type, t.n_ref, t.n_cur,
+         CASE WHEN c.ref_cnt > 0 THEN
+           CAST(floor(
+             (CAST(c.cur_cnt AS DOUBLE)
+              - CAST(c.ref_cnt AS DOUBLE) * (CAST(t.n_cur AS DOUBLE) / CAST(t.n_ref AS DOUBLE)))
+             * (CAST(c.cur_cnt AS DOUBLE)
+              - CAST(c.ref_cnt AS DOUBLE) * (CAST(t.n_cur AS DOUBLE) / CAST(t.n_ref AS DOUBLE)))
+             / (CAST(c.ref_cnt AS DOUBLE) * (CAST(t.n_cur AS DOUBLE) / CAST(t.n_ref AS DOUBLE)))
+             * 1000000000.0) AS BIGINT)
+         ELSE 0 END AS term_q,
+         CASE WHEN c.ref_cnt = 0 AND c.cur_cnt > 0 THEN 1 ELSE 0 END AS is_new
+  FROM cell c JOIN tot t ON t.event_type = c.event_type
+)
+SELECT event_type, n_ref, n_cur,
+       CAST(SUM(term_q) AS BIGINT) AS chi2_q,
+       CAST(SUM(is_new) AS BIGINT) AS n_new_bins,
+       CAST(CASE WHEN SUM(term_q) > {_DRIFT_TAU_Q} OR SUM(is_new) > 0
+            THEN 1 ELSE 0 END AS INT) AS drifted
+FROM term GROUP BY event_type, n_ref, n_cur
+"""
+
+
+@register("dq_drift", oracle=_DRIFT_ORACLE, tags=("quality", "agg"))
+def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: chi-square of the current window's value
+    histogram against the reference window, per event source, over a fixed
+    literal bin grid. ONE corpus scan produces the (source, bin, ref, cur)
+    cells via conditional sums (map-side combined, ≤ sources×bins rows on
+    the exchange); totals DERIVE from the cells; the statistic is assembled
+    from fixed-point integer terms (see module comment) so the report is
+    bit-stable anywhere. At 100 TB this is the daily drift gate in front
+    of a training-data refresh: constant-size output, no second scan, and
+    the same plan shape at any history length."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.expr(
+            f"least({_DRIFT_BINS - 1}, CAST(floor(value / {_DRIFT_W}) AS INT))"
+        ).alias("bin"),
+        F.expr(
+            f"CASE WHEN ts < TIMESTAMP_NTZ '{_DRIFT_PIVOT}' THEN 1 ELSE 0 END"
+        ).alias("is_ref"),
+    )
+    cell = q.groupBy("event_type", "bin").agg(
+        F.sum("is_ref").cast("long").alias("ref_cnt"),
+        F.sum(F.lit(1) - F.col("is_ref")).cast("long").alias("cur_cnt"),
+    )
+    tot = cell.groupBy("event_type").agg(
+        F.sum("ref_cnt").cast("long").alias("n_ref"),
+        F.sum("cur_cnt").cast("long").alias("n_cur"),
+    )
+    scale = "(CAST(n_cur AS DOUBLE) / CAST(n_ref AS DOUBLE))"
+    diff = f"(CAST(cur_cnt AS DOUBLE) - CAST(ref_cnt AS DOUBLE) * {scale})"
+    term = cell.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.expr(
+            f"CASE WHEN ref_cnt > 0 THEN CAST(floor({diff} * {diff}"
+            f" / (CAST(ref_cnt AS DOUBLE) * {scale}) * 1000000000.0) AS BIGINT)"
+            " ELSE 0L END"
+        ).alias("term_q"),
+        F.expr("CASE WHEN ref_cnt = 0 AND cur_cnt > 0 THEN 1 ELSE 0 END").alias("is_new"),
+    )
+    return term.groupBy("event_type", "n_ref", "n_cur").agg(
+        F.sum("term_q").cast("long").alias("chi2_q"),
+        F.sum("is_new").cast("long").alias("n_new_bins"),
+        F.expr(
+            f"CAST(CASE WHEN SUM(term_q) > {_DRIFT_TAU_Q} OR SUM(is_new) > 0"
+            " THEN 1 ELSE 0 END AS INT)"
+        ).alias("drifted"),
+    )

@@ -698,3 +698,123 @@ def llm_emb_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= 0.98)
     )
+
+
+# --- llm_semantic_dedup: cluster-level semantic dedup ------------------------
+
+_SEM_NEAR_TAU = 0.3  # member counts as a semantic duplicate of the rep
+# (random 64-dim cosines concentrate near 0 with sd ~ 1/8, so 0.3 is a
+# ~2.4-sigma alignment gate; the perturbed seed copies score ~0.999)
+
+_SEMANTIC_DEDUP_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, {_PERTURB_DUCK} AS vec
+  FROM embeddings WHERE vec_id % 4 = 1
+),
+cent AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < {_N_CENT}),
+assign_scored AS (
+  SELECT v.vec_id, cent.cid,
+         {cosine_similarity_duckdb('v.vec', 'cent.cvec', DIMS)} AS csim,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {cosine_similarity_duckdb('v.vec', 'cent.cvec', DIMS)} DESC, cent.cid
+         ) AS crnk
+  FROM v CROSS JOIN cent
+),
+assigned AS (SELECT vec_id, cid, csim FROM assign_scored WHERE crnk = 1),
+reps AS (
+  SELECT cid,
+         COUNT(*) AS n_members,
+         (MAX(struct_pack(csim := csim, nid := -vec_id))).nid * -1 AS rep_id
+  FROM assigned GROUP BY cid
+),
+near AS (
+  SELECT a.cid,
+         CAST(SUM(CASE WHEN a.vec_id != r.rep_id AND
+                {cosine_similarity_duckdb('mv.vec', 'rv.vec', DIMS)} >= {_SEM_NEAR_TAU}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_near_rep
+  FROM assigned a
+  JOIN reps r ON r.cid = a.cid
+  JOIN v mv ON mv.vec_id = a.vec_id
+  JOIN v rv ON rv.vec_id = r.rep_id
+  GROUP BY a.cid
+)
+SELECT r.cid, r.rep_id, r.n_members, n.n_near_rep
+FROM reps r JOIN near n ON n.cid = r.cid
+"""
+
+
+@register("llm_semantic_dedup", oracle=_SEMANTIC_DEDUP_ORACLE, tags=("llm", "similarity", "dedup"))
+def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-level semantic dedup (Abbas et al. 2023):
+    assign every embedding to its nearest centroid (broadcast centroids +
+    the argmax-as-aggregate trick — one corpus pass, no window over the
+    corpus), elect a per-cluster representative (most-central member,
+    deterministic tiebreak), and count members within cosine tau of their
+    representative — the set a semantic dedup pass would drop. The
+    all-pairs work is cluster-internal member-vs-REP only (linear in
+    members, not quadratic): at 100 TB with k clusters the reps table is
+    k rows broadcast everywhere, and per-cluster scans parallelize on the
+    assignment key exactly like the IVF probe path. The fixture vectors
+    are random (no true semantic dups), so a quarter of the corpus gets a
+    deterministically perturbed copy (the llm_emb_neardup pattern — both
+    engines build the identical corpus), giving the drop-counter real
+    positives to find."""
+    apply_engine_conf(spark)
+    base = _vectors(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    v = base.unionByName(
+        emb.filter(F.col("vec_id") % 4 == 1).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.expr(_PERTURB_SPARK).alias("vec"),
+        )
+    )
+    cent = v.filter(F.col("vec_id") < _N_CENT).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+    )
+    csim = cosine_similarity(F.col("vec"), F.col("cvec")).alias("csim")
+    assigned = (
+        v.join(F.broadcast(cent))
+        .select("vec_id", "cid", csim)
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("csim"), (-F.col("cid")).alias("ncid"))
+            ).alias("best")
+        )
+        .select("vec_id", (-F.col("best.ncid")).alias("cid"), F.col("best.csim").alias("csim"))
+    )
+    assigned = scoped_persist(assigned)
+    reps = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (F.max(F.struct(F.col("csim"), (-F.col("vec_id")).alias("nid")))["nid"] * -1).alias(
+            "rep_id"
+        ),
+    )
+    rep_vecs = (
+        reps.join(v, reps.rep_id == v.vec_id)
+        .select("cid", "rep_id", F.col("vec").alias("rvec"))
+    )
+    near = (
+        assigned.join(v, "vec_id")
+        .join(F.broadcast(rep_vecs), "cid")
+        .select(
+            "cid",
+            F.when(
+                (F.col("vec_id") != F.col("rep_id"))
+                & (cosine_similarity(F.col("vec"), F.col("rvec")) >= _SEM_NEAR_TAU),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_near"),
+        )
+        .groupBy("cid")
+        .agg(F.sum("is_near").cast("long").alias("n_near_rep"))
+    )
+    return (
+        reps.join(near, "cid")
+        .select("cid", "rep_id", "n_members", "n_near_rep")
+    )
