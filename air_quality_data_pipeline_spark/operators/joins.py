@@ -464,3 +464,82 @@ def join_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+# --- join_fuzzy ---------------------------------------------------------------
+
+# Blocked fuzzy join: an incoming "dirty" batch (10% of part names, each
+# with one character deterministically dropped near the tail) is matched
+# against the master by edit distance. The blocking key — the name's first
+# word, untouched by the tail perturbation — turns the O(n*m) all-pairs
+# edit-distance problem into per-bucket work (sum of bucket_a*bucket_b),
+# which is THE practical fuzzy-join formulation at scale: the equi-join on
+# the block key shuffles/broadcasts like any join, and Levenshtein runs
+# only inside buckets. Levenshtein is the classic DP (integer result,
+# verified identical in Spark and DuckDB), so the whole match is
+# oracle-checkable.
+_FUZZY_MAXDIST = 2
+
+_JOIN_FUZZY_ORACLE = f"""
+WITH master AS (
+  SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk FROM part
+),
+dirty AS (
+  SELECT p_partkey AS dirty_id,
+         substring(p_name, 1, length(p_name) - (p_partkey % 5) - 2)
+           || substring(p_name, length(p_name) - (p_partkey % 5), 64) AS dirty_name,
+         string_split(p_name, ' ')[1] AS blk
+  FROM part WHERE p_partkey % 10 = 3
+),
+cand AS (
+  SELECT d.dirty_id, d.dirty_name, m.p_partkey, m.p_name,
+         levenshtein(d.dirty_name, m.p_name) AS dist
+  FROM dirty d JOIN master m ON m.blk = d.blk
+  WHERE levenshtein(d.dirty_name, m.p_name) <= {_FUZZY_MAXDIST}
+)
+SELECT dirty_id,
+       (MIN(struct_pack(dist := dist, p_partkey := p_partkey))).p_partkey AS matched_id,
+       (MIN(struct_pack(dist := dist, p_partkey := p_partkey))).dist AS distance,
+       COUNT(*) AS n_candidates
+FROM cand GROUP BY dirty_id
+"""
+
+
+@register("join_fuzzy", oracle=_JOIN_FUZZY_ORACLE, tags=("join", "llm"))
+def join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join (entity resolution): dirty batch vs master on a
+    blocking-key equi-join, Levenshtein <= 2 inside buckets only, best
+    match per dirty record via the min(struct(dist, key)) argmin aggregate
+    (map-side combinable — no window over the candidate stream). The
+    blocking key is the name's first word, which the synthetic tail
+    corruption never touches; at 100 TB the block join is an ordinary
+    shuffle/broadcast join and the edit-distance DP runs on bucket-local
+    pairs — never all pairs."""
+    apply_engine_conf(spark)
+    part = table(spark, sf_dir, "part")
+    master = part.select(
+        "p_partkey", "p_name", F.expr("split(p_name, ' ')[0]").alias("blk")
+    )
+    dirty = part.filter(F.col("p_partkey") % 10 == 3).select(
+        F.col("p_partkey").alias("dirty_id"),
+        F.expr(
+            "concat(substring(p_name, 1, length(p_name) - (p_partkey % 5) - 2),"
+            " substring(p_name, length(p_name) - (p_partkey % 5), 64))"
+        ).alias("dirty_name"),
+        F.expr("split(p_name, ' ')[0]").alias("blk"),
+    )
+    cand = (
+        dirty.join(master, "blk")
+        .select(
+            "dirty_id",
+            "p_partkey",
+            F.levenshtein("dirty_name", "p_name").alias("dist"),
+        )
+        .filter(F.col("dist") <= _FUZZY_MAXDIST)
+    )
+    best = F.min(F.struct("dist", "p_partkey"))
+    return cand.groupBy("dirty_id").agg(
+        best["p_partkey"].alias("matched_id"),
+        best["dist"].alias("distance"),
+        F.count(F.lit(1)).alias("n_candidates"),
+    )

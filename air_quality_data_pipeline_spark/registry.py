@@ -79,11 +79,11 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     pair-superset property test vs llm_minhash_dedup,
 #     tests/test_properties.py). Spending one window slot finally records
 #     the driver's rows-only check for it (VERDICT r4 item 1).
-# (b) the 12 operators NEW this round (never driver-sampled): agg_histogram,
+# (b) the 13 operators NEW this round (never driver-sampled): agg_histogram,
 #     ts_seasonal, ts_concurrency, llm_ngram_lm_score, snk_sorted_skip,
 #     join_runtime_filter, agg_sketch_union (rows-only: DataSketches HLL),
 #     llm_dedup_audit, mm_image_resize, f_url_parse, llm_semantic_dedup,
-#     dq_drift;
+#     dq_drift, join_fuzzy;
 # (c) the 6 queries whose code or oracle changed this round: agg_corr
 #     (variance clamp), llm_emb_lsh (self-join pair generation),
 #     llm_minhash_dedup (scoped persist), llm_tfidf (doc_freq derived from
@@ -107,6 +107,7 @@ DRIVER_PRIORITY = [
     "f_url_parse",
     "llm_semantic_dedup",
     "dq_drift",
+    "join_fuzzy",
     # (c) changed this round
     "agg_corr",
     "llm_emb_lsh",
@@ -145,7 +146,6 @@ DRIVER_PRIORITY = [
     "stop_early",
     "set_union",
     "set_distinct",
-    "set_intersect",
 ]
 
 
