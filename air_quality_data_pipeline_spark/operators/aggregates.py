@@ -478,3 +478,198 @@ def agg_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("exact_distinct_users")
         ).alias("rel_err"),
     )
+
+
+# --- agg_argmax: group-wise argmax via max_by --------------------------------
+
+# Tie-break determinism: Spark orders by the PAIR struct(price, orderkey) —
+# max struct = max price then max orderkey, so the winner is unique even when
+# two orders share a price. The oracle proves the same answer with the
+# two-scan join-back formulation (groupwise max, re-join, max key among the
+# tied rows) — deliberately the SLOW shape, to document what the single-pass
+# max_by replaces.
+_ARGMAX_ORACLE = """
+WITH m AS (
+  SELECT o_custkey, max(o_totalprice) AS top_price, COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT m.o_custkey, max(o.o_orderkey) AS top_orderkey,
+       m.top_price, m.n_orders
+FROM orders o
+JOIN m ON o.o_custkey = m.o_custkey AND o.o_totalprice = m.top_price
+GROUP BY m.o_custkey, m.top_price, m.n_orders
+"""
+
+
+@register("agg_argmax", oracle=_ARGMAX_ORACLE, tags=("agg",))
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise argmax in ONE aggregate pass: ``max_by(key, struct(val,
+    key))`` returns each customer's highest-value orderkey without the
+    join-back (scan → groupwise max → re-join → re-aggregate) or the
+    window (full sort per group) formulations — one map-side-combinable
+    aggregate, one exchange carrying a single (pair, key) cell per (task,
+    group). The struct ordering value makes ties deterministic; at 100 TB
+    this is the difference between one shuffle and two full fact scans."""
+    apply_engine_conf(spark)
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "max_by(o_orderkey, struct(o_totalprice, o_orderkey))"
+            ).alias("top_orderkey"),
+            F.max("o_totalprice").alias("top_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# --- agg_string_agg: ordered string aggregation (LISTAGG) --------------------
+
+# Order INSIDE the aggregate is engine-private (Spark's collect_list order is
+# partition-dependent), so both sides sort explicitly: collect → sort_array →
+# concat in Spark, string_agg(... ORDER BY ...) in DuckDB. Deterministic
+# because the sort key (n_name) is unique within a region.
+_STRING_AGG_ORACLE = """
+SELECT r.r_name,
+       string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+@register("agg_string_agg", oracle=_STRING_AGG_ORACLE, tags=("agg",))
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL LISTAGG / string_agg): collect the
+    group's values, sort INSIDE the row (sort_array — no extra exchange),
+    and join with a separator. The explicit in-aggregate sort is what makes
+    the result deterministic under parallelism: collect_list order reflects
+    task arrival and is NOT stable across runs or cluster sizes, so any
+    string-agg that skips the sort is silently nondeterministic at scale.
+    Grouping cardinality bounds memory (per-group list, not per-partition)."""
+    apply_engine_conf(spark)
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region")
+    return (
+        nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+# --- agg_skew_kurt: higher moments from exact power sums ---------------------
+
+# Same design as agg_corr: the aggregate carries ONLY exact integer power
+# sums (combine-order independent), and skewness/kurtosis come from ONE
+# shared double expression evaluated per group in both engines. sqrt of a
+# product replaces pow(x, 1.5) — sqrt is IEEE-correctly-rounded, libm pow is
+# not, and cross-engine pow ulp drift would break the bit-exact contract.
+_SK_N = "CAST(n AS DOUBLE)"
+_SK_M = f"(CAST(s1 AS DOUBLE) / {_SK_N})"
+_SK_M2 = f"(CAST(s2 AS DOUBLE) / {_SK_N} - {_SK_M} * {_SK_M})"
+_SK_M3 = (
+    f"(CAST(s3 AS DOUBLE) / {_SK_N} - 3.0 * {_SK_M} * (CAST(s2 AS DOUBLE) / {_SK_N})"
+    f" + 2.0 * {_SK_M} * {_SK_M} * {_SK_M})"
+)
+_SK_M4 = (
+    f"(CAST(s4 AS DOUBLE) / {_SK_N} - 4.0 * {_SK_M} * (CAST(s3 AS DOUBLE) / {_SK_N})"
+    f" + 6.0 * {_SK_M} * {_SK_M} * (CAST(s2 AS DOUBLE) / {_SK_N})"
+    f" - 3.0 * {_SK_M} * {_SK_M} * {_SK_M} * {_SK_M})"
+)
+_SK_SKEW = (
+    f"(CASE WHEN {_SK_M2} <= 0.0 THEN NULL"
+    f" ELSE {_SK_M3} / sqrt({_SK_M2} * {_SK_M2} * {_SK_M2}) END)"
+)
+_SK_KURT = (
+    f"(CASE WHEN {_SK_M2} <= 0.0 THEN NULL"
+    f" ELSE {_SK_M4} / ({_SK_M2} * {_SK_M2}) - 3.0 END)"
+)
+
+_SKEW_KURT_ORACLE = f"""
+WITH q AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x FROM lineitem
+),
+s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS s1,
+         CAST(SUM(x * x) AS BIGINT) AS s2,
+         CAST(SUM(x * x * x) AS BIGINT) AS s3,
+         CAST(SUM(x * x * x * x) AS BIGINT) AS s4
+  FROM q GROUP BY l_returnflag
+)
+SELECT l_returnflag, n AS n_rows, {_SK_M} AS mean_qty,
+       {_SK_SKEW} AS skew_qty, {_SK_KURT} AS kurtosis_qty
+FROM s
+"""
+
+
+@register("agg_skew_kurt", oracle=_SKEW_KURT_ORACLE, tags=("agg",))
+def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis per group as ONE hash aggregate of four
+    exact integer power sums (quantities are integral, so BIGINT sums are
+    exact and combine-order independent), with the third/fourth central
+    moments derived in a shared final double expression. The built-in
+    skewness()/kurtosis() carry float state that drifts with partition
+    merge order; this is the parallelism-stable formulation — the exchange
+    carries five BIGINT cells per (task, group), nothing more, at any
+    scale. x^4 sums stay under 2^53 up to ~10^9 rows/group; beyond that the
+    same query swaps BIGINT for DECIMAL(38,0) accumulators (as agg_corr)."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    q = li.select("l_returnflag", F.expr("CAST(l_quantity AS BIGINT)").alias("x"))
+    s = q.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.expr("x * x")).alias("s2"),
+        F.sum(F.expr("x * x * x")).alias("s3"),
+        F.sum(F.expr("x * x * x * x")).alias("s4"),
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        F.expr(_SK_M).alias("mean_qty"),
+        F.expr(_SK_SKEW).alias("skew_qty"),
+        F.expr(_SK_KURT).alias("kurtosis_qty"),
+    )
+
+
+# --- agg_bitmap_distinct: exact distinct counting via bitmap partials --------
+
+_BITMAP_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("agg_bitmap_distinct", oracle=_BITMAP_ORACLE, tags=("agg", "scale"))
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable bitmap partials — the
+    roaring-bitmap pattern: bucket each user_id (bitmap_bucket_number),
+    build a fixed-size bitmap per (group, bucket) with
+    bitmap_construct_agg, then SUM the per-bucket popcounts. Unlike
+    count(DISTINCT), whose exchange carries every distinct VALUE to the
+    reducer, the bitmap exchange carries at most one 4KB bitmap per
+    (group, bucket) regardless of how many ids it encodes — the same
+    partial-merge shape as agg_sketch_union but exact, which is why the
+    result is fully oracle-checkable against COUNT(DISTINCT). The
+    n_events recount rides the first aggregate for free."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bkt")
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return buckets.groupBy("event_type").agg(
+        F.expr("CAST(SUM(bitmap_count(bm)) AS BIGINT)").alias("n_users"),
+        F.sum("cnt").alias("n_events"),
+    )

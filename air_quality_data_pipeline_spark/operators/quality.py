@@ -435,3 +435,73 @@ def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS INT)"
         ).alias("drifted"),
     )
+
+
+# --- dq_referential: foreign-key orphan audit across relations ---------------
+
+# One summary row per declared FK edge. Orphan = child row whose FK value is
+# non-null and absent from the parent key set. Reported as counts (the audit
+# artifact you alert on), not as the orphan rows themselves — join_anti is
+# the row-level retrieval twin.
+_REFERENTIAL_ORACLE = """
+SELECT 'lineitem->orders' AS fk_edge,
+       COUNT(*) AS n_child,
+       COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS n_orphans,
+       COUNT(DISTINCT CASE WHEN o.o_orderkey IS NULL THEN l.l_orderkey END)
+         AS n_orphan_keys
+FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+  ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'orders->customer' AS fk_edge,
+       COUNT(*) AS n_child,
+       COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS n_orphans,
+       COUNT(DISTINCT CASE WHEN c.c_custkey IS NULL THEN od.o_custkey END)
+         AS n_orphan_keys
+FROM orders od LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+  ON od.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'lineitem->part' AS fk_edge,
+       COUNT(*) AS n_child,
+       COUNT(*) FILTER (WHERE p.p_partkey IS NULL) AS n_orphans,
+       COUNT(DISTINCT CASE WHEN p.p_partkey IS NULL THEN l.l_partkey END)
+         AS n_orphan_keys
+FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+  ON l.l_partkey = p.p_partkey
+"""
+
+
+def _fk_audit(child: DataFrame, ck: str, parent: DataFrame, pk: str, edge: str) -> DataFrame:
+    keys = parent.select(F.col(pk).alias("__pk")).distinct()
+    joined = child.select(F.col(ck).alias("__ck")).join(
+        keys, F.col("__ck") == F.col("__pk"), "left"
+    )
+    return joined.agg(
+        F.lit(edge).alias("fk_edge"),
+        F.count(F.lit(1)).alias("n_child"),
+        F.count(F.when(F.col("__pk").isNull(), 1)).alias("n_orphans"),
+        F.countDistinct(F.when(F.col("__pk").isNull(), F.col("__ck"))).alias(
+            "n_orphan_keys"
+        ),
+    )
+
+
+@register("dq_referential", oracle=_REFERENTIAL_ORACLE, tags=("quality", "join", "agg"))
+def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: one row per FK edge with child row
+    count, orphan row count, and distinct orphan keys. Each edge is a left
+    join against the DISTINCT parent key projection — at 100 TB the parent
+    side collapses to its key column (a few GB even for billion-row dims),
+    which AQE broadcasts, so the audit costs one fact-scan per edge and no
+    fact-side shuffle. The three single-row aggregates union at the end —
+    the plan is three independent subtrees a scheduler runs concurrently.
+    Count-if via count(CASE/FILTER) keeps both engines on one pass."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+    pa = table(spark, sf_dir, "part")
+    return (
+        _fk_audit(li, "l_orderkey", od, "o_orderkey", "lineitem->orders")
+        .unionByName(_fk_audit(od, "o_custkey", cu, "c_custkey", "orders->customer"))
+        .unionByName(_fk_audit(li, "l_partkey", pa, "p_partkey", "lineitem->part"))
+    )

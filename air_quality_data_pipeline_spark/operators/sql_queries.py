@@ -314,3 +314,93 @@ def sql_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     _views(spark, sf_dir, "customer")
     return spark.sql(_MERGE_UPSERT)
+
+
+# --- sql_q4 / sql_q14 / sql_q18: remaining TPC-H-shaped optimizer probes -----
+
+_SQL_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@register("sql_q4", oracle=_SQL_Q4, tags=("sql",))
+def sql_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS under a grouped count. Catalyst
+    decorrelates the subquery into a LEFT SEMI join on l_orderkey with the
+    l_shipdate > o_orderdate residual, so the inner query never re-executes
+    per row; the date predicate prunes the orders scan first, making the
+    (typically much larger) lineitem side probe a small build set. The
+    final aggregate is 5 groups — the exchange after the semi join carries
+    one cell per (task, priority)."""
+    apply_engine_conf(spark)
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_SQL_Q4)
+
+
+# Ratio determinism: numerator/denominator are DECIMAL-exact sums (identical
+# in both engines), each cast to DOUBLE before one IEEE division — identical
+# inputs + one identical operation = bit-identical ratio.
+_SQL_Q14 = """
+SELECT
+  100.0 * CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+              AS DECIMAL(20, 4))) AS DOUBLE)
+        / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+              AS DECIMAL(20, 4))) AS DOUBLE) AS promo_revenue_pct,
+  CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+              AS DECIMAL(20, 4))) AS DOUBLE) AS promo_revenue,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'
+"""
+
+
+@register("sql_q14", oracle=_SQL_Q14, tags=("sql",))
+def sql_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promo revenue share): conditional aggregation over
+    a fact-dim join — the CASE WHEN lives INSIDE the sum, so one pass
+    computes both branches of the ratio (no second scan, no self-join).
+    The one-month shipdate predicate reaches the lineitem parquet scan;
+    part is the broadcast side. The global aggregate is a single cell, so
+    the post-join exchange carries one partial per task."""
+    apply_engine_conf(spark)
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_SQL_Q14)
+
+
+_SQL_Q18 = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20, 4))) AS DOUBLE) AS sum_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(20, 4))) > 300
+)
+GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@register("sql_q18", oracle=_SQL_Q18, tags=("sql",))
+def sql_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): IN over a grouped HAVING
+    subquery → planned as an aggregate-then-semi-join, so the qualifying
+    orderkey set is computed ONCE from a lineitem-only aggregate (map-side
+    partials, exchange carries (orderkey, sum) cells) and then semi-joins
+    the 3-way fact-dim join. The HAVING threshold makes the semi-join build
+    side tiny at any scale — the classic needle-filter pattern. ORDER
+    BY+LIMIT plans as TakeOrderedAndProject (per-partition top-100, no
+    global sort)."""
+    apply_engine_conf(spark)
+    _views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_SQL_Q18)

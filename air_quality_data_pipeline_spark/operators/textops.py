@@ -1141,3 +1141,140 @@ def llm_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- llm_doc_shard: deterministic training-shard assignment ------------------
+
+# Training loaders need (a) a pseudo-random global order decoupled from crawl
+# order (adjacent-doc correlation poisons SGD), (b) a FIXED shard for each
+# doc so re-runs resume identically, (c) no global sort. md5 gives all
+# three: shard = hash bucket, within-shard order = hash hex (unique tie-break
+# by doc_id). Both engines share the md5 byte-for-byte.
+_N_SHARDS = 8
+
+_DOC_SHARD_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS hx,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {_N_SHARDS} AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS pos,
+       CAST(SUM(n_chars) OVER (PARTITION BY shard ORDER BY hx, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS chars_so_far
+FROM h
+"""
+
+
+@register("llm_doc_shard", oracle=_DOC_SHARD_ORACLE, tags=("llm", "text", "sample"))
+def llm_doc_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dataset sharding for distributed training loaders:
+    every document gets a stable (shard, pos) address — shard from a
+    content-independent key hash, position from the hash-ordered window
+    WITHIN the shard, plus a running character total (the loader's
+    progress/offset bookkeeping). The window partitions by shard, so the
+    sort is per-shard — 8 independent sorts here, N independent sorts at
+    scale, never a global one; the exchange is the same hash partitioning
+    the write would use, so assignment and sharded write share one
+    shuffle. Re-running on a grown corpus leaves every old doc's shard
+    fixed (hash, not round-robin) — only positions shift, which is what
+    makes incremental re-sharding cheap."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("hx"),
+        F.expr(
+            f"CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+            f" % {_N_SHARDS}"
+        ).alias("shard"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("hx", "doc_id")
+    return h.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).alias("pos"),
+        F.sum("n_chars").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("chars_so_far"),
+    )
+
+
+# --- llm_ngram_novelty: per-doc novelty vs the prior corpus ------------------
+
+# Novelty = the fraction of a document's DISTINCT 3-gram shingles whose first
+# corpus occurrence (min doc_id over the whole corpus) is this document.
+# Crawl-ordered doc_ids make this "how much of this doc is new text" — the
+# dataset-curation signal behind dedup thresholds and boilerplate tracking.
+_NOVELTY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {token_hashes_duckdb(tokens_duckdb('text'))} AS th
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, s
+  FROM t, UNNEST({shingle_hashes_duckdb('th')}) AS u(s)
+),
+first_seen AS (
+  SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s
+)
+SELECT sh.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(COUNT(*) FILTER (WHERE f.first_doc = sh.doc_id) AS BIGINT)
+         AS n_novel,
+       CAST(COUNT(*) FILTER (WHERE f.first_doc = sh.doc_id) AS DOUBLE)
+         / COUNT(*) AS novelty
+FROM sh JOIN first_seen f ON f.s = sh.s
+GROUP BY sh.doc_id
+"""
+
+
+@register("llm_ngram_novelty", oracle=_NOVELTY_ORACLE, tags=("llm", "text", "dedup"))
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty score: the share of the doc's distinct 3-gram
+    shingles first seen (min doc_id) in that document. One shingle
+    explode → dedup → min-over-window keyed on the shingle hash → per-doc
+    ratio. The window formulation computes the per-shingle first occurrence
+    AND hands it back to every member row in ONE exchange (an unbounded min
+    needs no frame state) — one shuffle fewer than aggregate+join-back, and
+    the carried payload is (hash, doc_id) pairs — never text. This is the
+    curation signal for crawl snapshots: a snapshot whose novelty mass
+    collapses is re-crawl, not new data. The ingestion-order min makes the
+    score reproducible no matter how partitions are laid out."""
+    apply_engine_conf(spark)
+    docs = rebalance_for_map(table(spark, sf_dir, "documents"), spark)
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(shingle_hashes_spark_sql(token_hashes_spark_sql(tokens_spark("text"))))
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    # min-over-window instead of aggregate+join-back: the per-shingle first
+    # occurrence and its redistribution to member rows share ONE exchange on
+    # s (an unbounded min needs no frame sort state), cutting the plan from
+    # 4 shuffles to 3.
+    w = Window.partitionBy("s")
+    tagged = sh.select("doc_id", "s", F.min("doc_id").over(w).alias("first_doc"))
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+            .cast("long")
+            .alias("n_novel"),
+            (
+                F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("novelty"),
+        )
+    )

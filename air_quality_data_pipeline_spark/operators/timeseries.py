@@ -457,3 +457,54 @@ def ts_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("conc").cast("long").alias("max_concurrency"),
         F.count(F.lit(1)).alias("n_boundary_instants"),
     )
+
+
+# --- ts_ewma: bit-exact exponential smoothing over a bounded lag chain ------
+
+# alpha = 1/2 with an 8-term horizon. Every weight is a power of two, so each
+# multiply is a bare exponent shift (exact in IEEE double), and the numerator
+# and weight sum are written as the SAME left-associative + chain in both
+# engines — identical operand bits through identical operations = identical
+# result bits. The tail weight 2^-7 < 1%, so the truncation matches the
+# usual "effective memory ~ 2/alpha" rule for streaming EWMA.
+_EWMA_K = 8
+_EWMA_USERS = 200
+
+
+def _ewma_terms(lag_fn) -> tuple[str, str]:
+    num = " + ".join(
+        f"coalesce({lag_fn(k)}, 0.0) * {0.5 ** k!r}" for k in range(_EWMA_K)
+    )
+    den = " + ".join(
+        f"(CASE WHEN {lag_fn(k)} IS NOT NULL THEN {0.5 ** k!r} ELSE 0.0 END)"
+        for k in range(_EWMA_K)
+    )
+    return num, den
+
+
+_EWMA_WIN = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+_EWMA_NUM, _EWMA_DEN = _ewma_terms(lambda k: f"lag(value, {k}) {_EWMA_WIN}")
+
+_EWMA_SQL = f"""
+SELECT user_id, event_id, value,
+       ({_EWMA_NUM}) / ({_EWMA_DEN}) AS ewma
+FROM events
+WHERE user_id < {_EWMA_USERS}
+"""
+
+
+@register("ts_ewma", oracle=_EWMA_SQL, tags=("timeseries", "window"))
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per entity series, expressed
+    as a BOUNDED lag chain instead of the textbook recurrence. The
+    recurrence s_t = a*x_t + (1-a)*s_{t-1} is sequential per key — fine in
+    a streaming stateful operator, but batch engines can't parallelize a
+    per-row dependency chain. Truncating at 8 terms (tail weight < 1%)
+    turns it into 8 lag() reads over ONE window sort: a single exchange on
+    user_id, per-row O(1) arithmetic after it, and every series processed
+    independently — 1000 executors each smooth their own keys. Power-of-two
+    weights + a shared left-associative expression make the floats
+    bit-identical across engines (no decimal detour needed)."""
+    apply_engine_conf(spark)
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_EWMA_SQL)

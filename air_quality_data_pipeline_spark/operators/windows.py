@@ -13,6 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..functions.exact import exact_sum
 from ..registry import register
 from ..session import apply_engine_conf
 from ..tables import table
@@ -329,4 +330,96 @@ def win_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("f.t1").isNotNull(), 1)
         .otherwise(0)
         .alias("stage"),
+    )
+
+
+# --- win_ntile: equi-depth bucketing + per-bucket profile --------------------
+
+# ntile(4) is deterministic only under a TOTAL order — c_acctbal ties are
+# broken by the unique c_custkey, so both engines assign identical quartiles.
+_NTILE_ORACLE = """
+WITH q AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment,
+         ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+  FROM customer
+)
+SELECT quartile,
+       COUNT(*) AS n_customers,
+       min(c_acctbal) AS lo,
+       max(c_acctbal) AS hi,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(20, 4))) AS DOUBLE) AS sum_bal
+FROM q
+GROUP BY quartile
+"""
+
+
+@register("win_ntile", oracle=_NTILE_ORACLE, tags=("window",))
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth quartiles via ntile(4) over a TOTAL order (balance, then
+    unique custkey as tie-break — without it ntile is nondeterministic),
+    then a per-quartile profile. The unpartitioned window is the one
+    operator here that genuinely serializes (a global sort into a single
+    ordered pass); that is inherent to exact equi-depth bucketing. The
+    scale path when exactness isn't required is approx_percentile bounds +
+    a stateless bin lookup (agg_quantiles / agg_histogram); this operator
+    is the exact small-dimension counterpart — run it on dimension tables,
+    not facts. Decimal-exact sums keep the profile engine-identical."""
+    apply_engine_conf(spark)
+    cust = table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    q = cust.select(
+        "c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile")
+    )
+    return q.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("c_acctbal").alias("lo"),
+        F.max("c_acctbal").alias("hi"),
+        exact_sum(F.col("c_acctbal")).alias("sum_bal"),
+    )
+
+
+# --- win_median_smooth: rolling median over a bounded frame ------------------
+
+# No arithmetic at all — collect the 5-row frame, sort it, take the lower
+# median element. Pure selection keeps the doubles untouched, so the result
+# is engine-exact by construction (vs a rolling mean, which would need the
+# shared-expression treatment ts_ewma uses).
+_MEDIAN_USERS = 100
+
+_MEDIAN_ORACLE = f"""
+SELECT user_id, event_id, value,
+       list_sort(list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+         [(len(list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) + 1) // 2]
+         AS smoothed
+FROM events
+WHERE user_id < {_MEDIAN_USERS}
+"""
+
+
+@register("win_median_smooth", oracle=_MEDIAN_ORACLE, tags=("window", "timeseries"))
+def win_median_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-median smoothing (the robust de-spiker for sensor streams —
+    a single bad reading never moves the median, unlike the rolling mean):
+    collect the trailing 5-row frame per series, sort INSIDE the row, take
+    the lower-median element. The frame is bounded, so per-row state is
+    O(5) regardless of series length; the plan is ONE window exchange on
+    user_id (the lag-chain/EWMA shape) and every series smooths
+    independently across executors. Lower median (not interpolated) keeps
+    the output an actual observed value — and exactly equal across
+    engines, since no arithmetic touches the doubles."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < _MEDIAN_USERS)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    frame = F.sort_array(F.collect_list("value").over(w))
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.element_at(frame, ((F.size(frame) + 1) / 2).cast("int")).alias("smoothed"),
     )

@@ -108,6 +108,21 @@ DRIVER_PRIORITY = [
     "llm_semantic_dedup",
     "dq_drift",
     "join_fuzzy",
+    # (b2) second round-5 batch (never driver-sampled)
+    "sql_q4",
+    "sql_q14",
+    "sql_q18",
+    "agg_argmax",
+    "agg_string_agg",
+    "win_ntile",
+    "ts_ewma",
+    "dq_referential",
+    "src_schema_evolution",
+    "llm_doc_shard",
+    "agg_skew_kurt",
+    "agg_bitmap_distinct",
+    "llm_ngram_novelty",
+    "win_median_smooth",
     # (c) changed this round
     "agg_corr",
     "llm_emb_lsh",
@@ -132,20 +147,6 @@ DRIVER_PRIORITY = [
     "join_bucketed",
     "join_range",
     "agg_count_grp",
-    "agg_collect_set",
-    "agg_count_distinct",
-    "agg_global_count",
-    "agg_superset",
-    "agg_stats",
-    "agg_rollup",
-    "agg_cube",
-    "agg_quantiles",
-    "sort_asc",
-    "topk",
-    "limit_page",
-    "stop_early",
-    "set_union",
-    "set_distinct",
 ]
 
 

@@ -415,3 +415,45 @@ def snk_sorted_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1994-03-01").cast("date"))
         & (F.col("l_shipdate") < F.lit("1994-04-01").cast("date"))
     )
+
+
+# --- src_schema_evolution: mergeSchema over heterogeneous parquet ------------
+
+_SCHEMA_EVO_ORACLE = """
+SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+FROM orders WHERE o_orderdate < DATE '1996-01-01'
+UNION ALL
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders WHERE o_orderdate >= DATE '1996-01-01'
+"""
+
+
+@register("src_schema_evolution", oracle=_SCHEMA_EVO_ORACLE, tags=("source", "scale"))
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: a dataset whose early files predate a column
+    (the universal long-lived-table situation — a field added to the
+    pipeline mid-history). Two parquet vintages are written from the
+    fixture (pre-1996 rows WITHOUT o_orderpriority, later rows WITH it)
+    and read back with ``mergeSchema=true``: Spark unions the footers into
+    one schema and fills the missing column with nulls — no rewrite of the
+    old files. At 100 TB that matters twice: schema merge is a
+    footer-metadata operation (no data pass), and the columnar reader
+    still prunes to exactly the requested columns per file. Default reads
+    skip the footer union (first-file schema) — the option is per-scan, so
+    only evolving tables pay the merge cost."""
+    apply_engine_conf(spark)
+    out = tempfile.mkdtemp(prefix="src_schema_evo_")
+    orders = table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderdate") < "1996-01-01").select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderdate") >= "1996-01-01").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    old.write.mode("overwrite").parquet(out + "/v1")
+    new.write.mode("overwrite").parquet(out + "/v2")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(out + "/v1", out + "/v2")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )

@@ -328,3 +328,82 @@ def test_lm_score_derives_counts_from_one_gram_pass(spark, sf_dir):
         f"a documents scan escaped the cached gram relation "
         f"(re-tokenize pass): {n_docs} scans vs {n_ims} cache reads\n{plan[:2000]}"
     )
+
+
+# --- round-5 batch-2 additions ----------------------------------------------
+
+
+def test_sql_q4_decorrelates_exists(spark, sf_dir):
+    # the correlated EXISTS must plan as ONE semi join, not a per-row
+    # re-execution of the inner query
+    plan = _executed_plan(spark, "sql_q4", sf_dir)
+    assert "LeftSemi" in plan, f"EXISTS should decorrelate to a semi join:\n{plan}"
+    assert "CartesianProduct" not in plan
+
+
+def test_sql_q18_semi_join_and_topk(spark, sf_dir):
+    plan = _executed_plan(spark, "sql_q18", sf_dir)
+    assert "LeftSemi" in plan, "IN (grouped subquery) should plan as a semi join"
+    assert "TakeOrderedAndProject" in plan, "ORDER BY+LIMIT must not be a global sort"
+
+
+def test_agg_argmax_is_single_pass(spark, sf_dir):
+    # max_by must keep the groupwise-argmax to ONE aggregate over ONE scan —
+    # no join back, and exactly one hash-partitioning exchange (on the group
+    # key); the oracle's two-scan join-back shape is what this replaces
+    plan = _executed_plan(spark, "agg_argmax", sf_dir)
+    assert "Join" not in plan, f"argmax must not join back:\n{plan}"
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ts_ewma_single_window_exchange(spark, sf_dir):
+    # 8 lag() terms must share ONE window sort over ONE exchange — the plan
+    # must not stack one Window node per lag
+    plan = _executed_plan(spark, "ts_ewma", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") <= 2, f"lag chain must share a window:\n{plan}"
+
+
+def test_schema_evolution_scan_prunes_columns(spark, sf_dir):
+    fmt = _formatted(spark, "src_schema_evolution", sf_dir)
+    for m in re.findall(r"ReadSchema: struct<([^>]*)>", fmt):
+        cols = [c.split(":")[0] for c in m.split(",") if c]
+        assert len(cols) <= 3, f"merged-schema scan should prune to <=3 cols, got {cols}"
+
+
+def test_doc_shard_no_global_sort(spark, sf_dir):
+    # the shard/pos window must partition by shard (per-shard sorts), never a
+    # single-partition global sort
+    plan = _executed_plan(spark, "llm_doc_shard", sf_dir)
+    assert "Exchange SinglePartition" not in plan, (
+        f"sharding must not serialize into one partition:\n{plan}"
+    )
+
+
+def test_skew_kurt_single_aggregate(spark, sf_dir):
+    # four power sums must ride ONE hash aggregate — no join, one exchange
+    plan = _executed_plan(spark, "agg_skew_kurt", sf_dir)
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bitmap_distinct_carries_bitmaps_not_values(spark, sf_dir):
+    # two-level aggregate: (group, bucket) bitmap build then per-group merge —
+    # the exchange must be the bucketed partial, not a count(distinct) expand
+    plan = _executed_plan(spark, "agg_bitmap_distinct", sf_dir)
+    assert "bitmap_construct_agg" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_ngram_novelty_reuses_shingle_partitioning(spark, sf_dir):
+    # the first-seen aggregate and the join both key on the shingle hash; the
+    # persisted exploded frame must be exchanged on s ONCE (plus the final
+    # per-doc aggregate exchange) — no third shuffle of the fact side
+    plan = _executed_plan(spark, "llm_ngram_novelty", sf_dir)
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_median_smooth_single_window(spark, sf_dir):
+    plan = _executed_plan(spark, "win_median_smooth", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") <= 2
