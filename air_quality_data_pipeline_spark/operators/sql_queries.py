@@ -404,3 +404,32 @@ def sql_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     _views(spark, sf_dir, "customer", "orders", "lineitem")
     return spark.sql(_SQL_Q18)
+
+
+# --- sql_lateral: correlated LATERAL subquery (top-N per row) ----------------
+
+_SQL_LATERAL = """
+SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+"""
+
+
+@register("sql_lateral", oracle=_SQL_LATERAL, tags=("sql", "subquery"))
+def sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — top-2 orders PER customer, written the
+    way an analyst writes it (a per-row subquery with ORDER BY+LIMIT).
+    Catalyst decorrelates it: the inner query is NOT re-executed per
+    customer row; the plan ranks orders within o_custkey once and joins —
+    the same physical shape as the win_rank formulation, from declarative
+    SQL. That decorrelation is the difference between O(|orders|) and
+    O(|customer| x |orders|) at scale, and it's why LATERAL is safe to
+    expose on a 100 TB warehouse. The identical text runs in DuckDB, which
+    keeps the oracle a true dialect-shared query."""
+    apply_engine_conf(spark)
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_SQL_LATERAL)

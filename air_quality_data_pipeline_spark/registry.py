@@ -123,6 +123,9 @@ DRIVER_PRIORITY = [
     "agg_bitmap_distinct",
     "llm_ngram_novelty",
     "win_median_smooth",
+    "join_dpp",
+    "snk_compact",
+    "sql_lateral",
     # (c) changed this round
     "agg_corr",
     "llm_emb_lsh",
@@ -144,9 +147,6 @@ DRIVER_PRIORITY = [
     "join_dim",
     "join_nested_corr",
     "join_salted",
-    "join_bucketed",
-    "join_range",
-    "agg_count_grp",
 ]
 
 

@@ -457,3 +457,91 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out + "/v1", out + "/v2")
         .select("o_orderkey", "o_totalprice", "o_orderpriority")
     )
+
+
+# --- join_dpp: dynamic partition pruning -------------------------------------
+
+_DPP_ORACLE = """
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM events e
+JOIN (SELECT DISTINCT event_type FROM events WHERE event_type LIKE 'p%') d
+  ON e.event_type = d.event_type
+GROUP BY e.event_type
+"""
+
+
+@register("join_dpp", oracle=_DPP_ORACLE, tags=("join", "source", "scale"))
+def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is partitioned on the join
+    key, and the dim side's predicate (LIKE 'p%') is only known at RUN
+    time — static pruning can't help, so Spark injects a
+    ``dynamicpruningexpression`` into the fact scan: the dim is evaluated
+    first, its surviving keys broadcast, and only MATCHING partitions of
+    the fact are ever opened (plan-gated in tests/test_plans.py).
+    src_partitioned is the static-predicate counterpart; together they are
+    the two pruning regimes that make a 100 TB star-join read 1% of its
+    partitions. The dim here derives from the fixture (distinct types
+    passing the filter) so the oracle is pure SQL."""
+    apply_engine_conf(spark)
+    out = tempfile.mkdtemp(prefix="join_dpp_")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").startswith("p"))
+        .select("event_type")
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# --- snk_compact: small-file compaction --------------------------------------
+
+_COMPACT_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+"""
+
+
+@register("snk_compact", oracle=_COMPACT_ORACLE, tags=("sink", "scale"))
+def snk_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the maintenance job every streaming-ingested
+    lakehouse table needs: a fragmented table (simulated with a 64-way
+    repartition write: 64 tiny files, the 'one file per micro-batch'
+    pathology) is rewritten as a handful of range-clustered files.
+    ``repartitionByRange(4, o_custkey)`` + ``sortWithinPartitions`` gives
+    each output file a tight, disjoint custkey min/max — the rewrite both
+    shrinks the file count ~16x (restoring scan/footer efficiency: at
+    100 TB, millions of 1 MB files make listing+open the bottleneck) AND
+    clusters the data so subsequent key-range reads skip whole files
+    (snk_sorted_skip's property, acquired as a side effect). The read-back
+    proves the compaction is content-preserving — which is what makes it
+    safe to run online."""
+    apply_engine_conf(spark)
+    base = tempfile.mkdtemp(prefix="snk_compact_")
+    frag, compact = base + "/frag", base + "/compact"
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    orders.repartition(64).write.mode("overwrite").parquet(frag)
+    (
+        spark.read.parquet(frag)
+        .repartitionByRange(4, "o_custkey")
+        .sortWithinPartitions("o_custkey", "o_orderkey")
+        .write.mode("overwrite")
+        .parquet(compact)
+    )
+    # expose the two directories so tests can assert the file-count collapse
+    snk_compact.last_paths = (frag, compact)
+    return spark.read.parquet(compact)

@@ -407,3 +407,30 @@ def test_median_smooth_single_window(spark, sf_dir):
     plan = _executed_plan(spark, "win_median_smooth", sf_dir)
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") <= 2
+
+
+def test_join_dpp_injects_dynamic_pruning(spark, sf_dir):
+    # the fact scan must carry a dynamicpruning subquery on its partition
+    # column — only dim-surviving partitions are ever opened
+    fmt = _formatted(spark, "join_dpp", sf_dir)
+    assert "dynamicpruning" in fmt.lower(), f"no dynamic partition pruning:\n{fmt[:2000]}"
+
+
+def test_snk_compact_collapses_file_count(spark, sf_dir):
+    from air_quality_data_pipeline_spark.sources.queries import snk_compact
+    import pathlib
+
+    SPECS["snk_compact"].builder(spark, sf_dir).count()
+    frag, compact = snk_compact.last_paths
+    n_frag = len(list(pathlib.Path(frag).glob("part-*.parquet")))
+    n_compact = len(list(pathlib.Path(compact).glob("part-*.parquet")))
+    assert n_frag == 64
+    assert n_compact <= 4, f"compaction left {n_compact} files"
+
+
+def test_sql_lateral_decorrelates(spark, sf_dir):
+    plan = _executed_plan(spark, "sql_lateral", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        f"lateral must decorrelate to an equi-join, not a per-row loop:\n{plan}"
+    )
