@@ -673,3 +673,38 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(SUM(bitmap_count(bm)) AS BIGINT)").alias("n_users"),
         F.sum("cnt").alias("n_events"),
     )
+
+
+# --- agg_any_all: boolean aggregates (EVERY / SOME) --------------------------
+
+_ANY_ALL_ORACLE = """
+SELECT o_orderpriority,
+       CAST(bool_and(o_totalprice > 1000.0) AS INT) AS all_over_1k,
+       CAST(bool_or(o_totalprice > 400000.0) AS INT) AS any_over_400k,
+       CAST(bool_and(o_orderstatus IN ('F', 'O', 'P')) AS INT) AS all_valid_status,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("agg_any_all", oracle=_ANY_ALL_ORACLE, tags=("agg",))
+def agg_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (SQL EVERY/SOME, i.e. bool_and/bool_or) — the
+    assertion layer of data-quality checks expressed as ONE map-side-
+    combinable aggregate: each partial carries a single bit per predicate
+    per group, the cheapest possible exchange. Cast to INT for a portable
+    hash contract (pandas bool vs int dtype). dq_rules is the applied
+    composite; this pins the primitive itself."""
+    apply_engine_conf(spark)
+    od = table(spark, sf_dir, "orders")
+    return od.groupBy("o_orderpriority").agg(
+        F.expr("CAST(bool_and(o_totalprice > 1000.0D) AS INT)").alias("all_over_1k"),
+        F.expr("CAST(bool_or(o_totalprice > 400000.0D) AS INT)").alias(
+            "any_over_400k"
+        ),
+        F.expr("CAST(bool_and(o_orderstatus IN ('F', 'O', 'P')) AS INT)").alias(
+            "all_valid_status"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

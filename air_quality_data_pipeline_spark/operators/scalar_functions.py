@@ -407,3 +407,142 @@ def f_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("parse_url(url, 'QUERY')").alias("query"),
         F.expr("parse_url(url, 'QUERY', 'lang')").alias("lang_param"),
     )
+
+
+# --- f_date_arith: date/interval arithmetic breadth --------------------------
+
+_F_DATE_ARITH_ORACLE = """
+SELECT o_orderkey,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d,
+       strftime(CAST(o_orderdate + INTERVAL 30 DAY AS DATE), '%Y-%m-%d') AS due_date,
+       strftime(CAST(date_trunc('quarter', o_orderdate) AS DATE), '%Y-%m-%d') AS quarter_start,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+         AS days_since_epoch_start,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+       CAST(EXTRACT(dow FROM o_orderdate) AS INT) AS dow
+FROM orders
+WHERE o_orderkey % 100 = 0
+"""
+
+
+@register("f_date_arith", oracle=_F_DATE_ARITH_ORACLE, tags=("function",))
+def f_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic breadth (SURVEY §2.F): +INTERVAL, quarter
+    truncation, last_day, day difference, quarter/day-of-week extraction —
+    each a codegen'd JVM expression, zero shuffles. Semantics pinned
+    cross-engine where conventions diverge: day-of-week normalized to the
+    Sunday=0 convention via (dayofweek - 1); date_diff argument order is
+    (end - start) in both; date outputs serialized as yyyy-MM-dd strings
+    (the portable date contract — pandas date objects and datetime64 hash
+    differently). One selective modulo keeps the oracle-compared output
+    small while exercising every expression."""
+    apply_engine_conf(spark)
+    od = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return od.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+        F.date_format(F.expr("o_orderdate + INTERVAL 30 DAY"), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
+        F.date_format(F.date_trunc("quarter", "o_orderdate"), "yyyy-MM-dd").alias(
+            "quarter_start"
+        ),
+        F.date_format(
+            F.last_day(F.col("o_orderdate").cast("date")), "yyyy-MM-dd"
+        ).alias("month_end"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow"),
+    )
+
+
+# --- f_array_ops: array function breadth -------------------------------------
+
+# Build two deterministic small arrays per order, then exercise the set/seq
+# algebra. array results are canonicalized (sorted) so both engines hash
+# identically.
+_F_ARRAY_OPS_ORACLE = """
+WITH a AS (
+  SELECT o_orderkey,
+         [o_orderkey % 7, o_orderkey % 5, o_orderkey % 3] AS xs,
+         [o_orderkey % 5, o_orderkey % 2] AS ys
+  FROM orders WHERE o_orderkey % 100 = 0
+)
+SELECT o_orderkey,
+       array_to_string(list_sort(list_distinct(xs)), ',') AS xs_sorted,
+       array_to_string(list_sort(list_distinct(list_cat(xs, ys))), ',') AS unioned,
+       array_to_string(list_sort(list_distinct(list_intersect(xs, ys))), ',')
+         AS intersected,
+       COALESCE(array_to_string(list_sort(list_distinct(list_filter(xs, x -> NOT list_contains(ys, x)))), ','), '')
+         AS excepted,
+       CAST(list_contains(xs, 1) AS INT) AS has_one,
+       CAST(len(xs) AS INT) AS n_xs
+FROM a
+"""
+
+
+@register("f_array_ops", oracle=_F_ARRAY_OPS_ORACLE, tags=("function",))
+def f_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array algebra breadth (SURVEY §2.F): distinct/sort, union,
+    intersect, except, contains, size — all JVM codegen expressions on
+    in-row arrays, zero shuffles, linear at any scale. Set-valued outputs
+    are canonicalized to sorted CSV strings (array_distinct order is
+    engine-private; the sort makes the contract portable — same rule as
+    agg_collect_set)."""
+    apply_engine_conf(spark)
+    od = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    a = od.select(
+        "o_orderkey",
+        F.expr("array(o_orderkey % 7, o_orderkey % 5, o_orderkey % 3)").alias("xs"),
+        F.expr("array(o_orderkey % 5, o_orderkey % 2)").alias("ys"),
+    )
+    return a.select(
+        "o_orderkey",
+        F.array_join(F.array_sort(F.array_distinct("xs")), ",").alias("xs_sorted"),
+        F.array_join(F.array_sort(F.array_union("xs", "ys")), ",").alias("unioned"),
+        F.array_join(F.array_sort(F.array_intersect("xs", "ys")), ",").alias(
+            "intersected"
+        ),
+        F.array_join(F.array_sort(F.array_except("xs", "ys")), ",").alias("excepted"),
+        F.array_contains("xs", 1).cast("int").alias("has_one"),
+        F.size("xs").cast("int").alias("n_xs"),
+    )
+
+
+# --- f_regex: regular-expression function breadth ----------------------------
+
+# Patterns restricted to the Java∩RE2 common subset (character classes,
+# quantifiers, anchors, groups) so both engines' regex dialects agree.
+_F_REGEX_ORACLE = """
+SELECT doc_id,
+       regexp_extract(text, '[0-9]+') AS first_number,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+       regexp_replace(text, '[0-9]+', '#', 'g') AS masked,
+       CAST(regexp_matches(text, '^[A-Z]') AS INT) AS starts_upper
+FROM documents
+WHERE doc_id % 10 = 0
+"""
+
+
+@register("f_regex", oracle=_F_REGEX_ORACLE, tags=("function", "text"))
+def f_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function breadth (SURVEY §2.F): first-match extraction,
+    match counting, global replacement, anchored boolean match. Patterns
+    stay inside the Java-regex ∩ RE2 common subset so the oracle is a true
+    cross-dialect check (llm_pii_scrub is the applied big sibling). All
+    JVM-side codegen string work — the pattern compiles once per task, not
+    per row; zero shuffles."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", "[0-9]+", 0).alias("first_number"),
+        F.expr("CAST(size(regexp_extract_all(text, '[A-Za-z]+', 0)) AS BIGINT)").alias(
+            "n_words"
+        ),
+        F.regexp_replace("text", "[0-9]+", "#").alias("masked"),
+        F.expr("CAST(text RLIKE '^[A-Z]' AS INT)").alias("starts_upper"),
+    )

@@ -79,11 +79,13 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     pair-superset property test vs llm_minhash_dedup,
 #     tests/test_properties.py). Spending one window slot finally records
 #     the driver's rows-only check for it (VERDICT r4 item 1).
-# (b) the 13 operators NEW this round (never driver-sampled): agg_histogram,
-#     ts_seasonal, ts_concurrency, llm_ngram_lm_score, snk_sorted_skip,
-#     join_runtime_filter, agg_sketch_union (rows-only: DataSketches HLL),
-#     llm_dedup_audit, mm_image_resize, f_url_parse, llm_semantic_dedup,
-#     dq_drift, join_fuzzy;
+# (b) the operators NEW this round (never driver-sampled), in landing
+#     order: the early-round batch (agg_histogram ... join_fuzzy), then
+#     the SQL/agg/window/ts/dq/source batch (sql_q4 ... sql_lateral), then
+#     the function-breadth batch (f_date_arith ... agg_any_all). With the
+#     round-5 additions the window is mostly new entries — by design: a
+#     new operator's first driver row is worth more than re-sampling a
+#     twice-green one.
 # (c) the 6 queries whose code or oracle changed this round: agg_corr
 #     (variance clamp), llm_emb_lsh (self-join pair generation),
 #     llm_minhash_dedup (scoped persist), llm_tfidf (doc_freq derived from
@@ -126,6 +128,10 @@ DRIVER_PRIORITY = [
     "join_dpp",
     "snk_compact",
     "sql_lateral",
+    "f_date_arith",
+    "f_array_ops",
+    "f_regex",
+    "agg_any_all",
     # (c) changed this round
     "agg_corr",
     "llm_emb_lsh",
@@ -143,10 +149,6 @@ DRIVER_PRIORITY = [
     "proj_select",
     "join_bcast",
     "join_semi",
-    "join_anti",
-    "join_dim",
-    "join_nested_corr",
-    "join_salted",
 ]
 
 
