@@ -546,3 +546,39 @@ def f_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("text", "[0-9]+", "#").alias("masked"),
         F.expr("CAST(text RLIKE '^[A-Z]' AS INT)").alias("starts_upper"),
     )
+
+
+# --- f_bitwise: bitwise expression breadth -----------------------------------
+
+_F_BITWISE_ORACLE = """
+SELECT o_orderkey,
+       o_orderkey & 255 AS low_byte,
+       o_orderkey | 4096 AS with_flag,
+       xor(o_orderkey, 65535) AS xored,
+       o_orderkey << 2 AS shifted_up,
+       o_orderkey >> 3 AS shifted_down,
+       CAST(bit_count(o_orderkey) AS INT) AS popcount
+FROM orders
+WHERE o_orderkey % 100 = 0
+"""
+
+
+@register("f_bitwise", oracle=_F_BITWISE_ORACLE, tags=("function",))
+def f_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise expression breadth (SURVEY §2.F): and/or/xor, shifts,
+    popcount — the integer tool-kit under flag packing, bucket masks, and
+    bitmap tricks (agg_bitmap_distinct is the aggregate-side sibling). All
+    codegen, zero shuffles. XOR spelled as a function because the operator
+    glyph differs across engines (Spark ``^``, DuckDB ``xor()``) while the
+    semantics don't — the oracle proves value equality."""
+    apply_engine_conf(spark)
+    od = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return od.select(
+        "o_orderkey",
+        F.expr("o_orderkey & 255").alias("low_byte"),
+        F.expr("o_orderkey | 4096").alias("with_flag"),
+        F.expr("o_orderkey ^ 65535").alias("xored"),
+        F.expr("shiftleft(o_orderkey, 2)").alias("shifted_up"),
+        F.expr("shiftright(o_orderkey, 3)").alias("shifted_down"),
+        F.expr("CAST(bit_count(o_orderkey) AS INT)").alias("popcount"),
+    )

@@ -1278,3 +1278,65 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# --- llm_bpe_pair_counts: one BPE-merge iteration's statistics ---------------
+
+# The tokenizer-training primitive: BPE training repeatedly (1) counts
+# adjacent symbol pairs across the corpus vocabulary weighted by word
+# frequency, (2) merges the argmax pair. This operator is step (1) — the
+# part that touches corpus-scale data; the merge itself is a driver-side
+# table update on the top row.
+_BPE_TOP = 20
+
+_BPE_ORACLE = f"""
+WITH vocab AS (
+  SELECT t AS word, COUNT(*) AS freq
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+  WHERE len(t) >= 2
+  GROUP BY t
+),
+pairs AS (
+  SELECT substr(word, i, 2) AS pair, freq
+  FROM vocab, UNNEST(range(1, len(word))) AS r(i)
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+FROM pairs
+GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT {_BPE_TOP}
+"""
+
+
+@register("llm_bpe_pair_counts", oracle=_BPE_ORACLE, tags=("llm", "text"))
+def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-merge iteration's pair statistics: corpus → word vocabulary
+    with frequencies (the first aggregate collapses the corpus to its
+    distinct words — at 100 TB this is the step that shrinks billions of
+    tokens to a vocabulary of millions, and every later iteration works on
+    THAT, never re-scanning the corpus) → adjacent character-pair counts
+    weighted by word frequency → deterministic top-20 (count desc, pair
+    asc) via TakeOrderedAndProject. Two map-side-combined exchanges: token
+    counts keyed on the word, pair counts keyed on the 2-char pair. This is
+    the data-parallel half of tokenizer training; the merge-table update it
+    feeds is O(1) driver work per iteration."""
+    apply_engine_conf(spark)
+    docs = rebalance_for_map(table(spark, sf_dir, "documents"), spark)
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(_BPE_TOP)
+    )

@@ -132,6 +132,8 @@ DRIVER_PRIORITY = [
     "f_array_ops",
     "f_regex",
     "agg_any_all",
+    "llm_bpe_pair_counts",
+    "f_bitwise",
     # (c) changed this round
     "agg_corr",
     "llm_emb_lsh",
@@ -147,8 +149,6 @@ DRIVER_PRIORITY = [
     "flt_geo",
     "flt_exists",
     "proj_select",
-    "join_bcast",
-    "join_semi",
 ]
 
 

@@ -375,3 +375,52 @@ def test_dedup_audit_recall_gate(spark, sf_dir):
     row = QUERIES["llm_dedup_audit"].builder(spark, sf_dir).collect()[0]
     assert row.n_truth > 0, "audit panel produced no ground-truth pairs — fixture drift?"
     assert row.recall >= 0.90, f"candidate recall degraded: {row.recall:.3f}"
+
+
+def test_doc_shard_assignment_is_corpus_independent(spark, sf_dir):
+    """llm_doc_shard's shard must depend only on the doc's key, never on
+    corpus size — the property that makes incremental re-sharding cheap
+    (old docs never move when the corpus grows). Verified by sharding two
+    different corpus sizes and asserting identical shards on the common
+    doc_ids (positions may shift; that is expected and fine)."""
+    from air_quality_data_pipeline_spark.registry import QUERIES
+
+    small = {
+        r.doc_id: r.shard
+        for r in QUERIES["llm_doc_shard"].builder(spark, "/root/testdata/sf0.001").collect()
+    }
+    big = {
+        r.doc_id: r.shard
+        for r in QUERIES["llm_doc_shard"].builder(spark, "/root/testdata/sf0.01").collect()
+    }
+    common = set(small) & set(big)
+    assert common, "fixture corpora share no doc_ids — test premise broken"
+    moved = {d for d in common if small[d] != big[d]}
+    assert not moved, f"{len(moved)} docs changed shard when the corpus grew"
+
+
+def test_ewma_tail_weight_bound(spark, sf_dir):
+    """ts_ewma truncates the recurrence at 8 terms; the discarded tail
+    weight is 2^-8 < 0.4% of the total. Sanity-pin the smoothing: every
+    EWMA value must lie within the min/max of the series seen so far
+    (a convexity property any correct weighted average has)."""
+    from air_quality_data_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["ts_ewma"].builder(spark, sf_dir).collect()
+    assert rows
+    import collections
+
+    hist = collections.defaultdict(list)
+    # rows come back unordered; the convexity check needs per-user order.
+    # event_id is monotone within the fixture's per-user event stream only
+    # jointly with ts — re-sort by (user, event_id) as a stable proxy.
+    for r in sorted(rows, key=lambda r: (r.user_id, r.event_id)):
+        hist[r.user_id].append((r.value, r.ewma))
+    for user, seq in hist.items():
+        window = []
+        for value, ewma in seq:
+            window.append(value)
+            lo, hi = min(window[-8:]), max(window[-8:])
+            assert lo - 1e-9 <= ewma <= hi + 1e-9, (
+                f"user {user}: ewma {ewma} outside window [{lo}, {hi}]"
+            )
