@@ -134,6 +134,7 @@ DRIVER_PRIORITY = [
     "agg_any_all",
     "llm_bpe_pair_counts",
     "f_bitwise",
+    "st_incr_resume",
     # (c) changed this round
     "agg_corr",
     "llm_emb_lsh",
@@ -148,7 +149,6 @@ DRIVER_PRIORITY = [
     "flt_numeric",
     "flt_geo",
     "flt_exists",
-    "proj_select",
 ]
 
 

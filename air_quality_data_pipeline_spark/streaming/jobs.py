@@ -366,3 +366,54 @@ def st_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+# --- st_incr_resume: checkpoint-resume incremental processing ---------------
+
+_INCR_RESUME_ORACLE = """
+SELECT event_id, user_id, event_type, value FROM events
+"""
+
+
+@register("st_incr_resume", oracle=_INCR_RESUME_ORACLE, tags=("streaming", "scale"))
+def st_incr_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once incremental processing across RESTARTS — the property
+    the reference's daily cron rerun lacks (it reprocesses the world every
+    run, main.py:198-303). Two staged arrivals: run 1 streams batch-1 files
+    into a parquet sink and stops; batch-2 files then land; run 2 starts
+    with the SAME checkpoint and processes ONLY the new files — the
+    checkpoint's file log skips batch 1 even though those files are still
+    in the directory. The final sink holds every event exactly once, so
+    the whole two-run protocol oracle-checks against the plain batch
+    table. At 100 TB/day this is THE ingestion pattern: per-run cost is
+    proportional to new data, restarts are safe at any point, and the
+    file-log lookup is O(new files), not O(directory)."""
+    apply_engine_conf(spark)
+    base = tempfile.mkdtemp(prefix="st_incr_resume_")
+    src, ckpt, out = base + "/src", base + "/ckpt", base + "/out"
+    os.makedirs(src)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    schema = ev.schema
+
+    def _run_once() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # arrival 1: two thirds of the data; run to completion and stop
+    ev.filter(F.col("event_id") % 3 != 2).write.mode("append").parquet(src)
+    _run_once()
+    # arrival 2: the rest lands later; the resumed run must process ONLY it
+    ev.filter(F.col("event_id") % 3 == 2).write.mode("append").parquet(src)
+    _run_once()
+    return spark.read.parquet(out)
