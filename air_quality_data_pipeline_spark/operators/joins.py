@@ -543,3 +543,35 @@ def join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         best["dist"].alias("distance"),
         F.count(F.lit(1)).alias("n_candidates"),
     )
+
+
+# --- join_cross: explicit cartesian (both sides provably tiny) ---------------
+
+_CROSS_ORACLE = """
+SELECT r1.r_name AS region_a, r2.r_name AS region_b,
+       CASE WHEN r1.r_regionkey < r2.r_regionkey THEN 1 ELSE 0 END AS ordered_pair
+FROM region r1 CROSS JOIN region r2
+"""
+
+
+@register("join_cross", oracle=_CROSS_ORACLE, tags=("join",))
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product — the one join type the rest of this
+    module is plan-gated AGAINST appearing by accident. It has exactly one
+    legitimate shape at scale: both sides provably tiny (config/dimension
+    cross products, parameter grids — here region x region, 25 rows). The
+    API requires the intent to be explicit (``crossJoin``; SQL CROSS
+    JOIN), which is the guard: a cartesian that appears WITHOUT this
+    opt-in is a planning bug the test suite catches. Broadcast NL join at
+    any cluster size — no exchange of the big... there is no big side, by
+    contract."""
+    apply_engine_conf(spark)
+    r1 = table(spark, sf_dir, "region")
+    r2 = table(spark, sf_dir, "region")
+    return r1.alias("a").crossJoin(r2.alias("b")).select(
+        F.col("a.r_name").alias("region_a"),
+        F.col("b.r_name").alias("region_b"),
+        F.when(F.col("a.r_regionkey") < F.col("b.r_regionkey"), 1)
+        .otherwise(0)
+        .alias("ordered_pair"),
+    )

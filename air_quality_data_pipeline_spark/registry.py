@@ -135,6 +135,7 @@ DRIVER_PRIORITY = [
     "llm_bpe_pair_counts",
     "f_bitwise",
     "st_incr_resume",
+    "join_cross",
     # (c) changed this round
     "agg_corr",
     "llm_emb_lsh",
@@ -148,7 +149,6 @@ DRIVER_PRIORITY = [
     "flt_notnull",
     "flt_numeric",
     "flt_geo",
-    "flt_exists",
 ]
 
 
