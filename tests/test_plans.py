@@ -434,3 +434,41 @@ def test_sql_lateral_decorrelates(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, (
         f"lateral must decorrelate to an equi-join, not a per-row loop:\n{plan}"
     )
+
+
+def test_no_accidental_cartesian_anywhere(spark, sf_dir):
+    """Sweep EVERY registered batch query's physical plan for
+    CartesianProduct — the plan node that turns 100 TB into heat death.
+    join_cross is the one operator allowed to produce it (explicit
+    crossJoin of two 5-row dimensions; AQE usually plans even that as a
+    broadcast NL join). Streaming builders are skipped: building them runs
+    a full query to completion, and their plans are covered by their own
+    gates."""
+    offenders = []
+    for name, spec in SPECS.items():
+        if "streaming" in spec.tags or "timewindow" in spec.tags or name == "join_cross":
+            continue
+        try:
+            plan = spec.builder(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # building must never fail either
+            offenders.append(f"{name}: build error {exc}")
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian (or build failure) in: {offenders}"
+
+
+def test_scalar_functions_never_shuffle(spark, sf_dir):
+    """Every 'function'-tagged operator must be pure per-row map work —
+    zero shuffle exchanges in its executed plan. A scalar function that
+    grows a shuffle is a planning regression (the one structural
+    exception, f_map_build, aggregates into its map and is exempted)."""
+    offenders = []
+    for name, spec in SPECS.items():
+        if "function" not in spec.tags or name == "f_map_build":
+            continue
+        plan = spec.builder(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        n = plan.count("Exchange hashpartitioning")
+        if n:
+            offenders.append(f"{name}: {n} shuffles")
+    assert not offenders, f"scalar functions grew shuffles: {offenders}"
