@@ -1340,3 +1340,62 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(_BPE_TOP)
     )
+
+
+# --- llm_dataset_card: one-pass corpus summary report ------------------------
+
+_DATASET_CARD_ORACLE = """
+WITH per_doc AS (
+  SELECT doc_id, lang, source, n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         md5(text) AS h
+  FROM documents
+),
+dup AS (
+  SELECT COUNT(*) - COUNT(DISTINCT h) AS n_dup_docs FROM per_doc
+)
+SELECT
+  (SELECT COUNT(*) FROM per_doc) AS n_docs,
+  (SELECT CAST(SUM(n_chars) AS BIGINT) FROM per_doc) AS total_chars,
+  (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM per_doc) AS total_tokens,
+  (SELECT COUNT(DISTINCT lang) FROM per_doc) AS n_langs,
+  (SELECT string_agg(DISTINCT lang, ',' ORDER BY lang) FROM per_doc) AS langs,
+  (SELECT COUNT(DISTINCT source) FROM per_doc) AS n_sources,
+  (SELECT n_dup_docs FROM dup) AS n_dup_docs,
+  (SELECT CAST(MIN(n_chars) AS BIGINT) FROM per_doc) AS min_chars,
+  (SELECT CAST(MAX(n_chars) AS BIGINT) FROM per_doc) AS max_chars
+"""
+
+
+@register("llm_dataset_card", oracle=_DATASET_CARD_ORACLE, tags=("llm", "text", "quality"))
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics — the summary block every published training
+    corpus ships (docs, chars, tokens, language/source coverage, exact-dup
+    count, length extremes) — computed in ONE corpus scan: the per-doc
+    projection derives tokens and content hash alongside the metadata, and
+    a single global aggregate folds all nine metrics (count-distinct on
+    the 32-hex digest rides the same exchange as the sums; the sorted-CSV
+    language list is bounded by the language inventory, not the corpus).
+    At 100 TB: one pass, map-side partials for everything, and the final
+    reduce carries one row. The oracle spells it as scalar subqueries —
+    same values, deliberately naive shape."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5("text").alias("h"),
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs"),
+        F.countDistinct("source").alias("n_sources"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_dup_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )

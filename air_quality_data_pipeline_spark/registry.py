@@ -136,6 +136,7 @@ DRIVER_PRIORITY = [
     "f_bitwise",
     "st_incr_resume",
     "join_cross",
+    "llm_dataset_card",
     # (c) changed this round
     "agg_corr",
     "llm_emb_lsh",
@@ -148,7 +149,6 @@ DRIVER_PRIORITY = [
     "flt_isin",
     "flt_notnull",
     "flt_numeric",
-    "flt_geo",
 ]
 
 
