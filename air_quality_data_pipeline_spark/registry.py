@@ -93,9 +93,37 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     (staged token hashes + persisted grams, both engines);
 # (d) stalest greens — every remaining slot goes to queries whose last
 #     driver sample is round 1, oldest evidence first in module order.
+#
+# Round-5 REVISION (TPC-H completion landed): with ~56 never-sampled
+# queries and a 50-slot window, the slots go to first-rows exclusively.
+# The 6 changed-this-round queries and the stalest round-1 greens are
+# moved BELOW the fold: their latest driver samples are green, the exact
+# changed code is re-verified locally at sf0.01 and by the sf1 replay
+# (scripts/oracle_replay.py, commit c59da19), so a re-sample is worth
+# less than any never-sampled query's first row. The five scalar-surface
+# demos (f_date_arith/f_array_ops/f_regex/agg_any_all/f_bitwise) and
+# win_ntile are deferred to round 6 — lowest plan novelty (single-stage,
+# shuffle-free; the repo-wide plan invariants already pin them).
 DRIVER_PRIORITY = [
     # (a) the one query without a driver row
     "llm_minhash_lsh",
+    # (a2) TPC-H completion batch (new this round, never sampled)
+    "sql_q2",
+    "sql_q5",
+    "sql_q7",
+    "sql_q8",
+    "sql_q9",
+    "sql_q10",
+    "sql_q11",
+    "sql_q12",
+    "sql_q13",
+    "sql_q15",
+    "sql_q16",
+    "sql_q17",
+    "sql_q19",
+    "sql_q20",
+    "sql_q21",
+    "sql_q22",
     # (b) new this round
     "agg_histogram",
     "ts_seasonal",
@@ -116,7 +144,6 @@ DRIVER_PRIORITY = [
     "sql_q18",
     "agg_argmax",
     "agg_string_agg",
-    "win_ntile",
     "ts_ewma",
     "dq_referential",
     "src_schema_evolution",
@@ -128,16 +155,20 @@ DRIVER_PRIORITY = [
     "join_dpp",
     "snk_compact",
     "sql_lateral",
+    "llm_bpe_pair_counts",
+    "st_incr_resume",
+    "join_cross",
+    "llm_dataset_card",
+    # --- the 50-slot fold lands about here ---
+    # deferred to round 6: scalar-surface demos (plan-invariant-pinned)
+    "win_ntile",
     "f_date_arith",
     "f_array_ops",
     "f_regex",
     "agg_any_all",
-    "llm_bpe_pair_counts",
     "f_bitwise",
-    "st_incr_resume",
-    "join_cross",
-    "llm_dataset_card",
-    # (c) changed this round
+    # (c) changed this round (latest driver samples green; re-verified
+    # locally and at sf1, so below the first-row block)
     "agg_corr",
     "llm_emb_lsh",
     "llm_minhash_dedup",
@@ -150,6 +181,25 @@ DRIVER_PRIORITY = [
     "flt_notnull",
     "flt_numeric",
 ]
+
+# The driver reads the FIRST 50 registry entries; names past the fold only
+# order the remainder of the registry.
+DRIVER_WINDOW = DRIVER_PRIORITY[:50]
+
+# Never-sampled oracle queries deliberately left OUTSIDE the round-5 window
+# (56 first-row candidates > 50 slots). These six are the lowest-risk class
+# in the registry — single-stage shuffle-free scalar/window surfaces whose
+# plans are pinned by the repo-wide invariants in tests/test_plans.py and
+# whose oracles are green locally at sf0.01 and in the sf1 replay. They are
+# the round-6 window's first entries.
+DEFERRED_FIRST_ROW = {
+    "win_ntile",
+    "f_date_arith",
+    "f_array_ops",
+    "f_regex",
+    "agg_any_all",
+    "f_bitwise",
+}
 
 
 def load_all_queries() -> dict[str, QuerySpec]:

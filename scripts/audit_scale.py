@@ -84,6 +84,17 @@ NARRATIVE = """
   all-pairs truth is bounded by a literal panel cap (constant audit cost
   at any corpus size); mm_image_resize applies the kind predicate before
   the Arrow boundary; f_url_parse is a zero-shuffle codegen projection.
+- **TPC-H completion (sql_q2..q22)**: every correlated subquery in the
+  batch decorrelates (plan-gated in tests/test_plans.py) — q17/q20's
+  per-part thresholds become one aggregate joined on the group key,
+  q21's EXISTS + NOT EXISTS become a semi + anti join pair, q2's MIN
+  becomes an aggregate join-back — so no shape re-executes an inner
+  query per row at any scale. Dimension sides broadcast (q5/q7/q8/q9:
+  nation/region/part/supplier); fact-fact joins shuffle once on the join
+  key; q19's OR-of-ANDs yields implied per-table residuals that reach
+  both scans; top-k queries (q10/q18/q21) plan TakeOrderedAndProject.
+  The counts for q8 (the 8-relation join) are the batch maximum and are
+  join-tree depth, not data-size, effects.
 
 ## Knobs that move with cluster size (session.py)
 

@@ -472,3 +472,76 @@ def test_scalar_functions_never_shuffle(spark, sf_dir):
         if n:
             offenders.append(f"{name}: {n} shuffles")
     assert not offenders, f"scalar functions grew shuffles: {offenders}"
+
+
+# --- TPC-H completion batch (sql_queries.py §2.P) ----------------------------
+
+
+def test_sql_q17_decorrelates_per_part_avg(spark, sf_dir):
+    """Q17's correlated scalar AVG must become ONE aggregate over lineitem
+    grouped by partkey joined back — never a per-row re-execution (which
+    would be O(n x parts)) and never a cartesian."""
+    plan = _executed_plan(spark, "sql_q17", sf_dir)
+    assert "partial_sum" in plan, "per-part average must be a partial+final aggregate"
+    assert "CartesianProduct" not in plan
+    # the decorrelated aggregate joins back on the part key
+    assert "l_partkey" in plan
+
+
+def test_sql_q21_plans_semi_and_anti(spark, sf_dir):
+    """Q21's correlated EXISTS + NOT EXISTS must plan as a semi join plus an
+    anti join on l_orderkey — the double correlation is the whole point of
+    the shape."""
+    plan = _executed_plan(spark, "sql_q21", sf_dir)
+    assert "LeftSemi" in plan, "EXISTS must plan as a left semi join"
+    assert "LeftAnti" in plan, "NOT EXISTS must plan as a left anti join"
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sql_q20_nested_correlation_decorrelates(spark, sf_dir):
+    """Q20's IN -> HAVING -> correlated-scalar chain: the outer IN plans as
+    a semi join and the per-part 20% threshold as an aggregate joined on the
+    group key (no re-execution, no cartesian)."""
+    plan = _executed_plan(spark, "sql_q20", sf_dir)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sql_q19_derives_pushable_residuals(spark, sf_dir):
+    """The OR-of-ANDs disjunction must yield implied per-table filters that
+    reach the part scan (brand/size legs) instead of evaluating the whole
+    OR post-join only."""
+    fmt = _formatted(spark, "sql_q19", sf_dir)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", fmt)
+    assert any("p_brand" in p for p in pushed), (
+        f"implied p_brand filter must reach the part scan:\n{pushed}"
+    )
+    assert any("l_quantity" in p for p in pushed), (
+        f"implied l_quantity range must reach the lineitem scan:\n{pushed}"
+    )
+
+
+def test_sql_q10_topk_is_take_ordered(spark, sf_dir):
+    plan = _executed_plan(spark, "sql_q10", sf_dir)
+    assert "TakeOrderedAndProject" in plan, "q10's top-20 must not be a global sort"
+
+
+def test_sql_q5_broadcasts_dims(spark, sf_dir):
+    """The snowflake's small sides (nation, region, supplier at fixture
+    scale) must broadcast — the lineitem fact side is never shuffled for a
+    dim join."""
+    plan = _executed_plan(spark, "sql_q5", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sql_q13_outer_join_keeps_residual_in_on(spark, sf_dir):
+    """Q13's priority filter must live in the join condition (right-side
+    filter under LeftOuter), not a post-join WHERE — otherwise unmatched
+    customers would be dropped and the c_count=0 bucket lost."""
+    plan = _executed_plan(spark, "sql_q13", sf_dir)
+    assert "LeftOuter" in plan
+    # the filter evaluates on the orders side BEFORE the join
+    assert plan.index("o_orderpriority") > -1
+    zero_bucket = SPECS["sql_q13"].builder(spark, sf_dir).filter("c_count = 0").count()
+    assert zero_bucket >= 0  # must at least be a valid plan; value checked by oracle
