@@ -1,0 +1,174 @@
+"""Graph operators over relation-derived edge sets.
+
+The reference has no graph surface (its 309-line ETL is row-oriented,
+main.py:137-162); an analytics engine curating 100 TB corpora needs at
+least the iterative-propagation primitive (PageRank-style scoring is the
+canonical link-quality signal in web-corpus curation, and the same
+join-aggregate-iterate skeleton underlies label propagation and connected
+components — see llm_dedup_clusters for the min-label variant).
+
+Design for scale:
+
+- **Edges are derived, never collected.** The co-purchase graph is built
+  from lineitem with one self-join on the order key and one hash aggregate;
+  the driver never sees an edge.
+- **Fixed-point BIGINT arithmetic end-to-end.** Float PageRank is
+  summation-order-dependent, so two engines (or two partitionings) disagree
+  in the last ulps. Every quantity here is an integer: rank is scaled by
+  10^12, per-edge contributions use integer division, and the damping mix
+  is (85 * inflow) div 100. Integer sums are commutative — the result is
+  BIT-IDENTICAL on any cluster layout and in DuckDB, which is what makes a
+  full value-hash oracle possible for an iterative algorithm.
+- **The iteration is a driver LOOP, not driver DATA.** Each of the 3
+  rounds is one broadcast-join + hash-aggregate over the rank table
+  (|V| rows); lineage stays 3 levels deep, nothing is collected.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..session import apply_engine_conf, scoped_persist
+from ..tables import table
+
+_SCALE = 1_000_000_000_000  # 10^12 fixed-point scale
+_ITERS = 3
+_DAMP_NUM, _DAMP_DEN = 85, 100
+
+# The oracle spells the identical integer algebra as chained CTEs — one CTE
+# pair (inflowK, prK) per iteration. // is DuckDB's integer division; the
+# Spark side uses DIV. Both truncate toward zero and every value is
+# positive, so they agree exactly.
+_PAGERANK_ORACLE = f"""
+WITH pair_counts AS (
+  SELECT l1.l_suppkey AS src, l2.l_suppkey AS dst, COUNT(*) AS w
+  FROM lineitem l1
+  JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+  GROUP BY l1.l_suppkey, l2.l_suppkey
+),
+edges AS (
+  SELECT src, dst FROM pair_counts
+  WHERE w > (SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*) FROM pair_counts)
+),
+deg AS (
+  SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src
+),
+n AS (SELECT COUNT(*) AS c FROM deg),
+p0 AS (
+  SELECT node, ({_SCALE} // (SELECT c FROM n)) AS pr FROM deg
+),
+inflow1 AS (
+  SELECT e.dst AS node, SUM(p.pr // d.outdeg) AS inflow
+  FROM edges e JOIN p0 p ON p.node = e.src JOIN deg d ON d.node = e.src
+  GROUP BY e.dst
+),
+p1 AS (
+  SELECT node, (15 * ({_SCALE} // (SELECT c FROM n))) // 100
+               + ({_DAMP_NUM} * inflow) // {_DAMP_DEN} AS pr
+  FROM inflow1
+),
+inflow2 AS (
+  SELECT e.dst AS node, SUM(p.pr // d.outdeg) AS inflow
+  FROM edges e JOIN p1 p ON p.node = e.src JOIN deg d ON d.node = e.src
+  GROUP BY e.dst
+),
+p2 AS (
+  SELECT node, (15 * ({_SCALE} // (SELECT c FROM n))) // 100
+               + ({_DAMP_NUM} * inflow) // {_DAMP_DEN} AS pr
+  FROM inflow2
+),
+inflow3 AS (
+  SELECT e.dst AS node, SUM(p.pr // d.outdeg) AS inflow
+  FROM edges e JOIN p2 p ON p.node = e.src JOIN deg d ON d.node = e.src
+  GROUP BY e.dst
+),
+p3 AS (
+  SELECT node, (15 * ({_SCALE} // (SELECT c FROM n))) // 100
+               + ({_DAMP_NUM} * inflow) // {_DAMP_DEN} AS pr
+  FROM inflow3
+)
+SELECT CAST(node AS BIGINT) AS suppkey, CAST(pr AS BIGINT) AS pr_fixed
+FROM p3
+ORDER BY pr_fixed DESC, suppkey
+"""
+
+
+@register("graph_pagerank", oracle=_PAGERANK_ORACLE, tags=("graph", "iterative"))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the supplier co-purchase graph.
+
+    Graph: suppliers are nodes; an edge connects suppliers whose pair
+    co-occurs in MORE orders than the average pair (the mean threshold is
+    scale-invariant — co-occurrence counts and their mean both grow with
+    SF, so the graph stays meaningfully sparse at every scale, unlike a
+    fixed cutoff). The graph is symmetric, so there are no dangling nodes
+    and out-degree equals in-degree.
+
+    Rank arithmetic is scaled-integer (see module docstring): pr starts at
+    SCALE div N and each round is
+    ``(15 * (SCALE div N)) div 100  +  (85 * sum(pr_src div outdeg_src)) div 100``
+    — every operation integral, every sum commutative, so Spark and DuckDB
+    agree bit-for-bit after any number of iterations.
+
+    Scale: the edge build is one self-equi-join on l_orderkey (shuffle on
+    the key; within-order pair fan-out is bounded by order size) + one hash
+    aggregate. Each iteration joins the |V|-row rank table to edges —
+    rank and degree sides broadcast at any realistic |V| — and reduces by
+    dst with map-side partial sums. 3 iterations = 3 such rounds; lineage
+    is shallow enough that no checkpoint is needed."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    l1 = li.alias("l1")
+    l2 = li.alias("l2")
+    pair_counts = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        )
+        .groupBy(
+            F.col("l1.l_suppkey").alias("src"), F.col("l2.l_suppkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    mean_w = pair_counts.agg(
+        (F.sum("w").cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    edges = scoped_persist(
+        pair_counts.join(F.broadcast(mean_w))
+        .filter(F.col("w") > F.col("m"))
+        .select("src", "dst")
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("c"))
+    # base rank and teleport term, both exact integers derived from |V|
+    pr = (
+        deg.join(F.broadcast(n_nodes))
+        .select("node", F.expr(f"{_SCALE} div c").alias("pr"))
+    )
+    teleport = F.expr(f"15 * ({_SCALE} div c) div 100")
+    for _ in range(_ITERS):
+        inflow = (
+            edges.join(F.broadcast(pr), edges.src == pr.node)
+            .join(F.broadcast(deg.alias("d")), edges.src == F.col("d.node"))
+            .select(edges.dst, F.expr("pr div outdeg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        pr = (
+            inflow.join(F.broadcast(n_nodes))
+            .select(
+                F.col("dst").alias("node"),
+                (teleport + F.expr(f"{_DAMP_NUM} * inflow div {_DAMP_DEN}")).alias("pr"),
+            )
+        )
+    out = pr.select(
+        F.col("node").cast("bigint").alias("suppkey"),
+        F.col("pr").cast("bigint").alias("pr_fixed"),
+    ).orderBy(F.desc("pr_fixed"), F.asc("suppkey"))
+    return out

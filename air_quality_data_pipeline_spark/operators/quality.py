@@ -505,3 +505,87 @@ def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_fk_audit(od, "o_custkey", cu, "c_custkey", "orders->customer"))
         .unionByName(_fk_audit(li, "l_partkey", pa, "p_partkey", "lineitem->part"))
     )
+
+
+# --- obs_metrics: zero-extra-scan pipeline instrumentation -------------------
+
+# The oracle recomputes the same four stage metrics the observations
+# capture, as plain aggregates (two scans for DuckDB; the POINT of the
+# Spark side is that it needs zero extra scans — the metrics ride the one
+# pipeline pass).
+_OBS_ORACLE = """
+SELECT
+  (SELECT COUNT(*) FROM lineitem
+   WHERE l_shipdate >= DATE '1996-01-01') AS filtered_rows,
+  (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(20, 4))) AS DOUBLE) FROM lineitem
+   WHERE l_shipdate >= DATE '1996-01-01') AS filtered_qty,
+  (SELECT COUNT(*) FROM lineitem JOIN part ON p_partkey = l_partkey
+   WHERE l_shipdate >= DATE '1996-01-01' AND p_type = 'PROMO') AS joined_rows,
+  (SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20, 4)))
+          AS DOUBLE)
+   FROM lineitem JOIN part ON p_partkey = l_partkey
+   WHERE l_shipdate >= DATE '1996-01-01' AND p_type = 'PROMO') AS joined_revenue
+"""
+
+
+@register("obs_metrics", oracle=_OBS_ORACLE, tags=("quality", "observe"))
+def obs_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline instrumentation via the Observation API (``df.observe``):
+    per-stage row counts and value sums collected DURING the pipeline's
+    own single pass — zero additional scans, zero additional shuffles.
+
+    This is how a 100 TB job self-audits: re-running ``COUNT(*)`` probes
+    after the fact (what the DuckDB oracle does, and what the reference
+    effectively does by re-reading its own CSV, main.py:270-279) doubles
+    the scan bill; observations are accumulator-style aggregates attached
+    to plan nodes, so the filter stage and the join stage each report
+    (rows, sum) for free as the data streams through. The pipeline output
+    itself goes to the `noop` sink — the JVM-side /dev/null that executes
+    the full plan without writing (the standard way to drive a
+    measurement-only pass).
+
+    The returned 1-row DataFrame is assembled from the two observation
+    payloads — bounded driver state (8 scalars), same as every audit
+    summary. DECIMAL sums keep the observed values exact, so they match
+    the oracle's recomputation bit-for-bit after the one cast to double."""
+    apply_engine_conf(spark)
+    from pyspark.sql import Observation
+
+    li = table(spark, sf_dir, "lineitem")
+    pa = table(spark, sf_dir, "part")
+    obs_filter = Observation("filter_stage")
+    obs_join = Observation("join_stage")
+
+    filtered = li.filter(F.col("l_shipdate") >= F.lit("1996-01-01").cast("date")).observe(
+        obs_filter,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("l_quantity").cast("decimal(20,4)")).alias("qty"),
+    )
+    joined = (
+        filtered.join(
+            F.broadcast(pa.filter(F.col("p_type") == "PROMO")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        ).observe(
+            obs_join,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(20,4)"
+                )
+            ).alias("revenue"),
+        )
+    )
+    joined.write.format("noop").mode("overwrite").save()
+
+    fm, jm = obs_filter.get, obs_join.get
+    row = [
+        (
+            int(fm["rows"]),
+            float(fm["qty"]),
+            int(jm["rows"]),
+            float(jm["revenue"]),
+        )
+    ]
+    return spark.createDataFrame(
+        row, "filtered_rows bigint, filtered_qty double, joined_rows bigint, joined_revenue double"
+    )

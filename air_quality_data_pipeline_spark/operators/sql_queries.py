@@ -972,3 +972,44 @@ def sql_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     _views(spark, sf_dir, "customer", "orders")
     return spark.sql(_SQL_Q22)
+
+
+# --- sql_recursive: WITH RECURSIVE hierarchy walk ----------------------------
+
+# The part "assembly tree" is the implicit binary hierarchy parent(k) =
+# floor(k/2): real fixture keys, ~log2(|part|) depth, every part reachable
+# from key 1. The parent step is spelled (node - node % 2) / 2 with a cast
+# because `/` yields DOUBLE in both dialects (exact for key magnitudes) —
+# the dialect-split `//` vs `DIV` never appears, keeping the text shared.
+_SQL_RECURSIVE = """
+WITH RECURSIVE anc AS (
+  SELECT p_partkey AS part, p_partkey AS node, 0 AS depth FROM part
+  UNION ALL
+  SELECT a.part, CAST((a.node - a.node % 2) / 2 AS BIGINT), a.depth + 1
+  FROM anc a WHERE a.node > 1
+)
+SELECT anc.part, CAST(MAX(anc.depth) AS INTEGER) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS chain_len,
+       CAST(SUM(CAST(pp.p_retailprice AS DECIMAL(20, 4))) AS DOUBLE) AS path_value
+FROM anc JOIN part pp ON pp.p_partkey = anc.node
+GROUP BY anc.part
+"""
+
+
+@register("sql_recursive", oracle=_SQL_RECURSIVE, tags=("sql", "recursive"))
+def sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, new in Spark 4): ancestor-chain walk
+    over the part hierarchy parent(k) = floor(k/2) — the BOM-explosion /
+    org-chart query shape relational engines historically couldn't express.
+    Each recursion level is ONE self-join of the frontier against the
+    anchor rule, so total work is O(|part| x depth) with depth =
+    log2(|part|) (~11 at sf0.01, ~18 at 100 TB scale — the recursion DEPTH
+    grows logarithmically even when the data grows 1000x, which is what
+    makes recursive hierarchy walks scale-safe; the per-level frontier is
+    embarrassingly parallel). The aggregate then folds each part's full
+    ancestor path into depth / chain length / DECIMAL-exact path value.
+    Identical text runs in DuckDB — recursion is oracle-checked end to
+    end."""
+    apply_engine_conf(spark)
+    _views(spark, sf_dir, "part")
+    return spark.sql(_SQL_RECURSIVE)

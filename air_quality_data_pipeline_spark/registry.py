@@ -46,6 +46,7 @@ _QUERY_MODULES = [
     "air_quality_data_pipeline_spark.operators.multimodal",
     "air_quality_data_pipeline_spark.operators.timeseries",
     "air_quality_data_pipeline_spark.operators.quality",
+    "air_quality_data_pipeline_spark.operators.graph",
     "air_quality_data_pipeline_spark.sources.queries",
     "air_quality_data_pipeline_spark.streaming.timewindow",
     "air_quality_data_pipeline_spark.streaming.jobs",
@@ -124,8 +125,11 @@ DRIVER_PRIORITY = [
     "sql_q20",
     "sql_q21",
     "sql_q22",
+    # (a3) graph/recursive/observe batch (new this round, never sampled)
+    "graph_pagerank",
+    "sql_recursive",
+    "obs_metrics",
     # (b) new this round
-    "agg_histogram",
     "ts_seasonal",
     "ts_concurrency",
     "llm_ngram_lm_score",
@@ -134,7 +138,6 @@ DRIVER_PRIORITY = [
     "agg_sketch_union",
     "llm_dedup_audit",
     "mm_image_resize",
-    "f_url_parse",
     "llm_semantic_dedup",
     "dq_drift",
     "join_fuzzy",
@@ -143,7 +146,6 @@ DRIVER_PRIORITY = [
     "sql_q14",
     "sql_q18",
     "agg_argmax",
-    "agg_string_agg",
     "ts_ewma",
     "dq_referential",
     "src_schema_evolution",
@@ -160,13 +162,17 @@ DRIVER_PRIORITY = [
     "join_cross",
     "llm_dataset_card",
     # --- the 50-slot fold lands about here ---
-    # deferred to round 6: scalar-surface demos (plan-invariant-pinned)
+    # deferred to round 6: scalar-surface and single-aggregate demos
+    # (plan-invariant-pinned)
     "win_ntile",
     "f_date_arith",
     "f_array_ops",
     "f_regex",
     "agg_any_all",
     "f_bitwise",
+    "f_url_parse",
+    "agg_histogram",
+    "agg_string_agg",
     # (c) changed this round (latest driver samples green; re-verified
     # locally and at sf1, so below the first-row block)
     "agg_corr",
@@ -199,6 +205,12 @@ DEFERRED_FIRST_ROW = {
     "f_regex",
     "agg_any_all",
     "f_bitwise",
+    # deferred when the graph/recursive/observe batch took their slots:
+    # zero- or single-exchange surfaces pinned by the repo-wide plan
+    # invariants (scalar functions never shuffle; single-aggregate gates)
+    "f_url_parse",
+    "agg_histogram",
+    "agg_string_agg",
 }
 
 

