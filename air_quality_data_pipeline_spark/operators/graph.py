@@ -40,20 +40,24 @@ _DAMP_NUM, _DAMP_DEN = 85, 100
 # The oracle spells the identical integer algebra as chained CTEs — one CTE
 # pair (inflowK, prK) per iteration. // is DuckDB's integer division; the
 # Spark side uses DIV. Both truncate toward zero and every value is
-# positive, so they agree exactly.
+# positive, so they agree exactly. pair_counts/edges/deg are MATERIALIZED:
+# DuckDB inlines multiply-referenced CTEs by default, and the reference
+# fan-out here (edges consumed by deg + all three iterations, each pulling
+# pair_counts again) re-expands the lineitem self-join enough times to
+# spill tens of GB at sf1 — materializing computes each once.
 _PAGERANK_ORACLE = f"""
-WITH pair_counts AS (
+WITH pair_counts AS MATERIALIZED (
   SELECT l1.l_suppkey AS src, l2.l_suppkey AS dst, COUNT(*) AS w
   FROM lineitem l1
   JOIN lineitem l2
     ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
   GROUP BY l1.l_suppkey, l2.l_suppkey
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT src, dst FROM pair_counts
   WHERE w > (SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*) FROM pair_counts)
 ),
-deg AS (
+deg AS MATERIALIZED (
   SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src
 ),
 n AS (SELECT COUNT(*) AS c FROM deg),

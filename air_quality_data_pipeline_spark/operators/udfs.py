@@ -125,3 +125,65 @@ def udf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT p.city, p.page FROM aqps_udtf_input, "
         "LATERAL aqps_paginate(n_name, n_nationkey + 1) p"
     )
+
+
+# --- udtf_split: the true Python UDTF tier (Spark 4 @udtf) -------------------
+
+_UDTF_ORACLE = r"""
+SELECT doc_id,
+       CAST(u.s.pos AS INTEGER) AS pos,
+       u.s.token AS token
+FROM (
+  SELECT doc_id,
+         unnest(list_transform(
+           list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+           (x, i) -> {'pos': i - 1, 'token': x})) AS s
+  FROM documents WHERE doc_id < 200
+) u
+"""
+
+
+@register("udtf_split", oracle=_UDTF_ORACLE, tags=("udf", "udtf"))
+def udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (Spark 4 ``@udtf``) — the
+    row-to-N-rows extension tier the classic pandas UDF can't express:
+    ``eval`` yields (position, token) rows per input document, consumed
+    with LATERAL exactly like a built-in generator. This completes §2.J:
+    udf_scalar (1→1, Arrow-vectorized), udf_agg (N→1), udf_table
+    (group→table via applyInPandas), and now a true per-row table function
+    registered into the SQL layer.
+
+    The tokenizer itself is deliberately trivial (whitespace split —
+    Python str.split ≡ the oracle's regex-split-and-drop-empties), because
+    the point is the TIER: arbitrary Python generators running inside the
+    plan. At scale the UDTF evaluates per partition over Arrow batches;
+    the doc_id predicate lands BEFORE the lateral join so only the probed
+    slice crosses the Python boundary (same gate as mm_decode). For pure
+    tokenization the codegen path (llm_token_count's split+explode) is
+    ~10x cheaper — the UDTF tier is for logic that genuinely needs Python
+    (stateful parsers, third-party libraries).
+
+    One planner fact this query encodes: Catalyst does NOT push filters
+    through a Python UDTF (it cannot know the generator is row-wise pure),
+    so the probe predicate must be written BELOW the lateral — an inline
+    filtered subquery — or the whole corpus crosses the Python boundary
+    and the filter runs on the exploded output. The plan gate asserts the
+    pushed-to-scan placement."""
+    apply_engine_conf(spark)
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class SplitTokens:
+        def eval(self, text: str):
+            for i, tok in enumerate((text or "").split()):
+                yield i, tok
+
+    spark.udtf.register("udtf_split_tokens", SplitTokens)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM (SELECT doc_id, text FROM documents_v WHERE doc_id < 200) d,
+             LATERAL udtf_split_tokens(d.text) t
+        """
+    )

@@ -129,6 +129,10 @@ DRIVER_PRIORITY = [
     "graph_pagerank",
     "sql_recursive",
     "obs_metrics",
+    # (a4) zorder/udtf/incremental-MV batch (new this round, never sampled)
+    "snk_zorder",
+    "udtf_split",
+    "mv_incr_agg",
     # (b) new this round
     "ts_seasonal",
     "ts_concurrency",
@@ -145,15 +149,12 @@ DRIVER_PRIORITY = [
     "sql_q4",
     "sql_q14",
     "sql_q18",
-    "agg_argmax",
     "ts_ewma",
     "dq_referential",
     "src_schema_evolution",
     "llm_doc_shard",
-    "agg_skew_kurt",
     "agg_bitmap_distinct",
     "llm_ngram_novelty",
-    "win_median_smooth",
     "join_dpp",
     "snk_compact",
     "sql_lateral",
@@ -173,6 +174,9 @@ DRIVER_PRIORITY = [
     "f_url_parse",
     "agg_histogram",
     "agg_string_agg",
+    "agg_argmax",
+    "agg_skew_kurt",
+    "win_median_smooth",
     # (c) changed this round (latest driver samples green; re-verified
     # locally and at sf1, so below the first-row block)
     "agg_corr",
@@ -205,12 +209,15 @@ DEFERRED_FIRST_ROW = {
     "f_regex",
     "agg_any_all",
     "f_bitwise",
-    # deferred when the graph/recursive/observe batch took their slots:
-    # zero- or single-exchange surfaces pinned by the repo-wide plan
-    # invariants (scalar functions never shuffle; single-aggregate gates)
+    # deferred when the graph/recursive/observe and zorder/udtf/MV batches
+    # took their slots: zero- or single-exchange surfaces pinned by the
+    # repo-wide plan invariants or their own dedicated plan gates
     "f_url_parse",
     "agg_histogram",
     "agg_string_agg",
+    "agg_argmax",
+    "agg_skew_kurt",
+    "win_median_smooth",
 }
 
 

@@ -545,3 +545,65 @@ def snk_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expose the two directories so tests can assert the file-count collapse
     snk_compact.last_paths = (frag, compact)
     return spark.read.parquet(compact)
+
+
+# --- snk_zorder: two-dimension Morton clustering for multi-column skipping ---
+
+_SNK_ZORDER_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_shipdate, l_extendedprice
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-07-01' AND l_shipdate < DATE '1996-08-01'
+  AND l_partkey BETWEEN 100 AND 299
+"""
+
+
+def _spread_bits(col):
+    """Interleave-ready bit spread of a 16-bit value into even positions of
+    a 32-bit lane (classic Morton magic-number sequence) — pure codegen
+    integer ops, no UDF."""
+    x = col.cast("bigint")
+    x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x33333333))
+    x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+@register("snk_zorder", oracle=_SNK_ZORDER_ORACLE, tags=("sink", "scale"))
+def snk_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustered write: the 2-D completion of
+    snk_sorted_skip. Sorting on one column gives tight min/max stats for
+    THAT column only; interleaving the bits of TWO dimensions (shipdate
+    epoch-day and partkey, each quantized to 16 bits) and range-clustering
+    on the Morton key gives every file a small rectangle in (date, part)
+    space — so row-group stats prune on EITHER predicate, the property
+    that makes one physical layout serve both the time-sliced and the
+    key-sliced query population at 100 TB. The spread/interleave is the
+    classic magic-number sequence, all codegen integer ops. The Morton key
+    is layout metadata only — it keys the range exchange and the
+    within-file sort, and is dropped before the write. The oracle checks
+    the full round trip: clustered write, read back, both-dimension
+    predicate — content must equal a direct filter of the source."""
+    apply_engine_conf(spark)
+    out = tempfile.mkdtemp(prefix="snk_zorder_")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_shipdate", "l_extendedprice"
+    )
+    day16 = (F.datediff(F.col("l_shipdate"), F.lit("1995-01-01").cast("date"))).bitwiseAND(
+        F.lit(0xFFFF)
+    )
+    part16 = (F.col("l_partkey")).bitwiseAND(F.lit(0xFFFF))
+    zkey = _spread_bits(day16).bitwiseOR(F.shiftleft(_spread_bits(part16), 1))
+    (
+        li.withColumn("_z", zkey)
+        .repartitionByRange(16, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out).filter(
+        (F.col("l_shipdate") >= F.lit("1996-07-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-08-01").cast("date"))
+        & F.col("l_partkey").between(100, 299)
+    )

@@ -568,3 +568,37 @@ def test_sql_recursive_plans_recursion_not_unrolling(spark, sf_dir):
         f"no recursive operator found in plan:\n{plan[:2000]}"
     )
     assert "CartesianProduct" not in plan
+
+
+def test_snk_zorder_pushes_both_dimensions(spark, sf_dir):
+    """The Z-ordered read-back must push BOTH predicates (date range and
+    partkey range) to the clustered parquet scan — that's the pair the
+    Morton layout turns into row-group skips."""
+    df = SPECS["snk_zorder"].builder(spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    fmt = df._jdf.queryExecution().explainString(mode)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", fmt)
+    assert any("l_shipdate" in p and "l_partkey" in p for p in pushed), (
+        f"both z-order dimensions must reach the scan:\n{pushed}"
+    )
+
+
+def test_udtf_split_filters_before_python(spark, sf_dir):
+    """The doc_id probe predicate must land on the parquet scan, BEFORE the
+    lateral UDTF — only the probed slice crosses the Python boundary."""
+    df = SPECS["udtf_split"].builder(spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    fmt = df._jdf.queryExecution().explainString(mode)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", fmt)
+    assert any("doc_id" in p for p in pushed), f"doc_id must push to the scan:\n{pushed}"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDTF" in plan or "Generate" in plan
+
+
+def test_mv_incr_agg_is_join_free_partial_merge(spark, sf_dir):
+    """Incremental MV maintenance must be union+re-aggregate (merge of
+    algebraic partials) — no join anywhere, and the merge exchange carries
+    (key, partials) cells only."""
+    plan = _executed_plan(spark, "mv_incr_agg", sf_dir)
+    assert "Join" not in plan, f"partial merge must not join:\n{plan}"
+    assert plan.count("Exchange hashpartitioning") <= 3
