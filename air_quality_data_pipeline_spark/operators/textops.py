@@ -1399,3 +1399,87 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
     )
+
+
+# --- llm_quality_classifier: model-based quality scoring ---------------------
+
+# A 5-feature logistic-regression scorer with LITERAL weights (a stand-in
+# for coefficients fit offline — in production the vector is broadcast the
+# same way). Output is the LOGIT, not sigmoid(logit): the linear form is
+# pure +/x on identical doubles in a fixed association order, so it is
+# bit-identical across engines, while exp() is libm-dependent. Ranking,
+# thresholding, and calibration all operate on the logit unchanged.
+_QCLS_ORACLE = """
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS ttr,
+         CAST(len(list_filter(string_split(text, ' '),
+              t -> list_contains(['the', 'a', 'of', 'and', 'is'], t))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stop_ratio,
+         CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_tok,
+         CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+           / length(text) AS nonalpha_ratio
+  FROM documents
+)
+SELECT doc_id,
+       ((((-1.2 + 0.01 * n_tok) + 2.0 * ttr) + 4.0 * stop_ratio)
+         + (-0.1) * chars_per_tok) + (-6.0) * nonalpha_ratio AS logit,
+       CASE WHEN ((((-1.2 + 0.01 * n_tok) + 2.0 * ttr) + 4.0 * stop_ratio)
+         + (-0.1) * chars_per_tok) + (-6.0) * nonalpha_ratio > 0.0
+         THEN 1 ELSE 0 END AS keep_flag
+FROM f
+"""
+
+
+@register("llm_quality_classifier", oracle=_QCLS_ORACLE, tags=("llm", "text"))
+def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the classifier-scoring step of a
+    FineWeb/Gopher-style curation pipeline): engineered per-document
+    features x a literal logistic-regression weight vector -> logit +
+    keep flag. llm_quality_score is the RULE tier (hand thresholds);
+    this is the LEARNED tier — same features, but the decision boundary
+    comes from offline-fit coefficients, which is how real corpus
+    curation encodes "looks like reference text".
+
+    Scale design: the weight vector is a broadcast-sized constant (here
+    literal; a fitted model's coefficients ship the same way), features
+    are one codegen projection over the corpus scan — zero shuffles, zero
+    Python, embarrassingly parallel. Determinism: the score stays in
+    LOGIT space with a pinned left-assoc sum order — pure IEEE +/x on
+    identical inputs is bit-identical in both engines, where sigmoid's
+    exp() would drift by libm ulps (the f_trig lesson). The weights are tuned so the
+    fixture corpus splits ~56/44 on the flag — both branches exercised at
+    every SF."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks).cast("double")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    stop_ratio = (
+        F.size(
+            F.filter(
+                toks,
+                lambda t: t.isin("the", "a", "of", "and", "is"),
+            )
+        ).cast("double")
+        / F.size(toks)
+    )
+    chars_per_tok = F.length("text").cast("double") / F.size(toks)
+    nonalpha_ratio = (
+        F.length(F.regexp_replace("text", "[a-z ]", "")).cast("double")
+        / F.length("text")
+    )
+    logit = (
+        (
+            ((F.lit(-1.2) + F.lit(0.01) * n_tok) + F.lit(2.0) * ttr)
+            + F.lit(4.0) * stop_ratio
+        )
+        + F.lit(-0.1) * chars_per_tok
+    ) + F.lit(-6.0) * nonalpha_ratio
+    return docs.select(
+        "doc_id",
+        logit.alias("logit"),
+        F.when(logit > 0.0, 1).otherwise(0).alias("keep_flag"),
+    )

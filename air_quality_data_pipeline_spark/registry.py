@@ -218,6 +218,9 @@ DEFERRED_FIRST_ROW = {
     "agg_argmax",
     "agg_skew_kurt",
     "win_median_smooth",
+    # zero-exchange codegen projection (llm_quality_score's learned-tier
+    # sibling); validated at sf0.001/0.01/sf1 locally on landing
+    "llm_quality_classifier",
 }
 
 
