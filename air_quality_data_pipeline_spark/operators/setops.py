@@ -82,3 +82,48 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     return f.exceptAll(o)
+
+
+_SET_INTERSECT_ALL_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+@register("set_intersect_all", oracle=_SET_INTERSECT_ALL_ORACLE, tags=("setop",))
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset intersection — each key appears
+    min(count_left, count_right) times). Completes the §2.G bag/set
+    semantics matrix: union-all / distinct / intersect / intersect-all /
+    except-all / except-distinct are six genuinely different operators, and
+    an engine claiming SQL completeness needs all six. Physically this
+    plans like the distinct variant (one exchange on the projected key with
+    per-side counts) — multiplicity tracking rides the same shuffle, so the
+    ALL form costs no extra pass at any scale."""
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersectAll(o)
+
+
+_SET_EXCEPT_DISTINCT_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+@register("set_except_distinct", oracle=_SET_EXCEPT_DISTINCT_ORACLE, tags=("setop",))
+def set_except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct — ANSI default): customers with a completed order
+    and NO open order, each once. The distinct form is a left-anti join
+    after per-side dedup, NOT a multiplicity subtraction — the pair
+    (set_except = EXCEPT ALL, this = EXCEPT) pins the semantic difference
+    under oracle check so neither regresses into the other."""
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.subtract(o)

@@ -221,6 +221,10 @@ DEFERRED_FIRST_ROW = {
     # zero-exchange codegen projection (llm_quality_score's learned-tier
     # sibling); validated at sf0.001/0.01/sf1 locally on landing
     "llm_quality_classifier",
+    # single-exchange setop surfaces completing the §2.G bag/set matrix;
+    # same physical shape as the already-sampled set_intersect/set_except
+    "set_intersect_all",
+    "set_except_distinct",
 }
 
 

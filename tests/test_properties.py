@@ -457,3 +457,41 @@ def test_sql_recursive_depth_is_log2(spark, sf_dir):
     for k, d in sample.items():
         expect = 0 if k < 1 else int(k).bit_length() - 1
         assert d == expect, f"part {k}: depth {d} != {expect}"
+
+
+def test_mv_incr_agg_cutoff_invariance(spark, sf_dir):
+    """The incremental-MV contract: merged partials equal the full
+    recompute for ANY batch boundary. Re-derive the merge at three other
+    cutoffs and assert all produce the identical result set — algebraic
+    aggregates make the maintenance path boundary-independent."""
+    import pyspark.sql.functions as F
+
+    from air_quality_data_pipeline_spark import operators
+    from air_quality_data_pipeline_spark.operators import sql_queries as sq
+    from air_quality_data_pipeline_spark.tables import table
+
+    li = table(spark, sf_dir, "lineitem")
+
+    def mv_at(cutoff: str):
+        def partials(df):
+            return df.groupBy(
+                "l_returnflag", F.year("l_shipdate").cast("int").alias("ship_year")
+            ).agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("l_quantity").cast("decimal(20,4)")).alias("p_qty"),
+            )
+
+        c = F.lit(cutoff).cast("date")
+        merged = (
+            partials(li.filter(F.col("l_shipdate") < c))
+            .unionByName(partials(li.filter(F.col("l_shipdate") >= c)))
+            .groupBy("l_returnflag", "ship_year")
+            .agg(F.sum("cnt").alias("cnt"), F.sum("p_qty").alias("q"))
+        )
+        return {
+            (r.l_returnflag, r.ship_year): (r.cnt, str(r.q))
+            for r in merged.collect()
+        }
+
+    results = [mv_at(c) for c in ("1996-01-01", "1998-06-15", "2002-01-01")]
+    assert results[0] == results[1] == results[2]
