@@ -160,7 +160,7 @@ DRIVER_PRIORITY = [
     "sql_lateral",
     "llm_bpe_pair_counts",
     "st_incr_resume",
-    "join_cross",
+    "st_static_join",
     "llm_dataset_card",
     # --- the 50-slot fold lands about here ---
     # deferred to round 6: scalar-surface and single-aggregate demos
@@ -225,6 +225,11 @@ DEFERRED_FIRST_ROW = {
     # same physical shape as the already-sampled set_intersect/set_except
     "set_intersect_all",
     "set_except_distinct",
+    # explicit-cartesian demo: its own plan gate + the repo-wide
+    # no-accidental-cartesian invariant pin everything a driver row would;
+    # its slot went to st_static_join (the only stream-static enrichment
+    # demo, and a rare fully-oracle-checked streaming query)
+    "join_cross",
 }
 
 

@@ -417,3 +417,40 @@ def st_incr_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.filter(F.col("event_id") % 3 == 2).write.mode("append").parquet(src)
     _run_once()
     return spark.read.parquet(out)
+
+
+# --- st_static_join: stream-static dimension enrichment ----------------------
+
+_ST_STATIC_JOIN_ORACLE = """
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(20, 9))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("st_static_join", oracle=_ST_STATIC_JOIN_ORACLE, tags=("streaming",))
+def st_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join — THE production streaming enrichment shape: an
+    unbounded event stream joined to a bounded dimension table (user →
+    market segment), then aggregated per segment. Unlike the stream-stream
+    join (st_stream_join), the static side needs NO watermark and NO join
+    state: Spark re-plans the static relation into every micro-batch, and
+    at dimension sizes like this it is a broadcast hash join per batch —
+    the stream side never shuffles for the join. This is how a 100 TB/day
+    event feed picks up slowly-changing reference data (the per-batch
+    re-resolution also means a refreshed dim file is picked up on the next
+    batch without restarting the query).
+
+    Oracle: with AvailableNow over the fixture the final complete-mode
+    state equals the batch join+aggregate exactly; the value sum is
+    DECIMAL-quantized so stream/batch/DuckDB agree bit-for-bit."""
+    sdf = read_events_stream(spark, sf_dir)
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = sdf.join(F.broadcast(cust), sdf.user_id == cust.c_custkey)
+    agg = enriched.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(20,9)")).cast("double").alias("total_value"),
+    )
+    return run_available_now(agg, "complete", "st_static_join")
