@@ -102,7 +102,16 @@ def main() -> None:
     n = int(sys.argv[3]) if len(sys.argv) > 3 else REPLICAS
     pathlib.Path(dst_dir).mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
+    # events.ts vintage-awareness: a source produced by THIS script already
+    # stores ts as epoch-ns BIGINT (the driver's legacy encoding), so a
+    # second decade (sf1 -> sf10) must pass it through instead of
+    # re-encoding a timestamp.
+    ts_type = con.execute(
+        f"SELECT typeof(ts) FROM '{src_dir}/events.parquet' LIMIT 1"
+    ).fetchone()[0]
     for name, sql in {**DIM_SQL, **FACT_SQL}.items():
+        if name == "events" and ts_type == "BIGINT":
+            sql = sql.replace("epoch_ns(ts) AS ts,", "ts,")
         q = sql.format(n=n, src_dir=src_dir).replace(
             "FROM src", f"FROM '{src_dir}/{name}.parquet'"
         )
