@@ -187,3 +187,56 @@ def udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL udtf_split_tokens(d.text) t
         """
     )
+
+
+# --- udf_arrow: the Arrow-native scalar tier (Spark 4.1 @arrow_udf) ----------
+
+
+@register("udf_arrow", oracle=_UDF_SCALAR_ORACLE, tags=("udf",))
+def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-NATIVE scalar UDF (Spark 4.1 ``@arrow_udf``): the function
+    receives ``pyarrow.Array`` batches directly and computes with
+    ``pyarrow.compute`` kernels — no pandas materialization at all, one
+    fewer copy than the pandas tier. With udf_scalar (pandas batches),
+    udf_agg (grouped agg), udf_table (applyInPandas), and udtf_split
+    (per-row table function), this completes every Python extension tier
+    Spark 4 exposes.
+
+    Same haversine computation and SAME oracle as udf_scalar / the pure
+    codegen f_haversine — three implementations (JVM expression, pandas
+    UDF, Arrow UDF) cross-checked against one DuckDB formula, which pins
+    the batch-transfer layers against each other. ROUND(dist, 0) absorbs
+    the ulp spread of the three trig stacks (the f_trig rule)."""
+    apply_engine_conf(spark)
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf("double")
+    def haversine_arrow(lat1, lon1, lat2, lon2):
+        import math
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        rad = math.pi / 180.0
+        rlat1 = pc.multiply(lat1, rad)
+        rlat2 = pc.multiply(lat2, rad)
+        dlat2 = pc.multiply(pc.subtract(lat2, lat1), rad / 2.0)
+        dlon2 = pc.multiply(pc.subtract(lon2, lon1), rad / 2.0)
+        s1 = pc.sin(dlat2)
+        s2 = pc.sin(dlon2)
+        a = pc.add(
+            pc.multiply(s1, s1),
+            pc.multiply(pc.multiply(pc.cos(rlat1), pc.cos(rlat2)), pc.multiply(s2, s2)),
+        )
+        root = pc.min_element_wise(pc.sqrt(a), pa.scalar(1.0, pa.float64()))
+        return pc.multiply(pc.asin(root), 2.0 * 6371000.0)
+
+    part = table(spark, sf_dir, "part")
+    lat = (F.col("p_partkey") % 1800).cast("double") / 10.0 - 90.0
+    lon = ((F.col("p_partkey") * 7) % 3600).cast("double") / 10.0 - 180.0
+    return part.select(
+        "p_partkey",
+        F.round(haversine_arrow(lat, lon, F.lit(40.7128), F.lit(-74.006)), 0).alias(
+            "dist_m"
+        ),
+    )

@@ -230,6 +230,10 @@ DEFERRED_FIRST_ROW = {
     # its slot went to st_static_join (the only stream-static enrichment
     # demo, and a rare fully-oracle-checked streaming query)
     "join_cross",
+    # shares udf_scalar's exact oracle (already driver-sampled green) —
+    # a driver row would re-verify the same formula through a different
+    # batch-transfer layer, which the local cross-check already pins
+    "udf_arrow",
 }
 
 
