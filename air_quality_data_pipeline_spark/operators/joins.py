@@ -575,3 +575,103 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("ordered_pair"),
     )
+
+
+# --- join_spatial: grid-bucketed radius join ---------------------------------
+
+# Synthetic geo: latitudes clamped to [-60, 60) so one 5-degree cell ring
+# always covers the 250 km radius (lon cell width >= 111.19 * cos(60) * 5
+# = 278 km). Coordinates are integer tenths of a degree derived from keys,
+# so GRID CELLS are computable in exact integer arithmetic — candidate
+# generation can never disagree between engines; only the final haversine
+# verify touches floats (same expression, ROUND-stabilized output, the
+# f_haversine parity rule).
+_SPATIAL_RADIUS_M = 250000.0
+
+_Q_LAT = "(CAST((c_custkey % 1200) AS DOUBLE) / 10.0 - 60.0)"
+_Q_LON = "(CAST(((c_custkey * 7) % 3600) AS DOUBLE) / 10.0 - 180.0)"
+_S_LAT = "(CAST((s_suppkey % 1200) AS DOUBLE) / 10.0 - 60.0)"
+_S_LON = "(CAST(((s_suppkey * 7) % 3600) AS DOUBLE) / 10.0 - 180.0)"
+
+from ..functions.geo import HAVERSINE_SQL as _HAV_SQL  # noqa: E402
+from ..functions.geo import haversine_m as _haversine_m  # noqa: E402
+
+_SPATIAL_DIST = _HAV_SQL.format(lat1=_Q_LAT, lon1=_Q_LON, lat2=_S_LAT, lon2=_S_LON)
+
+_JOIN_SPATIAL_ORACLE = f"""
+SELECT c_custkey, s_suppkey, ROUND({_SPATIAL_DIST}, 0) AS dist_m
+FROM customer, supplier
+WHERE {_SPATIAL_DIST} <= {_SPATIAL_RADIUS_M}
+"""
+
+
+@register("join_spatial", oracle=_JOIN_SPATIAL_ORACLE, tags=("join", "geo"))
+def join_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (spatial) join without a cartesian: every customer point
+    matched to all supplier stations within 250 km. The oracle is the
+    brute-force all-pairs filter (O(|C|x|S|) — fine for DuckDB at fixture
+    scale, fatal at 100 TB); the Spark plan is the scale formulation:
+
+    1. Bucket both sides into 5-degree grid cells — EXACT integer
+       arithmetic on the key-derived tenth-degree lattice, so the
+       candidate set is engine-reproducible by construction.
+    2. Explode the station side to its 3x3 neighbor ring (lon wraps mod 72
+       — haversine is antimeridian-correct, so the grid must be too);
+       equi-join on the cell pair. A constant 9x on the SMALL side buys a
+       ~cell-count reduction of the pair space — the same
+       candidates-then-verify shape as llm_minhash_dedup and llm_emb_lsh,
+       with geometry instead of hashing.
+    3. Verify the exact haversine <= R on candidates only.
+
+    The cell size is chosen so one ring always covers the radius at the
+    clamped latitudes (docstring math above) — candidate RECALL is
+    structural, not probabilistic. At 100 TB both sides shuffle once on
+    the cell key (or the station side broadcasts when small); skewed
+    cells (urban density) split under AQE like any hot join key."""
+    apply_engine_conf(spark)
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey")
+    q = cust.select(
+        "c_custkey",
+        F.expr(_Q_LAT).alias("qlat"),
+        F.expr(_Q_LON).alias("qlon"),
+        F.expr("(c_custkey % 1200) div 50").alias("cell_la"),
+        F.expr("((c_custkey * 7) % 3600) div 50").alias("cell_lo"),
+    )
+    s = supp.select(
+        "s_suppkey",
+        F.expr(_S_LAT).alias("slat"),
+        F.expr(_S_LON).alias("slon"),
+        F.expr("(s_suppkey % 1200) div 50").alias("s_la"),
+        F.expr("((s_suppkey * 7) % 3600) div 50").alias("s_lo"),
+    ).select(
+        "s_suppkey",
+        "slat",
+        "slon",
+        F.explode(
+            F.expr(
+                "array(-1, 0, 1)"
+            )
+        ).alias("dla"),
+        "s_la",
+        "s_lo",
+    ).select(
+        "s_suppkey",
+        "slat",
+        "slon",
+        (F.col("s_la") + F.col("dla")).alias("cell_la"),
+        F.explode(F.expr("array(-1, 0, 1)")).alias("dlo"),
+        "s_lo",
+    ).select(
+        "s_suppkey",
+        "slat",
+        "slon",
+        "cell_la",
+        ((F.col("s_lo") + F.col("dlo") + 72) % 72).alias("cell_lo"),
+    )
+    dist = _haversine_m(F.col("qlat"), F.col("qlon"), F.col("slat"), F.col("slon"))
+    return (
+        q.join(s, ["cell_la", "cell_lo"])
+        .filter(dist <= F.lit(_SPATIAL_RADIUS_M))
+        .select("c_custkey", "s_suppkey", F.round(dist, 0).alias("dist_m"))
+    )

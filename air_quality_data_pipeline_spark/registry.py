@@ -149,7 +149,7 @@ DRIVER_PRIORITY = [
     "sql_q4",
     "sql_q14",
     "sql_q18",
-    "ts_ewma",
+    "join_spatial",
     "dq_referential",
     "src_schema_evolution",
     "llm_doc_shard",
@@ -230,6 +230,10 @@ DEFERRED_FIRST_ROW = {
     # its slot went to st_static_join (the only stream-static enrichment
     # demo, and a rare fully-oracle-checked streaming query)
     "join_cross",
+    # single window exchange with a dedicated plan gate and the EWMA
+    # convexity property test; its slot went to join_spatial (a new
+    # operator CLASS — grid-bucketed radius join)
+    "ts_ewma",
     # shares udf_scalar's exact oracle (already driver-sampled green) —
     # a driver row would re-verify the same formula through a different
     # batch-transfer layer, which the local cross-check already pins

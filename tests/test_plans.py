@@ -602,3 +602,14 @@ def test_mv_incr_agg_is_join_free_partial_merge(spark, sf_dir):
     plan = _executed_plan(spark, "mv_incr_agg", sf_dir)
     assert "Join" not in plan, f"partial merge must not join:\n{plan}"
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_join_spatial_is_equi_join_not_cartesian(spark, sf_dir):
+    """The radius join must plan as an EQUI-join on the integer cell pair
+    (candidates-then-verify) — never a nested-loop/cartesian over the full
+    point sets, which is what the naive radius predicate would produce."""
+    plan = _executed_plan(spark, "join_spatial", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "cell_la" in plan and "cell_lo" in plan
+    assert "Generate explode" in plan or "Generate" in plan  # the 3x3 ring
