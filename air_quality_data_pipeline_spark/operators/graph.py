@@ -176,3 +176,99 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pr").cast("bigint").alias("pr_fixed"),
     ).orderBy(F.desc("pr_fixed"), F.asc("suppkey"))
     return out
+
+
+# --- graph_triangles: triangle counting --------------------------------------
+
+# Same mean-thresholded co-purchase edge set as graph_pagerank (see above);
+# triangles are counted on the CANONICAL orientation src < dst, so each
+# triangle is generated exactly once as (a < b < c). All-integer — exact
+# in both engines. The CTEs are MATERIALIZED for the same inlining reason
+# as the pagerank oracle.
+_TRIANGLES_ORACLE = """
+WITH pair_counts AS MATERIALIZED (
+  SELECT l1.l_suppkey AS src, l2.l_suppkey AS dst, COUNT(*) AS w
+  FROM lineitem l1
+  JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+  GROUP BY l1.l_suppkey, l2.l_suppkey
+),
+fwd AS MATERIALIZED (
+  SELECT src, dst FROM pair_counts
+  WHERE w > (SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*) FROM pair_counts)
+    AND src < dst
+),
+tri AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM fwd e1
+  JOIN fwd e2 ON e2.src = e1.dst
+  JOIN fwd e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+per_node AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+)
+SELECT CAST(node AS BIGINT) AS suppkey, n_triangles
+FROM per_node
+ORDER BY n_triangles DESC, suppkey
+"""
+
+
+@register("graph_triangles", oracle=_TRIANGLES_ORACLE, tags=("graph",))
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the supplier co-purchase graph — the
+    canonical multi-way self-join graph workload (clustering-coefficient
+    numerator, community-density signal). The classic distributed
+    formulation: orient every edge LOW -> HIGH (src < dst) so each
+    triangle (a < b < c) is generated exactly once — the orientation both
+    kills duplicate counting AND bounds the join fan-out by forward-degree
+    (sum over nodes of forward-deg^2, the standard skew bound: high-degree
+    hubs contribute only their HIGHER-numbered neighbors).
+
+    Plan: wedge build = fwd JOIN fwd on (e1.dst = e2.src), then the
+    closing edge check = equi-join of wedges against fwd on BOTH
+    endpoints — two shuffles over edge-sized relations, no vertex ever
+    holds its full neighborhood in one row (contrast collect_list
+    adjacency: a hub's array blows a task; the join form spreads it).
+    Counting is all-integer and order-independent -> exact oracle."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    l1 = li.alias("l1")
+    l2 = li.alias("l2")
+    pair_counts = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        )
+        .groupBy(F.col("l1.l_suppkey").alias("src"), F.col("l2.l_suppkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    mean_w = pair_counts.agg((F.sum("w").cast("double") / F.count(F.lit(1))).alias("m"))
+    fwd = scoped_persist(
+        pair_counts.join(F.broadcast(mean_w))
+        .filter((F.col("w") > F.col("m")) & (F.col("src") < F.col("dst")))
+        .select("src", "dst")
+    )
+    e1 = fwd.alias("e1")
+    e2 = fwd.alias("e2")
+    e3 = fwd.alias("e3")
+    wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).select(
+        F.col("e1.src").alias("a"), F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c")
+    )
+    tri = wedges.join(
+        e3, (F.col("a") == F.col("e3.src")) & (F.col("c") == F.col("e3.dst"))
+    ).select("a", "b", "c")
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_node.select(
+        F.col("node").cast("bigint").alias("suppkey"), "n_triangles"
+    ).orderBy(F.desc("n_triangles"), F.asc("suppkey"))

@@ -238,6 +238,9 @@ DEFERRED_FIRST_ROW = {
     # a driver row would re-verify the same formula through a different
     # batch-transfer layer, which the local cross-check already pins
     "udf_arrow",
+    # same derived edge set and join-fan-out class as the in-window
+    # graph_pagerank; oracle-green locally at sf0.001/0.01/sf1
+    "graph_triangles",
 }
 
 

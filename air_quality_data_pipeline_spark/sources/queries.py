@@ -383,7 +383,7 @@ def snk_part_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SNK_SORTED_SKIP_ORACLE = """
 SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity, l_extendedprice
 FROM lineitem
-WHERE l_shipdate >= DATE '1994-03-01' AND l_shipdate < DATE '1994-04-01'
+WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'
 """
 
 
@@ -412,8 +412,8 @@ def snk_sorted_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_shipdate"
     ).write.mode("overwrite").parquet(out)
     return spark.read.parquet(out).filter(
-        (F.col("l_shipdate") >= F.lit("1994-03-01").cast("date"))
-        & (F.col("l_shipdate") < F.lit("1994-04-01").cast("date"))
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
     )
 
 
