@@ -508,3 +508,95 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_EWMA_SQL)
+
+
+# --- ts_cusum: mean-shift change detection -----------------------------------
+
+# Determinism note: a double running sum is NOT portable even over a
+# pinned total order — Spark folds window sums sequentially but DuckDB
+# evaluates them with a SEGMENT TREE, so association order differs and
+# the engines drift ~1e-13 after a few hundred terms (measured). The fix
+# is the repo's fixed-point rule: per-row deviations are quantized to
+# integer micro-units with FLOOR (exact on identical doubles, no rounding-
+# rule ambiguity), the cumulative sum runs in BIGINT (association-free),
+# and the threshold compares in micro-units. The per-user mean and
+# variance come from DECIMAL-exact power sums with one double division
+# each.
+_CUSUM_K = 3.0
+
+_CUSUM_ORACLE = f"""
+WITH stats AS (
+  SELECT user_id,
+         CAST(SUM(CAST(value AS DECIMAL(20, 9))) AS DOUBLE) / COUNT(*) AS mu,
+         sqrt(greatest(0.0,
+           CAST(SUM(CAST(value AS DECIMAL(20, 9)) * CAST(value AS DECIMAL(20, 9)))
+                AS DOUBLE) / COUNT(*)
+           - (CAST(SUM(CAST(value AS DECIMAL(20, 9))) AS DOUBLE) / COUNT(*))
+             * (CAST(SUM(CAST(value AS DECIMAL(20, 9))) AS DOUBLE) / COUNT(*))
+         )) AS sigma
+  FROM events GROUP BY user_id
+),
+cusum AS (
+  SELECT e.user_id, e.event_id,
+         SUM(CAST(FLOOR((e.value - s.mu) * 1000000.0) AS BIGINT)) OVER (
+           PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS s_fp,
+         s.sigma
+  FROM events e JOIN stats s ON e.user_id = s.user_id
+)
+SELECT user_id, event_id, CAST(s_fp AS DOUBLE) / 1000000.0 AS cusum
+FROM cusum
+WHERE abs(CAST(s_fp AS DOUBLE)) > {_CUSUM_K} * sigma * 1000000.0 AND sigma > 0.0
+"""
+
+
+@register("ts_cusum", oracle=_CUSUM_ORACLE, tags=("timeseries", "quality", "window"))
+def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift detection per user series: the cumulative sum of
+    deviations from the series mean drifts away from zero when the level
+    SHIFTS (a step change), while i.i.d. noise keeps it mean-reverting —
+    the classic control-chart complement to dq_anomaly's pointwise
+    z-scores (a small persistent shift never trips a 3σ point test but
+    accumulates linearly in the CUSUM).
+
+    Physical shape: one DECIMAL-exact per-user stats aggregate broadcast
+    back onto the stream, then ONE window exchange on user_id for the
+    running sum — the same two-exchange skeleton as dq_anomaly. The
+    flagged rows are the operator's output, so only drift points leave
+    the executors. Cross-engine exactness comes from the order-pinned
+    window fold (module note) — no rounding needed even though the
+    accumulator is a double."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    dec = F.col("value").cast("decimal(20,9)")
+    stats = ev.groupBy("user_id").agg(
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.sqrt(
+            F.greatest(
+                F.lit(0.0),
+                F.sum(dec * dec).cast("double") / F.count(F.lit(1))
+                - (F.sum(dec).cast("double") / F.count(F.lit(1)))
+                * (F.sum(dec).cast("double") / F.count(F.lit(1))),
+            )
+        ).alias("sigma"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = ev.join(F.broadcast(stats), "user_id")
+    dev_fp = F.floor((F.col("value") - F.col("mu")) * 1000000.0).cast("bigint")
+    flagged = joined.select(
+        "user_id",
+        "event_id",
+        F.sum(dev_fp).over(w).alias("s_fp"),
+        "sigma",
+    ).filter(
+        (F.abs(F.col("s_fp").cast("double")) > _CUSUM_K * F.col("sigma") * 1000000.0)
+        & (F.col("sigma") > 0.0)
+    )
+    return flagged.select(
+        "user_id", "event_id", (F.col("s_fp").cast("double") / 1000000.0).alias("cusum")
+    )

@@ -241,6 +241,9 @@ DEFERRED_FIRST_ROW = {
     # same derived edge set and join-fan-out class as the in-window
     # graph_pagerank; oracle-green locally at sf0.001/0.01/sf1
     "graph_triangles",
+    # same two-exchange skeleton as the sampled dq_anomaly (stats
+    # broadcast + one window); oracle-green locally at sf0.001/0.01/sf1
+    "ts_cusum",
 }
 
 
