@@ -423,3 +423,62 @@ def win_median_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.element_at(frame, ((F.size(frame) + 1) / 2).cast("int")).alias("smoothed"),
     )
+
+
+# --- win_streaks: gaps-and-islands (consecutive-day streaks) -----------------
+
+# The islands trick: within a user's DISTINCT activity days ordered by day,
+# (day_number - row_number) is CONSTANT exactly while days are consecutive —
+# so it is the streak's group key, computed with one window and no self
+# join. All arithmetic is integer day counts -> engine-exact.
+_STREAKS_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+),
+islands AS (
+  SELECT user_id,
+         datediff('day', DATE '2024-01-01', d)
+           - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+  FROM days
+),
+streaks AS (
+  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+  FROM islands GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS longest,
+       CAST(SUM(len) AS BIGINT) AS active_days
+FROM streaks
+GROUP BY user_id
+"""
+
+
+@register("win_streaks", oracle=_STREAKS_ORACLE, tags=("window", "timeseries"))
+def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest consecutive-day activity streak per user.
+    The classic trick — within a user's distinct activity days ordered by
+    day, ``day_number - row_number`` stays constant exactly while days are
+    consecutive, so it IS the streak id: one dedup exchange, one window,
+    one aggregate, and crucially NO self-join (the naive formulation joins
+    each day to its predecessor — a second shuffle and a skew magnet).
+    Complements win_sessionize (gap-threshold sessions in continuous time)
+    with the calendar-bucketed variant retention products actually report.
+    Every quantity is an integer day count — engine-exact with no float
+    anywhere."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("d"))
+    islands = days.select(
+        "user_id",
+        (F.datediff(F.col("d"), F.lit("2024-01-01").cast("date")) - rn).alias("grp"),
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest"),
+        F.sum("len").alias("active_days"),
+    )

@@ -244,6 +244,9 @@ DEFERRED_FIRST_ROW = {
     # same two-exchange skeleton as the sampled dq_anomaly (stats
     # broadcast + one window); oracle-green locally at sf0.001/0.01/sf1
     "ts_cusum",
+    # all-integer dedup+window+aggregate chain (the islands trick); same
+    # exchange skeleton as the sampled win_sessionize
+    "win_streaks",
 }
 
 
