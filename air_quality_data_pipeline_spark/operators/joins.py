@@ -675,3 +675,64 @@ def join_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= F.lit(_SPATIAL_RADIUS_M))
         .select("c_custkey", "s_suppkey", F.round(dist, 0).alias("dist_m"))
     )
+
+
+# --- join_nullsafe: null-safe equality join ----------------------------------
+
+# NULL join keys are manufactured deterministically: the '4-NOT SPECIFIED'
+# priority maps to NULL on BOTH sides (NULLIF), so the null-safe join must
+# match the NULL bucket while a plain equi-join would silently drop it —
+# the exact bug class this operator exists to demonstrate.
+_JOIN_NULLSAFE_ORACLE = """
+WITH dim AS (
+  SELECT DISTINCT NULLIF(o_orderpriority, '4-NOT SPECIFIED') AS k,
+         o_orderpriority AS label
+  FROM orders
+)
+SELECT d.label, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(20, 4))) AS DOUBLE) AS revenue
+FROM orders o
+JOIN dim d
+  ON NULLIF(o.o_orderpriority, '4-NOT SPECIFIED') IS NOT DISTINCT FROM d.k
+GROUP BY d.label
+ORDER BY d.label
+"""
+
+
+@register("join_nullsafe", oracle=_JOIN_NULLSAFE_ORACLE, tags=("join",))
+def join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Spark ``<=>`` / ANSI IS NOT DISTINCT FROM):
+    NULL keys MATCH each other instead of vanishing. Plain equi-joins
+    silently drop every NULL-keyed row — the classic fact-table leak when
+    a dimension key is optional — and the standard workaround (COALESCE to
+    a sentinel) corrupts data the moment a real key collides with the
+    sentinel. ``eqNullSafe`` is the principled form, and Spark still plans
+    it as a HASH join (keys compared under null-safe semantics), not a
+    nested loop, so the 100 TB cost profile is identical to a normal
+    equi-join: dim broadcast here, shuffle-hash on bigger dims. The NULL
+    bucket is manufactured deterministically from a real priority value on
+    both sides, so the oracle proves the NULL-match path carries exactly
+    its rows."""
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    dim = (
+        orders.select("o_orderpriority")
+        .distinct()
+        .select(
+            F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")).alias("k"),
+            F.col("o_orderpriority").alias("label"),
+        )
+    )
+    fact = orders.select(
+        F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")).alias("k1"),
+        "o_totalprice",
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.k1.eqNullSafe(dim.k))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,4)")).cast("double").alias("revenue"),
+        )
+        .orderBy("label")
+    )

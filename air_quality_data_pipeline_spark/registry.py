@@ -247,6 +247,13 @@ DEFERRED_FIRST_ROW = {
     # all-integer dedup+window+aggregate chain (the islands trick); same
     # exchange skeleton as the sampled win_sessionize
     "win_streaks",
+    # broadcast-hash equi-join under null-safe key semantics — the plan
+    # shape is the sampled join_bcast's; the semantic delta is pinned by
+    # the oracle's IS NOT DISTINCT FROM
+    "join_nullsafe",
+    # single staged-read + one global aggregate; the PERMISSIVE audit
+    # semantics are pinned by the oracle triple at two SFs
+    "src_corrupt_recovery",
 }
 
 

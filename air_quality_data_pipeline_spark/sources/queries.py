@@ -607,3 +607,76 @@ def snk_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-08-01").cast("date"))
         & F.col("l_partkey").between(100, 299)
     )
+
+
+# --- src_corrupt_recovery: malformed-input isolation (PERMISSIVE read) -------
+
+# The staged directory holds clean CSV parts written by Spark (doubles
+# serialize shortest-roundtrip, so values survive the text round trip
+# bit-exactly) plus one hand-written part of three malformed lines: wrong
+# arity (4 fields), not-CSV-at-all, and a type error in field 2. The
+# oracle states the CONTRACT: every clean row lands with its exact value,
+# every malformed line is counted, nothing is silently dropped.
+_CORRUPT_RECOVERY_ORACLE = """
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderkey < 100)
+         AS n_valid,
+       CAST(3 AS BIGINT) AS n_corrupt,
+       (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(20, 4))) AS DOUBLE)
+        FROM orders WHERE o_orderkey < 100) AS total_valid
+"""
+
+
+@register("src_corrupt_recovery", oracle=_CORRUPT_RECOVERY_ORACLE, tags=("source", "quality"))
+def src_corrupt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input isolation: a CSV ingest where some lines are broken
+    (wrong arity, garbage, type errors) must neither abort the job
+    (FAILFAST at 100 TB means one bad line kills a million-file load) nor
+    silently drop rows (DROPMALFORMED loses data unaudited). PERMISSIVE
+    mode with ``columnNameOfCorruptRecord`` is the production posture:
+    broken lines surface as rows whose corrupt column holds the raw text,
+    so the load self-audits — this query emits the (valid, corrupt,
+    checksum) triple a 100 TB ingest would alert on, and the corrupt raw
+    lines remain queryable for quarantine/replay.
+
+    The reference swallows malformed payloads with ``.get`` defaults
+    (main.py:146-199) — rows degrade silently; this operator is the
+    auditable version of that posture. Caveat encoded here: counting
+    corrupt rows requires materializing the corrupt column through a
+    cache/filter (Spark lazily prunes _corrupt_record otherwise)."""
+    apply_engine_conf(spark)
+    out = tempfile.mkdtemp(prefix="src_corrupt_")
+    orders = table(spark, sf_dir, "orders")
+    (
+        orders.filter(F.col("o_orderkey") < 100)
+        .select("o_orderkey", "o_totalprice")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .csv(out)
+    )
+    with open(f"{out}/zz_corrupt.csv", "w") as fh:
+        fh.write("1,2.0,unexpected,extra\n")
+        fh.write("this is not a csv line at all\n")
+        fh.write("12,not_a_number\n")
+    from ..session import scoped_persist
+
+    # The documented corrupt-record caveat, demonstrated the right way:
+    # with CSV column pruning (default on), an aggregate that references
+    # only a subset of columns lets the parser skip conversions, so type
+    # errors in unreferenced fields are never detected and _bad stays
+    # NULL. Persisting the parsed frame materializes FULL rows once,
+    # making the audit counts stable regardless of downstream pruning.
+    parsed = scoped_persist(
+        spark.read.schema("o_orderkey bigint, o_totalprice double, _bad string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(out)
+    )
+    return parsed.agg(
+        F.count(F.when(F.col("_bad").isNull(), 1)).alias("n_valid"),
+        F.count(F.col("_bad")).alias("n_corrupt"),
+        F.sum(
+            F.when(F.col("_bad").isNull(), F.col("o_totalprice").cast("decimal(20,4)"))
+        )
+        .cast("double")
+        .alias("total_valid"),
+    )
