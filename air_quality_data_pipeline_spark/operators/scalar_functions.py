@@ -582,3 +582,50 @@ def f_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("shiftright(o_orderkey, 3)").alias("shifted_down"),
         F.expr("CAST(bit_count(o_orderkey) AS INT)").alias("popcount"),
     )
+
+
+# --- f_try_ops: ANSI-mode error-safe arithmetic ------------------------------
+
+# Spark 4 runs ANSI mode ON by default: integer overflow and division by
+# zero THROW instead of wrapping/nulling. try_add / try_divide are the
+# production-safe forms — NULL on the error condition, exact otherwise.
+# The oracle spells the identical semantics as explicit CASE guards
+# (DuckDB's own arithmetic also errors on bigint overflow, so the guarded
+# branch computes in HUGEINT before narrowing).
+_F_TRY_OPS_ORACLE = """
+SELECT o_orderkey,
+       CAST(o_totalprice AS DOUBLE) / 7.0 AS safe_div,
+       CAST(NULL AS DOUBLE) AS div_by_zero,
+       CASE WHEN o_orderkey > 0 THEN NULL
+            ELSE CAST(9223372036854775807 + CAST(o_orderkey AS HUGEINT) AS BIGINT)
+       END AS add_overflow
+FROM orders
+"""
+
+
+@register("f_try_ops", oracle=_F_TRY_OPS_ORACLE, tags=("function",))
+def f_try_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe arithmetic: Spark 4 ships with ANSI ON, so
+    bare integer overflow and division by zero ABORT the job — on a
+    100 TB run, one poisoned row kills hours of work. ``try_divide`` /
+    ``try_add`` are the per-row-safe forms: NULL exactly on the error
+    condition, bit-identical to the plain operator otherwise, and still
+    pure codegen (no UDF, no shuffle). The fixture exercises both
+    branches: every o_orderkey > 0 overflows BIGINT max in try_add (NULL)
+    while the one o_orderkey = 0 row survives with the exact max value;
+    try_divide by a constructed zero is NULL for every row; the safe
+    division matches the oracle's plain division bit-for-bit. This is the
+    error-HANDLING complement to src_corrupt_recovery's error-ISOLATION:
+    the first quarantines unparseable input, this neutralizes poisoned
+    arithmetic on parsed data."""
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    zero = F.col("o_orderkey") - F.col("o_orderkey")  # provably-zero bigint
+    return orders.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), F.lit(7.0)).alias("safe_div"),
+        F.try_divide(F.col("o_totalprice"), zero.cast("double")).alias("div_by_zero"),
+        F.try_add(F.lit(9223372036854775807).cast("bigint"), F.col("o_orderkey")).alias(
+            "add_overflow"
+        ),
+    )

@@ -254,6 +254,8 @@ DEFERRED_FIRST_ROW = {
     # single staged-read + one global aggregate; the PERMISSIVE audit
     # semantics are pinned by the oracle triple at two SFs
     "src_corrupt_recovery",
+    # zero-shuffle codegen projection (the scalar-surface deferral class)
+    "f_try_ops",
 }
 
 
