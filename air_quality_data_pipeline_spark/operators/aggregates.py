@@ -708,3 +708,45 @@ def agg_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# --- agg_grouping_id: subtotal-row disambiguation in cubes -------------------
+
+_GROUPING_ID_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+       CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT)
+         AS grouping_level,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20, 4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_grouping_id", oracle=_GROUPING_ID_ORACLE, tags=("agg", "sql"))
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() / grouping-level disambiguation: in a CUBE result a NULL
+    group key is ambiguous — subtotal row, or a group whose key VALUE is
+    null? GROUPING(col) is the only correct discriminator (1 = this row
+    aggregates over col), and any report/BI layer on top of agg_cube needs
+    it. The level column is the standard bit-packed grouping id
+    (2·g_flag + g_status), computed identically in both engines from the
+    per-column bits. Same single Expand + hash-aggregate plan as agg_cube
+    — GROUPING() reads the expand-generated bitmask for free, no extra
+    pass."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus").agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            (
+                2 * F.grouping("l_returnflag").cast("bigint")
+                + F.grouping("l_linestatus").cast("bigint")
+            ).alias("grouping_level"),
+            F.sum(F.col("l_quantity").cast("decimal(20,4)")).cast("double").alias("sum_qty"),
+        )
+    ).select(
+        "l_returnflag", "l_linestatus", "g_flag", "g_status", "grouping_level", "sum_qty"
+    )

@@ -256,6 +256,9 @@ DEFERRED_FIRST_ROW = {
     "src_corrupt_recovery",
     # zero-shuffle codegen projection (the scalar-surface deferral class)
     "f_try_ops",
+    # same single Expand + hash-aggregate plan as the sampled agg_cube;
+    # the GROUPING() bits are read from the expand bitmask for free
+    "agg_grouping_id",
 }
 
 
