@@ -482,3 +482,44 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").alias("longest"),
         F.sum("len").alias("active_days"),
     )
+
+
+# --- win_share: percent-of-total within a partition --------------------------
+
+# Determinism: the full-partition total is a WINDOW SUM — which DuckDB
+# evaluates with a segment tree and Spark sequentially, so a DOUBLE sum
+# would drift (the ts_cusum lesson). The sum therefore runs in DECIMAL
+# (exact, association-free); the share is ONE double division of
+# identical exact values.
+_WIN_SHARE_ORACLE = """
+SELECT c_custkey, c_nationkey,
+       CAST(c_acctbal AS DOUBLE) AS acctbal,
+       CAST(CAST(c_acctbal AS DECIMAL(20, 4)) AS DOUBLE)
+         / CAST(SUM(CAST(c_acctbal AS DECIMAL(20, 4)))
+                OVER (PARTITION BY c_nationkey) AS DOUBLE) AS nation_share
+FROM customer
+WHERE c_acctbal > 0.0
+"""
+
+
+@register("win_share", oracle=_WIN_SHARE_ORACLE, tags=("window",))
+def win_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio_to_report): each customer's share of their
+    nation's positive balance — the BI staple behind every contribution /
+    mix report. One window exchange on the partition key, no join-back
+    (the aggregate-then-join formulation costs a second shuffle and
+    re-reads the table). The full-partition window total runs in DECIMAL
+    because window-sum association order differs between engines (Spark
+    sequential, DuckDB segment tree — the ts_cusum finding); exact
+    arithmetic makes the fold order irrelevant and the single double
+    division bit-stable."""
+    apply_engine_conf(spark)
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0.0)
+    dec = F.col("c_acctbal").cast("decimal(20,4)")
+    total = F.sum(dec).over(Window.partitionBy("c_nationkey"))
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        (dec.cast("double") / total.cast("double")).alias("nation_share"),
+    )

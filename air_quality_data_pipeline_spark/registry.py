@@ -259,6 +259,9 @@ DEFERRED_FIRST_ROW = {
     # same single Expand + hash-aggregate plan as the sampled agg_cube;
     # the GROUPING() bits are read from the expand bitmask for free
     "agg_grouping_id",
+    # one window exchange (the sampled win_distribution's skeleton) with
+    # the decimal-window-sum portability rule applied
+    "win_share",
 }
 
 
