@@ -1018,11 +1018,17 @@ def sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     size — |part| x depth exceeds 1M already at sf1 (200k x 17) — so it is
     raised here to the 10^9 a large-cluster run would configure. A bounded
     total is still enforced: the WHERE node > 1 step strictly halves the
-    key, so termination is structural, not limit-dependent."""
-    apply_engine_conf(spark)
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(1_000_000_000))
-    _views(spark, sf_dir, "part")
-    return spark.sql(_SQL_RECURSIVE)
+    key, so termination is structural, not limit-dependent.
+
+    The raised limit is scoped to a CHILD session (same SparkContext, own
+    SQLConf): the returned DataFrame executes under the child's conf, so
+    the shared session keeps the 1M default guard for every other
+    recursive query in the same driver pass (ADVICE r5)."""
+    child = spark.newSession()
+    apply_engine_conf(child)
+    child.conf.set("spark.sql.cteRecursionRowLimit", str(1_000_000_000))
+    _views(child, sf_dir, "part")
+    return child.sql(_SQL_RECURSIVE)
 
 
 # --- mv_incr_agg: incremental materialized-view maintenance ------------------

@@ -527,12 +527,12 @@ _CUSUM_K = 3.0
 _CUSUM_ORACLE = f"""
 WITH stats AS (
   SELECT user_id,
-         CAST(SUM(CAST(value AS DECIMAL(20, 9))) AS DOUBLE) / COUNT(*) AS mu,
+         CAST(SUM(CAST(value AS DECIMAL(18, 9))) AS DOUBLE) / COUNT(*) AS mu,
          sqrt(greatest(0.0,
-           CAST(SUM(CAST(value AS DECIMAL(20, 9)) * CAST(value AS DECIMAL(20, 9)))
+           CAST(SUM(CAST(value AS DECIMAL(18, 9)) * CAST(value AS DECIMAL(18, 9)))
                 AS DOUBLE) / COUNT(*)
-           - (CAST(SUM(CAST(value AS DECIMAL(20, 9))) AS DOUBLE) / COUNT(*))
-             * (CAST(SUM(CAST(value AS DECIMAL(20, 9))) AS DOUBLE) / COUNT(*))
+           - (CAST(SUM(CAST(value AS DECIMAL(18, 9))) AS DOUBLE) / COUNT(*))
+             * (CAST(SUM(CAST(value AS DECIMAL(18, 9))) AS DOUBLE) / COUNT(*))
          )) AS sigma
   FROM events GROUP BY user_id
 ),
@@ -564,12 +564,17 @@ def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     back onto the stream, then ONE window exchange on user_id for the
     running sum — the same two-exchange skeleton as dq_anomaly. The
     flagged rows are the operator's output, so only drift points leave
-    the executors. Cross-engine exactness comes from the order-pinned
-    window fold (module note) — no rounding needed even though the
-    accumulator is a double."""
+    the executors. Cross-engine exactness comes from the fixed-point
+    BIGINT cumulative sum over FLOOR-quantized deviations (module note) —
+    the running accumulator is association-free integer arithmetic."""
     apply_engine_conf(spark)
     ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
-    dec = F.col("value").cast("decimal(20,9)")
+    # decimal(18,9): the squared term is then decimal(37,18) — inside Spark's
+    # max precision 38, so the power sum is EXACT in both engines. At (20,9)
+    # the product would be precision 41 and Spark silently rounds the scale,
+    # while DuckDB keeps int128 exactness — a knife-edge threshold row could
+    # flip between engines at large |value| (ADVICE r5).
+    dec = F.col("value").cast("decimal(18,9)")
     stats = ev.groupBy("user_id").agg(
         (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("mu"),
         F.sqrt(

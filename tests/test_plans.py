@@ -541,10 +541,31 @@ def test_sql_q13_outer_join_keeps_residual_in_on(spark, sf_dir):
     customers would be dropped and the c_count=0 bucket lost."""
     plan = _executed_plan(spark, "sql_q13", sf_dir)
     assert "LeftOuter" in plan
-    # the filter evaluates on the orders side BEFORE the join
-    assert plan.index("o_orderpriority") > -1
-    zero_bucket = SPECS["sql_q13"].builder(spark, sf_dir).filter("c_count = 0").count()
-    assert zero_bucket >= 0  # must at least be a valid plan; value checked by oracle
+    # In executedPlan.toString() parents print BEFORE children, so the
+    # priority predicate must only appear at/below the LeftOuter join line
+    # (join condition or orders-side Filter) — a post-join WHERE would put
+    # it in a Filter line ABOVE the join and silently drop the c_count=0
+    # bucket.
+    lines = plan.splitlines()
+    join_at = next(i for i, ln in enumerate(lines) if "LeftOuter" in ln)
+    above = [ln for ln in lines[:join_at] if "o_orderpriority" in ln]
+    assert not above, f"priority filter migrated above the outer join:\n{above}"
+    assert any("o_orderpriority" in ln for ln in lines[join_at:]), (
+        "priority filter missing from the join condition / orders side"
+    )
+    # Value-level backstop at sf0.01 (sf0.001 has no customer whose every
+    # order is urgent, so the c_count=0 bucket is legitimately empty there):
+    # sum(custdist) must equal |customer| — the outer join preserves EVERY
+    # customer — and the c_count=0 bucket must be non-empty (1 such
+    # customer exists in the sf0.01 fixture).
+    from tests.conftest import SF_ORACLE
+
+    out = SPECS["sql_q13"].builder(spark, SF_ORACLE)
+    total = out.agg({"custdist": "sum"}).collect()[0][0]
+    n_cust = spark.read.parquet(f"{SF_ORACLE}/customer.parquet").count()
+    assert total == n_cust, "outer join dropped customers (sum custdist != |customer|)"
+    zero_bucket = out.filter("c_count = 0").count()
+    assert zero_bucket > 0, "c_count=0 bucket empty: outer join degenerated to inner"
 
 
 # --- graph / recursive / observe batch ---------------------------------------
@@ -568,6 +589,17 @@ def test_sql_recursive_plans_recursion_not_unrolling(spark, sf_dir):
         f"no recursive operator found in plan:\n{plan[:2000]}"
     )
     assert "CartesianProduct" not in plan
+
+
+def test_sql_recursive_row_limit_is_child_session_scoped(spark, sf_dir):
+    """sql_recursive raises cteRecursionRowLimit to 1e9 — but on a CHILD
+    session only: the shared session must keep the 1M default guard so a
+    runaway recursion in any OTHER query is still caught (ADVICE r5)."""
+    before = spark.conf.get("spark.sql.cteRecursionRowLimit")
+    df = SPECS["sql_recursive"].builder(spark, sf_dir)
+    assert df.count() > 0  # executes under the child session's raised limit
+    assert spark.conf.get("spark.sql.cteRecursionRowLimit") == before
+    assert before != str(1_000_000_000)
 
 
 def test_snk_zorder_pushes_both_dimensions(spark, sf_dir):
