@@ -750,3 +750,86 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "l_returnflag", "l_linestatus", "g_flag", "g_status", "grouping_level", "sum_qty"
     )
+
+
+# --- agg_weighted_avg: decimal-exact weighted average ------------------------
+
+# The weight product runs at decimal(18,4) x decimal(9,2) -> (28,6): inside
+# Spark's max precision 38, so the weighted power sum is EXACT in both
+# engines (the ts_cusum width lesson applied up front). The final share is
+# ONE double division of identical exact values.
+_WEIGHTED_AVG_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 4))
+                * CAST(l_quantity AS DECIMAL(9, 2))) AS DOUBLE)
+         / CAST(SUM(CAST(l_quantity AS DECIMAL(9, 2))) AS DOUBLE) AS wavg_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(9, 2))) AS DOUBLE) AS total_qty,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_weighted_avg", oracle=_WEIGHTED_AVG_ORACLE, tags=("agg",))
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per return flag — the canonical
+    weighted mean every pricing/mix report needs, in ONE map-side-
+    combinable aggregate (no join-back, no window). SUM(w*x) and SUM(w)
+    both travel the exchange as fixed-width decimals, so the shuffle
+    carries two exact cells per (task, group) and the division happens
+    once per group on the driver-facing side. Weighted means computed as
+    running averages are order-dependent; the two-power-sum form is
+    associative, which is what makes it identical on any partitioning
+    and in DuckDB."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    wx = F.col("l_extendedprice").cast("decimal(18,4)") * F.col("l_quantity").cast(
+        "decimal(9,2)"
+    )
+    w = F.col("l_quantity").cast("decimal(9,2)")
+    return li.groupBy("l_returnflag").agg(
+        (F.sum(wx).cast("double") / F.sum(w).cast("double")).alias("wavg_price"),
+        F.sum(w).cast("double").alias("total_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- agg_filtered: FILTER-clause conditional aggregation ---------------------
+
+# One scan, one exchange: every conditional metric is a FILTER clause on
+# the same aggregate node — the alternative (one filtered subquery per
+# metric, joined back) scans the table once PER METRIC. The filtered sum
+# uses the repo's exact decimal rule so the double is bit-stable.
+_AGG_FILTERED_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(*) FILTER (WHERE value > 75.0) AS BIGINT) AS n_hi,
+       CAST(SUM(CAST(value AS DECIMAL(38, 6))) FILTER (WHERE value > 75.0)
+            AS DOUBLE) AS sum_hi,
+       CAST(COUNT(*) FILTER (WHERE value < 25.0) AS BIGINT) AS n_lo
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("agg_filtered", oracle=_AGG_FILTERED_ORACLE, tags=("agg",))
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation with the SQL:2003 FILTER clause: high-band
+    count/sum and low-band count per event type, all riding ONE hash
+    aggregate over ONE scan. This is the segment-metrics workhorse (DAU
+    vs paying DAU vs power users in a single pass); the naive formulation
+    — one filtered subquery per metric union-joined back — multiplies
+    full scans by the metric count, which at 100 TB is the whole budget.
+    Each FILTER predicate evaluates map-side, so partial aggregation
+    still combines before the exchange."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.expr("COUNT(*) FILTER (WHERE value > 75.0)").alias("n_hi"),
+        F.expr(
+            "CAST(SUM(CAST(value AS DECIMAL(38, 6))) FILTER (WHERE value > 75.0)"
+            " AS DOUBLE)"
+        ).alias("sum_hi"),
+        F.expr("COUNT(*) FILTER (WHERE value < 25.0)").alias("n_lo"),
+    )

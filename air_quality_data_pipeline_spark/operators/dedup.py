@@ -683,3 +683,47 @@ def llm_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits").cast("double") / F.col("n_truth")).alias("recall"),
         )
     )
+
+
+# --- llm_dedup_keep_best: canonical-document selection -----------------------
+
+# Clusters key on md5 of the normalized 40-char prefix (the fixture has
+# no byte-exact duplicates but DOES have shared prefixes — the template-
+# boilerplate pattern); the survivor policy is (longest, then lowest id),
+# expressed as ONE max_by/arg_max aggregate on the composite key
+# n_chars * 2^32 - doc_id (doc_id < 2^32 under the fixture generator's id
+# space; a production run would widen to a struct comparator) so selection
+# costs a single exchange carrying digests + two ints per cluster.
+_KEEP_BEST_ORACLE = """
+SELECT md5(substr(text, 1, 40)) AS cluster_key,
+       arg_max(doc_id, n_chars * 4294967296 - doc_id) AS kept_doc_id,
+       CAST(MAX(n_chars) AS BIGINT) AS kept_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+FROM documents
+GROUP BY md5(substr(text, 1, 40))
+"""
+
+
+@register("llm_dedup_keep_best", oracle=_KEEP_BEST_ORACLE, tags=("llm", "dedup"))
+def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: cluster near-duplicates (here by
+    normalized 40-char-prefix digest — the template/boilerplate key) and
+    keep the BEST member of each cluster rather than an arbitrary one —
+    dedup as curation. The survivor policy (longest document, ties to the
+    lowest doc_id) is a deterministic total order, encoded as max_by over
+    the composite integer n_chars * 2^32 - doc_id: one map-side-combinable aggregate, one
+    exchange, and the shuffle carries (digest, two ints) per cluster —
+    text never moves. This is the policy layer the hash-dedup family
+    (llm_exact_dedup drops later copies; minhash clusters report pairs)
+    deliberately leaves out."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy(
+        F.md5(F.expr("substring(text, 1, 40)")).alias("cluster_key")
+    ).agg(
+        F.expr("max_by(doc_id, n_chars * 4294967296L - doc_id)").alias("kept_doc_id"),
+        F.max("n_chars").cast("bigint").alias("kept_chars"),
+        F.count(F.lit(1)).alias("n_members"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dropped"),
+    )

@@ -15,7 +15,7 @@ import itertools
 import os
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.exact import exact_sum, exact_sum_sql
 from ..registry import register
@@ -735,4 +735,101 @@ def join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(20,4)")).cast("double").alias("revenue"),
         )
         .orderBy("label")
+    )
+
+
+# --- join_scd2: point-in-time (slowly-changing-dimension) join ---------------
+
+# The dimension history is derived: each (customer, order date) opens a
+# priority epoch valid until the customer's next order date (SCD-2
+# [valid_from, valid_to) semantics). Probes are lineitems looked up AS OF
+# their ship date. The oracle spells the textbook BETWEEN-join over
+# lead()-derived epoch intervals; the engine uses the single-shuffle
+# union+window formulation instead (join_asof note) — same semantics,
+# no range join.
+_JOIN_SCD2_ORACLE = """
+WITH dim AS (
+  SELECT o_custkey AS ck, o_orderdate AS vf, max(o_orderpriority) AS prio
+  FROM orders GROUP BY o_custkey, o_orderdate
+),
+epochs AS (
+  SELECT ck, prio, vf, lead(vf) OVER (PARTITION BY ck ORDER BY vf) AS vt
+  FROM dim
+),
+probe AS (
+  SELECT o.o_custkey AS ck, l.l_shipdate AS d,
+         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20, 4)) AS rev
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT coalesce(e.prio, '0-BEFORE-HISTORY') AS epoch_priority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(p.rev) AS DOUBLE) AS revenue
+FROM probe p LEFT JOIN epochs e
+  ON p.ck = e.ck AND p.d >= e.vf AND (e.vt IS NULL OR p.d < e.vt)
+GROUP BY coalesce(e.prio, '0-BEFORE-HISTORY')
+"""
+
+
+@register("join_scd2", oracle=_JOIN_SCD2_ORACLE, tags=("join", "timeseries"))
+def join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 point-in-time lookup: attribute each lineitem to the
+    priority epoch its customer was in ON THE SHIP DATE — the dimension-
+    history join every warehouse runs against slowly-changing dims. The
+    naive formulation is an interval join (equi-key + BETWEEN), which
+    Spark plans as a per-key nested loop — quadratic in orders-per-
+    customer at 100 TB. Instead: tag epoch-opens (is_dim=1) and probes
+    (is_dim=0), union them, and run ONE window per customer ordered by
+    (date, is_dim DESC) carrying last(prio, ignorenulls) forward — every
+    probe picks up the newest epoch at or before its date in a single
+    exchange. Same-date tie goes to the dimension (valid_from is
+    inclusive), matching the oracle's d >= vf. Probes dated before the
+    customer's first epoch (the fixture HAS lineitems shipping before
+    their order date) land in an explicit '0-BEFORE-HISTORY' bucket —
+    SCD lookups must surface, not silently drop, pre-history facts.
+    Revenue folds DECIMAL-exact in the final per-epoch aggregate."""
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    dim = orders.groupBy(
+        F.col("o_custkey").alias("ck"), F.col("o_orderdate").alias("d")
+    ).agg(F.max("o_orderpriority").alias("prio"))
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_shipdate",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(20,4)")
+        .alias("rev"),
+    )
+    probe = li.join(
+        orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey")
+    ).select(
+        F.col("o_custkey").alias("ck"), F.col("l_shipdate").alias("d"), "rev"
+    )
+    dim_u = dim.select(
+        "ck", "d", F.lit(1).alias("is_dim"), "prio",
+        F.lit(None).cast("decimal(20,4)").alias("rev"),
+    )
+    probe_u = probe.select(
+        "ck", "d", F.lit(0).alias("is_dim"),
+        F.lit(None).cast("string").alias("prio"), "rev",
+    )
+    w = (
+        Window.partitionBy("ck")
+        .orderBy(F.col("d").asc(), F.col("is_dim").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = dim_u.unionByName(probe_u).withColumn(
+        "epoch_priority",
+        F.coalesce(
+            F.last("prio", ignorenulls=True).over(w), F.lit("0-BEFORE-HISTORY")
+        ),
+    )
+    return (
+        tagged.filter(F.col("is_dim") == 0)
+        .groupBy("epoch_priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
     )

@@ -270,3 +270,129 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_batches,
         schema="doc_id long, width long, height long, out_w long, out_h long, out_bytes long",
     )
+
+
+# --- mm_validate_magic: payload header audit ---------------------------------
+
+# Pure codegen over the BINARY column: hex(substring(payload, 1, 4)) is
+# evaluated on bytes in Spark; the oracle computes the identical hex over
+# the source text (payloads are UTF-8 of ASCII fixture text, so byte and
+# character offsets coincide — TESTDATA.md). A real ingest would compare
+# the magic against per-codec expectations; the fixture check (printable
+# first byte + minimum size) exercises the same plumbing.
+_MAGIC_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       upper(hex(substr(text, 1, 4))) AS magic_hex,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN ascii(substr(text, 1, 1)) BETWEEN 32 AND 126
+                  AND strlen(text) >= 64 THEN 1 ELSE 0 END AS INT) AS is_valid
+FROM documents
+"""
+
+
+@register("mm_validate_magic", oracle=_MAGIC_ORACLE, tags=("llm", "multimodal", "quality"))
+def mm_validate_magic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header (magic-bytes) validation over the media table: hex of the
+    first 4 payload bytes plus a validity verdict (recognizable first
+    byte, minimum payload size) — the cheap pre-decode gate a media
+    pipeline runs BEFORE spending codec time, so truncated or mislabeled
+    blobs die at scan cost. Everything is JVM-side codegen on the binary
+    column (substring/hex/ascii): zero shuffle, zero Python, and at
+    100 TB the audit rides the same scan that loads the payloads."""
+    apply_engine_conf(spark)
+    media = _media(spark, sf_dir)
+    first_byte = F.expr("cast(conv(substring(hex(substring(payload, 1, 1)), 1, 2), 16, 10) as int)")
+    return media.select(
+        "doc_id",
+        "kind",
+        F.upper(F.hex(F.expr("substring(payload, 1, 4)"))).alias("magic_hex"),
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.when(
+            first_byte.between(32, 126) & (F.length("payload") >= 64), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("is_valid"),
+    )
+
+
+# --- mm_audio_frames: hop-windowed frame features over binary payloads -------
+
+# The audio analog of mm_frame_sample: 32-byte frames at a 16-byte hop,
+# per-frame integer energy (sum of byte values) and an md5-prefix
+# signature. The frame math runs in Arrow-batched pandas over the binary
+# column; the oracle recomputes it in SQL over the source text (ASCII ->
+# byte == char), so the Python path is value-hash-checked end to end.
+_AUDIO_FRAME_LEN = 32
+_AUDIO_HOP = 16
+
+_AUDIO_FRAMES_ORACLE = f"""
+WITH audio AS (
+  SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS n
+  FROM documents WHERE doc_id % 2 = 1
+),
+frames AS (
+  SELECT a.doc_id, t.i AS frame_idx,
+         t.i * {_AUDIO_HOP} AS start_byte,
+         substr(a.text, t.i * {_AUDIO_HOP} + 1, {_AUDIO_FRAME_LEN}) AS fr
+  FROM audio a,
+       UNNEST(range(0, greatest((a.n - {_AUDIO_FRAME_LEN}) // {_AUDIO_HOP} + 1, 1)))
+         AS t(i)
+)
+SELECT doc_id, frame_idx, start_byte,
+       CAST(strlen(fr) AS INT) AS frame_len,
+       CAST(list_reduce(list_prepend(0,
+              list_transform(range(1, strlen(fr) + 1),
+                             i -> ascii(substr(fr, i, 1)))),
+            (s, x) -> s + x) AS BIGINT) AS energy,
+       substring(md5(fr), 1, 8) AS sig8
+FROM frames
+"""
+
+
+@register("mm_audio_frames", oracle=_AUDIO_FRAMES_ORACLE, tags=("llm", "multimodal"))
+def mm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-windowed framing over audio payloads: 32-byte frames every 16
+    bytes, each with an integer energy (byte-value sum — the stand-in for
+    RMS until real codecs exist, module note) and an md5-prefix
+    signature — the shape of audio feature extraction (VAD windows,
+    fingerprinting). The payload bytes stay executor-side: mapInPandas
+    receives Arrow batches of the binary column, slices frames in numpy-
+    speed Python, and emits only the (id, idx, features) rows — at 100 TB
+    the JVM->Python transfer is the payload once, never frames times
+    payload. Short payloads produce one truncated frame (the honest
+    contract); all features are integers or hex, so the Arrow path is
+    bit-checked against the SQL oracle."""
+    apply_engine_conf(spark)
+    audio = _media(spark, sf_dir).filter(F.col("kind") == "audio").select(
+        "doc_id", "payload"
+    )
+
+    def frame_batches(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "start_byte": [],
+                   "frame_len": [], "energy": [], "sig8": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                n_frames = max((n - _AUDIO_FRAME_LEN) // _AUDIO_HOP + 1, 1)
+                for i in range(n_frames):
+                    fr = b[i * _AUDIO_HOP : i * _AUDIO_HOP + _AUDIO_FRAME_LEN]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["start_byte"].append(i * _AUDIO_HOP)
+                    out["frame_len"].append(len(fr))
+                    out["energy"].append(sum(fr))
+                    out["sig8"].append(hashlib.md5(fr).hexdigest()[:8])
+            yield pd.DataFrame(out)
+
+    return audio.mapInPandas(
+        frame_batches,
+        schema="doc_id long, frame_idx long, start_byte long, "
+        "frame_len int, energy long, sig8 string",
+    )

@@ -589,3 +589,83 @@ def obs_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         row, "filtered_rows bigint, filtered_qty double, joined_rows bigint, joined_revenue double"
     )
+
+
+# --- dq_null_matrix: sentinel-aware completeness matrix ----------------------
+
+# The fixture parquet has no physical NULLs, so the matrix measures what a
+# real intake sees AFTER sentinel normalization: value < 5 is a failed
+# reading, user_id % 97 = 0 a scrubbed account; event_id is the all-valid
+# control column. One scan, one aggregate: every (segment x column) cell
+# is a FILTER count on the same hash-aggregate node, then the wide row
+# unpivots to the long matrix AFTER aggregation (24 rows, not 30k).
+_NULL_MATRIX_ORACLE = """
+WITH staged AS (
+  SELECT event_type,
+         CASE WHEN value < 5.0 THEN NULL ELSE value END AS value,
+         CASE WHEN user_id % 97 = 0 THEN NULL ELSE user_id END AS user_id,
+         event_id
+  FROM events
+),
+wide AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) FILTER (WHERE value IS NULL) AS BIGINT) AS null_value,
+         CAST(COUNT(*) FILTER (WHERE user_id IS NULL) AS BIGINT) AS null_user_id,
+         CAST(COUNT(*) FILTER (WHERE event_id IS NULL) AS BIGINT) AS null_event_id
+  FROM staged GROUP BY event_type
+)
+SELECT event_type, col_name, n_rows, n_null,
+       CAST(n_null AS DOUBLE) / CAST(n_rows AS DOUBLE) AS null_rate
+FROM (
+  SELECT event_type, 'value' AS col_name, n_rows, null_value AS n_null FROM wide
+  UNION ALL
+  SELECT event_type, 'user_id', n_rows, null_user_id FROM wide
+  UNION ALL
+  SELECT event_type, 'event_id', n_rows, null_event_id FROM wide
+)
+"""
+
+
+@register("dq_null_matrix", oracle=_NULL_MATRIX_ORACLE, tags=("quality",))
+def dq_null_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness matrix: null rate per (segment x column) after
+    sentinel-to-NULL normalization — the intake dashboard behind every
+    data contract (dq_profile summarizes columns globally; this crosses
+    them with a segment dimension so a single broken producer shows up in
+    its own row). ONE scan and ONE aggregate: each cell is a FILTER
+    count on the shared hash-aggregate node (the per-column-subquery
+    formulation scans once per column), and the wide->long unpivot runs
+    on the aggregated rows (|segments| x |columns|), costing nothing.
+    The control column (event_id, never null) pins the zero row."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    staged = ev.select(
+        "event_type",
+        F.when(F.col("value") < 5.0, None).otherwise(F.col("value")).alias("value"),
+        F.when(F.col("user_id") % 97 == 0, None)
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        "event_id",
+    )
+    wide = staged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("COUNT(*) FILTER (WHERE value IS NULL)").alias("null_value"),
+        F.expr("COUNT(*) FILTER (WHERE user_id IS NULL)").alias("null_user_id"),
+        F.expr("COUNT(*) FILTER (WHERE event_id IS NULL)").alias("null_event_id"),
+    )
+    long = wide.unpivot(
+        ["event_type", "n_rows"],
+        ["null_value", "null_user_id", "null_event_id"],
+        "col_tag",
+        "n_null",
+    )
+    return long.select(
+        "event_type",
+        F.expr("substring(col_tag, 6)").alias("col_name"),
+        "n_rows",
+        "n_null",
+        (F.col("n_null").cast("double") / F.col("n_rows").cast("double")).alias(
+            "null_rate"
+        ),
+    )

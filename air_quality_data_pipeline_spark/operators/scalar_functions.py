@@ -629,3 +629,42 @@ def f_try_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "add_overflow"
         ),
     )
+
+
+# --- f_checksum: content digests (content-addressable keys) ------------------
+
+# Spark's md5()/sha2(...,256) and DuckDB's md5()/sha256() both emit
+# lowercase hex of the identical RFC digests, so full value-hash parity is
+# exact. The 16-hex-char prefix reinterpreted as a BIGINT is the repo's
+# standard content-derived shard key (uniform, engine-portable).
+_F_CHECKSUM_ORACLE = """
+SELECT doc_id,
+       md5(text) AS md5_hex,
+       sha256(text) AS sha256_hex,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(('0x' || substr(md5(text), 1, 8))::BIGINT AS BIGINT) AS shard_key
+FROM documents
+"""
+
+
+@register("f_checksum", oracle=_F_CHECKSUM_ORACLE, tags=("function", "llm"))
+def f_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic content digests per document: md5 and sha-256 hex,
+    plus a digest-derived integer shard key — the identity layer of a
+    content-addressable corpus store (dedup keys, cache keys, stable
+    shard routing all hang off these). Pure codegen projection: both
+    hashes are JVM intrinsics evaluated map-side with zero shuffle, so
+    the operator scales with scan bandwidth alone. The shard key takes
+    the first 8 hex chars (32 bits) so the value is exact in a BIGINT in
+    both engines."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("md5_hex"),
+        F.sha2(F.col("text"), 256).alias("sha256_hex"),
+        F.length(F.col("text")).cast("bigint").alias("n_chars"),
+        F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("shard_key"),
+    )

@@ -818,3 +818,70 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         reps.join(near, "cid")
         .select("cid", "rep_id", "n_members", "n_near_rep")
     )
+
+
+# --- llm_emb_quantize: int8 vector quantization ------------------------------
+
+# Symmetric absmax int8 quantization — the vector-DB/serving prep step
+# (4x memory cut before ANN indexing). Everything is per-row Catalyst
+# array math: the absmax fold is a SELECTION (order-free), the quantized
+# code floor((x/amax)*127) is one IEEE divide+multiply+floor on identical
+# operands in both engines, and the reconstruction-error fold is the
+# module's sequential aggregate() pattern (bit-identical left-to-right).
+_QUANT_AMAX_SPARK = "aggregate(vec, 0.0D, (s, x) -> greatest(s, abs(x)))"
+_QUANT_AMAX_DUCK = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(vec, x -> abs(x))), (s, x) -> greatest(s, x))"
+)
+
+_EMB_QUANTIZE_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+a AS (
+  SELECT vec_id, vec, {_QUANT_AMAX_DUCK} AS amax FROM v
+),
+q AS (
+  SELECT vec_id, vec, amax,
+         list_transform(vec, x -> CAST(floor(x / amax * 127.0) AS INT)) AS qv
+  FROM a WHERE amax > 0.0
+)
+SELECT vec_id, amax, amax / 127.0 AS scale,
+       array_to_string(qv, ',') AS q_csv,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(range(1, 65),
+           i -> abs(vec[i] - CAST(qv[i] AS DOUBLE) * (amax / 127.0)))),
+         (s, x) -> s + x) AS recon_err
+FROM q
+"""
+
+
+@register("llm_emb_quantize", oracle=_EMB_QUANTIZE_ORACLE, tags=("llm", "similarity"))
+def llm_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric absmax int8 quantization of the embedding column, with a
+    per-vector reconstruction-error audit — the standard 4x compression
+    pass before building a serving ANN index. Zero shuffle, zero UDF:
+    absmax, the int8 codes, and the L1 reconstruction error are all
+    Catalyst array expressions evaluated map-side, so at 100 TB the
+    operator is pure scan bandwidth across however many executors exist.
+    Codes are emitted as a CSV string (the repo's canonical array
+    encoding for value-hash comparison); amax > 0 guards the degenerate
+    all-zero vector."""
+    apply_engine_conf(spark)
+    v = _vectors(spark, sf_dir)
+    a = v.withColumn("amax", F.expr(_QUANT_AMAX_SPARK)).filter(F.col("amax") > 0.0)
+    q = a.withColumn(
+        "qv", F.expr("transform(vec, x -> cast(floor(x / amax * 127.0) as int))")
+    )
+    return q.select(
+        "vec_id",
+        "amax",
+        (F.col("amax") / 127.0).alias("scale"),
+        F.expr("concat_ws(',', transform(qv, x -> cast(x as string)))").alias("q_csv"),
+        F.expr(
+            "aggregate(transform(sequence(1, 64), "
+            "i -> abs(element_at(vec, i) - cast(element_at(qv, i) as double)"
+            " * (amax / 127.0))), 0.0D, (s, x) -> s + x)"
+        ).alias("recon_err"),
+    )

@@ -1104,3 +1104,35 @@ def mv_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_rev").cast("double").alias("revenue"),
         )
     )
+
+
+# --- sql_group_by_all: inferred grouping keys --------------------------------
+
+# The IDENTICAL text runs in both engines: GROUP BY ALL (Spark >= 3.4,
+# DuckDB native) infers the grouping keys as exactly the non-aggregate
+# select items, so the inference rule itself is what the oracle checks.
+_SQL_GROUP_BY_ALL = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS ship_year,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20, 4)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY ALL
+"""
+
+
+@register("sql_group_by_all", oracle=_SQL_GROUP_BY_ALL, tags=("sql",))
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL — the modern SQL surface where grouping keys are
+    inferred from the non-aggregate select items (Spark 3.4+, DuckDB,
+    Snowflake). Semantically identical to spelling the keys out, so the
+    physical plan is the ordinary partial-agg -> exchange -> final-agg;
+    what this query pins is the INFERENCE contract: both engines must
+    classify the same three expressions (two columns + a derived year) as
+    keys and the other two as aggregates. Running the one SQL text in
+    both engines makes any divergence a hash mismatch."""
+    apply_engine_conf(spark)
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_SQL_GROUP_BY_ALL)

@@ -1483,3 +1483,294 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         logit.alias("logit"),
         F.when(logit > 0.0, 1).otherwise(0).alias("keep_flag"),
     )
+
+
+# --- llm_domain_upsample: epoch-weighted corpus mixing -----------------------
+
+# Mix weights are a deterministic function of the source id (srcN -> N%4+1
+# epochs), so both engines derive identical weights with no config table.
+# The repeat is sequence+explode — generated rows, nothing shuffled.
+_DOMAIN_UPSAMPLE_ORACLE = """
+WITH w AS (
+  SELECT doc_id, source, n_chars,
+         CAST(substr(source, 4) AS INT) % 4 + 1 AS weight
+  FROM documents
+)
+SELECT w.doc_id, w.source, w.weight, CAST(r.epoch AS BIGINT) AS epoch,
+       w.doc_id * 8 + r.epoch AS sample_id,
+       CAST(w.n_chars AS BIGINT) AS n_chars
+FROM w, UNNEST(generate_series(1, w.weight)) AS r(epoch)
+"""
+
+
+@register("llm_domain_upsample", oracle=_DOMAIN_UPSAMPLE_ORACLE, tags=("llm", "text"))
+def llm_domain_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted domain upsampling: each document is repeated
+    weight(source) times (1-4 epochs) with a stable per-repeat sample_id
+    — how a training mix boosts under-represented domains (the
+    DoReMi/Pile-style integer-epoch half of mixture weighting; the
+    fractional half is llm_domain_mix's hash sampling). sequence+explode
+    generates the repeats map-side — zero shuffle, output rows never
+    exceed max_weight x input, and the derived sample_id keeps every
+    repeat addressable downstream (shuffle/pack stages need distinct
+    keys). At 100 TB the fan-out multiplies scan output, not exchanges."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.expr("cast(substring(source, 4) as int)") % 4 + 1).alias("weight"),
+    )
+    return w.select(
+        "doc_id",
+        "source",
+        "weight",
+        F.explode(F.expr("sequence(1, weight)")).alias("epoch"),
+        "n_chars",
+    ).select(
+        "doc_id",
+        "source",
+        "weight",
+        F.col("epoch").cast("bigint").alias("epoch"),
+        (F.col("doc_id") * 8 + F.col("epoch")).alias("sample_id"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+# --- llm_pmi_collocations: corpus collocation mining -------------------------
+
+# PMI ranking without log(): both engines rank by the SAME monotone
+# integer-scaled ratio floor(1000 * p(w1,w2) / (p(w1) p(w2))) — the double
+# multiply/divide chain is written identically on both sides (exact
+# integer operands < 2^53, left-associative), so the floor is bit-stable
+# and no libm call ever runs. log() would rank identically but its ulp
+# differences across libms break value-hash parity.
+_PMI_MIN_COUNT = 3
+_PMI_TOP = 20
+
+_PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS ts FROM documents
+),
+uni AS (
+  SELECT t AS word, COUNT(*) AS c
+  FROM toks, UNNEST(ts) AS u(t)
+  GROUP BY t
+),
+big AS (
+  SELECT ts[i] AS w1, ts[i + 1] AS w2, COUNT(*) AS c12
+  FROM toks, UNNEST(range(1, len(ts))) AS r(i)
+  GROUP BY ts[i], ts[i + 1]
+),
+tot AS (
+  SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS n_uni,
+         (SELECT CAST(SUM(c12) AS BIGINT) FROM big) AS n_big
+)
+SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2,
+       CAST(FLOOR(CAST(b.c12 AS DOUBLE) * CAST(t.n_uni AS DOUBLE)
+                  * CAST(t.n_uni AS DOUBLE) * 1000.0
+                  / (CAST(t.n_big AS DOUBLE) * CAST(u1.c AS DOUBLE)
+                     * CAST(u2.c AS DOUBLE))) AS BIGINT) AS pmi_scaled
+FROM big b
+JOIN uni u1 ON b.w1 = u1.word
+JOIN uni u2 ON b.w2 = u2.word
+CROSS JOIN tot t
+WHERE b.c12 >= {_PMI_MIN_COUNT}
+ORDER BY pmi_scaled DESC, b.w1, b.w2
+LIMIT {_PMI_TOP}
+"""
+
+
+@register("llm_pmi_collocations", oracle=_PMI_ORACLE, tags=("llm", "text"))
+def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the top bigrams by pointwise mutual information
+    — the phrase-detection pass (word2vec-phrases, tokenizer merge
+    candidates) a corpus pipeline runs before embedding. Two hash
+    aggregates (bigrams keyed on the pair, unigrams on the word — both
+    map-side combined, carrying counts never text), then the bigram table
+    joins the unigram counts TWICE with the unigram side broadcast (a
+    vocabulary is millions of rows — broadcastable — while bigrams scale
+    with the corpus and must not move twice). Ranking uses a monotone
+    integer-scaled PMI ratio instead of log() so cross-engine parity is
+    exact; the deterministic top-20 plans as TakeOrderedAndProject."""
+    apply_engine_conf(spark)
+    docs = rebalance_for_map(table(spark, sf_dir, "documents"), spark)
+    toks = docs.select(F.split("text", " ").alias("ts"))
+    uni = (
+        toks.select(F.explode("ts").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big = (
+        # size >= 2 guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead
+        # of returning empty, and element_at(_, 0) throws under ANSI
+        toks.filter(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1), "
+                    "i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    tot = uni.agg(F.sum("c").cast("bigint").alias("n_uni")).crossJoin(
+        big.agg(F.sum("c12").cast("bigint").alias("n_big"))
+    )
+    u1 = uni.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("c").alias("c2"))
+    joined = (
+        big.filter(F.col("c12") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .join(F.broadcast(tot))
+    )
+    pmi = joined.select(
+        "w1",
+        "w2",
+        "c12",
+        "c1",
+        "c2",
+        F.floor(
+            F.col("c12").cast("double")
+            * F.col("n_uni").cast("double")
+            * F.col("n_uni").cast("double")
+            * F.lit(1000.0)
+            / (
+                F.col("n_big").cast("double")
+                * F.col("c1").cast("double")
+                * F.col("c2").cast("double")
+            )
+        )
+        .cast("bigint")
+        .alias("pmi_scaled"),
+    )
+    return pmi.orderBy(F.desc("pmi_scaled"), "w1", "w2").limit(_PMI_TOP)
+
+
+# --- llm_bpe_merge_apply: one full BPE train step (count -> merge -> recount) -
+
+# llm_bpe_pair_counts is step (1) of BPE training; this closes the loop:
+# argmax pair -> apply the merge to the (spaced-symbol) vocabulary ->
+# recount adjacent SYMBOL pairs. The merge uses plain literal replace()
+# (leftmost, non-overlapping in both engines — exactly BPE's left-to-right
+# merge order); symbols are space-delimited so a merged 2-char symbol
+# stays atomic for the recount. The argmax pair joins in as a broadcast
+# 1-row relation — no collect, the driver never sees data.
+_BPE2_TOP = 20
+
+_BPE2_ORACLE = f"""
+WITH vocab AS (
+  SELECT t AS word, COUNT(*) AS freq
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+  WHERE len(t) >= 2
+  GROUP BY t
+),
+charpairs AS (
+  SELECT substr(word, i, 2) AS pair, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM vocab, UNNEST(range(1, len(word))) AS r(i)
+  GROUP BY pair
+),
+top1 AS (
+  SELECT pair AS merge_pair,
+         substr(pair, 1, 1) || ' ' || substr(pair, 2, 1) AS search
+  FROM charpairs ORDER BY cnt DESC, pair LIMIT 1
+),
+spaced AS (
+  SELECT rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sp, freq FROM vocab
+),
+merged AS (
+  SELECT replace(sp.sp, t.search, t.merge_pair) AS sp, sp.freq, t.merge_pair
+  FROM spaced sp CROSS JOIN top1 t
+),
+sympairs AS (
+  SELECT m.merge_pair,
+         syms[i] || '|' || syms[i + 1] AS pair,
+         m.freq
+  FROM (SELECT merge_pair, string_split(sp, ' ') AS syms, freq FROM merged) m,
+       UNNEST(range(1, len(syms))) AS r(i)
+)
+SELECT merge_pair, pair, CAST(SUM(freq) AS BIGINT) AS cnt
+FROM sympairs
+GROUP BY merge_pair, pair
+ORDER BY cnt DESC, pair
+LIMIT {_BPE2_TOP}
+"""
+
+
+@register("llm_bpe_merge_apply", oracle=_BPE2_ORACLE, tags=("llm", "text"))
+def llm_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One complete BPE training step: count char pairs over the frequency-
+    weighted vocabulary, pick the argmax merge (count desc, pair asc —
+    the deterministic tiebreak real tokenizers pin), APPLY it to the
+    spaced-symbol vocabulary with literal replace() (leftmost non-
+    overlapping = BPE's merge order), and recount adjacent symbol pairs.
+    Everything stays relational: the corpus collapses to the vocabulary
+    once (the scale step — later iterations never re-scan the corpus),
+    the argmax is a 1-row TakeOrdered broadcast-joined onto the
+    vocabulary (no collect), and both pair counts are map-side-combined
+    hash aggregates keyed on short symbol strings. Iterating this
+    operator k times IS tokenizer training; each step costs two
+    vocabulary-sized exchanges."""
+    apply_engine_conf(spark)
+    docs = rebalance_for_map(table(spark, sf_dir, "documents"), spark)
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    charpairs = (
+        vocab.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"
+                )
+            ).alias("pair"),
+            "freq",
+        )
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+    )
+    top1 = (
+        charpairs.orderBy(F.col("cnt").desc(), "pair")
+        .limit(1)
+        .select(
+            F.col("pair").alias("merge_pair"),
+            F.concat(
+                F.expr("substring(pair, 1, 1)"), F.lit(" "), F.expr("substring(pair, 2, 1)")
+            ).alias("search"),
+        )
+    )
+    spaced = vocab.select(
+        F.rtrim(F.regexp_replace("word", "(.)", "$1 ")).alias("sp"), "freq"
+    )
+    merged = spaced.crossJoin(F.broadcast(top1)).select(
+        F.expr("replace(sp, search, merge_pair)").alias("sp"), "freq", "merge_pair"
+    )
+    sympairs = (
+        merged.select(
+            "merge_pair", F.split("sp", " ").alias("syms"), "freq"
+        )
+        .filter(F.size("syms") >= 2)
+        .select(
+            "merge_pair",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> concat(element_at(syms, i), '|', element_at(syms, i + 1)))"
+                )
+            ).alias("pair"),
+            "freq",
+        )
+    )
+    return (
+        sympairs.groupBy("merge_pair", "pair")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(_BPE2_TOP)
+    )

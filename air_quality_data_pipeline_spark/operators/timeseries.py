@@ -29,7 +29,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..registry import register
-from ..session import apply_engine_conf
+from ..session import apply_engine_conf, scoped_persist
 from ..tables import table
 
 # one fully-covered fixture day; the grid is FIXED-SIZE (20 users x 1440
@@ -605,3 +605,192 @@ def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.select(
         "user_id", "event_id", (F.col("s_fp").cast("double") / 1000000.0).alias("cusum")
     )
+
+
+# --- ts_mad_outliers: robust outlier detection (median / MAD) ----------------
+
+# Exact medians travel the proven percentile()/quantile_cont bridge
+# (agg_quantiles): both engines sort and linearly interpolate at p*(n-1),
+# so the statistics are bit-identical; the deviation, threshold compare,
+# and score division are single IEEE ops on identical operands.
+_MAD_K = 3.5
+
+_MAD_ORACLE = f"""
+WITH med AS (
+  SELECT user_id, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY user_id
+),
+dev AS (
+  SELECT e.user_id, e.event_id, e.value, m.med,
+         abs(e.value - m.med) AS adev
+  FROM events e JOIN med m ON e.user_id = m.user_id
+),
+mad AS (
+  SELECT user_id, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY user_id
+)
+SELECT d.user_id, d.event_id, CAST(d.value AS DOUBLE) AS value,
+       d.med, m.mad, d.adev / m.mad AS score
+FROM dev d JOIN mad m ON d.user_id = m.user_id
+WHERE d.adev > {_MAD_K} * m.mad AND m.mad > 0.0
+"""
+
+
+@register("ts_mad_outliers", oracle=_MAD_ORACLE, tags=("timeseries", "quality"))
+def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outliers per user series — the heavy-tail-safe
+    complement to dq_anomaly's z-scores (mean and sigma are themselves
+    dragged by the outliers they're meant to catch; the median absolute
+    deviation has a 50% breakdown point). Two per-key exact-median
+    aggregates (each one exchange on user_id) with the |V|-row stats
+    tables BROADCAST back onto the stream both times — the fact table is
+    never reshuffled. Exact medians sort per group, which is fine for
+    bounded per-user series; unbounded keys would swap in
+    approx_percentile partials (agg_approx_quantiles)."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    med = ev.groupBy("user_id").agg(F.expr("percentile(value, 0.5D)").alias("med"))
+    # persist the deviation frame: it feeds BOTH the MAD aggregate and the
+    # final flagging pass — without the cache each consumer re-scans events
+    # (4 scans total; with it, 2)
+    dev = scoped_persist(
+        ev.join(F.broadcast(med), "user_id").withColumn(
+            "adev", F.abs(F.col("value") - F.col("med"))
+        )
+    )
+    mad = dev.groupBy("user_id").agg(F.expr("percentile(adev, 0.5D)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "user_id")
+        .filter((F.col("adev") > _MAD_K * F.col("mad")) & (F.col("mad") > 0.0))
+        .select(
+            "user_id",
+            "event_id",
+            F.col("value").cast("double").alias("value"),
+            "med",
+            "mad",
+            (F.col("adev") / F.col("mad")).alias("score"),
+        )
+    )
+
+
+# --- ts_interval_merge: overlapping-interval coalescing ----------------------
+
+# Every quantity is integer microseconds (unix_micros / epoch_us + a
+# floor-quantized duration), so island detection and the merged bounds are
+# association-free integer work — exact on any partitioning and in DuckDB.
+# The (start, event_id) window order is unique, pinning the prefix sets.
+_IVL_MERGE_ORACLE = """
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(floor(value * 60.0) AS BIGINT) * 1000000
+           + 60000000 AS e
+  FROM events
+),
+mk AS (
+  SELECT user_id, event_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM iv
+),
+isl AS (
+  SELECT user_id, s, e,
+         SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, event_id
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM mk
+)
+SELECT user_id, CAST(island AS BIGINT) AS island,
+       min(s) AS merged_start, max(e) AS merged_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       max(e) - min(s) AS span_us
+FROM isl GROUP BY user_id, island
+"""
+
+
+@register("ts_interval_merge", oracle=_IVL_MERGE_ORACLE, tags=("timeseries", "window"))
+def ts_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping validity intervals per user (each event opens an
+    interval of 1 + value-scaled minutes) into maximal disjoint spans —
+    the interval-coalescing primitive behind uptime stitching, session
+    coverage, and calendar merging. The gaps-and-islands formulation
+    needs ONE window exchange on user_id: a running max(end) over
+    strictly-preceding rows detects island starts, a running sum assigns
+    island ids, and a same-key groupBy (exchange reused) folds each
+    island to its bounds. Contrast the naive interval self-join: O(n²)
+    per key and a second shuffle. All arithmetic is integer microseconds
+    — bit-exact across engines and layouts."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    s = F.unix_micros(F.to_timestamp("ts"))
+    e = s + (F.floor(F.col("value") * 60.0).cast("bigint") * F.lit(1000000)) + F.lit(
+        60000000
+    )
+    iv = ev.select("user_id", "event_id", s.alias("s"), e.alias("e"))
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mk = iv.withColumn("pme", F.max("e").over(w_prev))
+    isl = mk.withColumn(
+        "island",
+        F.sum(
+            F.when(F.col("pme").isNull() | (F.col("s") > F.col("pme")), 1).otherwise(0)
+        ).over(w_run),
+    )
+    return isl.groupBy("user_id", F.col("island").cast("bigint").alias("island")).agg(
+        F.min("s").alias("merged_start"),
+        F.max("e").alias("merged_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("e") - F.min("s")).alias("span_us"),
+    )
+
+
+# --- ts_trend_slope: rolling OLS trend over a bounded lag chain --------------
+
+# The ts_ewma recipe applied to least squares: the trailing-8 OLS slope is
+# a CLOSED FORM in the current value plus 7 lags with integer x-offsets
+# (0, -1 .. -7), so one window sort feeds the lag() reads and a fixed
+# arithmetic tree. The SAME SQL text runs in both engines — identical
+# left-associative chains on identical doubles give identical bits.
+# With x = -k: Sx = -28, Sxx = 140, n = 8 -> n*Sxx - Sx^2 = 336, and
+# slope = (8*Sxy + 28*Sy) / 336 where Sxy = -(1*y1 + 2*y2 + ... + 7*y7).
+_SLOPE_K = 8
+_SLOPE_WIN = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+_SLOPE_SY = "value + " + " + ".join(
+    f"lag(value, {k}) {_SLOPE_WIN}" for k in range(1, _SLOPE_K)
+)
+_SLOPE_SXY = " - ".join(
+    f"{k}.0 * lag(value, {k}) {_SLOPE_WIN}" for k in range(1, _SLOPE_K)
+)
+
+_TREND_SLOPE_SQL = f"""
+SELECT user_id, event_id, slope FROM (
+  SELECT user_id, event_id,
+         lag(value, {_SLOPE_K - 1}) {_SLOPE_WIN} AS oldest,
+         (8.0 * (0.0 - {_SLOPE_SXY}) + 28.0 * ({_SLOPE_SY})) / 336.0 AS slope
+  FROM events
+) WHERE oldest IS NOT NULL
+"""
+
+
+@register("ts_trend_slope", oracle=_TREND_SLOPE_SQL, tags=("timeseries", "window"))
+def ts_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling ordinary-least-squares trend per user series: the slope of
+    the best-fit line over the trailing 8 observations — the local trend
+    detector behind rate-of-change alerting and the batch analog of
+    Holt's linear term. Like ts_ewma, the per-row recurrence is unrolled
+    into a bounded lag chain: ONE window exchange on user_id, then pure
+    per-row arithmetic (the OLS closed form with integer x-offsets, so
+    Sx/Sxx/n are compile-time constants and only the two y-sums touch
+    data). 1000 executors each fit their own keys; no state, no
+    iteration. The identical SQL text runs in DuckDB — float parity by
+    construction (shared expression tree, ts_ewma note)."""
+    apply_engine_conf(spark)
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_TREND_SLOPE_SQL)

@@ -523,3 +523,84 @@ def win_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").cast("double").alias("acctbal"),
         (dec.cast("double") / total.cast("double")).alias("nation_share"),
     )
+
+
+# --- win_pct_rank: relative-standing window functions ------------------------
+
+# percent_rank and cume_dist are RANK-derived: their values depend only on
+# the order statistics of the partition (integer rank arithmetic, one
+# double division), never on float accumulation — so they are bit-portable
+# across engines and partitionings even with duplicate sort keys (ties get
+# identical ranks in both engines by definition).
+_PCT_RANK_ORACLE = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(o_totalprice AS DOUBLE) AS price,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+"""
+
+
+@register("win_pct_rank", oracle=_PCT_RANK_ORACLE, tags=("window",))
+def win_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing within a segment: each order's percentile
+    (percent_rank = (rank-1)/(n-1)) and cumulative share of rows at or
+    below it (cume_dist) among same-priority orders — the distribution
+    complement to win_rank's ordinal top-N. ONE window exchange on the
+    partition key serves both functions (they share the sort); no
+    join-back against a percentile table, which would cost a second
+    shuffle and an approximate-quantile detour. At 100 TB each priority
+    partition sorts independently across executors."""
+    apply_engine_conf(spark)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+# --- win_running_extrema: running min/max over a pinned order ----------------
+
+# Running MIN/MAX are SELECTIONS, not accumulations — no fold-order
+# sensitivity, so doubles are safe where a running SUM would need the
+# fixed-point detour (module ts_cusum note). The drawup subtraction is one
+# float op on identical operands.
+_RUNNING_EXTREMA_ORACLE = """
+SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
+       min(value) OVER w AS run_min,
+       max(value) OVER w AS run_max,
+       CAST(value - min(value) OVER w AS DOUBLE) AS drawup
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)
+"""
+
+
+@register("win_running_extrema", oracle=_RUNNING_EXTREMA_ORACLE, tags=("window",))
+def win_running_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running minimum / maximum per user series and the drawup (distance
+    from the running low) — the monitoring primitive behind high-water-
+    mark alerts and max-drawdown analytics. ONE window exchange on
+    user_id with a cumulative ROWS frame; Spark evaluates running
+    extrema in O(1) per row (monotone accumulator), so the post-shuffle
+    cost is a single pass per series. The order is pinned by (ts,
+    event_id) — unique — so every engine sees the same prefix sets."""
+    apply_engine_conf(spark)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("value").cast("double").alias("value"),
+        F.min("value").over(w).alias("run_min"),
+        F.max("value").over(w).alias("run_max"),
+        (F.col("value") - F.min("value").over(w)).cast("double").alias("drawup"),
+    )

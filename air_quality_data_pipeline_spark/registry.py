@@ -71,100 +71,24 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # registry are ignored (lets the list name queries before they land);
 # everything not listed keeps module order after the priority block.
 #
-# Round-5 window, in need-order. Every oracle-checked query has been
-# driver-sampled green at least once across r1-r4, so the rotation switches
-# from coverage-chasing to staleness + change tracking:
-# (a) llm_minhash_lsh FIRST — the only registered query with NO driver row
-#     after four rounds (rows-only by design: MLlib's JVM Murmur3 hash
-#     family is not DuckDB-reproducible; its correctness anchor is the
-#     pair-superset property test vs llm_minhash_dedup,
-#     tests/test_properties.py). Spending one window slot finally records
-#     the driver's rows-only check for it (VERDICT r4 item 1).
-# (b) the operators NEW this round (never driver-sampled), in landing
-#     order: the early-round batch (agg_histogram ... join_fuzzy), then
-#     the SQL/agg/window/ts/dq/source batch (sql_q4 ... sql_lateral), then
-#     the function-breadth batch (f_date_arith ... agg_any_all). With the
-#     round-5 additions the window is mostly new entries — by design: a
-#     new operator's first driver row is worth more than re-sampling a
-#     twice-green one.
-# (c) the 6 queries whose code or oracle changed this round: agg_corr
-#     (variance clamp), llm_emb_lsh (self-join pair generation),
-#     llm_minhash_dedup (scoped persist), llm_tfidf (doc_freq derived from
-#     tf), dq_rules (fused single-pass-per-table), llm_decontaminate
-#     (staged token hashes + persisted grams, both engines);
-# (d) stalest greens — every remaining slot goes to queries whose last
-#     driver sample is round 1, oldest evidence first in module order.
-#
-# Round-5 REVISION (TPC-H completion landed): with ~56 never-sampled
-# queries and a 50-slot window, the slots go to first-rows exclusively.
-# The 6 changed-this-round queries and the stalest round-1 greens are
-# moved BELOW the fold: their latest driver samples are green, the exact
-# changed code is re-verified locally at sf0.01 and by the sf1 replay
-# (scripts/oracle_replay.py, commit c59da19), so a re-sample is worth
-# less than any never-sampled query's first row. The five scalar-surface
-# demos (f_date_arith/f_array_ops/f_regex/agg_any_all/f_bitwise) and
-# win_ntile are deferred to round 6 — lowest plan novelty (single-stage,
-# shuffle-free; the repo-wide plan invariants already pin them).
+# Round-6 window, in need-order. After round 5 every oracle-checked query
+# except the 26 deliberately deferred ones has at least one green driver
+# row (r1-r5 union), so the slots go to:
+# (a) the 26 round-5 DEFERRED_FIRST_ROW queries — their first driver rows.
+#     They were deferred as the lowest-risk class (zero/single-exchange
+#     surfaces pinned by plan invariants + local oracles at sf0.01/sf1);
+#     round 6 pays the debt in full so the never-sampled set empties.
+# (b) queries whose CODE changed this round, sampled-green-before but now
+#     needing a fresh row: sql_recursive (recursion row limit moved to a
+#     child session), graph_pagerank (memoized shared edge build).
+#     ts_cusum (decimal(18,9) power sums) and graph_triangles (same memo)
+#     also changed but are already in block (a).
+# (c) new round-6 operators, inserted here as they land (each displaces
+#     one filler slot from the end of block (d)).
+# (d) filler to 50: the stalest greens — last driver sample round 1 —
+#     in module order.
 DRIVER_PRIORITY = [
-    # (a) the one query without a driver row
-    "llm_minhash_lsh",
-    # (a2) TPC-H completion batch (new this round, never sampled)
-    "sql_q2",
-    "sql_q5",
-    "sql_q7",
-    "sql_q8",
-    "sql_q9",
-    "sql_q10",
-    "sql_q11",
-    "sql_q12",
-    "sql_q13",
-    "sql_q15",
-    "sql_q16",
-    "sql_q17",
-    "sql_q19",
-    "sql_q20",
-    "sql_q21",
-    "sql_q22",
-    # (a3) graph/recursive/observe batch (new this round, never sampled)
-    "graph_pagerank",
-    "sql_recursive",
-    "obs_metrics",
-    # (a4) zorder/udtf/incremental-MV batch (new this round, never sampled)
-    "snk_zorder",
-    "udtf_split",
-    "mv_incr_agg",
-    # (b) new this round
-    "ts_seasonal",
-    "ts_concurrency",
-    "llm_ngram_lm_score",
-    "snk_sorted_skip",
-    "join_runtime_filter",
-    "agg_sketch_union",
-    "llm_dedup_audit",
-    "mm_image_resize",
-    "llm_semantic_dedup",
-    "dq_drift",
-    "join_fuzzy",
-    # (b2) second round-5 batch (never driver-sampled)
-    "sql_q4",
-    "sql_q14",
-    "sql_q18",
-    "join_spatial",
-    "dq_referential",
-    "src_schema_evolution",
-    "llm_doc_shard",
-    "agg_bitmap_distinct",
-    "llm_ngram_novelty",
-    "join_dpp",
-    "snk_compact",
-    "sql_lateral",
-    "llm_bpe_pair_counts",
-    "st_incr_resume",
-    "st_static_join",
-    "llm_dataset_card",
-    # --- the 50-slot fold lands about here ---
-    # deferred to round 6: scalar-surface and single-aggregate demos
-    # (plan-invariant-pinned)
+    # (a) round-5 deferred first-rows: the never-sampled set, emptied
     "win_ntile",
     "f_date_arith",
     "f_array_ops",
@@ -177,92 +101,78 @@ DRIVER_PRIORITY = [
     "agg_argmax",
     "agg_skew_kurt",
     "win_median_smooth",
-    # (c) changed this round (latest driver samples green; re-verified
-    # locally and at sf1, so below the first-row block)
-    "agg_corr",
-    "llm_emb_lsh",
-    "llm_minhash_dedup",
-    "llm_tfidf",
-    "dq_rules",
-    "llm_decontaminate",
-    # (d) stalest greens (all last sampled r1)
+    "llm_quality_classifier",
+    "set_intersect_all",
+    "set_except_distinct",
+    "join_cross",
+    "ts_ewma",
+    "udf_arrow",
+    "graph_triangles",
+    "ts_cusum",
+    "win_streaks",
+    "join_nullsafe",
+    "src_corrupt_recovery",
+    "f_try_ops",
+    "agg_grouping_id",
+    "win_share",
+    # (b) changed this round (advice fixes) — re-sample
+    "sql_recursive",
+    "graph_pagerank",
+    # (c) new round-6 operators land here (uncommented as each registers;
+    # the planned worklist is kept inline as comments)
+    "agg_weighted_avg",
+    "agg_filtered",
+    "win_pct_rank",
+    "win_running_extrema",
+    "f_checksum",
+    "sql_group_by_all",
+    "ts_mad_outliers",
+    "ts_interval_merge",
+    "ts_trend_slope",
+    "join_scd2",
+    "llm_emb_quantize",
+    "llm_domain_upsample",
+    "llm_dedup_keep_best",
+    "llm_pmi_collocations",
+    "llm_bpe_merge_apply",
+    "dq_null_matrix",
+    "mm_validate_magic",
+    "mm_audio_frames",
+    "src_binary_files",
+    # (d) filler: stalest greens (last sampled r1), module order. Each
+    # new (c) operator displaces one filler from the fold's far side.
     "flagship",
     "flt_isin",
     "flt_notnull",
     "flt_numeric",
+    "flt_geo",
+    "flt_exists",
+    "join_bcast",
+    "join_semi",
+    "join_anti",
+    "join_dim",
+    "join_nested_corr",
+    "join_salted",
+    "join_bucketed",
+    "join_range",
+    "agg_count_grp",
+    "agg_collect_set",
+    "agg_count_distinct",
+    "agg_global_count",
+    "agg_superset",
+    "agg_stats",
+    "agg_rollup",
+    "agg_cube",
 ]
 
 # The driver reads the FIRST 50 registry entries; names past the fold only
 # order the remainder of the registry.
 DRIVER_WINDOW = DRIVER_PRIORITY[:50]
 
-# Never-sampled oracle queries deliberately left OUTSIDE the round-5 window
-# (56 first-row candidates > 50 slots). These six are the lowest-risk class
-# in the registry — single-stage shuffle-free scalar/window surfaces whose
-# plans are pinned by the repo-wide invariants in tests/test_plans.py and
-# whose oracles are green locally at sf0.01 and in the sf1 replay. They are
-# the round-6 window's first entries.
-DEFERRED_FIRST_ROW = {
-    "win_ntile",
-    "f_date_arith",
-    "f_array_ops",
-    "f_regex",
-    "agg_any_all",
-    "f_bitwise",
-    # deferred when the graph/recursive/observe and zorder/udtf/MV batches
-    # took their slots: zero- or single-exchange surfaces pinned by the
-    # repo-wide plan invariants or their own dedicated plan gates
-    "f_url_parse",
-    "agg_histogram",
-    "agg_string_agg",
-    "agg_argmax",
-    "agg_skew_kurt",
-    "win_median_smooth",
-    # zero-exchange codegen projection (llm_quality_score's learned-tier
-    # sibling); validated at sf0.001/0.01/sf1 locally on landing
-    "llm_quality_classifier",
-    # single-exchange setop surfaces completing the §2.G bag/set matrix;
-    # same physical shape as the already-sampled set_intersect/set_except
-    "set_intersect_all",
-    "set_except_distinct",
-    # explicit-cartesian demo: its own plan gate + the repo-wide
-    # no-accidental-cartesian invariant pin everything a driver row would;
-    # its slot went to st_static_join (the only stream-static enrichment
-    # demo, and a rare fully-oracle-checked streaming query)
-    "join_cross",
-    # single window exchange with a dedicated plan gate and the EWMA
-    # convexity property test; its slot went to join_spatial (a new
-    # operator CLASS — grid-bucketed radius join)
-    "ts_ewma",
-    # shares udf_scalar's exact oracle (already driver-sampled green) —
-    # a driver row would re-verify the same formula through a different
-    # batch-transfer layer, which the local cross-check already pins
-    "udf_arrow",
-    # same derived edge set and join-fan-out class as the in-window
-    # graph_pagerank; oracle-green locally at sf0.001/0.01/sf1
-    "graph_triangles",
-    # same two-exchange skeleton as the sampled dq_anomaly (stats
-    # broadcast + one window); oracle-green locally at sf0.001/0.01/sf1
-    "ts_cusum",
-    # all-integer dedup+window+aggregate chain (the islands trick); same
-    # exchange skeleton as the sampled win_sessionize
-    "win_streaks",
-    # broadcast-hash equi-join under null-safe key semantics — the plan
-    # shape is the sampled join_bcast's; the semantic delta is pinned by
-    # the oracle's IS NOT DISTINCT FROM
-    "join_nullsafe",
-    # single staged-read + one global aggregate; the PERMISSIVE audit
-    # semantics are pinned by the oracle triple at two SFs
-    "src_corrupt_recovery",
-    # zero-shuffle codegen projection (the scalar-surface deferral class)
-    "f_try_ops",
-    # same single Expand + hash-aggregate plan as the sampled agg_cube;
-    # the GROUPING() bits are read from the expand bitmask for free
-    "agg_grouping_id",
-    # one window exchange (the sampled win_distribution's skeleton) with
-    # the decimal-window-sum portability rule applied
-    "win_share",
-}
+# Round 6 moves every round-5 deferred first-row INTO the window, so the
+# deferral set is empty: every oracle-checked query is either already
+# driver-sampled green or sits inside the current 50-slot window.
+DEFERRED_FIRST_ROW: set[str] = set()
 
 
 def load_all_queries() -> dict[str, QuerySpec]:

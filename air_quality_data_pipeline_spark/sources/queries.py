@@ -680,3 +680,52 @@ def src_corrupt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_valid"),
     )
+
+
+# --- src_binary_files: whole-file binary ingestion ---------------------------
+
+# The raw-media ingest path: one FILE per object (the layout object stores
+# hand you), read with Spark's binaryFile source — (path, length, content)
+# rows plus Hive-style partition attribution from the directory name. The
+# staging write emits each document as its own file via the text writer
+# partitioned by doc_id; text files carry a trailing newline, so the
+# oracle's digest is md5(text || chr(10)) and length + 1.
+_SRC_BINARY_FILES_N = 64
+
+_SRC_BINARY_FILES_ORACLE = f"""
+SELECT doc_id,
+       CAST(strlen(text) + 1 AS BIGINT) AS n_bytes,
+       md5(text || chr(10)) AS content_md5
+FROM documents WHERE doc_id < {_SRC_BINARY_FILES_N}
+"""
+
+
+@register("src_binary_files", oracle=_SRC_BINARY_FILES_ORACLE, tags=("source", "multimodal"))
+def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary source: stage one file per document (text writer
+    partitioned by doc_id — the object-store one-blob-per-asset layout),
+    then ingest with ``spark.read.format("binaryFile")``: each row is
+    (path, modificationTime, length, content) with doc_id recovered FROM
+    THE PATH by partition discovery — no sidecar manifest. The audit
+    output (id, byte length, content md5) is the integrity check an
+    ingest job publishes. binaryFile never splits a file, so parallelism
+    is one task per blob — exactly right for media; pathGlobFilter skips
+    _SUCCESS markers at the listing, before any bytes are read."""
+    apply_engine_conf(spark)
+    out = tempfile.mkdtemp(prefix="src_binary_files_")
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _SRC_BINARY_FILES_N
+    )
+    docs.select("doc_id", F.col("text").alias("value")).repartition(
+        8, "doc_id"
+    ).write.mode("overwrite").partitionBy("doc_id").text(out)
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*")
+        .load(out)
+    )
+    return back.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )

@@ -645,3 +645,46 @@ def test_join_spatial_is_equi_join_not_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "cell_la" in plan and "cell_lo" in plan
     assert "Generate explode" in plan or "Generate" in plan  # the 3x3 ring
+
+
+# --- round-6 additions -------------------------------------------------------
+
+
+def test_agg_filtered_is_single_pass(spark, sf_dir):
+    """FILTER-clause metrics must ride ONE aggregate over ONE scan — the
+    per-metric-subquery formulation would multiply full scans."""
+    plan = _executed_plan(spark, "agg_filtered", sf_dir)
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ts_interval_merge_is_single_exchange(spark, sf_dir):
+    """Interval coalescing = gaps-and-islands: one window exchange on
+    user_id, and the island aggregate reuses the same partitioning (no
+    second shuffle, no interval self-join)."""
+    plan = _executed_plan(spark, "ts_interval_merge", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("FileScan") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_join_scd2_uses_window_not_range_join(spark, sf_dir):
+    """The SCD-2 lookup must be the union+window formulation — a BETWEEN
+    join would plan a (broadcast) nested loop over epoch intervals."""
+    plan = _executed_plan(spark, "join_scd2", sf_dir)
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ts_mad_outliers_broadcasts_stats(spark, sf_dir):
+    """Both stats tables (median, MAD) broadcast back onto the stream;
+    the deviation frame is persisted so BOTH its consumers (the MAD
+    aggregate and the final flagging pass) read the cache instead of
+    re-scanning and re-joining events. (FileScans inside the rendered
+    InMemoryRelation build plan are the one-time cache fill.)"""
+    plan = _executed_plan(spark, "ts_mad_outliers", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("InMemoryTableScan") >= 2, (
+        "deviation frame not cached for both consumers"
+    )
