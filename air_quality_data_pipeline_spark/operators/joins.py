@@ -746,14 +746,18 @@ def join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # their ship date. The oracle spells the textbook BETWEEN-join over
 # lead()-derived epoch intervals; the engine uses the single-shuffle
 # union+window formulation instead (join_asof note) — same semantics,
-# no range join.
+# no range join. The open epoch's end is a sentinel date, not NULL: an
+# `OR vt IS NULL` inside the join condition blocks DuckDB's range-join
+# machinery and degenerates to a nested loop at sf1 (measured hang).
 _JOIN_SCD2_ORACLE = """
 WITH dim AS (
   SELECT o_custkey AS ck, o_orderdate AS vf, max(o_orderpriority) AS prio
   FROM orders GROUP BY o_custkey, o_orderdate
 ),
 epochs AS (
-  SELECT ck, prio, vf, lead(vf) OVER (PARTITION BY ck ORDER BY vf) AS vt
+  SELECT ck, prio, vf,
+         coalesce(lead(vf) OVER (PARTITION BY ck ORDER BY vf),
+                  DATE '9999-12-31') AS vt
   FROM dim
 ),
 probe AS (
@@ -765,7 +769,7 @@ SELECT coalesce(e.prio, '0-BEFORE-HISTORY') AS epoch_priority,
        CAST(COUNT(*) AS BIGINT) AS n_items,
        CAST(SUM(p.rev) AS DOUBLE) AS revenue
 FROM probe p LEFT JOIN epochs e
-  ON p.ck = e.ck AND p.d >= e.vf AND (e.vt IS NULL OR p.d < e.vt)
+  ON p.ck = e.ck AND p.d >= e.vf AND p.d < e.vt
 GROUP BY coalesce(e.prio, '0-BEFORE-HISTORY')
 """
 

@@ -1597,12 +1597,15 @@ def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     docs = rebalance_for_map(table(spark, sf_dir, "documents"), spark)
     toks = docs.select(F.split("text", " ").alias("ts"))
-    uni = (
+    # both count tables are consumed multiple times (u1, u2, totals /
+    # join, totals) — persist them so the corpus is scanned exactly twice
+    # (once per aggregate build), not once per reference
+    uni = scoped_persist(
         toks.select(F.explode("ts").alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    big = (
+    big = scoped_persist(
         # size >= 2 guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead
         # of returning empty, and element_at(_, 0) throws under ANSI
         toks.filter(F.size("ts") >= 2)
