@@ -495,3 +495,109 @@ def test_mv_incr_agg_cutoff_invariance(spark, sf_dir):
 
     results = [mv_at(c) for c in ("1996-01-01", "1998-06-15", "2002-01-01")]
     assert results[0] == results[1] == results[2]
+
+
+# --- round-6 additions -------------------------------------------------------
+
+
+def test_emb_quantize_code_range_and_error_bound(spark, sf_dir):
+    """int8 absmax quantization invariants: every code in [-127, 127]
+    (floor of x/amax*127 with |x| <= amax), and the L1 reconstruction
+    error is below dims * scale (each coordinate's floor error < one
+    quantization step)."""
+    q = SPECS["llm_emb_quantize"].builder(spark, sf_dir)
+    bad = q.filter(
+        F.expr(
+            "exists(transform(split(q_csv, ','), s -> cast(s as int)),"
+            " c -> c < -127 OR c > 127)"
+        )
+    ).count()
+    assert bad == 0
+    over = q.filter(F.col("recon_err") > 64 * F.col("scale")).count()
+    assert over == 0
+
+
+def test_interval_merge_islands_are_disjoint(spark, sf_dir):
+    """Merged intervals per user must be strictly non-overlapping and
+    ordered by island id — the defining postcondition of coalescing."""
+    m = SPECS["ts_interval_merge"].builder(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("island")
+    overlaps = (
+        m.withColumn("prev_end", F.lag("merged_end").over(w))
+        .filter(F.col("prev_end").isNotNull() & (F.col("merged_start") <= F.col("prev_end")))
+        .count()
+    )
+    assert overlaps == 0
+
+
+def test_scd2_attributes_every_lineitem_exactly_once(spark, sf_dir):
+    """The SCD-2 lookup is a partition of the fact table: per-epoch item
+    counts must sum to |lineitem| (no probe lost, none double-matched —
+    a point-in-time join that fans out or drops is broken)."""
+    out = SPECS["join_scd2"].builder(spark, sf_dir)
+    total = out.agg(F.sum("n_items")).collect()[0][0]
+    n_li = table(spark, sf_dir, "lineitem").count()
+    assert total == n_li
+
+
+def test_keep_best_clusters_partition_documents(spark, sf_dir):
+    """Cluster members must sum to the corpus size, and every cluster
+    keeps exactly one survivor (n_dropped = n_members - 1)."""
+    out = SPECS["llm_dedup_keep_best"].builder(spark, sf_dir)
+    row = out.agg(
+        F.sum("n_members").alias("m"),
+        F.sum(F.col("n_members") - F.col("n_dropped")).alias("kept"),
+        F.count(F.lit(1)).alias("k"),
+    ).collect()[0]
+    assert row["m"] == table(spark, sf_dir, "documents").count()
+    assert row["kept"] == row["k"]
+
+
+def test_pmi_pair_counts_bounded_by_unigrams(spark, sf_dir):
+    """A bigram cannot occur more often than either of its words:
+    c12 <= min(c1, c2) for every reported collocation."""
+    out = SPECS["llm_pmi_collocations"].builder(spark, sf_dir)
+    bad = out.filter(
+        (F.col("c12") > F.col("c1")) | (F.col("c12") > F.col("c2"))
+    ).count()
+    assert bad == 0
+
+
+def test_bpe_merge_eliminates_the_merged_pair(spark, sf_dir):
+    """After applying merge (a,b), the adjacent symbol pair a|b can no
+    longer exist (every occurrence was merged into the single symbol ab)
+    — the defining postcondition of a BPE merge step."""
+    out = SPECS["llm_bpe_merge_apply"].builder(spark, sf_dir)
+    ghost = out.filter(
+        F.col("pair")
+        == F.concat(
+            F.expr("substring(merge_pair, 1, 1)"),
+            F.lit("|"),
+            F.expr("substring(merge_pair, 2, 1)"),
+        )
+    ).count()
+    assert ghost == 0
+
+
+def test_audio_frames_match_payload_geometry(spark, sf_dir):
+    """Per-doc frame count must equal the hop formula over the payload
+    length, and every full frame's energy sits in the printable-ASCII
+    band [32*32, 32*126]."""
+    frames = SPECS["mm_audio_frames"].builder(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    got = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    want = docs.select(
+        "doc_id",
+        F.expr("greatest(cast((length(text) - 32) div 16 as long) + 1, 1L)").alias(
+            "expect"
+        ),
+    )
+    mism = got.join(want, "doc_id").filter(F.col("n_frames") != F.col("expect")).count()
+    assert mism == 0
+    bad_energy = frames.filter(
+        (F.col("frame_len") == 32)
+        & ((F.col("energy") < 32 * 32) | (F.col("energy") > 32 * 126))
+    ).count()
+    assert bad_energy == 0
