@@ -1777,3 +1777,82 @@ def llm_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(_BPE2_TOP)
     )
+
+
+# --- llm_dataset_diff: corpus snapshot delta ---------------------------------
+
+# Snapshot B is derived deterministically from the fixture corpus
+# (removals: id % 11 = 0; edits: id % 7 = 0 gets a suffix; additions:
+# id % 13 = 0 re-enters under id + 100000), so both engines construct the
+# identical pair of snapshots and the diff itself is what gets checked.
+_DATASET_DIFF_ORACLE = """
+WITH a AS (
+  SELECT doc_id, md5(text) AS h, n_chars FROM documents
+),
+b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN md5(text || ' v2') ELSE md5(text) END AS h,
+         CASE WHEN doc_id % 7 = 0 THEN n_chars + 3 ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 100000, md5(text || ' new'), n_chars + 4
+  FROM documents WHERE doc_id % 13 = 0
+),
+d AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.h <> b.h THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         coalesce(b.n_chars, a.n_chars) AS n_chars
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM d GROUP BY status
+"""
+
+
+@register("llm_dataset_diff", oracle=_DATASET_DIFF_ORACLE, tags=("llm", "text", "quality"))
+def llm_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff: classify every document across two corpus
+    snapshots as added / removed / changed / unchanged by content digest
+    — the audit a training-data registry publishes between releases (and
+    the precondition for incremental re-tokenization: only 'added' +
+    'changed' re-enter the pipeline). ONE full outer join keyed on
+    doc_id — both snapshots hash-partition on the same key, so at 100 TB
+    this is a co-partitioned merge with no skew surprises — carrying
+    (id, digest, chars) triples, never text; the digest comparison is
+    md5 equality, and the status rollup rides the join's output. The
+    snapshot-B derivation is deterministic fixture scaffolding; a real
+    run reads two manifest tables."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    a = docs.select("doc_id", F.md5("text").alias("h"), "n_chars")
+    b_kept = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.md5(F.concat(F.col("text"), F.lit(" v2"))))
+        .otherwise(F.md5("text"))
+        .alias("h"),
+        F.when(F.col("doc_id") % 7 == 0, F.col("n_chars") + 3)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    )
+    b_new = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.md5(F.concat(F.col("text"), F.lit(" new"))).alias("h"),
+        (F.col("n_chars") + 4).alias("n_chars"),
+    )
+    b = b_kept.unionByName(b_new)
+    d = a.alias("a").join(b.alias("b"), "doc_id", "full_outer").select(
+        F.when(F.col("a.h").isNull(), "added")
+        .when(F.col("b.h").isNull(), "removed")
+        .when(F.col("a.h") != F.col("b.h"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        F.coalesce(F.col("b.n_chars"), F.col("a.n_chars")).alias("n_chars"),
+    )
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -794,3 +794,104 @@ def ts_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_TREND_SLOPE_SQL)
+
+
+# --- ts_downsample: representative-point downsampling (LTTB-style) -----------
+
+# True LTTB is sequential (each pick depends on the previous); this is the
+# parallel variant real dashboards ship: fixed hourly buckets, neighbor
+# anchors are the adjacent buckets' DECIMAL-exact means, and each bucket
+# keeps its max-deviation point. Selection over identical doubles is
+# order-free, so the whole thing is engine-exact without quantization.
+# Tiebreak (equal dev): lowest event_id — Spark expresses it as ONE
+# max_by(struct(dev, -event_id)); DuckDB's arg_max lacks struct
+# comparators (llm_dedup_keep_best note), so the oracle spells the same
+# selection as max-dev join-back + min(event_id).
+_DOWNSAMPLE_ORACLE = """
+WITH pts AS (
+  SELECT user_id, event_id, value,
+         epoch_us(ts) // 3600000000 AS bucket
+  FROM events
+),
+stats AS (
+  SELECT user_id, bucket,
+         CAST(SUM(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) / COUNT(*) AS avg_v,
+         CAST(COUNT(*) AS BIGINT) AS n_in_bucket
+  FROM pts GROUP BY user_id, bucket
+),
+anchored AS (
+  SELECT user_id, bucket, avg_v, n_in_bucket,
+         coalesce(lag(avg_v) OVER w, avg_v) AS prev_avg,
+         coalesce(lead(avg_v) OVER w, avg_v) AS next_avg
+  FROM stats
+  WINDOW w AS (PARTITION BY user_id ORDER BY bucket)
+),
+scored AS (
+  SELECT p.user_id, p.bucket, p.event_id, p.value, a.n_in_bucket,
+         abs(p.value - (a.prev_avg + a.next_avg) / 2.0) AS dev
+  FROM pts p JOIN anchored a ON p.user_id = a.user_id AND p.bucket = a.bucket
+),
+md AS (
+  SELECT user_id, bucket, max(dev) AS dev FROM scored GROUP BY user_id, bucket
+)
+SELECT s.user_id, s.bucket,
+       min(s.event_id) AS event_id,
+       arg_min(s.value, s.event_id) AS value,
+       min(s.dev) AS dev,
+       min(s.n_in_bucket) AS n_in_bucket
+FROM scored s
+JOIN md ON s.user_id = md.user_id AND s.bucket = md.bucket AND s.dev = md.dev
+GROUP BY s.user_id, s.bucket
+"""
+
+
+@register("ts_downsample", oracle=_DOWNSAMPLE_ORACLE, tags=("timeseries", "window"))
+def ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB-style representative-point downsampling: per (user, hour)
+    keep the single point deviating most from the line between the
+    neighbor buckets' means — the visualization/preview reduction that
+    preserves spikes where naive per-bucket averaging flattens them.
+    Parallel shape: bucket means in one hash aggregate (DECIMAL-exact),
+    neighbor anchors via lag/lead over ONE per-user window (|buckets|
+    rows, tiny), then the per-bucket argmax as ONE max_by(struct) on the
+    re-join — the same two-exchange + broadcast skeleton as dq_anomaly.
+    True LTTB's pick-depends-on-previous chain cannot parallelize; the
+    fixed-anchor variant is the standard scale-out compromise and is
+    deterministic enough to value-hash across engines."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        # integer div, not `/` + cast: double division of a near-boundary
+        # epoch can round up across the bucket edge while DuckDB's `//`
+        # floors exactly — integer div is identical in both engines
+        F.expr("unix_micros(to_timestamp(ts)) div 3600000000").alias("bucket"),
+    )
+    stats = pts.groupBy("user_id", "bucket").agg(
+        (F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias("avg_v"),
+        F.count(F.lit(1)).alias("n_in_bucket"),
+    )
+    w = Window.partitionBy("user_id").orderBy("bucket")
+    anchored = stats.select(
+        "user_id",
+        "bucket",
+        "n_in_bucket",
+        F.coalesce(F.lag("avg_v").over(w), F.col("avg_v")).alias("prev_avg"),
+        F.coalesce(F.lead("avg_v").over(w), F.col("avg_v")).alias("next_avg"),
+    )
+    scored = pts.join(F.broadcast(anchored), ["user_id", "bucket"]).select(
+        "user_id",
+        "bucket",
+        "event_id",
+        "value",
+        "n_in_bucket",
+        F.abs(F.col("value") - (F.col("prev_avg") + F.col("next_avg")) / 2.0).alias("dev"),
+    )
+    return scored.groupBy("user_id", "bucket").agg(
+        F.expr("max_by(event_id, struct(dev, -event_id))").alias("event_id"),
+        F.expr("max_by(value, struct(dev, -event_id))").alias("value"),
+        F.max("dev").alias("dev"),
+        F.min("n_in_bucket").alias("n_in_bucket"),
+    )

@@ -139,6 +139,8 @@ DRIVER_PRIORITY = [
     "mm_validate_magic",
     "mm_audio_frames",
     "src_binary_files",
+    "llm_dataset_diff",
+    "ts_downsample",
     # (d) filler: stalest greens (last sampled r1), module order. Each
     # new (c) operator displaces one filler from the fold's far side.
     "flagship",
