@@ -141,6 +141,7 @@ DRIVER_PRIORITY = [
     "src_binary_files",
     "llm_dataset_diff",
     "ts_downsample",
+    "src_xml",
     # (d) filler: stalest greens (last sampled r1), module order. Each
     # new (c) operator displaces one filler from the fold's far side.
     "flagship",

@@ -729,3 +729,37 @@ def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("bigint").alias("n_bytes"),
         F.md5("content").alias("content_md5"),
     )
+
+
+# --- src_xml: native XML source (new in Spark 4) -----------------------------
+
+_SRC_XML_ORACLE = """
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+"""
+
+
+@register("src_xml", oracle=_SRC_XML_ORACLE, tags=("source",))
+def src_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source — native in Spark 4 (the former spark-xml package merged
+    upstream): write the nation table as <rows><row>...</row></rows>
+    documents, read back with a DECLARED schema and rowTag streaming
+    (Spark's XML reader pull-parses row elements without loading whole
+    documents — the property that makes 100 TB of XML feeds ingestable
+    at all). Schema declared, not inferred — inference is an extra full
+    pass. The oracle checks the round trip: text must survive XML
+    escaping and doubles must survive text formatting bit-exactly (the
+    src_csv contract, through a different serializer). Like CSV/JSONL,
+    XML is row-major ingest-only at scale: first touch converts to
+    parquet."""
+    apply_engine_conf(spark)
+    out = tempfile.mkdtemp(prefix="src_xml_") + "/supplier_xml"
+    sup = table(spark, sf_dir, "supplier")
+    sup.write.mode("overwrite").format("xml").option("rootTag", "suppliers").option(
+        "rowTag", "supplier"
+    ).save(out)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema("s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double")
+        .load(out)
+    )
