@@ -669,3 +669,97 @@ def dq_null_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "null_rate"
         ),
     )
+
+
+# --- dq_reconciliation: cross-table totals audit -----------------------------
+
+# Reconciles the order header total against the recomputed lineitem total
+# per order — the financial-close control every warehouse runs between a
+# summary table and its detail table. The fixture VIOLATES the invariant
+# (synthetic totals are independent draws), which is exactly what the
+# audit is for: every order lands in a drift bucket instead of a boolean
+# pass. Money is FLOOR-quantized to integer 10^-4 units before summing
+# (the repo's fixed-point rule): a double→DECIMAL cast rounds ties
+# differently across engines (measured 5e-4 divergence over 15k orders),
+# while FLOOR on identical doubles is exact and BIGINT sums are
+# association-free.
+_RECON_ORACLE = """
+WITH s AS (
+  SELECT l_orderkey,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                        * 10000.0) AS BIGINT)) AS calc_fp
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT o.o_orderkey,
+         CAST(FLOOR(o.o_totalprice * 10000.0) AS BIGINT) AS header_fp,
+         s.calc_fp,
+         abs(CAST(FLOOR(o.o_totalprice * 10000.0) AS BIGINT) - s.calc_fp) AS drift_fp
+  FROM orders o LEFT JOIN s ON o.o_orderkey = s.l_orderkey
+),
+b AS (
+  SELECT CASE WHEN calc_fp IS NULL THEN 'no_lineitems'
+              WHEN drift_fp <= 100 THEN 'exact'
+              WHEN CAST(drift_fp AS DOUBLE) / CAST(header_fp AS DOUBLE) <= 0.01
+                THEN 'minor_drift'
+              ELSE 'major_drift' END AS bucket,
+         drift_fp
+  FROM j
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(coalesce(SUM(drift_fp), 0) AS DOUBLE) / 10000.0 AS total_drift
+FROM b GROUP BY bucket
+"""
+
+
+@register("dq_reconciliation", oracle=_RECON_ORACLE, tags=("quality", "join", "agg"))
+def dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summary-vs-detail reconciliation: recompute each order's total from
+    its lineitems and bucket the drift against the header total (exact /
+    minor / major / no-detail) — the aggregate-integrity control behind
+    financial close and every derived-table contract (dq_referential
+    audits KEYS; this audits VALUES). One fixed-point detail aggregate
+    keyed on the order — at 100 TB both sides hash-partition on
+    o_orderkey, so the header join is co-partitioned with no extra
+    exchange class — then a LEFT join (headers with no detail rows are a
+    bucket, not a silent drop) and a 4-row bucket rollup. The fixture's
+    synthetic totals genuinely violate the invariant, so the buckets are
+    non-degenerate at every SF. Money sums ride FLOOR-quantized BIGINTs
+    (module note: double→DECIMAL tie-rounding diverges across engines)."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    amt_fp = F.floor(
+        (
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        )
+        * 10000.0
+    ).cast("bigint")
+    calc = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.sum(amt_fp).alias("calc_fp")
+    )
+    j = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 10000.0).cast("bigint").alias("header_fp"),
+    ).join(calc, F.col("o_orderkey") == F.col("k"), "left")
+    j = j.withColumn("drift_fp", F.abs(F.col("header_fp") - F.col("calc_fp")))
+    b = j.select(
+        F.when(F.col("calc_fp").isNull(), "no_lineitems")
+        .when(F.col("drift_fp") <= 100, "exact")
+        .when(
+            F.col("drift_fp").cast("double") / F.col("header_fp").cast("double")
+            <= 0.01,
+            "minor_drift",
+        )
+        .otherwise("major_drift")
+        .alias("bucket"),
+        "drift_fp",
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.coalesce(F.sum("drift_fp"), F.lit(0)).cast("double") / 10000.0).alias(
+            "total_drift"
+        ),
+    )

@@ -885,3 +885,74 @@ def llm_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (amax / 127.0))), 0.0D, (s, x) -> s + x)"
         ).alias("recon_err"),
     )
+
+
+# --- llm_hard_negatives: contrastive-pair mining -----------------------------
+
+# For each query vector, the single most-similar vector with a DIFFERENT
+# label — the hard-negative mining step of contrastive training (the
+# negatives that actually move the loss are the ones the model confuses).
+# Exact cosine via the module's sequential folds; the argmax tiebreak
+# (equal cosine -> lowest vec_id) is ONE max_by(struct) in Spark, and the
+# oracle spells the same selection as max-join-back + min (DuckDB arg_max
+# lacks struct comparators — llm_dedup_keep_best note).
+_HARD_NEG_QUERIES = 20
+
+_HARD_NEG_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, label AS qlabel, vec AS qvec FROM v
+      WHERE vec_id < {_HARD_NEG_QUERIES}),
+scored AS (
+  SELECT q.qid, q.qlabel, v.vec_id, v.label,
+         {cosine_similarity_duckdb('q.qvec', 'v.vec', DIMS)} AS cosine
+  FROM q JOIN v ON v.label <> q.qlabel
+),
+m AS (SELECT qid, max(cosine) AS mc FROM scored GROUP BY qid)
+SELECT s.qid, min(s.qlabel) AS qlabel,
+       min(s.vec_id) AS neg_id,
+       arg_min(s.label, s.vec_id) AS neg_label,
+       min(s.cosine) AS cosine
+FROM scored s JOIN m ON s.qid = m.qid AND s.cosine = m.mc
+GROUP BY s.qid
+"""
+
+
+@register("llm_hard_negatives", oracle=_HARD_NEG_ORACLE, tags=("llm", "similarity"))
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the most cosine-similar CORPUS vector carrying a different label —
+    the pairs that dominate the InfoNCE gradient. The query panel (20
+    vectors) broadcasts against the corpus — the corpus is never
+    shuffled, scoring is per-row sequential-fold math, and the per-query
+    argmax is ONE map-side-combinable max_by(struct) so the exchange
+    carries one candidate per (task, query). At 100 TB the exact scan
+    is the recall-1.0 baseline; production mines from the IVF/LSH
+    bucketed candidates (llm_sim_search_ivf / llm_emb_lsh) with this
+    operator as its audit."""
+    apply_engine_conf(spark)
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("vec"),
+    )
+    q = v.filter(F.col("vec_id") < _HARD_NEG_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("vec").alias("qvec"),
+    )
+    scored = F.broadcast(q).join(v, q.qlabel != v.label).select(
+        "qid",
+        "qlabel",
+        "vec_id",
+        "label",
+        cosine_similarity(F.col("qvec"), F.col("vec")).alias("cosine"),
+    )
+    return scored.groupBy("qid").agg(
+        F.min("qlabel").alias("qlabel"),
+        F.expr("max_by(vec_id, struct(cosine, -vec_id))").alias("neg_id"),
+        F.expr("max_by(label, struct(cosine, -vec_id))").alias("neg_label"),
+        F.max("cosine").alias("cosine"),
+    )

@@ -172,10 +172,20 @@ DRIVER_PRIORITY = [
 # order the remainder of the registry.
 DRIVER_WINDOW = DRIVER_PRIORITY[:50]
 
-# Round 6 moves every round-5 deferred first-row INTO the window, so the
-# deferral set is empty: every oracle-checked query is either already
-# driver-sampled green or sits inside the current 50-slot window.
-DEFERRED_FIRST_ROW: set[str] = set()
+# Round 6 moves every round-5 deferred first-row INTO the window. The two
+# late-round-6 additions below arrived after the 50 slots were full of
+# higher-need entries (26 never-sampled + 2 changed + 22 new); both are
+# the lowest-risk deferral class — each reuses an already-driver-sampled
+# plan skeleton and is oracle-green locally at sf0.001/0.01 and sf1:
+# - dq_reconciliation: the co-partitioned join + hash-aggregate shape of
+#   the in-window dq_referential, with the fixed-point money rule.
+# - llm_hard_negatives: the broadcast-query-panel + max_by(struct) argmax
+#   shape of the sampled llm_sim_search / agg_argmax.
+# They are the round-7 window's first entries.
+DEFERRED_FIRST_ROW: set[str] = {
+    "dq_reconciliation",
+    "llm_hard_negatives",
+}
 
 
 def load_all_queries() -> dict[str, QuerySpec]:
