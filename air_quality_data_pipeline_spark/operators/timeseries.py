@@ -852,9 +852,10 @@ def ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor buckets' means — the visualization/preview reduction that
     preserves spikes where naive per-bucket averaging flattens them.
     Parallel shape: bucket means in one hash aggregate (DECIMAL-exact),
-    neighbor anchors via lag/lead over ONE per-user window (|buckets|
-    rows, tiny), then the per-bucket argmax as ONE max_by(struct) on the
-    re-join — the same two-exchange + broadcast skeleton as dq_anomaly.
+    neighbor anchors via lag/lead over a per-user window on the
+    aggregated rows, then the per-bucket argmax as ONE max_by(struct)
+    on the re-join — co-partitioned on (user, bucket) at scale (AQE
+    broadcasts the anchor side only while it is genuinely small).
     True LTTB's pick-depends-on-previous chain cannot parallelize; the
     fixed-anchor variant is the standard scale-out compromise and is
     deterministic enough to value-hash across engines."""
@@ -881,7 +882,11 @@ def ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.lag("avg_v").over(w), F.col("avg_v")).alias("prev_avg"),
         F.coalesce(F.lead("avg_v").over(w), F.col("avg_v")).alias("next_avg"),
     )
-    scored = pts.join(F.broadcast(anchored), ["user_id", "bucket"]).select(
+    # no broadcast hint: the anchor table is |users x buckets| rows — small
+    # at fixture scale (AQE picks BHJ) but NOT broadcastable at 100 TB,
+    # where this becomes a co-partitioned join on (user_id, bucket) sharing
+    # the stats aggregate's exchange
+    scored = pts.join(anchored, ["user_id", "bucket"]).select(
         "user_id",
         "bucket",
         "event_id",
