@@ -996,6 +996,11 @@ GROUP BY anc.part
 """
 
 
+# One child session per SparkContext for the raised recursion limit —
+# created lazily, reused across invocations (see sql_recursive docstring).
+_RECURSIVE_CHILD: dict[str, SparkSession] = {}
+
+
 @register("sql_recursive", oracle=_SQL_RECURSIVE, tags=("sql", "recursive"))
 def sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (WITH RECURSIVE, new in Spark 4): ancestor-chain walk
@@ -1023,10 +1028,18 @@ def sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     The raised limit is scoped to a CHILD session (same SparkContext, own
     SQLConf): the returned DataFrame executes under the child's conf, so
     the shared session keeps the 1M default guard for every other
-    recursive query in the same driver pass (ADVICE r5)."""
-    child = spark.newSession()
-    apply_engine_conf(child)
-    child.conf.set("spark.sql.cteRecursionRowLimit", str(1_000_000_000))
+    recursive query in the same driver pass (ADVICE r5). The child is
+    memoized per applicationId — one SessionState for the process's
+    lifetime, not one per invocation (a long driver pass calls this
+    builder many times)."""
+    app_id = spark.sparkContext.applicationId
+    child = _RECURSIVE_CHILD.get(app_id)
+    if child is None:
+        _RECURSIVE_CHILD.clear()  # a stale entry's context is gone
+        child = spark.newSession()
+        apply_engine_conf(child)
+        child.conf.set("spark.sql.cteRecursionRowLimit", str(1_000_000_000))
+        _RECURSIVE_CHILD[app_id] = child
     _views(child, sf_dir, "part")
     return child.sql(_SQL_RECURSIVE)
 

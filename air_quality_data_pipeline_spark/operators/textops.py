@@ -1783,8 +1783,11 @@ def llm_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Snapshot B is derived deterministically from the fixture corpus
 # (removals: id % 11 = 0; edits: id % 7 = 0 gets a suffix; additions:
-# id % 13 = 0 re-enters under id + 100000), so both engines construct the
-# identical pair of snapshots and the diff itself is what gets checked.
+# id % 13 = 0 re-enters under -(id + 1) — negative ids can NEVER collide
+# with real non-negative doc_ids at any scale factor, where a fixed
+# additive offset would collide once the corpus exceeds it), so both
+# engines construct the identical pair of snapshots and the diff itself
+# is what gets checked.
 _DATASET_DIFF_ORACLE = """
 WITH a AS (
   SELECT doc_id, md5(text) AS h, n_chars FROM documents
@@ -1795,7 +1798,7 @@ b AS (
          CASE WHEN doc_id % 7 = 0 THEN n_chars + 3 ELSE n_chars END AS n_chars
   FROM documents WHERE doc_id % 11 <> 0
   UNION ALL
-  SELECT doc_id + 100000, md5(text || ' new'), n_chars + 4
+  SELECT -(doc_id + 1), md5(text || ' new'), n_chars + 4
   FROM documents WHERE doc_id % 13 = 0
 ),
 d AS (
@@ -1839,7 +1842,7 @@ def llm_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_chars"),
     )
     b_new = docs.filter(F.col("doc_id") % 13 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (-(F.col("doc_id") + 1)).alias("doc_id"),
         F.md5(F.concat(F.col("text"), F.lit(" new"))).alias("h"),
         (F.col("n_chars") + 4).alias("n_chars"),
     )

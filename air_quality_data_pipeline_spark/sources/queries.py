@@ -741,8 +741,8 @@ SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
 @register("src_xml", oracle=_SRC_XML_ORACLE, tags=("source",))
 def src_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML source — native in Spark 4 (the former spark-xml package merged
-    upstream): write the nation table as <rows><row>...</row></rows>
-    documents, read back with a DECLARED schema and rowTag streaming
+    upstream): write the supplier table as
+    <suppliers><supplier>...</supplier></suppliers> documents, read back with a DECLARED schema and rowTag streaming
     (Spark's XML reader pull-parses row elements without loading whole
     documents — the property that makes 100 TB of XML feeds ingestable
     at all). Schema declared, not inferred — inference is an extra full
