@@ -837,3 +837,98 @@ def join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev").cast("double").alias("revenue"),
         )
     )
+
+
+# --- join_interval_overlap: interval x interval overlap join ------------------
+
+# Completes the temporal-join family: join_asof (point -> latest event),
+# join_scd2 (point -> validity epoch), ts_interval_merge (coalescing),
+# and now interval x interval OVERLAPS. Candidates come from a fixed
+# time-grid equi-join (the join_spatial recipe in 1-D): the cell width
+# equals the LONGEST interval, so every interval covers at most 2 cells
+# and grid recall is STRUCTURAL — two intervals that overlap must share
+# a cell. Exact overlap verifies on candidates only. All integer
+# microseconds; the oracle is the direct inequality join (OR-free, so
+# DuckDB plans its range join — the join_scd2 lesson).
+_IVL_A_US = 2_400_000_000  # 40 min session intervals (clicks)
+_IVL_B_US = 1_500_000_000  # 25 min incident intervals (purchases)
+_IVL_CELL = _IVL_A_US  # grid cell = max interval length
+
+_IVL_OVERLAP_ORACLE = f"""
+WITH a AS (
+  SELECT user_id, event_id AS a_id, epoch_us(ts) AS s,
+         epoch_us(ts) + {_IVL_A_US} AS e
+  FROM events WHERE event_type = 'click'
+),
+b AS (
+  SELECT user_id, event_id AS b_id, epoch_us(ts) AS s,
+         epoch_us(ts) + {_IVL_B_US} AS e
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT a.user_id, a.a_id, b.b_id,
+       least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+FROM a JOIN b
+  ON a.user_id = b.user_id AND a.s < b.e AND b.s < a.e
+"""
+
+
+@register("join_interval_overlap", oracle=_IVL_OVERLAP_ORACLE, tags=("join", "timeseries"))
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: every (session, incident) interval pair per
+    user that overlaps in time, with the overlap duration — the temporal
+    OVERLAPS workload behind incident attribution and concurrent-session
+    billing. Spark plans a bare inequality join as a per-key nested loop
+    (quadratic per user); instead each interval explodes to the <= 2
+    fixed-width grid cells it covers (cell = longest interval, so shared-
+    cell candidacy is structurally complete, never probabilistic), cells
+    equi-join on (user, cell), and the exact predicate verifies the
+    candidates — the same candidates-then-verify shape as join_spatial /
+    MinHash, with a time grid instead of a lattice or hash family. The
+    duplicate candidate a pair generates when both intervals straddle the
+    same two cells is removed by a distinct on the pair key BEFORE the
+    (cheap, integer) overlap columns are derived."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.to_timestamp("ts"))
+    a = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("a_id"),
+        us.alias("a_s"),
+        (us + F.lit(_IVL_A_US)).alias("a_e"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("b_id"),
+        us.alias("b_s"),
+        (us + F.lit(_IVL_B_US)).alias("b_e"),
+    )
+
+    def cells(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "cell",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.expr(f"{s} div {_IVL_CELL}"),
+                        F.expr(f"({e} - 1) div {_IVL_CELL}"),
+                    )
+                )
+            ),
+        )
+
+    cand = (
+        cells(a, "a_s", "a_e")
+        .join(cells(b, "b_s", "b_e"), ["user_id", "cell"])
+        .filter((F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e")))
+        .select("user_id", "a_id", "b_id", "a_s", "a_e", "b_s", "b_e")
+        .distinct()
+    )
+    return cand.select(
+        "user_id",
+        "a_id",
+        "b_id",
+        (
+            F.least(F.col("a_e"), F.col("b_e"))
+            - F.greatest(F.col("a_s"), F.col("b_s"))
+        ).alias("overlap_us"),
+    )

@@ -185,6 +185,9 @@ DRIVER_WINDOW = DRIVER_PRIORITY[:50]
 DEFERRED_FIRST_ROW: set[str] = {
     "dq_reconciliation",
     "llm_hard_negatives",
+    # grid candidates-then-verify in 1-D — the already-sampled
+    # join_spatial's shape with a time grid; plan-gated equi-join
+    "join_interval_overlap",
 }
 
 

@@ -688,3 +688,13 @@ def test_ts_mad_outliers_broadcasts_stats(spark, sf_dir):
     assert plan.count("InMemoryTableScan") >= 2, (
         "deviation frame not cached for both consumers"
     )
+
+
+def test_interval_overlap_is_grid_equi_join(spark, sf_dir):
+    """The overlap join must run as a (user, cell) hash equi-join with a
+    post-filter — a bare inequality join would plan a per-key nested
+    loop, quadratic in intervals-per-user at scale."""
+    plan = _executed_plan(spark, "join_interval_overlap", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
