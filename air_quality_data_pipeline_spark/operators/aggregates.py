@@ -833,3 +833,64 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_hi"),
         F.expr("COUNT(*) FILTER (WHERE value < 25.0)").alias("n_lo"),
     )
+
+
+# --- agg_approx_topk: heavy hitters via the frequent-items sketch -------------
+
+# approx_top_k (Spark 4) is the mergeable heavy-hitters sketch for
+# vocabularies that DON'T fit an exact hash aggregate. Sketch internals
+# aren't engine-reproducible, so the anchoring follows agg_approx_quantiles:
+# the query emits the EXACT top-10 plus a per-item flag that the sketch
+# recovered the same count; on the fixture the tracked-item budget exceeds
+# the vocabulary, making the sketch provably exact and the flag
+# deterministic (ties at the rank boundary cannot flip it — the flag
+# checks counts, not ranks). DuckDB recomputes exactly and hardcodes the
+# flag true.
+_APPROX_TOPK_ORACLE = """
+WITH w AS (
+  SELECT t AS word, COUNT(*) AS c
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+  GROUP BY t
+)
+SELECT word, CAST(c AS BIGINT) AS cnt, CAST(1 AS INT) AS sketch_exact
+FROM w ORDER BY c DESC, word LIMIT 10
+"""
+
+
+@register("agg_approx_topk", oracle=_APPROX_TOPK_ORACLE, tags=("agg", "llm", "scale"))
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: the corpus's top-10 words exactly, cross-checked
+    against the approx_top_k frequent-items sketch — the aggregation you
+    run when the key space outgrows an exact hash aggregate (trending
+    items over billions of events: sketch state is fixed-size and
+    mergeable, so partials combine map-side like any algebraic agg).
+    The exact side is one hash aggregate + TakeOrderedAndProject; the
+    sketch side is one global aggregate whose output (vocab-sized here,
+    tracked-budget-sized at scale) broadcasts back onto the exact top-10
+    for the count-equality audit. At 100 TB you keep the sketch and drop
+    the exact branch; the fixture keeps both so correctness is
+    value-hash-checkable."""
+    apply_engine_conf(spark)
+    toks = table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    exact = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(10)
+    )
+    sk = (
+        toks.agg(F.expr("approx_top_k(word, 1000, 100000)").alias("tk"))
+        .select(F.explode("tk").alias("p"))
+        .select(
+            F.col("p.item").alias("word"), F.col("p.count").cast("bigint").alias("sk_cnt")
+        )
+    )
+    return exact.join(F.broadcast(sk), "word", "left").select(
+        "word",
+        "cnt",
+        F.when(F.col("sk_cnt") == F.col("cnt"), 1).otherwise(0).cast("int").alias(
+            "sketch_exact"
+        ),
+    )

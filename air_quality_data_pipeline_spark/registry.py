@@ -172,9 +172,9 @@ DRIVER_PRIORITY = [
 # order the remainder of the registry.
 DRIVER_WINDOW = DRIVER_PRIORITY[:50]
 
-# Round 6 moves every round-5 deferred first-row INTO the window. The two
+# Round 6 moves every round-5 deferred first-row INTO the window. The
 # late-round-6 additions below arrived after the 50 slots were full of
-# higher-need entries (26 never-sampled + 2 changed + 22 new); both are
+# higher-need entries (26 never-sampled + 2 changed + 22 new); all are
 # the lowest-risk deferral class — each reuses an already-driver-sampled
 # plan skeleton and is oracle-green locally at sf0.001/0.01 and sf1:
 # - dq_reconciliation: the co-partitioned join + hash-aggregate shape of
@@ -188,6 +188,9 @@ DEFERRED_FIRST_ROW: set[str] = {
     # grid candidates-then-verify in 1-D — the already-sampled
     # join_spatial's shape with a time grid; plan-gated equi-join
     "join_interval_overlap",
+    # exact-anchored sketch audit — the sampled agg_approx_quantiles /
+    # agg_sketch_union epistemics with the frequent-items sketch
+    "agg_approx_topk",
 }
 
 
