@@ -894,3 +894,106 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sketch_exact"
         ),
     )
+
+
+# --- agg_countmin_freq ----------------------------------------------------------
+
+# Count-min sketch built entirely from DataFrame ops, with an exact anchor.
+# d=3 hash rows × w=256 buckets; each hash is the repo's engine-portable
+# md5-fold (functions/hashing.py rationale) salted by the row index, so the
+# sketch — unlike JVM Murmur3-based sketches — is bit-reproducible in DuckDB
+# and the whole estimate path is oracle-checkable, not just rows-only.
+_CMS_D = 3
+_CMS_W = 256
+_CMS_PANEL = 24  # estimate the first 24 part keys
+
+
+def _cms_bucket(x_sql: str, j: int) -> str:
+    """Shared (Spark ∩ DuckDB) SQL: bucket of key expr ``x_sql`` in row j."""
+    return (
+        f"CAST(CAST(conv(substring(md5(concat('cms{j}|', CAST({x_sql} AS STRING))), 1, 14), "
+        f"16, 10) AS BIGINT) % {_CMS_W} AS BIGINT)"
+    )
+
+
+def _cms_bucket_duck(x_sql: str, j: int) -> str:
+    return (
+        f"CAST(CAST(('0x' || substring(md5('cms{j}|' || CAST({x_sql} AS VARCHAR)), 1, 14)) "
+        f"AS BIGINT) % {_CMS_W} AS BIGINT)"
+    )
+
+
+_CMS_ORACLE = f"""
+WITH sketch AS (
+  SELECT j, bucket, COUNT(*) AS c
+  FROM lineitem, (SELECT unnest(range(0, {_CMS_D})) AS j)
+  CROSS JOIN LATERAL (SELECT CASE j
+      WHEN 0 THEN {_cms_bucket_duck("l_partkey", 0)}
+      WHEN 1 THEN {_cms_bucket_duck("l_partkey", 1)}
+      ELSE {_cms_bucket_duck("l_partkey", 2)} END AS bucket)
+  GROUP BY j, bucket
+),
+panel AS (SELECT unnest(range(1, {_CMS_PANEL + 1})) AS partkey),
+probes AS (
+  SELECT p.partkey, s.j, s.c
+  FROM panel p, (SELECT unnest(range(0, {_CMS_D})) AS j) js
+  JOIN sketch s ON s.j = js.j AND s.bucket = CASE js.j
+      WHEN 0 THEN {_cms_bucket_duck("p.partkey", 0)}
+      WHEN 1 THEN {_cms_bucket_duck("p.partkey", 1)}
+      ELSE {_cms_bucket_duck("p.partkey", 2)} END
+),
+est AS (SELECT partkey, MIN(c) AS est_count FROM probes GROUP BY partkey),
+exact AS (
+  SELECT l_partkey AS partkey, COUNT(*) AS exact_count
+  FROM lineitem WHERE l_partkey BETWEEN 1 AND {_CMS_PANEL} GROUP BY l_partkey
+)
+SELECT e.partkey, x.exact_count, e.est_count,
+       e.est_count - x.exact_count AS overestimate
+FROM est e JOIN exact x USING (partkey)
+"""
+
+
+@register("agg_countmin_freq", oracle=_CMS_ORACLE, tags=("agg", "sketch"))
+def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimation with an exact anchor: build a
+    3×256 sketch over l_partkey, estimate a fixed 24-key panel as
+    min-over-rows, and join back the exact counts (CMS guarantees
+    overestimate ≥ 0 — carried as a column so the driver hash-checks the
+    invariant itself). The sketch aggregate is map-side combinable — the
+    exchange carries ≤ d·w = 768 rows per map task at ANY input size, which
+    is the entire point of a sketch at 100 TB; the sketch then broadcasts to
+    the constant-size probe panel. Hashes are the engine-portable md5 fold,
+    so the full estimate path is value-checked cross-engine."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    rows = [
+        li.select(F.lit(j).alias("j"), F.expr(_cms_bucket("l_partkey", j)).alias("bucket"))
+        for j in range(_CMS_D)
+    ]
+    stacked = rows[0]
+    for r in rows[1:]:
+        stacked = stacked.unionAll(r)
+    sketch = stacked.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    panel = spark.range(1, _CMS_PANEL + 1).select(F.col("id").alias("partkey"))
+    probes = None
+    for j in range(_CMS_D):
+        p = panel.select(
+            "partkey", F.lit(j).alias("j"), F.expr(_cms_bucket("partkey", j)).alias("bucket")
+        )
+        probes = p if probes is None else probes.unionAll(p)
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("partkey")
+        .agg(F.min("c").alias("est_count"))
+    )
+    exact = (
+        li.filter(F.col("l_partkey").between(1, _CMS_PANEL))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return est.join(F.broadcast(exact), "partkey").select(
+        "partkey",
+        "exact_count",
+        "est_count",
+        (F.col("est_count") - F.col("exact_count")).alias("overestimate"),
+    )

@@ -28,7 +28,7 @@ produce a tiny report table. All three operators follow that shape:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..registry import register
 from ..session import apply_engine_conf
@@ -762,4 +762,82 @@ def dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(F.sum("drift_fp"), F.lit(0)).cast("double") / 10000.0).alias(
             "total_drift"
         ),
+    )
+
+
+# --- dq_benford -----------------------------------------------------------------
+
+# Benford's-law first-digit audit. The expected shares log10(1 + 1/d) are
+# materialized ONCE here as python-repr double literals and embedded in BOTH
+# engines' SQL, so no runtime libm call (whose last ulp can differ between
+# java.lang.Math and C libm) participates in the comparison.
+import math as _math  # noqa: E402
+
+_BENFORD_P = {d: repr(_math.log10(1.0 + 1.0 / d)) for d in range(1, 10)}
+# CAST each literal: a bare decimal literal parses as DECIMAL in both
+# engines; casting the 17-sig-digit literal to DOUBLE is correctly rounded
+# in both, so the shares are the identical binary64 values.
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN CAST({p} AS DOUBLE)" for d, p in _BENFORD_P.items())
+    + " END"
+)
+
+# First significant digit extracted from EXACT integer cents (floor(x*100) is
+# the same IEEE double op in both engines; the leading digit of the decimal
+# rendering of a BIGINT is engine-independent) — never from log10(double),
+# whose floor has a knife edge at exact powers of ten.
+_BENFORD_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100.0) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders
+  WHERE o_totalprice > 0
+),
+c AS (
+  SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY digit
+),
+t AS (
+  SELECT digit, n_obs, SUM(n_obs) OVER () AS total FROM c
+)
+SELECT digit, n_obs,
+       CAST(n_obs AS DOUBLE) / CAST(total AS DOUBLE) AS obs_share,
+       {_BENFORD_CASE} AS exp_share,
+       (CAST(n_obs AS DOUBLE) / CAST(total AS DOUBLE) - ({_BENFORD_CASE}))
+         * (CAST(n_obs AS DOUBLE) / CAST(total AS DOUBLE) - ({_BENFORD_CASE}))
+         / ({_BENFORD_CASE}) AS chi2_term
+FROM t
+"""
+
+
+@register("dq_benford", oracle=_BENFORD_ORACLE, tags=("quality", "agg"))
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit over order totals — the
+    classic fabricated-data / unit-mixup detector a data-quality layer runs
+    on money columns (the reference ingests raw `value` readings,
+    main.py:146-175, with no distributional checks).
+
+    Shape: one map-side-combinable hash aggregate whose exchange carries at
+    most 9 rows per task, then a 9-row window for the global share — the
+    scan dominates at any scale and the digit extraction is codegen'd
+    string/int work on exact cents (no libm in either engine; the expected
+    Benford shares are shared double LITERALS, see _BENFORD_P)."""
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = orders.select(
+        F.expr(
+            "CAST(substring(CAST(CAST(floor(o_totalprice * 100.0) AS BIGINT) AS STRING), 1, 1) "
+            "AS BIGINT)"
+        ).alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    t = c.select("digit", "n_obs", F.sum("n_obs").over(Window.partitionBy()).alias("total"))
+    obs = F.col("n_obs").cast("double") / F.col("total").cast("double")
+    exp = F.expr(_BENFORD_CASE)
+    return t.select(
+        "digit",
+        "n_obs",
+        obs.alias("obs_share"),
+        exp.alias("exp_share"),
+        ((obs - exp) * (obs - exp) / exp).alias("chi2_term"),
     )

@@ -1859,3 +1859,153 @@ def llm_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+# --- llm_pref_pairs -------------------------------------------------------------
+
+# Preference-pair construction (RLHF / DPO data prep): within each
+# (source, lang) bucket, pair the highest-scoring document against the
+# lowest-scoring one. Both extremes come out of ONE hash aggregate via the
+# min/max(struct) argmin/argmax idiom — map-side combinable, so the exchange
+# carries two structs per bucket regardless of corpus size. Score is the
+# type-token ratio (exact integer counts; one double division per row,
+# identical IEEE op in both engines); ties break on doc_id, which is unique.
+_PREF_PAIRS_ORACLE = """
+WITH s AS (
+  SELECT source, lang, doc_id,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS score
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 5
+),
+p AS (
+  SELECT source, lang,
+         MAX(struct_pack(score := score, doc_id := doc_id)) AS best,
+         MIN(struct_pack(score := score, doc_id := doc_id)) AS worst,
+         COUNT(*) AS n_candidates
+  FROM s GROUP BY source, lang
+)
+SELECT source, lang, n_candidates,
+       best.doc_id AS chosen_doc_id, best.score AS chosen_score,
+       worst.doc_id AS rejected_doc_id, worst.score AS rejected_score,
+       best.score - worst.score AS margin
+FROM p
+WHERE best.doc_id <> worst.doc_id AND best.score > worst.score
+"""
+
+
+@register("llm_pref_pairs", oracle=_PREF_PAIRS_ORACLE, tags=("llm", "text", "agg"))
+def llm_pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (chosen, rejected) preference pairs per (source, lang) bucket —
+    the DPO/RLHF data-prep step that turns a scored corpus into contrastive
+    training rows. Single hash aggregate with min/max(struct(score, doc_id))
+    argmin/argmax state: two 16-byte structs per bucket cross the exchange,
+    never documents, so the shape is identical at sf0.001 and 100 TB.
+    Degenerate buckets (one candidate, or zero margin) are dropped — a pair
+    with no preference signal is noise to a DPO loss."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    s = docs.select(
+        "source",
+        "lang",
+        "doc_id",
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("score"),
+        F.size(toks).alias("n_tok"),
+    ).filter(F.col("n_tok") >= 5)
+    p = s.groupBy("source", "lang").agg(
+        F.max(F.struct("score", "doc_id")).alias("best"),
+        F.min(F.struct("score", "doc_id")).alias("worst"),
+        F.count(F.lit(1)).alias("n_candidates"),
+    )
+    return p.filter(
+        (F.col("best.doc_id") != F.col("worst.doc_id"))
+        & (F.col("best.score") > F.col("worst.score"))
+    ).select(
+        "source",
+        "lang",
+        "n_candidates",
+        F.col("best.doc_id").alias("chosen_doc_id"),
+        F.col("best.score").alias("chosen_score"),
+        F.col("worst.doc_id").alias("rejected_doc_id"),
+        F.col("worst.score").alias("rejected_score"),
+        (F.col("best.score") - F.col("worst.score")).alias("margin"),
+    )
+
+
+# --- llm_text_normalize ---------------------------------------------------------
+
+# Unicode NFC normalization + whitespace canonicalization — the first step of
+# every web-corpus prep (the reference passes `sensor.name` strings straight
+# through, main.py:152-161; a multilingual crawl cannot). Spark has no NFC
+# built-in, so this is a deliberate Arrow-batched pandas UDF (the documented
+# slow path, §2.J) around `unicodedata.normalize`; everything else (the mojibake
+# injection, whitespace collapse, digesting) stays JVM-side in codegen.
+#
+# The fixture corpus is pure ASCII, where NFC is the identity — so both
+# engines first inject the SAME mix of decomposed (e + U+0301) and precomposed
+# (U+00E9) accents plus tab runs, keyed on doc_id % 4. After NFC the two
+# accent encodings converge to one byte sequence: that convergence is the
+# behavior under test, doc-for-doc, via md5.
+# Spark's char()/chr() wraps at 256 (char(769) == char(1)), so the accent
+# codepoints are embedded as real unicode literals in BOTH engines' SQL —
+# the two strings below are identical apart from concat syntax.
+_COMBINING_ACUTE = "\u0301"  # U+0301, combining acute
+_PRECOMPOSED_E = "\u00e9"  # U+00E9, e-acute
+_TEXT_NORM_DIRTY_SPARK = (
+    "CASE CAST(doc_id % 4 AS INT) "
+    f"WHEN 1 THEN replace(text, 'e', 'e{_COMBINING_ACUTE}') "
+    f"WHEN 2 THEN replace(text, 'e', '{_PRECOMPOSED_E}') "
+    "WHEN 3 THEN concat('\\t', replace(text, ' ', '  '), '\\t') "
+    "ELSE text END"
+)
+_TEXT_NORM_DIRTY_DUCK = (
+    "CASE CAST(doc_id % 4 AS INT) "
+    f"WHEN 1 THEN replace(text, 'e', 'e{_COMBINING_ACUTE}') "
+    f"WHEN 2 THEN replace(text, 'e', '{_PRECOMPOSED_E}') "
+    "WHEN 3 THEN chr(9) || replace(text, ' ', '  ') || chr(9) "
+    "ELSE text END"
+)
+
+_TEXT_NORMALIZE_ORACLE = f"""
+WITH dirty AS (
+  SELECT doc_id, {_TEXT_NORM_DIRTY_DUCK} AS raw FROM documents
+),
+norm AS (
+  SELECT doc_id, raw,
+         trim(regexp_replace(nfc_normalize(raw), '[ \\t]+', ' ', 'g')) AS clean
+  FROM dirty
+)
+SELECT doc_id, md5(clean) AS clean_md5, length(clean) AS n_chars,
+       CAST(clean <> raw AS INT) AS was_dirty
+FROM norm
+"""
+
+
+@register("llm_text_normalize", oracle=_TEXT_NORMALIZE_ORACLE, tags=("llm", "text", "udf"))
+def llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC-normalize and whitespace-canonicalize every document; emit the
+    digest, length, and a was-dirty flag. The NFC step is a vectorized
+    pandas UDF (Arrow batches, one Python call per ~10k rows — not per row);
+    injection, collapse, trim, and md5 are Catalyst built-ins. Per-row map
+    work with zero shuffles: at 100 TB this is the embarrassingly parallel
+    class where throughput is executors × per-core scan rate, and the Python
+    boundary crosses the text column exactly once."""
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    @pandas_udf("string")
+    def nfc(s):
+        import unicodedata  # noqa: PLC0415
+
+        return s.map(lambda v: None if v is None else unicodedata.normalize("NFC", v))
+
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    dirty = docs.select("doc_id", F.expr(_TEXT_NORM_DIRTY_SPARK).alias("raw"))
+    clean = F.trim(F.regexp_replace(nfc(F.col("raw")), "[ \\t]+", " "))
+    return dirty.select(
+        "doc_id",
+        F.md5(clean).alias("clean_md5"),
+        F.length(clean).cast("long").alias("n_chars"),
+        (clean != F.col("raw")).cast("int").alias("was_dirty"),
+    )

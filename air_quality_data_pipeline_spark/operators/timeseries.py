@@ -900,3 +900,108 @@ def ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("dev").alias("dev"),
         F.min("n_in_bucket").alias("n_in_bucket"),
     )
+
+
+# --- ts_autocorr ----------------------------------------------------------------
+
+# Lag-k autocorrelation per user series. Like agg_corr, the built-in corr()
+# keeps float state whose result depends on partition combine order, so both
+# engines instead accumulate EXACT fixed-point sums (values quantized to
+# BIGINT micro-units; the double multiply+floor is the same IEEE op in both
+# engines) and derive Pearson r with one shared final double expression.
+_AC_NUM = "(CAST(n{k} AS DOUBLE) * CAST(sxy{k} AS DOUBLE) - CAST(sx{k} AS DOUBLE) * CAST(sy{k} AS DOUBLE))"
+_AC_DEN_X = "sqrt(greatest(CAST(0 AS DOUBLE), CAST(n{k} AS DOUBLE) * CAST(sx2{k} AS DOUBLE) - CAST(sx{k} AS DOUBLE) * CAST(sx{k} AS DOUBLE)))"
+_AC_DEN_Y = "sqrt(greatest(CAST(0 AS DOUBLE), CAST(n{k} AS DOUBLE) * CAST(sy2{k} AS DOUBLE) - CAST(sy{k} AS DOUBLE) * CAST(sy{k} AS DOUBLE)))"
+
+
+def _ac_expr(k: int) -> str:
+    return (
+        f"{_AC_NUM.format(k=k)} / nullif({_AC_DEN_X.format(k=k)} * {_AC_DEN_Y.format(k=k)}, "
+        f"CAST(0 AS DOUBLE))"
+    )
+
+
+def _ac_sums(k: int) -> str:
+    """Shared (Spark ∩ DuckDB) conditional-sum fragment for lag k pairs."""
+    return f"""
+         COUNT(l{k}) AS n{k},
+         CAST(SUM(CASE WHEN l{k} IS NOT NULL THEN l{k} END) AS BIGINT) AS sx{k},
+         CAST(SUM(CASE WHEN l{k} IS NOT NULL THEN q END) AS BIGINT) AS sy{k},
+         SUM(CASE WHEN l{k} IS NOT NULL THEN CAST(l{k} AS DECIMAL(38, 0)) * q END) AS sxy{k},
+         SUM(CASE WHEN l{k} IS NOT NULL THEN CAST(l{k} AS DECIMAL(38, 0)) * l{k} END) AS sx2{k},
+         SUM(CASE WHEN l{k} IS NOT NULL THEN CAST(q AS DECIMAL(38, 0)) * q END) AS sy2{k}"""
+
+
+_AUTOCORR_ORACLE = f"""
+WITH q AS (
+  SELECT user_id,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS q,
+         LAG(CAST(floor(value * 1000000.0) AS BIGINT), 1) OVER w AS l1,
+         LAG(CAST(floor(value * 1000000.0) AS BIGINT), 2) OVER w AS l2
+  FROM events
+  WHERE user_id < 50
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, {_ac_sums(1)}, {_ac_sums(2)}
+  FROM q GROUP BY user_id
+)
+SELECT user_id, n1 AS n_lag1, {_ac_expr(1)} AS ac_lag1, n2 AS n_lag2, {_ac_expr(2)} AS ac_lag2
+FROM s
+"""
+
+
+@register("ts_autocorr", oracle=_AUTOCORR_ORACLE, tags=("timeseries", "window", "agg"))
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series lag-1/lag-2 autocorrelation — the serial-dependence audit a
+    sensor pipeline runs before alerting on trends (the reference stores raw
+    hourly series, main.py:146-175, with no dependence diagnostics).
+
+    Shape: ONE window exchange keyed on user_id produces both lag columns,
+    and the following groupBy(user_id) hash aggregate REUSES that
+    partitioning (Catalyst elides the second exchange), so the whole query
+    is a single shuffle whose payload is three BIGINT columns. All sums are
+    exact fixed-point (map-side combinable, combine-order independent) —
+    bit-stable on 32 cores or 1000 executors; the float division happens
+    once per group at the end, identically in both engines. nullif guards
+    constant series (zero variance → NULL, not a sqrt domain error)."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    qcol = F.expr("CAST(floor(value * 1000000.0) AS BIGINT)")
+    q = ev.select(
+        "user_id",
+        qcol.alias("q"),
+        F.lag(qcol, 1).over(w).alias("l1"),
+        F.lag(qcol, 2).over(w).alias("l2"),
+    )
+    s = q.groupBy("user_id").agg(
+        *[
+            F.expr(frag.strip()).alias(alias)
+            for k in (1, 2)
+            for frag, alias in (
+                (f"COUNT(l{k})", f"n{k}"),
+                (f"CAST(SUM(CASE WHEN l{k} IS NOT NULL THEN l{k} END) AS BIGINT)", f"sx{k}"),
+                (f"CAST(SUM(CASE WHEN l{k} IS NOT NULL THEN q END) AS BIGINT)", f"sy{k}"),
+                (
+                    f"SUM(CASE WHEN l{k} IS NOT NULL THEN CAST(l{k} AS DECIMAL(38, 0)) * q END)",
+                    f"sxy{k}",
+                ),
+                (
+                    f"SUM(CASE WHEN l{k} IS NOT NULL THEN CAST(l{k} AS DECIMAL(38, 0)) * l{k} END)",
+                    f"sx2{k}",
+                ),
+                (
+                    f"SUM(CASE WHEN l{k} IS NOT NULL THEN CAST(q AS DECIMAL(38, 0)) * q END)",
+                    f"sy2{k}",
+                ),
+            )
+        ]
+    )
+    return s.select(
+        "user_id",
+        F.col("n1").alias("n_lag1"),
+        F.expr(_ac_expr(1)).alias("ac_lag1"),
+        F.col("n2").alias("n_lag2"),
+        F.expr(_ac_expr(2)).alias("ac_lag2"),
+    )

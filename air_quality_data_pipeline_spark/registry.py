@@ -191,6 +191,17 @@ DEFERRED_FIRST_ROW: set[str] = {
     # exact-anchored sketch audit — the sampled agg_approx_quantiles /
     # agg_sketch_union epistemics with the frequent-items sketch
     "agg_approx_topk",
+    # ---- round-6 session-2 additions (window already full; each reuses an
+    # already-driver-sampled plan skeleton and is oracle-green locally at
+    # sf0.001/sf0.01 and in the sf1 replay) ----
+    # agg_corr's exact fixed-point Pearson sums behind one window + one
+    # reused-partitioning aggregate
+    "ts_autocorr",
+    # dq_profile's single-scan hash-aggregate shape; shares are literal
+    # doubles, digit from exact integer cents
+    "dq_benford",
+    # agg_argmax's min/max(struct) idiom over the documents scan
+    "llm_pref_pairs",
 }
 
 
