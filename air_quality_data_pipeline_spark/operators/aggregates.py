@@ -924,23 +924,25 @@ def _cms_bucket_duck(x_sql: str, j: int) -> str:
 
 
 _CMS_ORACLE = f"""
-WITH sketch AS (
-  SELECT j, bucket, COUNT(*) AS c
-  FROM lineitem, (SELECT unnest(range(0, {_CMS_D})) AS j)
-  CROSS JOIN LATERAL (SELECT CASE j
-      WHEN 0 THEN {_cms_bucket_duck("l_partkey", 0)}
-      WHEN 1 THEN {_cms_bucket_duck("l_partkey", 1)}
-      ELSE {_cms_bucket_duck("l_partkey", 2)} END AS bucket)
-  GROUP BY j, bucket
+WITH hashed AS (
+  {" UNION ALL ".join(
+      f"SELECT {j} AS j, {_cms_bucket_duck('l_partkey', j)} AS bucket FROM lineitem"
+      for j in range(_CMS_D)
+  )}
+),
+sketch AS (
+  SELECT j, bucket, COUNT(*) AS c FROM hashed GROUP BY j, bucket
 ),
 panel AS (SELECT unnest(range(1, {_CMS_PANEL + 1})) AS partkey),
+probe_keys AS (
+  {" UNION ALL ".join(
+      f"SELECT partkey, {j} AS j, {_cms_bucket_duck('partkey', j)} AS bucket FROM panel"
+      for j in range(_CMS_D)
+  )}
+),
 probes AS (
   SELECT p.partkey, s.j, s.c
-  FROM panel p, (SELECT unnest(range(0, {_CMS_D})) AS j) js
-  JOIN sketch s ON s.j = js.j AND s.bucket = CASE js.j
-      WHEN 0 THEN {_cms_bucket_duck("p.partkey", 0)}
-      WHEN 1 THEN {_cms_bucket_duck("p.partkey", 1)}
-      ELSE {_cms_bucket_duck("p.partkey", 2)} END
+  FROM probe_keys p JOIN sketch s ON s.j = p.j AND s.bucket = p.bucket
 ),
 est AS (SELECT partkey, MIN(c) AS est_count FROM probes GROUP BY partkey),
 exact AS (
@@ -966,21 +968,22 @@ def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the full estimate path is value-checked cross-engine."""
     apply_engine_conf(spark)
     li = table(spark, sf_dir, "lineitem")
-    rows = [
-        li.select(F.lit(j).alias("j"), F.expr(_cms_bucket("l_partkey", j)).alias("bucket"))
-        for j in range(_CMS_D)
-    ]
-    stacked = rows[0]
-    for r in rows[1:]:
-        stacked = stacked.unionAll(r)
+    # One lineitem scan: posexplode the d per-row bucket hashes (array index
+    # IS the hash-row id j) instead of d unioned full scans — at 100 TB the
+    # union shape pays the scan d times for the same sketch.
+    stacked = li.select(
+        F.posexplode(
+            F.array(*[F.expr(_cms_bucket("l_partkey", j)) for j in range(_CMS_D)])
+        ).alias("j", "bucket")
+    ).select(F.col("j").cast("int").alias("j"), "bucket")
     sketch = stacked.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
     panel = spark.range(1, _CMS_PANEL + 1).select(F.col("id").alias("partkey"))
-    probes = None
-    for j in range(_CMS_D):
-        p = panel.select(
-            "partkey", F.lit(j).alias("j"), F.expr(_cms_bucket("partkey", j)).alias("bucket")
-        )
-        probes = p if probes is None else probes.unionAll(p)
+    probes = panel.select(
+        "partkey",
+        F.posexplode(
+            F.array(*[F.expr(_cms_bucket("partkey", j)) for j in range(_CMS_D)])
+        ).alias("j", "bucket"),
+    ).select("partkey", F.col("j").cast("int").alias("j"), "bucket")
     est = (
         probes.join(F.broadcast(sketch), ["j", "bucket"])
         .groupBy("partkey")

@@ -1847,9 +1847,12 @@ def llm_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") + 4).alias("n_chars"),
     )
     b = b_kept.unionByName(b_new)
+    # Presence is tested on the join-side KEY (mirrors the oracle's
+    # a.doc_id/b.doc_id IS NULL), not on the md5 digest: a NULL-text
+    # document would make the digest NULL and misclassify a matched row.
     d = a.alias("a").join(b.alias("b"), "doc_id", "full_outer").select(
-        F.when(F.col("a.h").isNull(), "added")
-        .when(F.col("b.h").isNull(), "removed")
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
         .when(F.col("a.h") != F.col("b.h"), "changed")
         .otherwise("unchanged")
         .alias("status"),

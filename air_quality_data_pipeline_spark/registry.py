@@ -71,79 +71,38 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # registry are ignored (lets the list name queries before they land);
 # everything not listed keeps module order after the priority block.
 #
-# Round-6 window, in need-order. After round 5 every oracle-checked query
-# except the 26 deliberately deferred ones has at least one green driver
-# row (r1-r5 union), so the slots go to:
-# (a) the 26 round-5 DEFERRED_FIRST_ROW queries — their first driver rows.
-#     They were deferred as the lowest-risk class (zero/single-exchange
-#     surfaces pinned by plan invariants + local oracles at sf0.01/sf1);
-#     round 6 pays the debt in full so the never-sampled set empties.
-# (b) queries whose CODE changed this round, sampled-green-before but now
-#     needing a fresh row: sql_recursive (recursion row limit moved to a
-#     child session), graph_pagerank (memoized shared edge build).
-#     ts_cusum (decimal(18,9) power sums) and graph_triangles (same memo)
-#     also changed but are already in block (a).
-# (c) new round-6 operators, inserted here as they land (each displaces
-#     one filler slot from the end of block (d)).
-# (d) filler to 50: the stalest greens — last driver sample round 1 —
-#     in module order.
+# Round-7 window, in need-order (VERDICT r6 item 3):
+# (a) the 9 queries with NO driver row after six rounds — the 4 round-6
+#     DEFERRED_FIRST_ROW entries plus the 5 late-round-6 additions (incl.
+#     agg_countmin_freq, whose oracle was broken until this round, and
+#     llm_text_normalize, which shipped outside the accounting — both now
+#     pay their debt with first rows).
+# (b) queries whose CODE or ORACLE changed this round — re-sample:
+#     agg_countmin_freq (oracle rewritten UNION-ALL + single-scan
+#     posexplode build) is already in (a); llm_dataset_diff (presence
+#     columns moved off the md5 digest, ADVICE r6 low) and agg_approx_topk
+#     (exactness precondition now asserted, ADVICE r6 low; already in (a)).
+# (c) new round-7 operators land here, each displacing one (d) filler.
+# (d) filler to 50: the 44 stalest greens — last driver sample round 1 —
+#     in module order; 41 fit, the final 3 (f_coalesce, f_cast_int,
+#     f_fmt_ts ... whichever sit past the fold after (c) grows) roll to
+#     round 8 as the lowest-risk class (single-expression scalar surfaces,
+#     driver-green in r1, untouched since).
 DRIVER_PRIORITY = [
-    # (a) round-5 deferred first-rows: the never-sampled set, emptied
-    "win_ntile",
-    "f_date_arith",
-    "f_array_ops",
-    "f_regex",
-    "agg_any_all",
-    "f_bitwise",
-    "f_url_parse",
-    "agg_histogram",
-    "agg_string_agg",
-    "agg_argmax",
-    "agg_skew_kurt",
-    "win_median_smooth",
-    "llm_quality_classifier",
-    "set_intersect_all",
-    "set_except_distinct",
-    "join_cross",
-    "ts_ewma",
-    "udf_arrow",
-    "graph_triangles",
-    "ts_cusum",
-    "win_streaks",
-    "join_nullsafe",
-    "src_corrupt_recovery",
-    "f_try_ops",
-    "agg_grouping_id",
-    "win_share",
+    # (a) never-sampled first rows
+    "dq_reconciliation",
+    "llm_hard_negatives",
+    "join_interval_overlap",
+    "agg_approx_topk",
+    "ts_autocorr",
+    "dq_benford",
+    "llm_pref_pairs",
+    "agg_countmin_freq",
+    "llm_text_normalize",
     # (b) changed this round (advice fixes) — re-sample
-    "sql_recursive",
-    "graph_pagerank",
-    # (c) new round-6 operators land here (uncommented as each registers;
-    # the planned worklist is kept inline as comments)
-    "agg_weighted_avg",
-    "agg_filtered",
-    "win_pct_rank",
-    "win_running_extrema",
-    "f_checksum",
-    "sql_group_by_all",
-    "ts_mad_outliers",
-    "ts_interval_merge",
-    "ts_trend_slope",
-    "join_scd2",
-    "llm_emb_quantize",
-    "llm_domain_upsample",
-    "llm_dedup_keep_best",
-    "llm_pmi_collocations",
-    "llm_bpe_merge_apply",
-    "dq_null_matrix",
-    "mm_validate_magic",
-    "mm_audio_frames",
-    "src_binary_files",
     "llm_dataset_diff",
-    "ts_downsample",
-    "src_xml",
-    # (d) filler: stalest greens (last sampled r1), module order. Each
-    # new (c) operator displaces one filler from the fold's far side.
+    # (c) new round-7 operators (inserted as each lands)
+    # (d) filler: stalest greens (last sampled r1), module order
     "flagship",
     "flt_isin",
     "flt_notnull",
@@ -166,43 +125,39 @@ DRIVER_PRIORITY = [
     "agg_stats",
     "agg_rollup",
     "agg_cube",
+    "proj_select",
+    "agg_quantiles",
+    "sort_asc",
+    "topk",
+    "limit_page",
+    "stop_early",
+    "set_union",
+    "set_distinct",
+    "set_intersect",
+    "set_except",
+    "win_rank",
+    "win_latest",
+    "win_frame",
+    "win_offsets",
+    "win_distribution",
+    "f_parse_ts",
+    "f_haversine",
+    "f_lower",
+    "f_coalesce",
+    "f_cast_int",
+    "f_fmt_ts",
+    "f_interp",
 ]
 
 # The driver reads the FIRST 50 registry entries; names past the fold only
 # order the remainder of the registry.
 DRIVER_WINDOW = DRIVER_PRIORITY[:50]
 
-# Round 6 moves every round-5 deferred first-row INTO the window. The
-# late-round-6 additions below arrived after the 50 slots were full of
-# higher-need entries (26 never-sampled + 2 changed + 22 new); all are
-# the lowest-risk deferral class — each reuses an already-driver-sampled
-# plan skeleton and is oracle-green locally at sf0.001/0.01 and sf1:
-# - dq_reconciliation: the co-partitioned join + hash-aggregate shape of
-#   the in-window dq_referential, with the fixed-point money rule.
-# - llm_hard_negatives: the broadcast-query-panel + max_by(struct) argmax
-#   shape of the sampled llm_sim_search / agg_argmax.
-# They are the round-7 window's first entries.
-DEFERRED_FIRST_ROW: set[str] = {
-    "dq_reconciliation",
-    "llm_hard_negatives",
-    # grid candidates-then-verify in 1-D — the already-sampled
-    # join_spatial's shape with a time grid; plan-gated equi-join
-    "join_interval_overlap",
-    # exact-anchored sketch audit — the sampled agg_approx_quantiles /
-    # agg_sketch_union epistemics with the frequent-items sketch
-    "agg_approx_topk",
-    # ---- round-6 session-2 additions (window already full; each reuses an
-    # already-driver-sampled plan skeleton and is oracle-green locally at
-    # sf0.001/sf0.01 and in the sf1 replay) ----
-    # agg_corr's exact fixed-point Pearson sums behind one window + one
-    # reused-partitioning aggregate
-    "ts_autocorr",
-    # dq_profile's single-scan hash-aggregate shape; shares are literal
-    # doubles, digit from exact integer cents
-    "dq_benford",
-    # agg_argmax's min/max(struct) idiom over the documents scan
-    "llm_pref_pairs",
-}
+# Round 7 moves ALL nine never-sampled queries into the window (slots 1-9),
+# emptying the deferral set. New operators registered this round must go
+# into block (c) of DRIVER_PRIORITY in the same commit — the round-6
+# lesson: a @register without window accounting ships a red suite.
+DEFERRED_FIRST_ROW: set[str] = set()
 
 
 def load_all_queries() -> dict[str, QuerySpec]:

@@ -698,3 +698,33 @@ def test_interval_overlap_is_grid_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_pref_pairs_is_one_exchange_aggregate(spark, sf_dir):
+    """The min/max(struct) argmin+argmax must plan as a single partial→final
+    hash aggregate: exactly ONE shuffle exchange (on the grouping key),
+    never a window or self-join per extreme."""
+    plan = _executed_plan(spark, "llm_pref_pairs", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_text_normalize_crosses_python_once(spark, sf_dir):
+    """The NFC pandas UDF is the only Python boundary — exactly one
+    ArrowEvalPython node, zero shuffles (pure per-row map work), and no
+    row-at-a-time BatchEvalPython anywhere."""
+    plan = _executed_plan(spark, "llm_text_normalize", sf_dir)
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_countmin_sketch_is_single_scan(spark, sf_dir):
+    """The sketch build must scan lineitem ONCE (posexplode of the d hashes),
+    not d unioned scans — at 100 TB the union shape pays the scan d times."""
+    fmt = _formatted(spark, "agg_countmin_freq", sf_dir)
+    big_scans = len(re.findall(r"Scan parquet.*lineitem", fmt))
+    # one scan for the sketch + one for the exact-anchor branch
+    assert big_scans <= 2, fmt
+    assert "Generate" in _executed_plan(spark, "agg_countmin_freq", sf_dir)

@@ -601,3 +601,116 @@ def test_audio_frames_match_payload_geometry(spark, sf_dir):
         & ((F.col("energy") < 32 * 32) | (F.col("energy") > 32 * 126))
     ).count()
     assert bad_energy == 0
+
+
+def test_countmin_overestimate_nonneg_and_sketch_bounded(spark, sf_dir):
+    """CMS guarantees est >= exact for every key (each bucket count sums
+    the key's own count plus non-negative collisions), and the sketch
+    relation can never exceed d*w rows — the fixed-size-state property
+    that makes it a sketch at all."""
+    from air_quality_data_pipeline_spark.operators.aggregates import _CMS_D, _CMS_W
+
+    cms = SPECS["agg_countmin_freq"].builder(spark, sf_dir)
+    rows = cms.collect()
+    assert rows, "panel estimate must be non-empty"
+    assert all(r.overestimate >= 0 for r in rows)
+    assert all(r.est_count >= r.exact_count for r in rows)
+    # rebuild the sketch exactly as the operator does and pin its size bound
+    from air_quality_data_pipeline_spark.operators.aggregates import _cms_bucket
+    from air_quality_data_pipeline_spark.tables import table as _table
+
+    li = _table(spark, sf_dir, "lineitem")
+    sketch_rows = (
+        li.select(
+            F.posexplode(
+                F.array(*[F.expr(_cms_bucket("l_partkey", j)) for j in range(_CMS_D)])
+            ).alias("j", "bucket")
+        )
+        .groupBy("j", "bucket")
+        .count()
+        .count()
+    )
+    assert sketch_rows <= _CMS_D * _CMS_W
+
+
+def test_text_normalize_nfc_converges(spark, sf_dir):
+    """NFC is idempotent: running the normalizer over its own cleaned text
+    must change nothing (was_dirty = 0 everywhere), so decomposed and
+    precomposed spellings of the same text share one digest."""
+    import hashlib
+    import unicodedata
+
+    norm = SPECS["llm_text_normalize"].builder(spark, sf_dir)
+    # the fixture injector marks a deterministic subset dirty; the clean
+    # digest of a dirty row must equal the digest of its NFC'd raw form
+    assert norm.filter(F.col("was_dirty") == 1).count() > 0
+    # idempotence witnessed directly: NFC(NFC(x)) == NFC(x) on a
+    # decomposed/precomposed pair that md5-collides after normalization
+    a = unicodedata.normalize("NFD", "café naïve")  # decomposed
+    b = unicodedata.normalize("NFC", "café naïve")  # precomposed
+    assert a != b
+    assert hashlib.md5(
+        unicodedata.normalize("NFC", a).encode()
+    ).hexdigest() == hashlib.md5(b.encode()).hexdigest()
+
+
+def test_pref_pairs_margin_positive_and_ids_distinct(spark, sf_dir):
+    """Every emitted preference pair must be genuinely contrastive:
+    chosen score strictly above rejected, distinct doc ids, and the
+    margin column equal to the score difference."""
+    pp = SPECS["llm_pref_pairs"].builder(spark, sf_dir)
+    bad = pp.filter(
+        (F.col("margin") <= 0)
+        | (F.col("chosen_doc_id") == F.col("rejected_doc_id"))
+        | (F.col("chosen_score") <= F.col("rejected_score"))
+        | (F.col("margin") != F.col("chosen_score") - F.col("rejected_score"))
+    ).count()
+    assert bad == 0
+    assert pp.count() > 0
+
+
+def test_benford_shares_form_a_distribution(spark, sf_dir):
+    """Observed digit shares must sum to 1 (they partition the rows) and
+    the expected Benford shares to ~1 over whichever digits appear;
+    chi2 terms are non-negative by construction."""
+    bf = SPECS["dq_benford"].builder(spark, sf_dir)
+    rows = bf.collect()
+    digits = {r.digit for r in rows}
+    assert digits <= set(range(1, 10))
+    assert abs(sum(r.obs_share for r in rows) - 1.0) < 1e-9
+    # exp shares are fixed literals: full support sums to 1
+    import math
+
+    full = sum(math.log10(1 + 1 / d) for d in range(1, 10))
+    assert abs(full - 1.0) < 1e-12
+    assert all(r.chi2_term >= 0 for r in rows)
+
+
+def test_autocorr_is_bounded(spark, sf_dir):
+    """Pearson autocorrelation must satisfy |r| <= 1 (Cauchy-Schwarz) at
+    every lag, with NULL only for degenerate (constant / too-short)
+    series."""
+    ac = SPECS["ts_autocorr"].builder(spark, sf_dir)
+    bad = ac.filter(
+        (F.abs(F.col("ac_lag1")) > 1.0 + 1e-12) | (F.abs(F.col("ac_lag2")) > 1.0 + 1e-12)
+    ).count()
+    assert bad == 0
+    assert ac.filter(F.col("ac_lag1").isNotNull()).count() > 0
+
+
+def test_approx_topk_vocab_within_tracked_budget(spark, sf_dir):
+    """agg_approx_topk's sketch_exact flag is only deterministic while the
+    vocabulary fits approx_top_k's maxItemsTracked budget (100000). Pin
+    the precondition at every replayed SF so a larger fixture turns this
+    into a loud failure instead of a silent oracle mismatch
+    (ADVICE r6)."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .distinct()
+        .count()
+    )
+    assert toks < 100000, (
+        f"vocab {toks} >= tracked budget; agg_approx_topk's exactness "
+        "precondition no longer holds — raise the budget or drop the flag"
+    )
