@@ -205,10 +205,18 @@ def snk_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).csv(out)
     # The BOM: Spark's CSV writer has no utf-8-sig mode; the reference's
     # Excel-compatibility BOM is prepended per file (a rename-size metadata
-    # op, not a data pass; only the coalesced single file here).
+    # op, not a data pass). This driver-side pass is only safe because the
+    # output is the coalesced single file — if the coalesce(1) is ever
+    # lifted, multi-part output must NOT be rewritten from the driver
+    # (drop the BOM and document a read option instead), so fail loudly.
     import pathlib
 
-    for part in pathlib.Path(out).glob("part-*.csv"):
+    parts = list(pathlib.Path(out).glob("part-*.csv"))
+    assert len(parts) == 1, (
+        f"snk_csv's driver-side BOM rewrite requires exactly one part file "
+        f"(coalesce(1)); got {len(parts)} — drop the BOM step for multi-part output"
+    )
+    for part in parts:
         raw = part.read_bytes()
         if not raw.startswith(b"\xef\xbb\xbf"):
             part.write_bytes(b"\xef\xbb\xbf" + raw)

@@ -46,6 +46,16 @@ HEADLINE = [
     "mm_decode",
 ]
 
+# Second total: the 3 most expensive non-headline operators (VERDICT r6
+# item 10 — the headline set alone would miss a regression here; the
+# scaling studies only run per-round). Timed with the same protocol,
+# reported as a separate "heavy" line inside the same JSON object.
+HEAVY = [
+    "graph_triangles",
+    "join_fuzzy",
+    "llm_line_dedup",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -82,22 +92,27 @@ def main() -> None:
         except Exception:
             pass  # warmup failure is the measured query's problem, not fatal
 
-    timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
-        samples: list[float] = []
-        for _ in range(runs):
-            try:
-                df = specs[name].builder(spark, sf_dir)
-                t0 = time.perf_counter()
-                df.write.mode("overwrite").format("noop").save()
-                samples.append(time.perf_counter() - t0)
-            except Exception as ex:  # isolate: one broken query ≠ DNF bench
-                errors[name] = f"{type(ex).__name__}: {str(ex)[:200]}"
-                break
-        if samples and name not in errors:
-            timings[name] = round(statistics.median(samples), 3)
 
+    def time_set(names: list[str]) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in names:
+            samples: list[float] = []
+            for _ in range(runs):
+                try:
+                    df = specs[name].builder(spark, sf_dir)
+                    t0 = time.perf_counter()
+                    df.write.mode("overwrite").format("noop").save()
+                    samples.append(time.perf_counter() - t0)
+                except Exception as ex:  # isolate: one broken query ≠ DNF bench
+                    errors[name] = f"{type(ex).__name__}: {str(ex)[:200]}"
+                    break
+            if samples and name not in errors:
+                timings[name] = round(statistics.median(samples), 3)
+        return timings
+
+    timings = time_set(HEADLINE)
+    heavy = time_set(HEAVY)
     total = round(sum(timings.values()), 3)
     out = {
         "metric": f"headline_{len(HEADLINE)}q_total_wall",
@@ -106,6 +121,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "runs_per_query": runs,
+        "heavy_total_wall": round(sum(heavy.values()), 3),
+        "heavy_queries": heavy,
     }
     if errors:
         out["errors"] = errors
