@@ -727,3 +727,109 @@ def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dropped"),
     )
+
+
+# --- llm_dup_spans: exact duplicated-span coverage ---------------------------
+
+# Span-level exact dedup (the "deduplicating training data" substring
+# family): the whole-doc operators above miss a document that is 40%
+# boilerplate; this one measures, per document, the fraction of its token
+# positions covered by an 8-token shingle that also occurs in ANOTHER
+# document. Coverage of the union of fixed-length intervals needs no
+# island bookkeeping: sorted by start, interval [i, i+K-1] contributes
+# min(K, i - lag(i)) new tokens — one window, one aggregate, all integer.
+# The corpus follows the module convention: deduplicated spans are
+# synthesized in-query (every doc_id % 3 == 0 re-enters at +2_000_000
+# minus its final token), so both engines build the identical corpus.
+_SPAN_K = 8
+
+_DUP_SPANS_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, {drop_last_token_duckdb("text")}
+  FROM documents WHERE doc_id % 3 = 0
+),
+arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM corpus),
+sh AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         md5(array_to_string(a[i:i + {_SPAN_K - 1}], ' ')) AS h
+  FROM arr, UNNEST(range(1, len(a) - {_SPAN_K - 2})) AS u(i)
+  WHERE len(a) >= {_SPAN_K}
+),
+dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+m AS (SELECT s.doc_id, s.i FROM sh s JOIN dup d USING (h)),
+cov AS (
+  SELECT doc_id,
+         LEAST({_SPAN_K}, i - COALESCE(
+           LAG(i) OVER (PARTITION BY doc_id ORDER BY i), i - {_SPAN_K})) AS added
+  FROM m
+),
+agg AS (
+  SELECT doc_id, CAST(SUM(added) AS BIGINT) AS covered_tokens
+  FROM cov GROUP BY doc_id
+)
+SELECT g.doc_id, CAST(len(ar.a) AS BIGINT) AS n_tokens, g.covered_tokens,
+       CAST(g.covered_tokens AS DOUBLE) / len(ar.a) AS dup_frac
+FROM agg g JOIN arr ar USING (doc_id)
+"""
+
+
+@register("llm_dup_spans", oracle=_DUP_SPANS_ORACLE, tags=("llm", "dedup", "text"))
+def llm_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span coverage: the fraction of token
+    positions covered by an exact 8-token shingle shared with another
+    document — the span-level dedup signal (boilerplate, licence
+    blocks, templated text) that whole-document digests and MinHash both
+    miss. Pipeline: map-side shingle explode from the token ARRAY (no
+    window needed to build shingles — transform over sequence, zero
+    exchange), hash-aggregate on the shingle digest to find cross-doc
+    spans, join the duplicated digests back (AQE broadcasts the small
+    dup side), then ONE window per doc turns sorted start positions into
+    exact union-coverage via min(K, gap) — no island machinery. Every
+    exchange carries (doc_id, pos, md5) — the text never shuffles; at
+    100 TB the digest aggregate is the only big shuffle and it is
+    map-side combinable. Coverage arithmetic is all-integer until the
+    final division, so the result is engine-exact."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionAll(
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.expr(drop_last_token_spark("text")).alias("text"),
+        )
+    )
+    arr = corpus.select("doc_id", F.split("text", " ").alias("a"))
+    sh = (
+        arr.filter(F.size("a") >= _SPAN_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(a) - {_SPAN_K - 1}), "
+                    f"i -> struct(CAST(i AS BIGINT) AS i, "
+                    f"md5(concat_ws(' ', slice(a, i, {_SPAN_K}))) AS h))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.i").alias("i"), F.col("s.h").alias("h"))
+    )
+    dup = sh.groupBy("h").agg(F.countDistinct("doc_id").alias("nd")).filter(
+        F.col("nd") >= 2
+    )
+    m = sh.join(dup.select("h"), "h").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    cov = m.select(
+        "doc_id",
+        F.least(
+            F.lit(_SPAN_K),
+            F.col("i") - F.coalesce(F.lag("i").over(w), F.col("i") - _SPAN_K),
+        ).alias("added"),
+    )
+    agg = cov.groupBy("doc_id").agg(F.sum("added").cast("bigint").alias("covered_tokens"))
+    return agg.join(arr, "doc_id").select(
+        "doc_id",
+        F.size("a").cast("bigint").alias("n_tokens"),
+        "covered_tokens",
+        (F.col("covered_tokens").cast("double") / F.size("a")).alias("dup_frac"),
+    )

@@ -275,13 +275,118 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = wedges.join(
         e3, (F.col("a") == F.col("e3.src")) & (F.col("c") == F.col("e3.dst"))
     ).select("a", "b", "c")
+    # ONE pass: explode each triangle to its 3 corners map-side. The
+    # union-of-three-selects formulation recomputes the whole
+    # wedge+closing pipeline per branch (no cross-branch subplan reuse
+    # in Catalyst) — measured 3x the work at sf0.1.
     per_node = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return per_node.select(
         F.col("node").cast("bigint").alias("suppkey"), "n_triangles"
     ).orderBy(F.desc("n_triangles"), F.asc("suppkey"))
+
+
+# --- graph_cc: connected components (min-label propagation) -------------------
+
+# Completes the graph family (pagerank = weighted propagation,
+# triangles = local density, cc = global reachability). Labels are pure
+# integer MINs — commutative, associative, engine-exact — so unlike float
+# label-weights the whole fixed point is value-hash-checkable. 3 rounds of
+# min-label propagation equal true connected components whenever every
+# node is within 3 hops of its component's minimum-id node; on the dense
+# mean-thresholded co-purchase graph the fixture converges in 2 (the
+# convergence claim is pinned by a property test, not assumed).
+_CC_ITERS = 3
+
+
+def _cc_oracle() -> str:
+    labs = ["lab0"]
+    iters = []
+    for k in range(_CC_ITERS):
+        prev, cur = labs[-1], f"lab{k + 1}"
+        iters.append(f"""
+{cur} AS MATERIALIZED (
+  SELECT l.node, LEAST(l.lbl, COALESCE(m.minl, l.lbl)) AS lbl
+  FROM {prev} l LEFT JOIN (
+    SELECT e.dst AS node, MIN(l2.lbl) AS minl
+    FROM edges e JOIN {prev} l2 ON l2.node = e.src
+    GROUP BY e.dst
+  ) m ON m.node = l.node
+)""")
+        labs.append(cur)
+    return f"""
+WITH pair_counts AS MATERIALIZED (
+  SELECT l1.l_suppkey AS src, l2.l_suppkey AS dst, COUNT(*) AS w
+  FROM lineitem l1
+  JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+  GROUP BY l1.l_suppkey, l2.l_suppkey
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM pair_counts
+  WHERE w > (SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*) FROM pair_counts)
+),
+lab0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, src AS lbl FROM edges
+),{",".join(iters)},
+sizes AS (
+  SELECT lbl AS comp, CAST(COUNT(*) AS BIGINT) AS comp_size
+  FROM {labs[-1]} GROUP BY lbl
+)
+SELECT CAST(l.node AS BIGINT) AS suppkey, CAST(l.lbl AS BIGINT) AS comp,
+       s.comp_size
+FROM {labs[-1]} l JOIN sizes s ON s.comp = l.lbl
+ORDER BY suppkey
+"""
+
+
+@register("graph_cc", oracle=_cc_oracle(), tags=("graph", "iterative"))
+def graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components on the supplier co-purchase graph by
+    min-label propagation — the reachability primitive under duplicate
+    clustering (llm_dedup_clusters is its min-label twin over LSH edges)
+    and community bookkeeping. Each round every node takes the MIN of its
+    own label and its neighbors' labels: an all-integer, order-free
+    reduction, so the result is bit-identical on any partitioning and in
+    DuckDB (full value-hash oracle for an iterative algorithm).
+
+    Scale shape: the label table is |V| rows (two ints) — it BROADCASTS
+    to the edge relation every round (plan-gated), so each iteration is
+    one map-side join + one map-side-combinable MIN aggregate; the edge
+    set itself is never reshuffled and lineage stays _CC_ITERS levels
+    deep. At 100 TB |V| can outgrow a broadcast — the same loop then runs
+    as a co-partitioned shuffle join keyed on src, or graduates to the
+    large-star/small-star algorithm; the declared plan leaves that swap
+    to the optimizer."""
+    apply_engine_conf(spark)
+    edges = _copurchase_edges(spark, sf_dir)
+    lab = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_CC_ITERS):
+        neigh_min = (
+            edges.join(F.broadcast(lab), edges.src == lab.node)
+            .select(F.col("dst").alias("node"), "lbl")
+            .groupBy("node")
+            .agg(F.min("lbl").alias("minl"))
+        )
+        lab = (
+            lab.alias("l")
+            .join(F.broadcast(neigh_min.alias("m")), "node", "left")
+            .select("node", F.least(F.col("lbl"), F.coalesce("minl", "lbl")).alias("lbl"))
+        )
+    sizes = lab.groupBy(F.col("lbl").alias("comp")).agg(
+        F.count(F.lit(1)).alias("comp_size")
+    )
+    return (
+        lab.join(F.broadcast(sizes), lab.lbl == sizes.comp)
+        .select(
+            F.col("node").cast("bigint").alias("suppkey"),
+            F.col("lbl").cast("bigint").alias("comp"),
+            "comp_size",
+        )
+        .orderBy("suppkey")
+    )

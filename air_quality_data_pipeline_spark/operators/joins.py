@@ -932,3 +932,99 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.greatest(F.col("a_s"), F.col("b_s"))
         ).alias("overlap_us"),
     )
+
+
+# --- join_asof_nearest: tolerance + nearest-direction as-of -------------------
+
+# Completes the as-of family (join_asof = backward/unbounded): pandas
+# merge_asof(direction='nearest', tolerance=T) semantics — for every
+# purchase the nearest click in EITHER direction within the tolerance,
+# equidistant ties to the earlier (backward) click. Same single-shuffle
+# union+window recipe: both directional candidates come from one sort —
+# Catalyst hosts the preceding-frame last() and following-frame first()
+# in ONE Window node — so tolerance+direction costs no extra exchange
+# over plain as-of. The oracle is the direct argmin-within-band join,
+# OR-free so DuckDB plans its range join (the join_scd2 lesson).
+_ASOF_TOL_US = 43_200_000_000  # 12 h
+
+_ASOF_NEAREST_ORACLE = f"""
+WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+  WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click'
+),
+j AS (
+  SELECT p.user_id, p.event_id, p.us AS pus, c.us AS cus,
+         ABS(c.us - p.us) AS dist,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY ABS(c.us - p.us), c.us) AS rn
+  FROM p JOIN c ON c.user_id = p.user_id
+   AND c.us >= p.us - {_ASOF_TOL_US} AND c.us <= p.us + {_ASOF_TOL_US}
+)
+SELECT user_id, event_id AS purchase_id, pus AS purchase_us, cus AS click_us,
+       dist AS dist_us,
+       CASE WHEN cus <= pus THEN 'backward' ELSE 'forward' END AS direction
+FROM j WHERE rn = 1
+"""
+
+
+@register("join_asof_nearest", oracle=_ASOF_NEAREST_ORACLE, tags=("join", "timeseries"))
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join with a tolerance band — the
+    sensor-alignment variant (pandas ``merge_asof(direction='nearest',
+    tolerance=T)``): each purchase matches its nearest click within ±12 h,
+    equidistant ties to the earlier click. Both directional candidates
+    ride ONE union + ONE window sort per user (the join_asof recipe): the
+    backward candidate is last(click_ts) over the preceding frame, the
+    forward candidate first(click_ts) over the following frame — same
+    partitioning, same ordering, one Window node, one exchange. The
+    nearest/tolerance arbitration is a pure row-local CASE. At 100 TB
+    this beats the banded-join formulation (probe × clicks-in-band
+    fan-out) and degenerates nowhere: the window is linear in rows per
+    user. All integer microseconds → engine-exact."""
+    apply_engine_conf(spark)
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.unix_micros(F.to_timestamp("ts")).alias("us"),
+        F.lit(0).alias("side"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.lit(None).cast("long").alias("event_id"),
+        F.unix_micros(F.to_timestamp("ts")).alias("us"), F.lit(1).alias("side"),
+    )
+    base = Window.partitionBy("user_id").orderBy(F.asc("us"), F.desc("side"))
+    w_back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    click_us = F.when(F.col("side") == 1, F.col("us"))
+    tagged = (
+        p.unionByName(c)
+        .withColumn("back_us", F.last(click_us, ignorenulls=True).over(w_back))
+        .withColumn("fwd_us", F.first(click_us, ignorenulls=True).over(w_fwd))
+    )
+    db = F.col("us") - F.col("back_us")
+    df_ = F.col("fwd_us") - F.col("us")
+    ok_b = F.col("back_us").isNotNull() & (db <= _ASOF_TOL_US)
+    ok_f = F.col("fwd_us").isNotNull() & (df_ <= _ASOF_TOL_US)
+    chosen = (
+        F.when(ok_b & (~ok_f | (db <= df_)), F.col("back_us"))
+        .when(ok_f, F.col("fwd_us"))
+    )
+    return (
+        tagged.filter(F.col("side") == 0)
+        .withColumn("click_us", chosen)
+        .filter(F.col("click_us").isNotNull())
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("us").alias("purchase_us"),
+            "click_us",
+            F.abs(F.col("click_us") - F.col("us")).alias("dist_us"),
+            F.when(F.col("click_us") <= F.col("us"), "backward")
+            .otherwise("forward")
+            .alias("direction"),
+        )
+    )

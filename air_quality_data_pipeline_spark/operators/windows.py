@@ -604,3 +604,69 @@ def win_running_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").over(w).alias("run_max"),
         (F.col("value") - F.min("value").over(w)).cast("double").alias("drawup"),
     )
+
+
+# --- win_cumulative_distinct: running COUNT(DISTINCT) --------------------------
+
+# No SQL engine supports COUNT(DISTINCT) OVER a running frame directly (the
+# accumulator isn't invertible); the standard rewrite is two windows:
+# flag each row that is the FIRST occurrence of its (key, item), then a
+# running SUM of flags per key. All integer, order pinned by the unique
+# (ts, event_id) pair -> exact in both engines.
+_CUMDIST_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(FLOOR(value) AS BIGINT) AS bucket,
+         CASE WHEN ROW_NUMBER() OVER (
+           PARTITION BY user_id, CAST(FLOOR(value) AS BIGINT)
+           ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS first_seen
+  FROM events
+)
+SELECT user_id, event_id, us, bucket,
+       CAST(SUM(first_seen) OVER (
+         PARTITION BY user_id ORDER BY us, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS distinct_so_far
+FROM flagged
+"""
+
+
+@register("win_cumulative_distinct", oracle=_CUMDIST_ORACLE, tags=("window",))
+def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running count of DISTINCT value-buckets per user — "unique items
+    seen to date", the engagement-breadth signal dashboards chart. A
+    running COUNT(DISTINCT) window doesn't exist in any engine (the
+    accumulator can't retract), so this is the canonical two-window
+    rewrite: first-occurrence flag via row_number over (user, bucket),
+    then a running integer SUM of flags over (user). Two hash exchanges —
+    (user, bucket) then (user) — each linear, map-side-light; at 100 TB
+    the exact form is this shape or nothing (the sketch alternative is a
+    merging HLL per prefix, which loses exactness). Order is pinned by
+    the unique (ts, event_id) pair so both engines see identical
+    prefixes; every quantity is an integer."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.to_timestamp("ts")).alias("us"),
+        F.floor("value").cast("bigint").alias("bucket"),
+    )
+    w_first = Window.partitionBy("user_id", "bucket").orderBy("us", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn(
+            "first_seen",
+            F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "us",
+            "bucket",
+            F.sum("first_seen").over(w_run).cast("bigint").alias("distinct_so_far"),
+        )
+    )

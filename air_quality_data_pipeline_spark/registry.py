@@ -102,6 +102,10 @@ DRIVER_PRIORITY = [
     # (b) changed this round (advice fixes) — re-sample
     "llm_dataset_diff",
     # (c) new round-7 operators (inserted as each lands)
+    "graph_cc",
+    "llm_dup_spans",
+    "join_asof_nearest",
+    "win_cumulative_distinct",
     # (d) filler: stalest greens (last sampled r1), module order
     "flagship",
     "flt_isin",

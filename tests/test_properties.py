@@ -714,3 +714,112 @@ def test_approx_topk_vocab_within_tracked_budget(spark, sf_dir):
         f"vocab {toks} >= tracked budget; agg_approx_topk's exactness "
         "precondition no longer holds — raise the budget or drop the flag"
     )
+
+
+def test_dup_spans_coverage_bounds_and_full_copies(spark, sf_dir):
+    """Coverage is a union of intervals inside the document: 0 <
+    covered <= n_tokens, frac = covered/n; every synthesized copy doc
+    (id >= 2M, all of whose shingles also live in its source) must be
+    FULLY covered (frac == 1.0)."""
+    ds = SPECS["llm_dup_spans"].builder(spark, sf_dir)
+    bad = ds.filter(
+        (F.col("covered_tokens") <= 0)
+        | (F.col("covered_tokens") > F.col("n_tokens"))
+        | (F.col("dup_frac") != F.col("covered_tokens") / F.col("n_tokens"))
+    ).count()
+    assert bad == 0
+    copies = ds.filter(F.col("doc_id") >= 2_000_000)
+    assert copies.count() > 0
+    partial = copies.filter(F.col("dup_frac") != 1.0).count()
+    assert partial == 0
+
+
+def test_graph_cc_labels_are_component_minima(spark, sf_dir):
+    """Every component label must be a member of its own component (the
+    minimum node id), sizes must partition the vertex set, and — the
+    convergence pin — a 4th propagation round must change nothing (so 3
+    rounds == true connected components on this graph, not an artifact
+    of the iteration cap)."""
+    from air_quality_data_pipeline_spark.operators.graph import (
+        _CC_ITERS,
+        _copurchase_edges,
+    )
+
+    cc = SPECS["graph_cc"].builder(spark, sf_dir).persist()
+    n_nodes = cc.count()
+    # label minimality: the label node carries its own id as label
+    self_rows = cc.filter(F.col("suppkey") == F.col("comp"))
+    mislabeled = self_rows.filter(F.col("suppkey") != F.col("comp")).count()
+    assert mislabeled == 0
+    # sizes partition the graph
+    total = cc.select("comp", "comp_size").distinct().agg(F.sum("comp_size")).collect()[0][0]
+    assert total == n_nodes
+    # convergence: one more min-label round is a fixed point
+    edges = _copurchase_edges(spark, sf_dir)
+    lab = cc.select(F.col("suppkey").alias("node"), F.col("comp").alias("lbl"))
+    neigh = (
+        edges.join(lab, edges.src == lab.node)
+        .select(F.col("dst").alias("node"), "lbl")
+        .groupBy("node")
+        .agg(F.min("lbl").alias("minl"))
+    )
+    changed = (
+        lab.join(neigh, "node", "left")
+        .filter(F.least(F.col("lbl"), F.coalesce("minl", "lbl")) != F.col("lbl"))
+        .count()
+    )
+    assert changed == 0, f"{_CC_ITERS} rounds did not reach the min-label fixed point"
+    cc.unpersist()
+
+
+def test_asof_nearest_band_tie_and_uniqueness(spark, sf_dir):
+    """Every match sits inside the tolerance band, direction agrees with
+    the timestamp sign (ties -> backward), and each purchase matches at
+    most once."""
+    from air_quality_data_pipeline_spark.operators.joins import _ASOF_TOL_US
+
+    an = SPECS["join_asof_nearest"].builder(spark, sf_dir).persist()
+    bad = an.filter(
+        (F.col("dist_us") > _ASOF_TOL_US)
+        | (F.col("dist_us") != F.abs(F.col("click_us") - F.col("purchase_us")))
+        | (
+            (F.col("direction") == "backward")
+            & (F.col("click_us") > F.col("purchase_us"))
+        )
+        | (
+            (F.col("direction") == "forward")
+            & (F.col("click_us") <= F.col("purchase_us"))
+        )
+    ).count()
+    assert bad == 0
+    dup = an.groupBy("purchase_id").count().filter(F.col("count") > 1).count()
+    assert dup == 0
+    assert an.count() > 0
+    an.unpersist()
+
+
+def test_cumulative_distinct_matches_exact_final(spark, sf_dir):
+    """The last running value per user must equal the exact per-user
+    COUNT(DISTINCT bucket), and the running series is non-decreasing
+    with steps of 0 or 1."""
+    from pyspark.sql import Window
+
+    cd = SPECS["win_cumulative_distinct"].builder(spark, sf_dir).persist()
+    final = cd.groupBy("user_id").agg(F.max("distinct_so_far").alias("run_final"))
+    exact = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.countDistinct(F.floor("value").cast("bigint")).alias("exact_nd"))
+    )
+    mism = (
+        final.join(exact, "user_id")
+        .filter(F.col("run_final") != F.col("exact_nd"))
+        .count()
+    )
+    assert mism == 0
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    steps = cd.select(
+        (F.col("distinct_so_far") - F.lag("distinct_so_far", 1, 0).over(w)).alias("d")
+    )
+    assert steps.filter((F.col("d") < 0) | (F.col("d") > 1)).count() == 0
+    cd.unpersist()
