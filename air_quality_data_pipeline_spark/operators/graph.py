@@ -390,3 +390,113 @@ def graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("suppkey")
     )
+
+
+# --- graph_jaccard: per-edge neighborhood similarity --------------------------
+
+# The link-prediction / community-strength feature: for every edge (a, b),
+# |N(a) ∩ N(b)| / |N(a) ∪ N(b)|. Common neighbors of an edge = triangles
+# through that edge, so the count REUSES the oriented wedge pipeline
+# (each canonical triangle a<b<c explodes to its three edge pairs); the
+# union size is deg(a) + deg(b) - common (a and b stay members — b ∈ N(a)).
+# All integers until one final division on identical operands → exact.
+_JACCARD_ORACLE = """
+WITH pair_counts AS MATERIALIZED (
+  SELECT l1.l_suppkey AS src, l2.l_suppkey AS dst, COUNT(*) AS w
+  FROM lineitem l1
+  JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+  GROUP BY l1.l_suppkey, l2.l_suppkey
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM pair_counts
+  WHERE w > (SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*) FROM pair_counts)
+),
+deg AS MATERIALIZED (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src
+),
+fwd AS MATERIALIZED (SELECT src, dst FROM edges WHERE src < dst),
+tri AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM fwd e1
+  JOIN fwd e2 ON e2.src = e1.dst
+  JOIN fwd e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+common AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS common FROM (
+    SELECT a AS x, b AS y FROM tri
+    UNION ALL SELECT a, c FROM tri
+    UNION ALL SELECT b, c FROM tri
+  ) GROUP BY x, y
+)
+SELECT f.src, f.dst, COALESCE(c.common, 0) AS common_neighbors,
+       da.d + db.d - COALESCE(c.common, 0) AS union_size,
+       CAST(COALESCE(c.common, 0) AS DOUBLE)
+         / (da.d + db.d - COALESCE(c.common, 0)) AS jaccard
+FROM fwd f
+LEFT JOIN common c ON c.x = f.src AND c.y = f.dst
+JOIN deg da ON da.node = f.src
+JOIN deg db ON db.node = f.dst
+"""
+
+
+@register("graph_jaccard", oracle=_JACCARD_ORACLE, tags=("graph",))
+def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood Jaccard similarity for every edge of the co-purchase
+    graph — the classic link-prediction / tie-strength feature. Common
+    neighbors of edge (a,b) = triangles through (a,b), so this REUSES the
+    degree-bounded oriented wedge pipeline (graph_triangles) instead of
+    the naive N(a)⋈N(b) neighborhood join whose fan-out is
+    sum-of-degree² over ALL wedge pairs, closed or not: each canonical
+    triangle explodes map-side to its three edge pairs, one hash
+    aggregate counts them, and degrees broadcast back onto the edge list.
+    Edges with zero triangles surface via the LEFT join (jaccard 0, not
+    dropped). Integers end-to-end; one final division on identical
+    operands in both engines."""
+    apply_engine_conf(spark)
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    fwd = edges.filter(F.col("src") < F.col("dst"))
+    e1, e2, e3 = fwd.alias("e1"), fwd.alias("e2"), fwd.alias("e3")
+    wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).select(
+        F.col("e1.src").alias("a"), F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c")
+    )
+    tri = wedges.join(
+        e3, (F.col("a") == F.col("e3.src")) & (F.col("c") == F.col("e3.dst"))
+    ).select("a", "b", "c")
+    pairs = tri.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("x"), F.col("b").alias("y")),
+                F.struct(F.col("a").alias("x"), F.col("c").alias("y")),
+                F.struct(F.col("b").alias("x"), F.col("c").alias("y")),
+            )
+        ).alias("p")
+    ).select("p.x", "p.y")
+    common = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    da = deg.select(F.col("node").alias("src"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("dst"), F.col("d").alias("db"))
+    out = (
+        fwd.join(
+            common,
+            (fwd.src == common.x) & (fwd.dst == common.y),
+            "left",
+        )
+        .join(F.broadcast(da), "src")
+        .join(F.broadcast(db), "dst")
+        .select(
+            "src",
+            "dst",
+            F.coalesce("common", F.lit(0)).alias("common_neighbors"),
+            (F.col("da") + F.col("db") - F.coalesce("common", F.lit(0))).alias(
+                "union_size"
+            ),
+            (
+                F.coalesce("common", F.lit(0)).cast("double")
+                / (F.col("da") + F.col("db") - F.coalesce("common", F.lit(0)))
+            ).alias("jaccard"),
+        )
+    )
+    return out

@@ -2012,3 +2012,90 @@ def llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(clean).cast("long").alias("n_chars"),
         (clean != F.col("raw")).cast("int").alias("was_dirty"),
     )
+
+
+# --- llm_bm25_score: BM25 retrieval scoring ----------------------------------
+
+# BM25 with the RATIONAL Robertson idf (N - df + 0.5)/(df + 0.5) — the
+# llm_tfidf recipe: no libm log, so idf is one exact division and the
+# whole score is a deterministic IEEE expression over identical integer
+# inputs in both engines. tf saturation and length normalization (the
+# parts that make BM25 beat raw tf-idf in retrieval) are kept verbatim
+# (k1 = 1.2, b = 0.75). Per-term contributions are FLOOR-quantized to
+# 1e-9 units BEFORE the per-doc sum — double sums are fold-order-
+# dependent across engines/partitionings, integer sums are not.
+_BM25_PANEL = 4  # query = the 4 highest-df corpus terms (deterministic)
+_BM25_EXPR = (
+    "CAST(FLOOR(((CAST(n_docs AS DOUBLE) - doc_freq + 0.5) / (doc_freq + 0.5)) * "
+    "((CAST(tf AS DOUBLE) * 2.2) / "
+    "(tf + 1.2 * (0.25 + 0.75 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))) "
+    "* 1000000000.0) AS BIGINT)"
+)
+
+_BM25_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+dfq AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY token),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         SUM(len(string_split(text, ' '))) AS total_toks
+  FROM documents
+),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+panel AS (
+  SELECT token, doc_freq FROM dfq ORDER BY doc_freq DESC, token LIMIT {_BM25_PANEL}
+),
+contrib AS (
+  SELECT tf.doc_id, {_BM25_EXPR} AS q
+  FROM tf JOIN panel USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id, CAST(SUM(q) AS BIGINT) AS bm25_q,
+       CAST(COUNT(*) AS BIGINT) AS n_terms
+FROM contrib GROUP BY doc_id
+ORDER BY bm25_q DESC, doc_id LIMIT 10
+"""
+
+
+@register("llm_bm25_score", oracle=_BM25_ORACLE, tags=("llm", "text"))
+def llm_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval over a deterministic 4-term query (the
+    corpus's highest-df terms): tf saturation + document-length
+    normalization — the production sibling of llm_tfidf. ONE tokenize →
+    tf hash aggregate feeds term stats AND the scoring join (the tfidf
+    ReuseExchange shape); the 4-row query panel and the doc-length table
+    broadcast onto it, so the only corpus-sized shuffles are the tf
+    aggregate and nothing else — the final top-10 is
+    TakeOrderedAndProject, no global sort. The scoring expression is the
+    SAME text in Spark and DuckDB (identical IEEE op tree over identical
+    integers), and per-term scores are integer-quantized before summing,
+    so the ranking is engine- and partitioning-exact."""
+    apply_engine_conf(spark)
+    docs = rebalance_for_map(table(spark, sf_dir, "documents"), spark)
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = scoped_persist(
+        tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    panel = dfq.orderBy(F.desc("doc_freq"), F.asc("token")).limit(_BM25_PANEL)
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_toks"),
+    )
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).cast("bigint").alias("dl"))
+    contrib = (
+        tf.join(F.broadcast(panel), "token")
+        .join(F.broadcast(dl), "doc_id")
+        .join(F.broadcast(stats))
+        .select("doc_id", F.expr(_BM25_EXPR).alias("q"))
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sum("q").cast("bigint").alias("bm25_q"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        )
+        .orderBy(F.desc("bm25_q"), F.asc("doc_id"))
+        .limit(10)
+    )

@@ -1005,3 +1005,174 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").alias("n_lag2"),
         F.expr(_ac_expr(2)).alias("ac_lag2"),
     )
+
+
+# --- ts_sliding_corr: rolling cross-series Pearson correlation ----------------
+
+# Rolling 7-day correlation between a user's view-value and click-value
+# daily series — the co-movement monitor (sensor cross-validation, price/
+# volume, engagement channels). The ts_autocorr fixed-point recipe with a
+# ROLLING frame: daily sums quantized to BIGINT micro-units, rolling
+# power sums over ROWS 6 PRECEDING (DECIMAL(38,0) products — exact), one
+# shared final double expression. Rolling SUMs of integers are exact under
+# any fold order, sqrt/division are single IEEE ops on identical operands
+# -> engine-exact, unlike a rolling corr() of floats.
+_SC_NUM = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+_SC_DEN = (
+    "(sqrt(greatest(CAST(0 AS DOUBLE), CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+    " * sqrt(greatest(CAST(0 AS DOUBLE), CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))"
+)
+_SC_CORR = f"{_SC_NUM} / nullif({_SC_DEN}, CAST(0 AS DOUBLE))"
+
+_SLIDING_CORR_ORACLE = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'view'
+              THEN CAST(floor(value * 1000000.0) AS BIGINT) END), 0) AS BIGINT) AS xq,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+              THEN CAST(floor(value * 1000000.0) AS BIGINT) END), 0) AS BIGINT) AS yq
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+rolled AS (
+  SELECT user_id, day,
+         CAST(COUNT(*) OVER w7 AS BIGINT) AS n,
+         CAST(SUM(xq) OVER w7 AS BIGINT) AS sx,
+         CAST(SUM(yq) OVER w7 AS BIGINT) AS sy,
+         SUM(CAST(xq AS DECIMAL(38, 0)) * yq) OVER w7 AS sxy,
+         SUM(CAST(xq AS DECIMAL(38, 0)) * xq) OVER w7 AS sx2,
+         SUM(CAST(yq AS DECIMAL(38, 0)) * yq) OVER w7 AS sy2
+  FROM daily
+  WINDOW w7 AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, CAST(day AS VARCHAR) AS day, n AS n_window, {_SC_CORR} AS corr_xy
+FROM rolled WHERE n >= 3
+"""
+
+
+@register("ts_sliding_corr", oracle=_SLIDING_CORR_ORACLE, tags=("timeseries", "window"))
+def ts_sliding_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day Pearson correlation between two per-user daily
+    series (view value vs click value). ONE hash aggregate to the
+    (user, day) grain — exchange carries two BIGINTs per row — then ONE
+    window exchange on user_id computing all six rolling power sums in a
+    single Window node; the correlation itself is a row-local expression.
+    At 100 TB the day-grain aggregate makes the window input tiny
+    (days x users, not events), which is why the pre-aggregation comes
+    first — never run a rolling frame over raw events when the grain is
+    coarser. Fixed-point sums keep every partial exact; see module
+    docstring for the float-corr pitfall."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    qv = "CAST(floor(value * 1000000.0) AS BIGINT)"
+    daily = ev.groupBy(
+        "user_id", F.expr("CAST(ts AS DATE)").alias("day")
+    ).agg(
+        F.expr(
+            f"CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN {qv} END), 0) AS BIGINT)"
+        ).alias("xq"),
+        F.expr(
+            f"CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN {qv} END), 0) AS BIGINT)"
+        ).alias("yq"),
+    )
+    w7 = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    rolled = daily.select(
+        "user_id",
+        "day",
+        F.count(F.lit(1)).over(w7).cast("bigint").alias("n"),
+        F.sum("xq").over(w7).cast("bigint").alias("sx"),
+        F.sum("yq").over(w7).cast("bigint").alias("sy"),
+        F.sum(F.expr("CAST(xq AS DECIMAL(38, 0)) * yq")).over(w7).alias("sxy"),
+        F.sum(F.expr("CAST(xq AS DECIMAL(38, 0)) * xq")).over(w7).alias("sx2"),
+        F.sum(F.expr("CAST(yq AS DECIMAL(38, 0)) * yq")).over(w7).alias("sy2"),
+    )
+    return rolled.filter(F.col("n") >= 3).select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        F.col("n").alias("n_window"),
+        F.expr(_SC_CORR).alias("corr_xy"),
+    )
+
+
+# --- ts_period_over_period: MoM / YoY growth ----------------------------------
+
+# The BI staple: monthly revenue per nation with month-over-month and
+# year-over-year deltas from lag(1)/lag(12) over the month series. Money
+# in exact cents; pct change is one double division on identical integer
+# operands. The month grain makes the window input (nations x months)
+# trivially small regardless of fact-table size — the aggregate does the
+# heavy lifting, the window is bookkeeping.
+_POP_ORACLE = """
+WITH monthly AS (
+  SELECT n_name AS nation, DATE_TRUNC('month', o_orderdate) AS month,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, DATE_TRUNC('month', o_orderdate)
+),
+lagged AS (
+  SELECT nation, month, rev_cents,
+         LAG(rev_cents, 1) OVER w AS prev_m,
+         LAG(rev_cents, 12) OVER w AS prev_y
+  FROM monthly WINDOW w AS (PARTITION BY nation ORDER BY month)
+)
+SELECT nation, CAST(CAST(month AS DATE) AS VARCHAR) AS month, rev_cents,
+       rev_cents - prev_m AS mom_cents,
+       rev_cents - prev_y AS yoy_cents,
+       CAST(rev_cents - prev_m AS DOUBLE) / nullif(prev_m, 0) AS mom_pct
+FROM lagged
+"""
+
+
+@register("ts_period_over_period", oracle=_POP_ORACLE, tags=("timeseries", "window"))
+def ts_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue growth per nation —
+    the period-comparison report every BI layer ships. One fact-sized
+    hash aggregate to the (nation, month) grain (dims broadcast), then
+    lag(1)/lag(12) over a window whose input is nations x months — a few
+    hundred rows at ANY fact scale, so the window cost is constant while
+    the aggregate scans scale-out. Cents are exact integers; the growth
+    pct is a single IEEE division on identical operands."""
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    monthly = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(floor(o_totalprice * 100.0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("month")
+    lagged = monthly.select(
+        "nation",
+        "month",
+        "rev_cents",
+        F.lag("rev_cents", 1).over(w).alias("prev_m"),
+        F.lag("rev_cents", 12).over(w).alias("prev_y"),
+    )
+    return lagged.select(
+        "nation",
+        F.col("month").cast("date").cast("string").alias("month"),
+        "rev_cents",
+        (F.col("rev_cents") - F.col("prev_m")).alias("mom_cents"),
+        (F.col("rev_cents") - F.col("prev_y")).alias("yoy_cents"),
+        (
+            (F.col("rev_cents") - F.col("prev_m")).cast("double")
+            / F.expr("nullif(prev_m, 0)")
+        ).alias("mom_pct"),
+    )

@@ -670,3 +670,101 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("first_seen").over(w_run).cast("bigint").alias("distinct_so_far"),
         )
     )
+
+
+# --- win_attribution: first/last/linear touch attribution ---------------------
+
+# Marketing attribution over the click->purchase stream: every purchase
+# distributes its revenue across the clicks ("touches") in its 3-day
+# lookback — all three industry models from ONE banded join + ONE window:
+# first-touch (all to the earliest), last-touch (all to the latest),
+# linear (equal split). Money is FLOOR-quantized to 10^-6 units and the
+# equal split is integer division (remainder deliberately dropped — a
+# defined, engine-exact semantic; float splits would sum differently per
+# partitioning). Ties inside a lookback are pinned by (ts, click id).
+_ATTR_LOOKBACK_US = 259_200_000_000  # 3 days
+_ATTR_CHANNELS = 5
+
+_ATTRIBUTION_ORACLE = f"""
+WITH p AS (
+  SELECT user_id, event_id AS pid, epoch_us(ts) AS us,
+         CAST(FLOOR(value * 1000000.0) AS BIGINT) AS rev_mu
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, event_id AS cid, epoch_us(ts) AS cus,
+         CAST(FLOOR(value) AS BIGINT) % {_ATTR_CHANNELS} AS channel
+  FROM events WHERE event_type = 'click'
+),
+j AS (
+  SELECT p.pid, p.rev_mu, c.cid, c.cus, c.channel
+  FROM p JOIN c ON c.user_id = p.user_id
+   AND c.cus >= p.us - {_ATTR_LOOKBACK_US} AND c.cus <= p.us
+),
+t AS (
+  SELECT pid, rev_mu, channel,
+         COUNT(*) OVER (PARTITION BY pid) AS n,
+         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY cus, cid) AS rf,
+         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY cus DESC, cid DESC) AS rl
+  FROM j
+)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(rev_mu // n) AS BIGINT) AS linear_rev_mu,
+       CAST(SUM(CASE WHEN rf = 1 THEN rev_mu ELSE 0 END) AS BIGINT) AS first_rev_mu,
+       CAST(SUM(CASE WHEN rl = 1 THEN rev_mu ELSE 0 END) AS BIGINT) AS last_rev_mu
+FROM t GROUP BY channel
+"""
+
+
+@register("win_attribution", oracle=_ATTRIBUTION_ORACLE, tags=("window", "join"))
+def win_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch revenue attribution (first / last / linear) per
+    channel: each purchase's revenue is attributed to the clicks in its
+    3-day lookback under all three standard models at once. Shape: one
+    per-user banded equi-join (fan-out bounded by touches-per-lookback,
+    never a cross join), one window keyed on the purchase id computing
+    touch count + both rank orders in a single node, then one hash
+    aggregate by channel. Exchanges carry ids + integer micro-units only.
+    Equal-split uses integer DIV so partial sums are exact on any
+    partitioning (the float alternative is order-dependent); the dropped
+    remainder is a defined semantic, identical in both engines."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.unix_micros(F.to_timestamp("ts")).alias("us"),
+        F.expr("CAST(FLOOR(value * 1000000.0) AS BIGINT)").alias("rev_mu"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("cid"),
+        F.unix_micros(F.to_timestamp("ts")).alias("cus"),
+        (F.floor("value").cast("bigint") % _ATTR_CHANNELS).alias("channel"),
+    )
+    j = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("cus") >= F.col("us") - _ATTR_LOOKBACK_US)
+        & (F.col("cus") <= F.col("us")),
+    ).select("pid", "rev_mu", "cid", "cus", "channel")
+    wp = Window.partitionBy("pid")
+    t = j.select(
+        "pid",
+        "rev_mu",
+        "channel",
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.row_number().over(wp.orderBy(F.asc("cus"), F.asc("cid"))).alias("rf"),
+        F.row_number().over(wp.orderBy(F.desc("cus"), F.desc("cid"))).alias("rl"),
+    )
+    return t.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum(F.expr("rev_mu div n")).cast("bigint").alias("linear_rev_mu"),
+        F.sum(F.when(F.col("rf") == 1, F.col("rev_mu")).otherwise(0))
+        .cast("bigint")
+        .alias("first_rev_mu"),
+        F.sum(F.when(F.col("rl") == 1, F.col("rev_mu")).otherwise(0))
+        .cast("bigint")
+        .alias("last_rev_mu"),
+    )

@@ -106,6 +106,12 @@ DRIVER_PRIORITY = [
     "llm_dup_spans",
     "join_asof_nearest",
     "win_cumulative_distinct",
+    "win_attribution",
+    "snk_manifest",
+    "llm_bm25_score",
+    "ts_sliding_corr",
+    "ts_period_over_period",
+    "graph_jaccard",
     # (d) filler: stalest greens (last sampled r1), module order
     "flagship",
     "flt_isin",

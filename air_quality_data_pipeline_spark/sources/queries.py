@@ -771,3 +771,62 @@ def src_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema("s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double")
         .load(out)
     )
+
+
+# --- snk_manifest: dataset-release manifest ----------------------------------
+
+# The reproducibility artifact a training-data release ships next to its
+# shards: per-shard row count, byte total, and an ORDER-FREE content
+# digest (bit_xor of per-doc md5 prefixes — commutative, so the digest is
+# identical on any partitioning / task order, unlike a concat-and-hash).
+# The sink really writes (partitionBy(shard) parquet) and the manifest is
+# computed from the READ-BACK, so what gets checked is the round-tripped
+# dataset, not the in-memory frame; the oracle recomputes from the source
+# table directly — equality proves the write lost nothing.
+_MANIFEST_SHARDS = 8
+
+_SNK_MANIFEST_ORACLE = f"""
+SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         % {_MANIFEST_SHARDS} AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(bit_xor(CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT))
+         AS BIGINT) AS content_digest
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("snk_manifest", oracle=_SNK_MANIFEST_ORACLE, tags=("sink", "llm"))
+def snk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded dataset write + release manifest: documents are written
+    partitionBy(shard) (the llm_doc_shard hash addressing), read back,
+    and rolled up into the per-shard manifest — row count, char total,
+    and an order-free bit_xor content digest. The xor fold is the scale
+    point: it is commutative and map-side combinable, so the digest of a
+    100 TB shard costs one aggregate with constant exchange payload and
+    never depends on task order (a concat-then-hash digest would).
+    Manifest equality vs the source table is the round-trip proof the
+    release pipeline signs off on."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        "text",
+        F.expr(
+            f"CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+            f" % {_MANIFEST_SHARDS}"
+        ).alias("shard"),
+    )
+    out = tempfile.mkdtemp(prefix="snk_manifest_")
+    docs.write.mode("overwrite").partitionBy("shard").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.expr(
+            "bit_xor(CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT))"
+        )
+        .cast("bigint")
+        .alias("content_digest"),
+    )

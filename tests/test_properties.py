@@ -823,3 +823,107 @@ def test_cumulative_distinct_matches_exact_final(spark, sf_dir):
     )
     assert steps.filter((F.col("d") < 0) | (F.col("d") > 1)).count() == 0
     cd.unpersist()
+
+
+def test_attribution_models_conserve_revenue(spark, sf_dir):
+    """First-touch and last-touch each hand out every matched purchase's
+    revenue exactly once, so their channel totals must be EQUAL in
+    aggregate; the linear model's integer split drops at most (n-1)
+    micro-units per purchase, so its total is <= and close."""
+    at = SPECS["win_attribution"].builder(spark, sf_dir).persist()
+    row = at.agg(
+        F.sum("first_rev_mu").alias("f"),
+        F.sum("last_rev_mu").alias("l"),
+        F.sum("linear_rev_mu").alias("lin"),
+        F.sum("n_touches").alias("n"),
+    ).collect()[0]
+    assert row.f == row.l
+    assert row.lin <= row.f
+    # dropped remainder is < 1 micro-unit per touch
+    assert row.f - row.lin < row.n
+    at.unpersist()
+
+
+def test_manifest_partitions_the_corpus(spark, sf_dir):
+    """Manifest shard counts must partition the documents table exactly,
+    every shard id in range, and char totals reconcile."""
+    mf = SPECS["snk_manifest"].builder(spark, sf_dir).persist()
+    docs = table(spark, sf_dir, "documents")
+    tot = mf.agg(F.sum("n_docs"), F.sum("total_chars")).collect()[0]
+    want = docs.agg(F.count(F.lit(1)), F.sum("n_chars")).collect()[0]
+    assert tot[0] == want[0] and tot[1] == want[1]
+    bad = mf.filter((F.col("shard") < 0) | (F.col("shard") >= 8)).count()
+    assert bad == 0
+    mf.unpersist()
+
+
+def test_bm25_ranking_properties(spark, sf_dir):
+    """Exactly 10 results, scores strictly ordered by the (score, doc_id)
+    sort key, every score positive, and every result matched at least
+    one of the 4 panel terms."""
+    bm = SPECS["llm_bm25_score"].builder(spark, sf_dir)
+    rows = bm.collect()
+    assert len(rows) == 10
+    keys = [(-r.bm25_q, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+    assert all(r.bm25_q > 0 for r in rows)
+    assert all(1 <= r.n_terms <= 4 for r in rows)
+
+
+def test_sliding_corr_bounds_and_window_width(spark, sf_dir):
+    """|r| <= 1 everywhere (Cauchy-Schwarz), window row count within
+    [3, 7], and NULL only where a series is constant inside the frame."""
+    sc = SPECS["ts_sliding_corr"].builder(spark, sf_dir).persist()
+    bad = sc.filter(
+        (F.abs(F.col("corr_xy")) > 1.0 + 1e-12)
+        | (F.col("n_window") < 3)
+        | (F.col("n_window") > 7)
+    ).count()
+    assert bad == 0
+    assert sc.filter(F.col("corr_xy").isNotNull()).count() > 0
+    sc.unpersist()
+
+
+def test_period_over_period_deltas_reconcile(spark, sf_dir):
+    """MoM deltas telescope: summing mom_cents over a nation's contiguous
+    month chain equals last minus first month revenue; yoy exists only
+    where 12 prior months exist."""
+    pop = SPECS["ts_period_over_period"].builder(spark, sf_dir).persist()
+    chk = (
+        pop.groupBy("nation")
+        .agg(
+            F.sum("mom_cents").alias("mom_total"),
+            F.max(F.struct("month", "rev_cents")).alias("last"),
+            F.min(F.struct("month", "rev_cents")).alias("first"),
+            F.count(F.lit(1)).alias("n_months"),
+            F.count("yoy_cents").alias("n_yoy"),
+        )
+        .filter(
+            (F.col("mom_total") != F.col("last.rev_cents") - F.col("first.rev_cents"))
+            | (F.col("n_yoy") != F.greatest(F.col("n_months") - 12, F.lit(0)))
+        )
+        .count()
+    )
+    assert chk == 0
+    pop.unpersist()
+
+
+def test_graph_jaccard_consistent_with_triangles(spark, sf_dir):
+    """Edge-level common-neighbor counts must sum to 3x the triangle
+    count (each triangle has 3 edges), jaccard in [0, 1], and union
+    arithmetic consistent."""
+    gj = SPECS["graph_jaccard"].builder(spark, sf_dir).persist()
+    tri_total = (
+        SPECS["graph_triangles"].builder(spark, sf_dir).agg(F.sum("n_triangles"))
+    ).collect()[0][0] or 0
+    edge_common = gj.agg(F.sum("common_neighbors")).collect()[0][0] or 0
+    # per-node counts triple-count each triangle; per-edge counts do too
+    assert edge_common == tri_total
+    bad = gj.filter(
+        (F.col("jaccard") < 0)
+        | (F.col("jaccard") > 1)
+        | (F.col("union_size") <= 0)
+        | (F.col("common_neighbors") > F.col("union_size"))
+    ).count()
+    assert bad == 0
+    gj.unpersist()
