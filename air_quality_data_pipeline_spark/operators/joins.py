@@ -979,7 +979,8 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ride ONE union + ONE window sort per user (the join_asof recipe): the
     backward candidate is last(click_ts) over the preceding frame, the
     forward candidate first(click_ts) over the following frame — same
-    partitioning, same ordering, one Window node, one exchange. The
+    partitioning, same ordering, so Catalyst stacks the two Window nodes
+    over ONE exchange and ONE sort (plan-gated: no re-sort between). The
     nearest/tolerance arbitration is a pure row-local CASE. At 100 TB
     this beats the banded-join formulation (probe × clicks-in-band
     fan-out) and degenerates nowhere: the window is linear in rows per

@@ -728,3 +728,64 @@ def test_countmin_sketch_is_single_scan(spark, sf_dir):
     # one scan for the sketch + one for the exact-anchor branch
     assert big_scans <= 2, fmt
     assert "Generate" in _executed_plan(spark, "agg_countmin_freq", sf_dir)
+
+
+def test_asof_nearest_is_one_window_one_exchange(spark, sf_dir):
+    """Both directional candidates (preceding-frame last + following-frame
+    first) must ride ONE user_id exchange and ONE sort — Catalyst stacks
+    the two frames as adjacent Window nodes over the same sort order (no
+    re-sort between them); the banded-join formulation would fan out
+    probe x clicks-in-band."""
+    plan = _executed_plan(spark, "join_asof_nearest", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("+- Sort ") == 1, plan
+    assert "Join" not in plan
+
+
+def test_bm25_topk_is_take_ordered_and_single_tf_agg(spark, sf_dir):
+    """The top-10 must plan as TakeOrderedAndProject (no global sort) and
+    the tf aggregation must compute ONCE (scoped_persist shares it with
+    the doc-frequency rollup — an InMemoryTableScan, not a second
+    tokenize)."""
+    plan = _executed_plan(spark, "llm_bm25_score", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_sliding_corr_two_exchanges_one_window(spark, sf_dir):
+    """Day-grain aggregate then rolling window: exactly the (user, day)
+    agg exchange + the user window exchange, all six rolling sums in one
+    Window node."""
+    plan = _executed_plan(spark, "ts_sliding_corr", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Window") == 1, plan
+
+
+def test_period_over_period_broadcasts_dims(spark, sf_dir):
+    """The fact aggregate must broadcast customer/nation (no fact-side
+    shuffle for the dim joins) and the lag window input is the aggregated
+    grain."""
+    plan = _executed_plan(spark, "ts_period_over_period", sf_dir)
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_graph_cc_broadcasts_labels_every_round(spark, sf_dir):
+    """Each propagation round joins the |V|-row label table to edges as a
+    BROADCAST (the edge set is never reshuffled); 3 rounds -> at least 3
+    broadcast joins and no cartesian."""
+    plan = _executed_plan(spark, "graph_cc", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dup_spans_no_text_past_the_scan(spark, sf_dir):
+    """Every exchange in the dup-span pipeline carries (doc_id, pos,
+    digest) — the raw text column must not appear in any exchange input
+    (it dies at the shingle projection)."""
+    fmt = _formatted(spark, "llm_dup_spans", sf_dir)
+    import re as _re
+
+    # crude but effective: no Exchange block's input schema mentions text#
+    for m in _re.finditer(r"Arguments: hashpartitioning\([^\n]*", fmt):
+        assert "text#" not in m.group(0), m.group(0)
