@@ -13,7 +13,7 @@ set-valued results are canonicalized to sorted CSV strings.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.exact import exact_sum, exact_sum_sql
 from ..registry import register
@@ -999,4 +999,78 @@ def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_count",
         "est_count",
         (F.col("est_count") - F.col("exact_count")).alias("overestimate"),
+    )
+
+
+# --- agg_entropy: Shannon entropy of a categorical distribution ---------------
+
+# Label-balance / load-dispersion diagnostic: the hour-of-day activity
+# entropy per event source. The only libm call (ln) is applied to IDENTICAL
+# doubles in both engines (a division of two exact BIGINTs), and each
+# per-cell term is FLOOR-quantized to integer micro-nats BEFORE the final
+# sum, so partial aggregates combine order-free on any partitioning — the
+# same fixed-point recipe as ts_autocorr / dq_drift. ln(24) is a shared
+# double LITERAL (not recomputed) so the normalized column divides by the
+# same bits in both engines.
+_LN24 = "3.1780538303479458"
+
+_ENTROPY_ORACLE = f"""
+WITH cells AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, COUNT(*) AS cnt
+  FROM events
+  GROUP BY event_type, CAST(hour(ts) AS BIGINT)
+),
+t AS (
+  SELECT event_type, hr, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type) AS total
+  FROM cells
+),
+terms AS (
+  SELECT event_type, cnt, total,
+         CAST(floor(
+           -(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+            * ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000.0
+         ) AS BIGINT) AS term_micro
+  FROM t
+)
+SELECT event_type,
+       CAST(MAX(total) AS BIGINT) AS n_events,
+       COUNT(*) AS n_hours,
+       CAST(SUM(term_micro) AS DOUBLE) / 1000000.0 AS entropy_nats,
+       CAST(SUM(term_micro) AS DOUBLE) / 1000000.0 / {_LN24} AS norm_entropy
+FROM terms
+GROUP BY event_type
+"""
+
+
+@register("agg_entropy", oracle=_ENTROPY_ORACLE, tags=("agg", "window"))
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (and ln(24)-normalized entropy) of each event
+    source's hour-of-day activity distribution — the dispersion diagnostic
+    behind label-balance checks in training-data prep and traffic-shape
+    monitoring (a source whose entropy collapses went bursty or died).
+
+    Shape: ONE corpus scan pre-aggregates to the (source, hour) grain —
+    at most sources x 24 rows cross the map-side-combined exchange at ANY
+    input size; the per-source total window and the final aggregate both
+    key on event_type so the window exchange is reused. Per-cell terms are
+    FLOOR-quantized to integer micro-nats before summation (order-free
+    partials; the single ln() sees identical doubles in both engines)."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    t = cells.withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy("event_type"))
+    )
+    p = F.col("cnt").cast("double") / F.col("total").cast("double")
+    term = F.floor(-p * F.log(p) * F.lit(1000000.0)).cast("bigint")
+    terms = t.select("event_type", "total", term.alias("term_micro"))
+    ent = F.sum("term_micro").cast("double") / F.lit(1000000.0)
+    return terms.groupBy("event_type").agg(
+        F.max("total").alias("n_events"),
+        F.count(F.lit(1)).alias("n_hours"),
+        ent.alias("entropy_nats"),
+        (ent / F.expr(_LN24)).alias("norm_entropy"),
     )

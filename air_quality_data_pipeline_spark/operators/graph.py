@@ -500,3 +500,203 @@ def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# --- graph_2hop: friends-of-friends reach ------------------------------------
+
+# The 2-hop neighborhood size — the reach/recommendation primitive ("how
+# many suppliers are one introduction away?"). Exact semantics: nodes at
+# distance EXACTLY 2 (reachable through some neighbor, not a direct
+# neighbor, not self). All work is integer pairs: the wedge expansion is
+# the same dst=src self-equi-join the triangle count uses, the distinct is
+# a hash aggregate on (node, nb2), and direct-neighbor removal is a
+# LEFT ANTI join back to the edge set — exchanges never carry more than
+# two ints per row.
+_TWOHOP_ORACLE = """
+WITH pair_counts AS MATERIALIZED (
+  SELECT l1.l_suppkey AS src, l2.l_suppkey AS dst, COUNT(*) AS w
+  FROM lineitem l1
+  JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+  GROUP BY l1.l_suppkey, l2.l_suppkey
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM pair_counts
+  WHERE w > (SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*) FROM pair_counts)
+),
+deg AS (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM edges GROUP BY src
+),
+wedge AS (
+  SELECT DISTINCT e1.src AS node, e2.dst AS nb2
+  FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+  WHERE e1.src <> e2.dst
+),
+foaf AS (
+  SELECT w.node, CAST(COUNT(*) AS BIGINT) AS foaf_count
+  FROM wedge w
+  WHERE NOT EXISTS (
+    SELECT 1 FROM edges e WHERE e.src = w.node AND e.dst = w.nb2
+  )
+  GROUP BY w.node
+)
+SELECT CAST(d.node AS BIGINT) AS suppkey, d.degree,
+       COALESCE(f.foaf_count, 0) AS foaf_count
+FROM deg d LEFT JOIN foaf f ON f.node = d.node
+ORDER BY suppkey
+"""
+
+
+@register("graph_2hop", oracle=_TWOHOP_ORACLE, tags=("graph",))
+def graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friends-of-friends reach per supplier: the count of nodes at
+    distance exactly 2 (through a neighbor, not a direct neighbor, not
+    self) — the standard recommendation / influence-reach feature next to
+    degree. Completes the neighborhood family (triangles = closed wedges,
+    jaccard = per-edge overlap, 2hop = OPEN reach).
+
+    Scale shape: wedge expansion is the dst=src self-equi-join (shuffle on
+    the shared endpoint; fan-out bounded by degree²), deduped by a hash
+    aggregate on (node, nb2); distance-1 removal is a LEFT ANTI equi-join
+    back to edges, and the per-node count is map-side combinable. Every
+    exchange carries two BIGINTs; the all-integer pipeline is value-exact
+    on any partitioning. For web-scale skew, cap the wedge fan-out by
+    degree-splitting the hub side (the join_salted recipe) — the plan is
+    otherwise unchanged."""
+    apply_engine_conf(spark)
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    wedge = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .select(F.col("e1.src").alias("node"), F.col("e2.dst").alias("nb2"))
+        .filter(F.col("node") != F.col("nb2"))
+        .distinct()
+    )
+    foaf = (
+        wedge.join(
+            edges,
+            (wedge.node == edges.src) & (wedge.nb2 == edges.dst),
+            "left_anti",
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("foaf_count"))
+    )
+    return (
+        deg.alias("d")
+        .join(F.broadcast(foaf.alias("f")), "node", "left")
+        .select(
+            F.col("node").cast("bigint").alias("suppkey"),
+            "degree",
+            F.coalesce("foaf_count", F.lit(0)).cast("bigint").alias("foaf_count"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+# --- graph_kcore: k-core decomposition (iterative peeling) --------------------
+
+# The core-periphery primitive: the k-core is the maximal subgraph where
+# every node keeps degree >= k AFTER all lower-degree nodes are peeled
+# away — the standard "dense backbone" extractor (spam-farm detection,
+# community seeding) that raw degree can't express (a hub whose neighbors
+# are all leaves has high degree but no core membership). Both engines run
+# the IDENTICAL bounded peel — _KCORE_ROUNDS rounds of "drop nodes whose
+# within-subgraph degree < k" — so the result is well-defined and
+# hash-comparable even before convergence; a property test pins that the
+# fixture actually converges within the budget (one more round is a
+# fixed point), so the output IS the true k-core, not a truncation.
+_KCORE_K = 4
+_KCORE_ROUNDS = 6
+
+
+def _kcore_oracle() -> str:
+    names = ["n0"]
+    rounds = []
+    for r in range(_KCORE_ROUNDS):
+        prev, cur = names[-1], f"n{r + 1}"
+        rounds.append(f"""
+{cur} AS MATERIALIZED (
+  SELECT e.src AS node
+  FROM edges e
+  JOIN {prev} a ON a.node = e.src
+  JOIN {prev} b ON b.node = e.dst
+  GROUP BY e.src
+  HAVING COUNT(*) >= {_KCORE_K}
+)""")
+        names.append(cur)
+    last = names[-1]
+    return f"""
+WITH pair_counts AS MATERIALIZED (
+  SELECT l1.l_suppkey AS src, l2.l_suppkey AS dst, COUNT(*) AS w
+  FROM lineitem l1
+  JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+  GROUP BY l1.l_suppkey, l2.l_suppkey
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM pair_counts
+  WHERE w > (SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*) FROM pair_counts)
+),
+n0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node FROM edges
+),{",".join(rounds)}
+SELECT CAST(e.src AS BIGINT) AS suppkey,
+       CAST(COUNT(*) AS BIGINT) AS core_degree,
+       CAST({_KCORE_K} AS INT) AS k
+FROM edges e
+JOIN {last} a ON a.node = e.src
+JOIN {last} b ON b.node = e.dst
+GROUP BY e.src
+ORDER BY suppkey
+"""
+
+
+@register("graph_kcore", oracle=_kcore_oracle(), tags=("graph", "iterative"))
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the co-purchase graph (k=4): iteratively
+    peel nodes whose degree within the surviving subgraph is below k; what
+    remains is the dense backbone. Reports each core member's
+    within-core degree.
+
+    Scale shape: each peel round is two semi-joins of the edge set against
+    the surviving node list (|V| rows of one BIGINT — broadcast at any
+    realistic |V|) + one map-side-combinable count-HAVING aggregate. The
+    node list is localCheckpoint()ed each round: it is referenced TWICE
+    per round (both endpoints), and without materialization the logical
+    plan doubles per round (2^rounds blowup) — the checkpoint keeps
+    lineage flat, the same driver-loop discipline as llm_kmeans_train.
+    The edge set itself is never reshuffled. All-integer, order-free —
+    value-hash exact in DuckDB."""
+    apply_engine_conf(spark)
+    edges = _copurchase_edges(spark, sf_dir)
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    for _ in range(_KCORE_ROUNDS):
+        a = nodes.select(F.col("node").alias("na"))
+        b = nodes.select(F.col("node").alias("nb"))
+        nodes = (
+            edges.join(F.broadcast(a), edges.src == F.col("na"))
+            .join(F.broadcast(b), edges.dst == F.col("nb"))
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select("node")
+            .localCheckpoint()
+        )
+    a = nodes.select(F.col("node").alias("na"))
+    b = nodes.select(F.col("node").alias("nb"))
+    return (
+        edges.join(F.broadcast(a), edges.src == F.col("na"))
+        .join(F.broadcast(b), edges.dst == F.col("nb"))
+        .groupBy(F.col("src").alias("suppkey"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(
+            F.col("suppkey").cast("bigint"),
+            F.col("core_degree").cast("bigint"),
+            F.lit(_KCORE_K).cast("int").alias("k"),
+        )
+        .orderBy("suppkey")
+    )

@@ -841,3 +841,168 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         exp.alias("exp_share"),
         ((obs - exp) * (obs - exp) / exp).alias("chi2_term"),
     )
+
+
+# --- dq_ks_test: two-sample Kolmogorov-Smirnov drift test ---------------------
+
+# Nonparametric sibling of dq_drift's chi-square: compares the FULL shape of
+# the value distribution between the first and second half of the fixture
+# month, per event source, with no distributional assumption. The ECDFs are
+# evaluated on a fixed integer grid (floor(value) — ~330 cells over the
+# fixture's value range) so the cumulative window's input is bounded by
+# sources x cells at ANY corpus size; the statistic itself is max(|Fa-Fb|)
+# over identical per-cell doubles (BIGINT counts, one division each), and MAX
+# is order-free, so the report is engine-exact without fixed-point machinery.
+_KS_SPLIT = "TIMESTAMP '2024-01-16 00:00:00'"
+
+_KS_ORACLE = f"""
+WITH cells AS (
+  SELECT event_type,
+         CAST(floor(value) AS BIGINT) AS cell,
+         SUM(CASE WHEN ts <  {_KS_SPLIT} THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN ts >= {_KS_SPLIT} THEN 1 ELSE 0 END) AS cb
+  FROM events
+  GROUP BY event_type, CAST(floor(value) AS BIGINT)
+),
+cum AS (
+  SELECT event_type, cell,
+         SUM(ca) OVER (PARTITION BY event_type ORDER BY cell
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         SUM(cb) OVER (PARTITION BY event_type ORDER BY cell
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+         SUM(ca) OVER (PARTITION BY event_type) AS na,
+         SUM(cb) OVER (PARTITION BY event_type) AS nb
+  FROM cells
+)
+SELECT event_type,
+       CAST(MAX(na) AS BIGINT) AS n_first,
+       CAST(MAX(nb) AS BIGINT) AS n_second,
+       MAX(abs(CAST(cum_a AS DOUBLE) / CAST(na AS DOUBLE)
+             - CAST(cum_b AS DOUBLE) / CAST(nb AS DOUBLE))) AS ks_d
+FROM cum
+GROUP BY event_type
+"""
+
+
+@register("dq_ks_test", oracle=_KS_ORACLE, tags=("quality", "agg", "window"))
+def dq_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic per event source:
+    max ECDF distance between the first- and second-half-of-month value
+    distributions — the nonparametric companion to dq_drift's binned
+    chi-square (KS needs no expected-counts assumption and catches
+    location/shape shifts chi-square's coarse bins smear out). The
+    reference never monitors its readings (main.py:146-175).
+
+    Shape: ONE corpus scan pre-aggregates to a FIXED integer grid
+    (sources x ~330 cells cross the exchange, map-side combined,
+    regardless of input size); the cumulative ECDF window and the final
+    max-aggregate both key on event_type, so the window's exchange is
+    reused by the aggregate. All comparisons are divisions of identical
+    BIGINTs and an order-free MAX — engine-exact with no quantization."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    split = F.expr(f"{_KS_SPLIT}")
+    cells = ev.groupBy(
+        "event_type", F.floor("value").cast("bigint").alias("cell")
+    ).agg(
+        F.sum(F.when(F.col("ts") < split, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("ts") >= split, 1).otherwise(0)).alias("cb"),
+    )
+    run = (
+        Window.partitionBy("event_type")
+        .orderBy("cell")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    whole = Window.partitionBy("event_type")
+    cum = cells.select(
+        "event_type",
+        F.sum("ca").over(run).alias("cum_a"),
+        F.sum("cb").over(run).alias("cum_b"),
+        F.sum("ca").over(whole).alias("na"),
+        F.sum("cb").over(whole).alias("nb"),
+    )
+    d = F.abs(
+        F.col("cum_a").cast("double") / F.col("na").cast("double")
+        - F.col("cum_b").cast("double") / F.col("nb").cast("double")
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("na").alias("n_first"),
+        F.max("nb").alias("n_second"),
+        F.max(d).alias("ks_d"),
+    )
+
+
+# --- dq_uniqueness: candidate-key audit ---------------------------------------
+
+# Which column (sets) could serve as a primary key? dq_profile reports
+# per-column distincts for the fact table; this audits KEY CANDIDATES —
+# including composite ones — on the orders table, the question schema
+# discovery and CDC key-selection actually ask. Composite candidates are
+# counted on a separator-joined string rendering: rendering differs between
+# engines but DISTINCT counts only need the mapping to be injective per
+# engine, so the counts are exact and portable.
+_UNIQ_CANDS = [
+    ("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
+    ("o_custkey", "CAST(o_custkey AS VARCHAR)"),
+    ("o_orderstatus", "o_orderstatus"),
+    (
+        "o_custkey+o_orderdate",
+        "CONCAT(CAST(o_custkey AS VARCHAR), '|', CAST(o_orderdate AS VARCHAR))",
+    ),
+    (
+        "o_custkey+o_orderdate+o_orderpriority",
+        "CONCAT(CAST(o_custkey AS VARCHAR), '|', CAST(o_orderdate AS VARCHAR), "
+        "'|', o_orderpriority)",
+    ),
+]
+
+_UNIQ_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS candidate,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT {expr}) AS n_distinct,
+       CAST(COUNT(*) AS DOUBLE) / CAST(COUNT(DISTINCT {expr}) AS DOUBLE) AS dup_factor,
+       CAST(CASE WHEN COUNT(DISTINCT {expr}) = COUNT(*) THEN 1 ELSE 0 END AS INT)
+         AS is_unique
+FROM orders"""
+    for name, expr in _UNIQ_CANDS
+)
+
+
+@register("dq_uniqueness", oracle=_UNIQ_ORACLE, tags=("quality", "agg"))
+def dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key audit: for each single-column and composite candidate
+    on orders, report exact distinct count, duplication factor, and a
+    uniqueness verdict — the schema-discovery / CDC-key-selection check
+    dq_profile (per-column stats) doesn't answer because keys are often
+    COMPOSITE. Candidates are literal, so the report is 5 rows at any scale.
+
+    Shape: ONE scan, one Expand-based multi-distinct aggregate (Spark plans
+    N COUNT(DISTINCT)s over one pass as a single Expand + two aggregates —
+    the exchange carries candidate-keyed partials, never raw rows twice),
+    then a stack() to the long report. At 100 TB swap exact distinct for
+    approx_count_distinct: same plan, sketch partials (the
+    agg_approx_distinct pattern shows the accuracy gate)."""
+    apply_engine_conf(spark)
+    o = table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.countDistinct(F.expr(expr.replace("VARCHAR", "STRING"))).alias(f"d{i}")
+        for i, (_, expr) in enumerate(_UNIQ_CANDS)
+    ]
+    wide = o.agg(*aggs)
+    stack_expr = "stack({}, {}) AS (candidate, n_distinct)".format(
+        len(_UNIQ_CANDS),
+        ", ".join(f"'{name}', d{i}" for i, (name, _) in enumerate(_UNIQ_CANDS)),
+    )
+    longf = wide.selectExpr("n_rows", stack_expr)
+    return longf.select(
+        "candidate",
+        "n_rows",
+        "n_distinct",
+        (F.col("n_rows").cast("double") / F.col("n_distinct").cast("double")).alias(
+            "dup_factor"
+        ),
+        F.when(F.col("n_distinct") == F.col("n_rows"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_unique"),
+    )

@@ -14,7 +14,7 @@ scoring, token counting, fingerprinting, corpus statistics.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.hashing import (
     POLY_BASE,
@@ -2098,4 +2098,178 @@ def llm_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("bm25_q"), F.asc("doc_id"))
         .limit(10)
+    )
+
+
+# --- llm_sentence_split: sentence segmentation stats --------------------------
+
+# Per-document sentence segmentation — the unit most quality filters and
+# chunkers actually want (llm_doc_chunk slices by characters; RAG and
+# readability metrics slice by SENTENCE). Whitespace is canonicalized
+# first so the split and the length accounting agree between engines;
+# the whole operator is per-row array algebra — zero exchanges, linear
+# scan scale (the llm_text_stats class).
+_SENTENCE_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(
+             string_split_regex(regexp_replace(text, '\\s+', ' ', 'g'), '[.!?]+'),
+             x -> trim(x)
+           ),
+           x -> length(x) > 0
+         ) AS sents
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(sents) AS BIGINT) AS n_sentences,
+       CAST(list_sum(list_transform(sents, x -> length(x))) AS BIGINT) AS sum_chars,
+       CAST(list_max(list_transform(sents, x -> length(x))) AS BIGINT) AS max_chars,
+       CASE WHEN len(sents) > 0
+            THEN CAST(list_sum(list_transform(sents, x -> length(x))) AS DOUBLE)
+                 / CAST(len(sents) AS DOUBLE)
+            END AS avg_chars
+FROM s
+"""
+
+
+@register("llm_sentence_split", oracle=_SENTENCE_ORACLE, tags=("llm", "text"))
+def llm_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats per document: terminator-regex split
+    ([.!?]+ after whitespace canonicalization), trimmed and
+    empties-dropped, reporting sentence count, total/max/mean sentence
+    length — the sentence-grain profile quality filters and RAG chunkers
+    key on (llm_doc_chunk is character-grain; this is the linguistic
+    grain). Everything is per-row Catalyst array algebra (split /
+    transform / filter / aggregate): ZERO exchanges, no Python boundary,
+    embarrassingly parallel at any corpus size (plan-gated)."""
+    apply_engine_conf(spark)
+    # no rebalance: a pure per-row projection keeps the scan's own
+    # partitioning — zero exchanges end to end (plan-gated)
+    docs = table(spark, sf_dir, "documents")
+    sents = F.expr(
+        r"""filter(
+              transform(split(regexp_replace(text, '\\s+', ' '), '[.!?]+'),
+                        x -> trim(x)),
+              x -> length(x) > 0)"""
+    )
+    d = docs.select("doc_id", sents.alias("sents"))
+    lens = F.expr("transform(sents, x -> length(x))")
+    n = F.size("sents").cast("bigint")
+    total = F.expr(
+        "aggregate(transform(sents, x -> CAST(length(x) AS BIGINT)), CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_sentences"),
+        total.alias("sum_chars"),
+        F.array_max(lens).cast("bigint").alias("max_chars"),
+        F.when(n > 0, total.cast("double") / n.cast("double")).alias("avg_chars"),
+    )
+
+
+# --- llm_zipf_fit: rank-frequency power-law exponent --------------------------
+
+# Does the corpus look like natural language? Natural text follows Zipf's
+# law (freq ∝ rank^-s with s ≈ 1); machine-generated or templated corpora
+# bend the curve. The fit is ordinary least squares of ln(freq) on
+# ln(rank) over the top-100 tokens. Both ln() calls see IDENTICAL inputs
+# in each engine (exact BIGINT rank / count), each ln is FLOOR-quantized
+# to integer micro-units BEFORE the OLS power sums, and the closed-form
+# slope is one division of two exact BIGINTs — the ts_autocorr fixed-point
+# recipe applied to a regression over aggregates. Magnitudes: q-values ≤
+# ln(2^63)·1e6 < 4.4e7, so Σ qx·qy over 100 terms < 2e17 — BIGINT-safe at
+# any corpus size (logs, not counts, cross the arithmetic).
+_ZIPF_TOP = 100
+
+_ZIPF_ORACLE = f"""
+WITH freq AS (
+  SELECT token, COUNT(*) AS freq
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+),
+corpus AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+         CAST(SUM(freq) AS BIGINT) AS total_tokens
+  FROM freq
+),
+top AS (
+  SELECT token, freq FROM freq ORDER BY freq DESC, token LIMIT {_ZIPF_TOP}
+),
+ranked AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rnk FROM top
+),
+q AS (
+  SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000.0) AS BIGINT) AS qx,
+         CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000.0) AS BIGINT) AS qy
+  FROM ranked
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(qx) AS BIGINT) AS sx, CAST(SUM(qy) AS BIGINT) AS sy,
+         CAST(SUM(qx * qy) AS BIGINT) AS sxy,
+         CAST(SUM(qx * qx) AS BIGINT) AS sxx
+  FROM q
+)
+SELECT c.vocab_size, c.total_tokens, s.n AS n_fit,
+       CAST(s.n * s.sxy - s.sx * s.sy AS DOUBLE)
+         / CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE) AS zipf_slope
+FROM sums s CROSS JOIN corpus c
+"""
+
+
+@register("llm_zipf_fit", oracle=_ZIPF_ORACLE, tags=("llm", "text", "agg"))
+def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit of the corpus token distribution: OLS slope of
+    ln(freq) on ln(rank) over the top-100 tokens — the canonical
+    "does this corpus look like natural language" diagnostic (templated /
+    synthetic text bends the rank-frequency line; |slope| far from 1 flags
+    it). Reports vocab size, total tokens, and the fitted exponent.
+
+    Scale shape: ONE tokenize + hash aggregate builds the frequency table
+    (the only corpus-sized shuffle, shared via persist with the vocab
+    rollup); top-100 plans as TakeOrderedAndProject (no global sort), the
+    rank window then runs over exactly 100 rows. OLS power sums are
+    FLOOR-quantized BIGINTs (see module comment) so the slope is
+    engine-exact; logs — not counts — cross the arithmetic, so the
+    integers stay bounded at any corpus size."""
+    apply_engine_conf(spark)
+    docs = rebalance_for_map(table(spark, sf_dir, "documents"), spark)
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    freq = scoped_persist(tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq")))
+    corpus = freq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum("freq").cast("bigint").alias("total_tokens"),
+    )
+    top = freq.orderBy(F.desc("freq"), F.asc("token")).limit(_ZIPF_TOP)
+    ranked = top.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), F.asc("token")))
+        .alias("rnk"),
+    )
+    q = ranked.select(
+        F.floor(F.log(F.col("rnk").cast("double")) * 1000000.0)
+        .cast("bigint")
+        .alias("qx"),
+        F.floor(F.log(F.col("freq").cast("double")) * 1000000.0)
+        .cast("bigint")
+        .alias("qy"),
+    )
+    sums = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("qx").cast("bigint").alias("sx"),
+        F.sum("qy").cast("bigint").alias("sy"),
+        F.sum(F.col("qx") * F.col("qy")).cast("bigint").alias("sxy"),
+        F.sum(F.col("qx") * F.col("qx")).cast("bigint").alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    return sums.join(F.broadcast(corpus)).select(
+        "vocab_size",
+        "total_tokens",
+        F.col("n").alias("n_fit"),
+        slope.alias("zipf_slope"),
     )

@@ -112,6 +112,13 @@ DRIVER_PRIORITY = [
     "ts_sliding_corr",
     "ts_period_over_period",
     "graph_jaccard",
+    "dq_ks_test",
+    "agg_entropy",
+    "dq_uniqueness",
+    "graph_2hop",
+    "graph_kcore",
+    "llm_sentence_split",
+    "llm_zipf_fit",
     # (d) filler: stalest greens (last sampled r1), module order
     "flagship",
     "flt_isin",

@@ -789,3 +789,68 @@ def test_dup_spans_no_text_past_the_scan(spark, sf_dir):
     # crude but effective: no Exchange block's input schema mentions text#
     for m in _re.finditer(r"Arguments: hashpartitioning\([^\n]*", fmt):
         assert "text#" not in m.group(0), m.group(0)
+
+
+def test_ks_test_reuses_window_exchange(spark, sf_dir):
+    """dq_ks_test: cell pre-aggregation shuffles once on (source, cell),
+    the ECDF windows + final max-aggregate share ONE event_type exchange
+    and ONE sort — never a join, never a third shuffle."""
+    plan = _executed_plan(spark, "dq_ks_test", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_entropy_is_two_bounded_exchanges(spark, sf_dir):
+    """agg_entropy: one (source, hour) cell aggregate (≤ sources×24 rows on
+    the exchange), one event_type exchange shared by the total-window and
+    the final aggregate. No join, single scan."""
+    plan = _executed_plan(spark, "agg_entropy", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_uniqueness_is_single_pass_multi_distinct(spark, sf_dir):
+    """dq_uniqueness: all 5 candidate-key distincts plan as ONE Expand-based
+    multi-distinct over ONE scan — no per-candidate re-scan, no join."""
+    plan = _executed_plan(spark, "dq_uniqueness", sf_dir)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan
+    assert "Join" not in plan
+
+
+def test_2hop_is_equi_joins_no_cartesian(spark, sf_dir):
+    """graph_2hop: wedge expansion and distance-1 removal are equi-joins
+    (hash-joinable at any scale) — never a cartesian; the anti join is
+    planned as a real LeftAnti."""
+    plan = _executed_plan(spark, "graph_2hop", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_kcore_final_round_broadcasts_the_core(spark, sf_dir):
+    """graph_kcore: the surviving node list is broadcast onto the edge set
+    (twice — both endpoints); localCheckpoint keeps the executed plan flat
+    (the loop's history is NOT in the final plan)."""
+    plan = _executed_plan(spark, "graph_kcore", sf_dir)
+    # >= 2: the memoized edge build's cached plan is embedded in the plan
+    # string and contributes its own broadcast joins
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sentence_split_is_pure_map(spark, sf_dir):
+    """llm_sentence_split: per-row array algebra only — zero exchanges,
+    zero Python boundaries."""
+    plan = _executed_plan(spark, "llm_sentence_split", sf_dir)
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_zipf_topk_is_take_ordered(spark, sf_dir):
+    """llm_zipf_fit: the top-100 cut plans as TakeOrderedAndProject (no
+    global sort of the vocabulary); no Python boundary anywhere."""
+    plan = _executed_plan(spark, "llm_zipf_fit", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan

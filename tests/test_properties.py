@@ -927,3 +927,85 @@ def test_graph_jaccard_consistent_with_triangles(spark, sf_dir):
     ).count()
     assert bad == 0
     gj.unpersist()
+
+
+def test_ks_statistic_is_a_probability_distance(spark, sf_dir):
+    """dq_ks_test: D ∈ [0, 1] per source, and both half-month sample sizes
+    are positive (the split actually splits)."""
+    rows = SPECS["dq_ks_test"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.ks_d <= 1.0
+        assert r.n_first > 0 and r.n_second > 0
+
+
+def test_entropy_bounds_and_normalization(spark, sf_dir):
+    """agg_entropy: 0 ≤ H ≤ ln(24) (24 cells max) up to the 1e-6
+    quantization grain, and the normalized column is exactly H/ln(24)."""
+    import math
+
+    rows = SPECS["agg_entropy"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1e-6 <= r.entropy_nats <= math.log(24) + 1e-6
+        assert abs(r.norm_entropy - r.entropy_nats / math.log(24)) < 1e-12
+        assert 1 <= r.n_hours <= 24
+
+
+def test_uniqueness_flags_the_primary_key(spark, sf_dir):
+    """dq_uniqueness: o_orderkey IS the primary key (unique, dup factor 1);
+    every candidate's dup_factor ≥ 1; composite candidates are at least as
+    distinct as their single-column prefix."""
+    rows = {r.candidate: r for r in SPECS["dq_uniqueness"].builder(spark, sf_dir).collect()}
+    assert rows["o_orderkey"].is_unique == 1
+    assert rows["o_orderkey"].dup_factor == 1.0
+    for r in rows.values():
+        assert r.dup_factor >= 1.0
+    assert (
+        rows["o_custkey+o_orderdate"].n_distinct >= rows["o_custkey"].n_distinct
+    )
+
+
+def test_kcore_is_a_fixed_point(spark, sf_dir):
+    """graph_kcore: every reported core member keeps within-core degree ≥ k
+    — which is precisely the statement that one MORE peel round changes
+    nothing, i.e. the bounded peel CONVERGED and the output is the true
+    k-core, not a truncation."""
+    rows = SPECS["graph_kcore"].builder(spark, sf_dir).collect()
+    assert rows, "k-core empty at fixture scale — lower _KCORE_K"
+    for r in rows:
+        assert r.core_degree >= r.k
+
+
+def test_2hop_reach_is_bounded_and_disjoint(spark, sf_dir):
+    """graph_2hop: friends-of-friends excludes self and direct neighbors,
+    so degree + foaf_count ≤ |V| - 1 for every node."""
+    rows = SPECS["graph_2hop"].builder(spark, sf_dir).collect()
+    assert rows
+    nv = len(rows)
+    for r in rows:
+        assert r.foaf_count >= 0
+        assert r.degree + r.foaf_count <= nv - 1
+
+
+def test_sentence_split_conserves_characters(spark, sf_dir):
+    """llm_sentence_split: segmentation never manufactures text — the
+    summed sentence lengths can't exceed the document's char count, and a
+    non-blank document yields at least one sentence."""
+    df = SPECS["llm_sentence_split"].builder(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+    joined = df.join(docs, "doc_id").collect()
+    assert joined
+    for r in joined:
+        assert r.sum_chars is None or r.sum_chars <= r.n_chars
+        if r.text.strip():
+            assert r.n_sentences >= 1
+
+
+def test_zipf_slope_is_a_decay_exponent(spark, sf_dir):
+    """llm_zipf_fit: frequency decreases with rank, so the fitted
+    log-log slope is strictly negative; the fit uses the full top-100."""
+    row = SPECS["llm_zipf_fit"].builder(spark, sf_dir).collect()[0]
+    assert row.n_fit == min(100, row.vocab_size)
+    assert row.zipf_slope < 0
+    assert row.vocab_size > 0 and row.total_tokens >= row.vocab_size
