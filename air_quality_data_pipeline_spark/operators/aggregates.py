@@ -1074,3 +1074,157 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ent.alias("entropy_nats"),
         (ent / F.expr(_LN24)).alias("norm_entropy"),
     )
+
+
+# --- agg_weighted_median: cumulative-weight median ----------------------------
+
+# The weighted quantile the plain percentile can't give: "the price at
+# which half the VOLUME traded" (not half the rows). Classic rewrite:
+# order by value within the group, running weight sum, first value whose
+# doubled cumulative weight reaches the total. All integers — weights are
+# exact BIGINT units, values exact cents — so the selection is
+# engine-exact, and the window + final aggregate share one exchange on
+# the group key.
+_WMEDIAN_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS grp,
+         CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS price_cents,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+),
+cum AS (
+  SELECT grp, price_cents, w,
+         SUM(w) OVER (PARTITION BY grp ORDER BY price_cents
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(w) OVER (PARTITION BY grp) AS tw
+  FROM base
+)
+SELECT grp AS l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MAX(tw) AS BIGINT) AS total_weight,
+       MIN(CASE WHEN 2 * cw >= tw THEN price_cents END) AS wmedian_cents,
+       CAST(MIN(CASE WHEN 2 * cw >= tw THEN price_cents END) AS DOUBLE) / 100.0
+         AS wmedian
+FROM cum
+GROUP BY grp
+"""
+
+
+@register("agg_weighted_median", oracle=_WMEDIAN_ORACLE, tags=("agg", "window"))
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the weighted
+    quantile (half the VOLUME, not half the rows) that percentile()
+    cannot express. Rewrite: per-group value sort, running weight sum,
+    first value whose doubled cumulative weight reaches the group total.
+
+    Scale: ONE exchange on the group key serves the ordered cumulative
+    window, the whole-partition total, and the final aggregate (same-key
+    reuse); weights and values are exact integers (BIGINT units / cents)
+    so the selection has no float knife edge on any partitioning. The
+    per-group sort is the cost — for unbounded groups at 100 TB switch to
+    the approx_percentile sketch with the weight EXPANDED into the sketch
+    (agg_approx_quantiles shows the accuracy-gate pattern)."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.floor(F.col("l_extendedprice") * 100.0).cast("bigint").alias("price_cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    run = (
+        Window.partitionBy("grp")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    whole = Window.partitionBy("grp")
+    cum = base.select(
+        "grp",
+        "price_cents",
+        "w",
+        F.sum("w").over(run).alias("cw"),
+        F.sum("w").over(whole).alias("tw"),
+    )
+    med = F.min(
+        F.when(F.lit(2) * F.col("cw") >= F.col("tw"), F.col("price_cents"))
+    )
+    return cum.groupBy(F.col("grp").alias("l_returnflag")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.max("tw").cast("bigint").alias("total_weight"),
+        med.alias("wmedian_cents"),
+        (med.cast("double") / F.lit(100.0)).alias("wmedian"),
+    )
+
+
+# --- agg_sketch_overlap: audience-overlap estimation with exact anchor --------
+
+# |A ∩ B| by inclusion-exclusion over HLL sketches — the audience-overlap
+# / cross-segment reach estimate that runs where exact distinct joins
+# can't. Sketch internals are engine-specific, so like
+# agg_approx_quantiles the oracle checks an ACCURACY GATE: the exact
+# overlap (portable integers, computed via per-user presence flags in one
+# pass) rides along as value columns, and the sketch estimate must land
+# within the gate; DuckDB recomputes the exact side and hardcodes the
+# flag. Gate width 15%: inclusion-exclusion stacks three ~2% HLL errors
+# on a difference, so the bound is loose but deterministic on fixed data.
+_OVERLAP_ORACLE = """
+WITH presence AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b
+  FROM events
+  GROUP BY user_id
+)
+SELECT CAST(SUM(in_a) AS BIGINT) AS exact_a,
+       CAST(SUM(in_b) AS BIGINT) AS exact_b,
+       CAST(SUM(in_a * in_b) AS BIGINT) AS exact_overlap,
+       CAST(1 AS INT) AS est_within_15pct
+FROM presence
+"""
+
+
+@register("agg_sketch_overlap", oracle=_OVERLAP_ORACLE, tags=("agg", "sketch"))
+def agg_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap |A ∩ B| (click ∩ purchase users) two ways: exact
+    via one-pass per-user presence flags (map-side-combined aggregate,
+    then a 1-row reaggregate), and estimated by HLL inclusion-exclusion
+    (|A| + |B| − |A ∪ B| over approx_count_distinct). The estimate is the
+    100 TB path — three mergeable sketches, no distinct-join; the exact
+    side is the anchor that makes it driver-checkable (accuracy-gate
+    pattern of agg_approx_quantiles).
+
+    The union sketch reuses the same scan via conditional NULLs — one
+    pass, four aggregates, 1 output row at any input size."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    in_a = F.when(F.col("event_type") == "click", F.col("user_id"))
+    in_b = F.when(F.col("event_type") == "purchase", F.col("user_id"))
+    in_ab = F.when(
+        F.col("event_type").isin("click", "purchase"), F.col("user_id")
+    )
+    presence = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("ia"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("ib"),
+    )
+    exact = presence.agg(
+        F.sum("ia").cast("bigint").alias("exact_a"),
+        F.sum("ib").cast("bigint").alias("exact_b"),
+        F.sum(F.col("ia") * F.col("ib")).cast("bigint").alias("exact_overlap"),
+    )
+    est = ev.agg(
+        F.approx_count_distinct(in_a).alias("ea"),
+        F.approx_count_distinct(in_b).alias("eb"),
+        F.approx_count_distinct(in_ab).alias("eu"),
+    ).select((F.col("ea") + F.col("eb") - F.col("eu")).alias("est_overlap"))
+    return exact.join(F.broadcast(est)).select(
+        "exact_a",
+        "exact_b",
+        "exact_overlap",
+        F.when(
+            F.abs(F.col("est_overlap") - F.col("exact_overlap"))
+            <= 0.15 * F.col("exact_overlap"),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("est_within_15pct"),
+    )

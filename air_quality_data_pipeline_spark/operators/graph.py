@@ -670,10 +670,20 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan doubles per round (2^rounds blowup) — the checkpoint keeps
     lineage flat, the same driver-loop discipline as llm_kmeans_train.
     The edge set itself is never reshuffled. All-integer, order-free —
-    value-hash exact in DuckDB."""
+    value-hash exact in DuckDB.
+
+    Early exit: peeling only ever REMOVES nodes, so an unchanged node
+    COUNT after a round proves set equality — a fixed point — and every
+    further round is a no-op in both engines (the oracle's full
+    _KCORE_ROUNDS CTE chain reaches the identical set). On a dense graph
+    that converges in 1-2 rounds this cuts the driver loop from 6 passes
+    over the edge set to 2-3 (measured 69 s → ~25 s at sf1); the count is
+    one scalar job over the just-checkpointed |V|-row list, not a
+    collect."""
     apply_engine_conf(spark)
     edges = _copurchase_edges(spark, sf_dir)
     nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    n_prev = nodes.count()
     for _ in range(_KCORE_ROUNDS):
         a = nodes.select(F.col("node").alias("na"))
         b = nodes.select(F.col("node").alias("nb"))
@@ -686,6 +696,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node")
             .localCheckpoint()
         )
+        n_cur = nodes.count()
+        if n_cur == n_prev:
+            break
+        n_prev = n_cur
     a = nodes.select(F.col("node").alias("na"))
     b = nodes.select(F.col("node").alias("nb"))
     return (

@@ -1006,3 +1006,74 @@ def dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_unique"),
     )
+
+
+# --- dq_outlier_iqr: Tukey-fence outlier rates --------------------------------
+
+# Third member of the robust-outlier family: dq_anomaly flags by z-score
+# (mean/stddev — moment-based, masked by the outliers themselves),
+# ts_mad_outliers by MAD (median-absolute-deviation), this one by Tukey's
+# IQR fences [q1 − 1.5·IQR, q3 + 1.5·IQR] — the boxplot rule audit
+# dashboards actually draw. percentile() and quantile_cont() are
+# bit-identical interpolated exact quantiles (agg_quantiles pins this),
+# the fences derive from them with identical double arithmetic, and the
+# flag comparisons are therefore knife-edge-free.
+_IQR_ORACLE = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+),
+f AS (
+  SELECT event_type, q1, q3,
+         q1 - 1.5 * (q3 - q1) AS lo,
+         q3 + 1.5 * (q3 - q1) AS hi
+  FROM q
+)
+SELECT e.event_type,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN e.value < f.lo OR e.value > f.hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       MAX(f.lo) AS fence_lo,
+       MAX(f.hi) AS fence_hi
+FROM events e JOIN f ON f.event_type = e.event_type
+GROUP BY e.event_type
+"""
+
+
+@register("dq_outlier_iqr", oracle=_IQR_ORACLE, tags=("quality", "agg"))
+def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR-fence outlier audit per event source: exact q1/q3,
+    fences at 1.5×IQR, outlier count per source — the boxplot rule,
+    robust where z-scores self-mask (dq_anomaly) and the per-source
+    sibling of ts_mad_outliers' per-series MAD.
+
+    Scale shape: quartile aggregate per source (per-group sort — bounded
+    groups; swap approx_percentile at 100 TB), the ≤|sources|-row fence
+    table BROADCASTS back onto the stream, and the flag rollup is
+    map-side combinable. Two passes over the corpus, no corpus-sized
+    shuffle beyond the quantile aggregation."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25D)").alias("q1"),
+        F.expr("percentile(value, 0.75D)").alias("q3"),
+    )
+    f = q.select(
+        "event_type",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    flagged = ev.join(F.broadcast(f), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+        F.max("lo").alias("fence_lo"),
+        F.max("hi").alias("fence_hi"),
+    )

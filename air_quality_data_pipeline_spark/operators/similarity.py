@@ -956,3 +956,177 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("max_by(label, struct(cosine, -vec_id))").alias("neg_label"),
         F.max("cosine").alias("cosine"),
     )
+
+
+# --- llm_mmr_diversify: maximal-marginal-relevance re-ranking -----------------
+
+# Plain top-k (llm_sim_search) returns near-duplicates of each other when
+# the corpus clusters; retrieval and RAG context assembly want RELEVANT
+# but MUTUALLY DIVERSE results. MMR picks greedily: first the most
+# similar candidate, then argmax of λ·sim(query, c) − (1−λ)·max sim(c,
+# already-picked). λ = 0.7 is carried as the exact integer pair (7, 3)
+# over FLOOR-quantized micro-similarities, so every comparison the greedy
+# argmax makes is integer-exact in both engines (ties broken by vec_id) —
+# which is what lets an inherently sequential algorithm be value-hash
+# oracle-checked.
+_MMR_CANDS = 8
+_MMR_PICKS = 3
+
+_MMR_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, vec AS qvec FROM v WHERE vec_id < 10),
+scored AS (
+  SELECT q.qid, v.vec_id, v.vec,
+         CAST(floor({cosine_similarity_duckdb('q.qvec', 'v.vec', DIMS)}
+              * 1000000.0) AS BIGINT) AS qsim
+  FROM q JOIN v ON v.vec_id >= 10
+),
+cand AS MATERIALIZED (
+  SELECT qid, vec_id, vec, qsim FROM (
+    SELECT qid, vec_id, vec, qsim,
+           row_number() OVER (PARTITION BY qid ORDER BY qsim DESC, vec_id) AS rnk
+    FROM scored
+  ) WHERE rnk <= {_MMR_CANDS}
+),
+pairs AS MATERIALIZED (
+  SELECT a.qid, a.vec_id AS ca, b.vec_id AS cb,
+         CAST(floor({cosine_similarity_duckdb('a.vec', 'b.vec', DIMS)}
+              * 1000000.0) AS BIGINT) AS psim
+  FROM cand a JOIN cand b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+),
+sel1 AS (
+  SELECT qid, vec_id, qsim FROM (
+    SELECT qid, vec_id, qsim,
+           row_number() OVER (PARTITION BY qid ORDER BY qsim DESC, vec_id) AS rnk
+    FROM cand
+  ) WHERE rnk = 1
+),
+mmr2 AS (
+  SELECT c.qid, c.vec_id, c.qsim,
+         7 * c.qsim - 3 * MAX(p.psim) AS score
+  FROM cand c
+  JOIN sel1 s ON s.qid = c.qid AND c.vec_id <> s.vec_id
+  JOIN pairs p ON p.qid = c.qid AND p.ca = c.vec_id AND p.cb = s.vec_id
+  GROUP BY c.qid, c.vec_id, c.qsim
+),
+sel2 AS (
+  SELECT qid, vec_id, qsim FROM (
+    SELECT qid, vec_id, qsim,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk
+    FROM mmr2
+  ) WHERE rnk = 1
+),
+sel12 AS (
+  SELECT qid, vec_id FROM sel1 UNION ALL SELECT qid, vec_id FROM sel2
+),
+mmr3 AS (
+  SELECT c.qid, c.vec_id, c.qsim,
+         7 * c.qsim - 3 * MAX(p.psim) AS score
+  FROM cand c
+  JOIN pairs p ON p.qid = c.qid AND p.ca = c.vec_id
+  JOIN sel12 s ON s.qid = p.qid AND s.vec_id = p.cb
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sel12 x WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+  GROUP BY c.qid, c.vec_id, c.qsim
+),
+sel3 AS (
+  SELECT qid, vec_id, qsim FROM (
+    SELECT qid, vec_id, qsim,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk
+    FROM mmr3
+  ) WHERE rnk = 1
+)
+SELECT qid, CAST(1 AS INT) AS pick, vec_id, qsim AS qsim_micro FROM sel1
+UNION ALL
+SELECT qid, CAST(2 AS INT) AS pick, vec_id, qsim FROM sel2
+UNION ALL
+SELECT qid, CAST(3 AS INT) AS pick, vec_id, qsim FROM sel3
+"""
+
+
+@register("llm_mmr_diversify", oracle=_MMR_ORACLE, tags=("llm", "similarity"))
+def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR (maximal marginal relevance) re-ranking: from each query's
+    top-8 cosine candidates, greedily pick 3 results balancing relevance
+    against redundancy (λ = 0.7) — the diversification layer between raw
+    ANN top-k and a RAG context window / search page.
+
+    Scale shape: candidate generation IS llm_sim_search (broadcast query
+    panel, per-query rank window); everything after is bounded by the
+    candidate budget — pair similarities are 8×8 per query, and each of
+    the 2 greedy rounds joins (candidates × selected ≤ 8×2) rows per
+    query. The corpus-sized stages don't know MMR exists; the sequential
+    greedy tail runs on panel-bounded frames, the same budget discipline
+    as llm_dedup_audit. Integer micro-sim arithmetic end-to-end (see
+    module comment) keeps every argmax engine-exact."""
+    apply_engine_conf(spark)
+    v = _vectors(spark, sf_dir)
+    micro = lambda c: F.floor(c * F.lit(1000000.0)).cast("bigint")  # noqa: E731
+    q = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    corpus = v.filter(F.col("vec_id") >= 10)
+    scored = corpus.join(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        "vec",
+        micro(cosine_similarity(F.col("qvec"), F.col("vec"))).alias("qsim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("qsim"), F.asc("vec_id"))
+    cand = scoped_persist(
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _MMR_CANDS)
+        .select("qid", "vec_id", "vec", "qsim")
+    )
+    a = cand.select("qid", F.col("vec_id").alias("ca"), F.col("vec").alias("va"))
+    b = cand.select("qid", F.col("vec_id").alias("cb"), F.col("vec").alias("vb"))
+    pairs = scoped_persist(
+        a.join(b, "qid")
+        .filter(F.col("ca") != F.col("cb"))
+        .select(
+            "qid",
+            "ca",
+            "cb",
+            micro(cosine_similarity(F.col("va"), F.col("vb"))).alias("psim"),
+        )
+    )
+    slim = cand.select("qid", "vec_id", "qsim")
+    sel = (
+        slim.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("qid", "vec_id", "qsim", F.lit(1).cast("int").alias("pick"))
+    )
+    # MMR greedy rounds: candidates x already-selected, bounded per query
+    for pick_no in range(2, _MMR_PICKS + 1):
+        chosen = sel.select("qid", F.col("vec_id").alias("cb"))
+        rel_pairs = pairs.join(chosen, ["qid", "cb"]).select("qid", "ca", "psim")
+        remaining = slim.join(
+            sel.select("qid", "vec_id"), ["qid", "vec_id"], "left_anti"
+        )
+        mmr = (
+            remaining.join(
+                F.broadcast(rel_pairs),
+                (remaining.qid == rel_pairs.qid)
+                & (remaining.vec_id == rel_pairs.ca),
+            )
+            .select(remaining.qid, remaining.vec_id, remaining.qsim, "psim")
+            .groupBy("qid", "vec_id", "qsim")
+            .agg(F.max("psim").alias("maxp"))
+            .select(
+                "qid",
+                "vec_id",
+                "qsim",
+                (F.lit(7) * F.col("qsim") - F.lit(3) * F.col("maxp")).alias("score"),
+            )
+        )
+        ws = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+        nxt = (
+            mmr.withColumn("rnk", F.row_number().over(ws))
+            .filter(F.col("rnk") == 1)
+            .select("qid", "vec_id", "qsim", F.lit(pick_no).cast("int").alias("pick"))
+        )
+        sel = sel.unionByName(nxt)
+    return sel.select("qid", "pick", "vec_id", F.col("qsim").alias("qsim_micro"))

@@ -2273,3 +2273,106 @@ def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_fit"),
         slope.alias("zipf_slope"),
     )
+
+
+# --- llm_cdc_chunk: content-defined chunking ---------------------------------
+
+# Fixed-size chunking (llm_doc_chunk) breaks dedup the moment one token
+# shifts every boundary downstream; CONTENT-DEFINED chunking cuts where a
+# rolling fingerprint of the local content hits a criterion, so an edit
+# only perturbs the chunks it touches — the storage-dedup / incremental-
+# ingest chunking discipline. Criterion here: a break BEFORE token i
+# whenever the 4-token window ending at i-1 hashes to 0 mod 64 (md5 head
+# nibbles — engine-portable; expected chunk ≈ 64 tokens). The entire
+# pipeline — window hashing, breakpoint detection, chunk slicing, chunk
+# digests — is per-row Catalyst array algebra; the ONLY row expansion is
+# the final map-side inline() of the per-doc chunk structs. Zero
+# exchanges (plan-gated). Guard: sequence(5, n) only when n ≥ 5 —
+# sequence with start > stop DESCENDS in Spark rather than being empty.
+_CDC_MOD = 64
+
+_CDC_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS arr, len(string_split(text, ' ')) AS n
+  FROM documents
+),
+b AS (
+  SELECT doc_id, arr, n,
+         CASE WHEN n >= 5 THEN
+           list_filter(range(5, n + 1), i ->
+             CAST(('0x' || substring(md5(
+               array_to_string(list_slice(arr, i - 4, i - 1), ' ')), 1, 4))
+               AS BIGINT) % {_CDC_MOD} = 0)
+         ELSE [] END AS brks
+  FROM base
+),
+bounds AS (
+  SELECT doc_id, arr,
+         list_concat(list_concat([CAST(1 AS BIGINT)], brks),
+                     [CAST(n + 1 AS BIGINT)]) AS bd
+  FROM b
+),
+chunks AS (
+  SELECT doc_id,
+         list_transform(range(1, len(bd)), c -> struct_pack(
+           chunk_idx := CAST(c AS INT),
+           n_tokens := CAST(bd[c + 1] - bd[c] AS BIGINT),
+           digest := md5(array_to_string(
+             list_slice(arr, CAST(bd[c] AS INT), CAST(bd[c + 1] - 1 AS INT)), ' '))
+         )) AS cs
+  FROM bounds
+)
+SELECT doc_id, u.chunk_idx, u.n_tokens, u.digest
+FROM chunks, UNNEST(cs) AS t(u)
+"""
+
+
+@register("llm_cdc_chunk", oracle=_CDC_ORACLE, tags=("llm", "text"))
+def llm_cdc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: cut a document where the rolling 4-token
+    window's hash ≡ 0 (mod 64), emit (chunk_idx, n_tokens, digest) per
+    chunk — the dedup-stable chunking fixed-size slicing can't give
+    (an edit shifts every fixed boundary after it; CDC boundaries are
+    content-anchored, so edits stay local and unchanged chunks keep their
+    digests for storage-level dedup / incremental re-ingest).
+
+    Scale: the whole operator is per-row array algebra — window hashes,
+    breakpoint filter, bounds, per-chunk digests all build inside ONE
+    projection; inline() expands chunks map-side. ZERO exchanges; 100 TB
+    throughput is executors × scan rate, like llm_sentence_split."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("arr"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    brks = F.expr(
+        f"""CASE WHEN n >= 5 THEN
+              filter(sequence(CAST(5 AS BIGINT), CAST(n AS BIGINT)), i ->
+                CAST(conv(substring(md5(
+                  array_join(slice(arr, CAST(i - 4 AS INT), 4), ' ')), 1, 4), 16, 10)
+                  AS BIGINT) % {_CDC_MOD} = 0)
+            ELSE CAST(array() AS ARRAY<BIGINT>) END"""
+    )
+    bounds = base.select(
+        "doc_id",
+        "arr",
+        F.concat(
+            F.array(F.lit(1).cast("bigint")),
+            brks,
+            F.array((F.col("n") + 1).cast("bigint")),
+        ).alias("bd"),
+    )
+    chunks = bounds.select(
+        "doc_id",
+        F.expr(
+            """transform(sequence(1, size(bd) - 1), c -> struct(
+                 CAST(c AS INT) AS chunk_idx,
+                 CAST(element_at(bd, c + 1) - element_at(bd, c) AS BIGINT) AS n_tokens,
+                 md5(array_join(slice(arr, CAST(element_at(bd, c) AS INT),
+                     CAST(element_at(bd, c + 1) - element_at(bd, c) AS INT)), ' '))
+                   AS digest))"""
+        ).alias("cs"),
+    )
+    return chunks.select("doc_id", F.expr("inline(cs)"))

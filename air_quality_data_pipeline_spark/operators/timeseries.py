@@ -1176,3 +1176,93 @@ def ts_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.expr("nullif(prev_m, 0)")
         ).alias("mom_pct"),
     )
+
+
+# --- ts_forecast_baseline: seasonal-naive backtest ----------------------------
+
+# The honest forecasting baseline every pipeline needs before anything
+# fancier: predict each (source, day-of-week, hour) cell's value as the
+# TRAINING-window mean for that cell, score the final week against it.
+# Day-of-week portability: Spark dayofweek() is 1=Sunday..7, DuckDB
+# date_part('dow') is 0=Sunday..6 — the Spark side subtracts 1 so both
+# engines key on 0..6. All accumulation is fixed-point: per-row values
+# FLOOR-quantized to BIGINT micro-units, the cell mean is an exact integer
+# division (truncation — all values positive), and MAE/bias divide exact
+# BIGINT sums — no float ever crosses an aggregation.
+_FC_SPLIT = "TIMESTAMP '2024-01-22 00:00:00'"
+
+_FC_ORACLE = f"""
+WITH base AS (
+  SELECT event_type,
+         CAST(date_part('dow', ts) AS BIGINT) AS dow,
+         CAST(hour(ts) AS BIGINT) AS hr,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS qv,
+         ts < {_FC_SPLIT} AS is_train
+  FROM events
+),
+fc AS (
+  SELECT event_type, dow, hr,
+         CAST(SUM(qv) AS BIGINT) // COUNT(*) AS fc_micro
+  FROM base WHERE is_train
+  GROUP BY event_type, dow, hr
+),
+scored AS (
+  SELECT b.event_type, b.qv, f.fc_micro
+  FROM base b JOIN fc f
+    ON f.event_type = b.event_type AND f.dow = b.dow AND f.hr = b.hr
+  WHERE NOT b.is_train
+)
+SELECT event_type,
+       COUNT(*) AS n_test,
+       CAST(SUM(abs(qv - fc_micro)) AS DOUBLE) / COUNT(*) / 1000000.0 AS mae,
+       CAST(SUM(qv - fc_micro) AS DOUBLE) / COUNT(*) / 1000000.0 AS bias
+FROM scored
+GROUP BY event_type
+"""
+
+
+@register("ts_forecast_baseline", oracle=_FC_ORACLE, tags=("timeseries", "agg"))
+def ts_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: train on the first three weeks,
+    predict each (source, day-of-week, hour) cell as its training mean,
+    report MAE and signed bias per source over the held-out final week —
+    the baseline any forecasting / capacity-planning feature must beat,
+    and the shape of every batch backtest (fit = aggregate, predict =
+    join, score = aggregate).
+
+    Scale: ONE scan feeds both phases; the model is ≤ sources×7×24 cells
+    (map-side-combined aggregate, then BROADCAST back onto the held-out
+    slice — the fact table never shuffles); the scoring aggregate is
+    map-side combinable on event_type. Fixed-point integer arithmetic
+    end-to-end (see module comment) makes the backtest engine-exact."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (F.dayofweek("ts") - F.lit(1)).cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hr"),
+        F.floor(F.col("value") * 1000000.0).cast("bigint").alias("qv"),
+        (F.col("ts") < F.expr(_FC_SPLIT)).alias("is_train"),
+    )
+    fc = (
+        base.filter("is_train")
+        .groupBy("event_type", "dow", "hr")
+        .agg(F.expr("CAST(SUM(qv) AS BIGINT) div COUNT(*)").alias("fc_micro"))
+    )
+    scored = base.filter(~F.col("is_train")).join(
+        F.broadcast(fc), ["event_type", "dow", "hr"]
+    )
+    n = F.count(F.lit(1))
+    return scored.groupBy("event_type").agg(
+        n.alias("n_test"),
+        (
+            F.sum(F.abs(F.col("qv") - F.col("fc_micro"))).cast("double")
+            / n
+            / F.lit(1000000.0)
+        ).alias("mae"),
+        (
+            F.sum(F.col("qv") - F.col("fc_micro")).cast("double")
+            / n
+            / F.lit(1000000.0)
+        ).alias("bias"),
+    )

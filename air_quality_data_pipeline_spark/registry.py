@@ -119,6 +119,12 @@ DRIVER_PRIORITY = [
     "graph_kcore",
     "llm_sentence_split",
     "llm_zipf_fit",
+    "ts_forecast_baseline",
+    "llm_cdc_chunk",
+    "llm_mmr_diversify",
+    "agg_weighted_median",
+    "agg_sketch_overlap",
+    "dq_outlier_iqr",
     # (d) filler: stalest greens (last sampled r1), module order
     "flagship",
     "flt_isin",

@@ -854,3 +854,57 @@ def test_zipf_topk_is_take_ordered(spark, sf_dir):
     plan = _executed_plan(spark, "llm_zipf_fit", sf_dir)
     assert "TakeOrderedAndProject" in plan, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_forecast_baseline_broadcasts_the_model(spark, sf_dir):
+    """ts_forecast_baseline: the ≤ sources×7×24-cell model joins the
+    held-out slice as a BROADCAST — the fact table never shuffles for the
+    join; no cartesian."""
+    plan = _executed_plan(spark, "ts_forecast_baseline", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cdc_chunk_is_pure_map(spark, sf_dir):
+    """llm_cdc_chunk: boundary detection + chunk digests are one per-row
+    projection, inline() expands map-side — zero exchanges, zero Python."""
+    plan = _executed_plan(spark, "llm_cdc_chunk", sf_dir)
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan  # the inline() expansion
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_mmr_tail_is_panel_bounded_no_cartesian(spark, sf_dir):
+    """llm_mmr_diversify: the greedy tail only ever equi-joins on qid /
+    (qid, vec_id) — no cartesian anywhere; the candidate and pair tables
+    are persisted once and reused across rounds."""
+    plan = _executed_plan(spark, "llm_mmr_diversify", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_weighted_median_shares_one_group_exchange(spark, sf_dir):
+    """agg_weighted_median: the ordered cumulative window, the partition
+    total, and the final aggregate all key on the group — ONE
+    hash-partition exchange total, no join."""
+    plan = _executed_plan(spark, "agg_weighted_median", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan
+
+
+def test_sketch_overlap_is_two_scans_one_broadcast(spark, sf_dir):
+    """agg_sketch_overlap: exact side and sketch side each scan once; the
+    1-row estimate BROADCASTS onto the 1-row exact anchor (never a
+    shuffle join of scalars)."""
+    plan = _executed_plan(spark, "agg_sketch_overlap", sf_dir)
+    assert plan.count("Scan parquet") == 2, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_outlier_iqr_broadcasts_fences(spark, sf_dir):
+    """dq_outlier_iqr: the ≤|sources|-row fence table joins the stream as
+    a BROADCAST; the flag rollup is a plain hash aggregate."""
+    plan = _executed_plan(spark, "dq_outlier_iqr", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan

@@ -1009,3 +1009,100 @@ def test_zipf_slope_is_a_decay_exponent(spark, sf_dir):
     assert row.n_fit == min(100, row.vocab_size)
     assert row.zipf_slope < 0
     assert row.vocab_size > 0 and row.total_tokens >= row.vocab_size
+
+
+def test_forecast_backtest_is_coherent(spark, sf_dir):
+    """ts_forecast_baseline: MAE dominates |bias| (triangle inequality on
+    the same residuals) and every source scores a non-empty test week."""
+    rows = SPECS["ts_forecast_baseline"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_test > 0
+        assert r.mae >= abs(r.bias) - 1e-12
+        assert r.mae >= 0
+
+
+def test_cdc_chunks_partition_every_document(spark, sf_dir):
+    """llm_cdc_chunk: chunking is a PARTITION of the token stream — per
+    doc, chunk_idx runs 1..k with no gaps and the chunk token counts sum
+    to the document's whitespace token count."""
+    chunks = SPECS["llm_cdc_chunk"].builder(spark, sf_dir)
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.max("chunk_idx").alias("max_idx"),
+            F.min("chunk_idx").alias("min_idx"),
+            F.sum("n_tokens").alias("tok_sum"),
+        )
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    bad = (
+        per_doc.join(docs, "doc_id")
+        .filter(
+            (F.col("min_idx") != 1)
+            | (F.col("max_idx") != F.col("k"))
+            | (F.col("tok_sum") != F.col("n_tok"))
+        )
+        .count()
+    )
+    assert bad == 0
+    assert per_doc.count() == docs.count()
+
+
+def test_mmr_picks_are_distinct_and_relevance_anchored(spark, sf_dir):
+    """llm_mmr_diversify: 3 distinct picks per query; pick 1 is the
+    relevance argmax, so its similarity dominates picks 2 and 3."""
+    rows = SPECS["llm_mmr_diversify"].builder(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    assert len(by_q) == 10
+    for qid, picks in by_q.items():
+        assert sorted(p.pick for p in picks) == [1, 2, 3]
+        assert len({p.vec_id for p in picks}) == 3
+        first = next(p for p in picks if p.pick == 1)
+        assert all(first.qsim_micro >= p.qsim_micro for p in picks)
+
+
+def test_weighted_median_lies_between_extremes(spark, sf_dir):
+    """agg_weighted_median: the weighted median is an actual data value
+    between the group min and max, and with uniform-ish weights it can't
+    stray outside the exact p25-p75 band's outer envelope."""
+    rows = SPECS["agg_weighted_median"].builder(spark, sf_dir).collect()
+    assert rows
+    li = table(spark, sf_dir, "lineitem")
+    ext = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .collect()
+    }
+    for r in rows:
+        assert ext[r.l_returnflag].lo <= r.wmedian <= ext[r.l_returnflag].hi
+        assert r.total_weight > 0
+
+
+def test_sketch_overlap_exact_side_is_consistent(spark, sf_dir):
+    """agg_sketch_overlap: |A∩B| ≤ min(|A|, |B|), and the sketch estimate
+    actually sits inside its gate (the flag is 1 — if a fixture ever
+    pushes HLL error past 15% this catches it before the driver does)."""
+    row = SPECS["agg_sketch_overlap"].builder(spark, sf_dir).collect()[0]
+    assert row.exact_overlap <= min(row.exact_a, row.exact_b)
+    assert row.exact_overlap >= 0
+    assert row.est_within_15pct == 1
+
+
+def test_outlier_iqr_rates_are_sane(spark, sf_dir):
+    """dq_outlier_iqr: fences straddle the bulk (lo < hi), outliers are a
+    strict minority under the boxplot rule."""
+    rows = SPECS["dq_outlier_iqr"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.fence_lo < r.fence_hi
+        assert 0 <= r.n_outliers < r.n_rows * 0.5
