@@ -714,3 +714,99 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("suppkey")
     )
+
+
+# --- graph_bfs: multi-source BFS hop distance ---------------------------------
+
+# The "how far is every node from the nearest hub" primitive (network
+# reach, cascade radius, infrastructure coverage). Seeds are the 3
+# smallest node ids — deterministic at every SF and trivially
+# re-derivable in SQL. Distance is the MINIMUM hop count to any seed,
+# bounded at _BFS_HOPS; level-synchronous frontier expansion is the
+# textbook distributed BFS: each round joins the (tiny) frontier against
+# the edge set and anti-joins the visited set, so per-round work is
+# |frontier-adjacent edges|, not |V|². All-integer — value-hash exact.
+_BFS_HOPS = 3
+_BFS_SEEDS = 3
+
+
+def _bfs_oracle() -> str:
+    ctes = [
+        """nodes AS (SELECT DISTINCT src AS node FROM edges),
+seeds AS (SELECT node FROM nodes ORDER BY node LIMIT 3),
+d0 AS (SELECT node, 0 AS dist FROM seeds)"""
+    ]
+    for h in range(1, _BFS_HOPS + 1):
+        ctes.append(
+            f"""f{h} AS (
+  SELECT DISTINCT e.dst AS node
+  FROM edges e JOIN d{h - 1} v ON v.node = e.src
+  WHERE e.dst NOT IN (SELECT node FROM d{h - 1})
+),
+d{h} AS (
+  SELECT node, dist FROM d{h - 1}
+  UNION ALL SELECT node, {h} AS dist FROM f{h}
+)"""
+        )
+    chain = ",\n".join(ctes)
+    return f"""
+WITH pair_counts AS MATERIALIZED (
+  SELECT l1.l_suppkey AS src, l2.l_suppkey AS dst, COUNT(*) AS w
+  FROM lineitem l1
+  JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+  GROUP BY l1.l_suppkey, l2.l_suppkey
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM pair_counts
+  WHERE w > (SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*) FROM pair_counts)
+),
+{chain}
+SELECT CAST(node AS BIGINT) AS suppkey, CAST(dist AS INT) AS dist
+FROM d{_BFS_HOPS}
+ORDER BY suppkey
+"""
+
+
+@register("graph_bfs", oracle=_bfs_oracle(), tags=("graph",))
+def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS: minimum hop distance (≤ 3) from the 3
+    smallest-id supplier nodes over the co-purchase graph —
+    level-synchronous frontier expansion, the canonical distributed BFS.
+
+    Scale shape: per round, the CURRENT FRONTIER (not the visited set,
+    not |V|) joins the never-reshuffled edge set — a broadcast join while
+    the frontier is small, AQE's call once it grows; the visited set is
+    removed by LEFT ANTI join and localCheckpoint()ed so lineage stays
+    one level deep per hop (the kcore/kmeans driver-loop discipline —
+    a loop over plans, never over data). Early exit on an empty frontier:
+    the remaining rounds are no-ops in both engines, so the bounded
+    DuckDB CTE chain reaches the identical fixed point. Every exchange
+    carries (BIGINT, BIGINT) pairs; all-integer, value-hash exact."""
+    apply_engine_conf(spark)
+    edges = _copurchase_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(_BFS_SEEDS)
+    )
+    visited = seeds.select("node", F.lit(0).alias("dist")).localCheckpoint()
+    frontier = visited.select("node")
+    for h in range(1, _BFS_HOPS + 1):
+        frontier = (
+            edges.join(F.broadcast(frontier), edges.src == F.col("node"))
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint()
+        )
+        if frontier.count() == 0:
+            break
+        visited = visited.unionByName(
+            frontier.select("node", F.lit(h).alias("dist"))
+        ).localCheckpoint()
+    return visited.select(
+        F.col("node").cast("bigint").alias("suppkey"),
+        F.col("dist").cast("int").alias("dist"),
+    ).orderBy("suppkey")

@@ -1029,3 +1029,106 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("direction"),
         )
     )
+
+
+# --- join_nearest: nearest-neighbor (argmin) spatial join ---------------------
+
+# join_spatial answers "everything within R"; this answers "THE closest
+# one" — the nearest-station / nearest-warehouse assignment join. The
+# argmin runs over the SAME grid-ring candidate set (structural recall:
+# one 3×3 ring of 5° cells provably covers the 250 km radius at the
+# clamped latitudes — join_spatial's docstring math), restricted to
+# candidates within R so "nearest" is well-defined inside the ring
+# guarantee. Selection key is FLOOR(dist_m × 1000) AS BIGINT with
+# s_suppkey as tiebreak: millimeter-quantized integer comparison, no
+# float knife edge in the rank.
+_JOIN_NEAREST_ORACLE = f"""
+WITH cand AS (
+  SELECT c_custkey, s_suppkey,
+         CAST(floor({_SPATIAL_DIST} * 1000.0) AS BIGINT) AS dist_mm
+  FROM customer, supplier
+  WHERE {_SPATIAL_DIST} <= {_SPATIAL_RADIUS_M}
+)
+SELECT c_custkey, s_suppkey,
+       CAST(dist_mm AS DOUBLE) / 1000.0 AS dist_m
+FROM (
+  SELECT c_custkey, s_suppkey, dist_mm,
+         row_number() OVER (PARTITION BY c_custkey
+                            ORDER BY dist_mm, s_suppkey) AS rnk
+  FROM cand
+) WHERE rnk = 1
+"""
+
+
+@register("join_nearest", oracle=_JOIN_NEAREST_ORACLE, tags=("join", "geo"))
+def join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-supplier assignment: for every customer with at least one
+    supplier within 250 km, the single closest one (millimeter-quantized
+    distance, suppkey tiebreak) — the argmin-per-left-row join that
+    "radius join + pick one" dashboards and assignment pipelines need.
+
+    Scale shape: candidates come from the identical grid-cell + 3×3
+    neighbor-ring equi-join as join_spatial (oracle is the brute-force
+    all-pairs argmin — fatal at scale, exact at fixture scale); the
+    argmin itself is a max_by/min_by-style single hash aggregate on
+    c_custkey — ONE shuffle carrying (key, suppkey, BIGINT mm) triples,
+    no window sort. The ring guarantees the true nearest-within-R is in
+    the candidate set, so recall is structural, not probabilistic."""
+    apply_engine_conf(spark)
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey")
+    q = cust.select(
+        "c_custkey",
+        F.expr(_Q_LAT).alias("qlat"),
+        F.expr(_Q_LON).alias("qlon"),
+        F.expr("(c_custkey % 1200) div 50").alias("cell_la"),
+        F.expr("((c_custkey * 7) % 3600) div 50").alias("cell_lo"),
+    )
+    s = (
+        supp.select(
+            "s_suppkey",
+            F.expr(_S_LAT).alias("slat"),
+            F.expr(_S_LON).alias("slon"),
+            F.expr("(s_suppkey % 1200) div 50").alias("s_la"),
+            F.expr("((s_suppkey * 7) % 3600) div 50").alias("s_lo"),
+        )
+        .select(
+            "s_suppkey",
+            "slat",
+            "slon",
+            F.explode(F.expr("array(-1, 0, 1)")).alias("dla"),
+            "s_la",
+            "s_lo",
+        )
+        .select(
+            "s_suppkey",
+            "slat",
+            "slon",
+            (F.col("s_la") + F.col("dla")).alias("cell_la"),
+            F.explode(F.expr("array(-1, 0, 1)")).alias("dlo"),
+            "s_lo",
+        )
+        .select(
+            "s_suppkey",
+            "slat",
+            "slon",
+            "cell_la",
+            ((F.col("s_lo") + F.col("dlo") + 72) % 72).alias("cell_lo"),
+        )
+    )
+    dist = _haversine_m(F.col("qlat"), F.col("qlon"), F.col("slat"), F.col("slon"))
+    cand = (
+        q.join(s, ["cell_la", "cell_lo"])
+        .filter(dist <= F.lit(_SPATIAL_RADIUS_M))
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.floor(dist * 1000.0).cast("bigint").alias("dist_mm"),
+        )
+    )
+    return cand.groupBy("c_custkey").agg(
+        F.expr("min_by(s_suppkey, struct(dist_mm, s_suppkey))").alias("s_suppkey"),
+        (F.min(F.struct("dist_mm", "s_suppkey"))["dist_mm"].cast("double") / 1000.0).alias(
+            "dist_m"
+        ),
+    )

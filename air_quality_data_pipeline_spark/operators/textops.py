@@ -2376,3 +2376,338 @@ def llm_cdc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cs"),
     )
     return chunks.select("doc_id", F.expr("inline(cs)"))
+
+
+# --- llm_vocab_coverage: tokenizer-vocabulary OOV audit -----------------------
+
+# "How much of the corpus does a K-entry vocabulary cover?" — the
+# tokenizer-budget / OOV-rate audit run before committing to a vocab
+# size. Vocab = the top-_VOCAB_K tokens by corpus frequency (count DESC,
+# token ASC — total order, engine-identical); coverage = per-document
+# token count and OOV count against it. The rate is an exact division of
+# two BIGINTs — identical doubles in both engines.
+_VOCAB_K = 500
+
+_VOCAB_COVERAGE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+    ORDER BY c DESC, tok LIMIT {_VOCAB_K}
+  )
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS oov_rate
+FROM tok t LEFT JOIN vocab v ON v.tok = t.tok
+GROUP BY t.doc_id
+"""
+
+
+@register("llm_vocab_coverage", oracle=_VOCAB_COVERAGE_ORACLE, tags=("llm", "text"))
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage / OOV-rate audit: build the top-500 corpus
+    vocabulary, then score every document's token count, OOV count and
+    OOV rate against it — the sizing study run before freezing a
+    tokenizer budget (the fixed-vocab twin of llm_token_count).
+
+    Scale shape: the vocab is ONE token hash-aggregate cut to K rows by
+    TakeOrderedAndProject (no global sort), then BROADCAST — the exploded
+    corpus stream left-joins it map-side, so token strings never cross an
+    exchange; the only corpus shuffle is the (doc_id, counts) per-doc
+    aggregate. K is a constant — at 100 TB the vocab build is the usual
+    two-phase partial/final aggregate and the probe side stays
+    embarrassingly parallel."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(_VOCAB_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+        )
+    )
+
+
+# --- llm_rouge_n: ROUGE-2 recall on a bounded evaluation panel ----------------
+
+# The summarization/overlap eval metric: ROUGE-2 recall = |distinct
+# bigrams(ref) ∩ distinct bigrams(cand)| / |distinct bigrams(ref)|.
+# Panel: 10 reference docs × 50 candidates — the bounded eval-panel
+# discipline of llm_decontaminate/llm_dedup_audit (metrics are computed
+# against a FIXED panel, so cost never scales with corpus²). Pairs with
+# zero overlap carry no row (inner join on the shared bigram) — recall 0
+# is the absence of a row in both engines.
+_ROUGE_REFS = 10
+_ROUGE_CANDS = 60  # doc_id in [10, 60)
+
+_ROUGE_ORACLE = f"""
+WITH rb AS (
+  SELECT DISTINCT doc_id AS ref_id, unnest({shingles_duckdb("string_split(text, ' ')", 2)}) AS bg
+  FROM documents WHERE doc_id < {_ROUGE_REFS}
+),
+cb AS (
+  SELECT DISTINCT doc_id AS cand_id, unnest({shingles_duckdb("string_split(text, ' ')", 2)}) AS bg
+  FROM documents WHERE doc_id >= {_ROUGE_REFS} AND doc_id < {_ROUGE_CANDS}
+),
+rt AS (SELECT ref_id, CAST(COUNT(*) AS BIGINT) AS n_ref FROM rb GROUP BY ref_id),
+ov AS (
+  SELECT rb.ref_id, cb.cand_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM rb JOIN cb ON cb.bg = rb.bg
+  GROUP BY rb.ref_id, cb.cand_id
+)
+SELECT ov.ref_id, ov.cand_id, ov.n_overlap, rt.n_ref AS n_ref_bigrams,
+       CAST(ov.n_overlap AS DOUBLE) / rt.n_ref AS rouge2_recall
+FROM ov JOIN rt ON rt.ref_id = ov.ref_id
+"""
+
+
+@register("llm_rouge_n", oracle=_ROUGE_ORACLE, tags=("llm", "text"))
+def llm_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 recall between a 10-doc reference panel and 50 candidate
+    documents: distinct-bigram overlap over distinct reference bigrams —
+    the n-gram eval metric (summarization quality, paraphrase detection)
+    computed as set algebra instead of per-pair string scans.
+
+    Scale shape: both sides reduce to DISTINCT (doc, bigram) pairs BEFORE
+    any join (hash aggregates); the reference side is panel-bounded (10
+    docs), broadcasts, and the overlap join + (ref, cand) count is the
+    usual partial/final aggregate. A full corpus scores against the fixed
+    panel in one pass — cost is linear in candidate bigrams, never
+    pairs × text. Integer counts, exact-division recall: value-hash
+    portable."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    bigrams = F.expr(shingles_spark("split(text, ' ')", 2))
+    rb = (
+        docs.filter(F.col("doc_id") < _ROUGE_REFS)
+        .select(F.col("doc_id").alias("ref_id"), F.explode(bigrams).alias("bg"))
+        .distinct()
+    )
+    cb = (
+        docs.filter(
+            (F.col("doc_id") >= _ROUGE_REFS) & (F.col("doc_id") < _ROUGE_CANDS)
+        )
+        .select(F.col("doc_id").alias("cand_id"), F.explode(bigrams).alias("bg"))
+        .distinct()
+    )
+    rt = rb.groupBy("ref_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_ref"))
+    ov = (
+        cb.join(F.broadcast(rb), "bg")
+        .groupBy("ref_id", "cand_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+    return ov.join(F.broadcast(rt), "ref_id").select(
+        "ref_id",
+        "cand_id",
+        "n_overlap",
+        F.col("n_ref").alias("n_ref_bigrams"),
+        (F.col("n_overlap").cast("double") / F.col("n_ref")).alias("rouge2_recall"),
+    )
+
+
+# --- llm_span_mask: deterministic span corruption (denoising objective) ------
+
+# T5/BART-style span corruption as a DATA-PIPELINE step: group tokens
+# into 3-token spans, mask ~20% of spans (selected by md5(doc_id:span) —
+# deterministic, engine-portable, uniform), emit the corrupted text
+# digest and the target (masked-out tokens) digest. Everything is one
+# per-row projection over the token array — ZERO exchanges; the digests
+# keep full texts out of the comparator while pinning every masked
+# position.
+_SPAN_LEN = 3
+_SPAN_MOD = 5  # mask spans hashing to 0 (mod 5) ≈ 20%
+
+_SPAN_MASK_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS arr,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n,
+         list_transform(range(1, n + 1), i ->
+           CASE WHEN CAST(('0x' || substring(md5(
+                  doc_id::VARCHAR || ':' || ((i - 1) // {_SPAN_LEN})::VARCHAR),
+                  1, 4)) AS BIGINT) % {_SPAN_MOD} = 0
+                THEN NULL ELSE arr[i] END) AS kept,
+         list_transform(range(1, n + 1), i ->
+           CASE WHEN CAST(('0x' || substring(md5(
+                  doc_id::VARCHAR || ':' || ((i - 1) // {_SPAN_LEN})::VARCHAR),
+                  1, 4)) AS BIGINT) % {_SPAN_MOD} = 0
+                THEN arr[i] ELSE NULL END) AS dropped
+  FROM base
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(dropped, x -> x IS NOT NULL)) AS BIGINT) AS n_masked,
+       md5(array_to_string(list_transform(kept,
+           x -> COALESCE(x, '<X>')), ' ')) AS masked_digest,
+       md5(COALESCE(
+         array_to_string(list_filter(dropped, x -> x IS NOT NULL), ' '), ''))
+         AS target_digest
+FROM m
+"""
+
+
+@register("llm_span_mask", oracle=_SPAN_MASK_ORACLE, tags=("llm", "text"))
+def llm_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic span corruption for denoising pretraining: 3-token
+    spans, ~20% masked (md5(doc_id:span) selection — reproducible on any
+    cluster layout), emitting per doc the token/masked counts plus
+    digests of the corrupted text and of the mask targets.
+
+    Scale shape: the span selector, both projections and both digests
+    build inside ONE per-row Catalyst projection — ZERO exchanges, zero
+    Python; 100 TB cost is scan rate × executors, and the (doc_id, span)
+    hash seed means re-runs and retries mask identical positions (the
+    llm_dataset_split determinism discipline)."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    mask_cond = (
+        f"CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', "
+        f"CAST((i - 1) div {_SPAN_LEN} AS STRING))), 1, 4), 16, 10) AS BIGINT) "
+        f"% {_SPAN_MOD} = 0"
+    )
+    base = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("arr"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    m = base.select(
+        "doc_id",
+        "n",
+        F.expr(
+            f"transform(sequence(1, n), i -> CASE WHEN {mask_cond} "
+            f"THEN NULL ELSE element_at(arr, i) END)"
+        ).alias("kept"),
+        F.expr(
+            f"transform(sequence(1, n), i -> CASE WHEN {mask_cond} "
+            f"THEN element_at(arr, i) ELSE NULL END)"
+        ).alias("dropped"),
+    )
+    return m.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.expr("size(filter(dropped, x -> x IS NOT NULL))")
+        .cast("bigint")
+        .alias("n_masked"),
+        F.md5(
+            F.expr("array_join(transform(kept, x -> coalesce(x, '<X>')), ' ')")
+        ).alias("masked_digest"),
+        F.md5(F.expr("array_join(filter(dropped, x -> x IS NOT NULL), ' ')")).alias(
+            "target_digest"
+        ),
+    )
+
+
+# --- llm_sample_weighted: weighted sampling without replacement ---------------
+
+# Quality-weighted corpus resampling — the Efraimidis–Spirakis exp-keys
+# scheme, THE distributed algorithm for weighted sampling without
+# replacement (each row gets key u^(1/w); the top-N keys ARE the sample):
+# no sequential pass, no rejection loop, just a per-row key and a top-N.
+# Determinism + portability: u derives from md5(doc_id) (40 hash bits →
+# u ∈ (0, 1]), the key is ln(u) FLOOR-quantized to micro-units (BIGINT),
+# and weights are integers in {1..5} dividing 60 — so ranking uses
+# t × (60 / w), an EXACT integer, and ordering by it equals ordering by
+# u^(1/w). Ties (astronomically unlikely) break by doc_id.
+_SAMPLE_PER_SOURCE = 20
+_ES_DENOM = 1099511627776.0  # 2^40
+
+_SAMPLE_WEIGHTED_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         least(5, 1 + n_chars // 400) AS w,
+         CAST(floor(1000000.0 * ln(
+           (CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 10)) AS BIGINT) + 1)
+           / {_ES_DENOM})) AS BIGINT) AS t
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, source, w, t * (60 // w) AS es_key FROM base
+)
+SELECT source, CAST(rnk AS INT) AS rank, doc_id, CAST(w AS BIGINT) AS w, es_key
+FROM (
+  SELECT source, doc_id, w, es_key,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY es_key DESC, doc_id) AS rnk
+  FROM keyed
+) WHERE rnk <= {_SAMPLE_PER_SOURCE}
+"""
+
+
+@register("llm_sample_weighted", oracle=_SAMPLE_WEIGHTED_ORACLE, tags=("llm", "text"))
+def llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, stratified per source:
+    Efraimidis–Spirakis exponential keys (key = u^(1/w), take the top 20
+    per stratum) with length-derived quality weights — the
+    quality-upweighted corpus resample behind data-mixing recipes, as a
+    single distributed pass.
+
+    Scale shape: the key is per-row hash arithmetic (map-side, no state);
+    the per-stratum top-N is a rank window on (source) — with bounded
+    strata this is the partial top-N pattern (at 100 TB swap the window
+    for a per-partition heap + final merge, same keys, same result — the
+    keys make the sample PLAN-INDEPENDENT, which is the whole point of
+    exp-keys sampling). Quantized-ln integer ranking (see module comment)
+    keeps the selection engine-exact; the sampled frame is ≤ 20 ×
+    |sources| rows."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.expr("least(5, 1 + n_chars div 400)").alias("w"),
+        F.floor(
+            1000000.0
+            * F.log(
+                (
+                    F.expr(
+                        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 10), "
+                        "16, 10) AS BIGINT)"
+                    )
+                    + F.lit(1)
+                )
+                / F.lit(_ES_DENOM)
+            )
+        )
+        .cast("bigint")
+        .alias("t"),
+    )
+    keyed = base.select(
+        "doc_id", "source", "w", (F.col("t") * F.expr("60 div w")).alias("es_key")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("es_key"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _SAMPLE_PER_SOURCE)
+        .select(
+            "source",
+            F.col("rnk").cast("int").alias("rank"),
+            "doc_id",
+            F.col("w").cast("bigint").alias("w"),
+            "es_key",
+        )
+    )

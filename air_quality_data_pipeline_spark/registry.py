@@ -125,6 +125,12 @@ DRIVER_PRIORITY = [
     "agg_weighted_median",
     "agg_sketch_overlap",
     "dq_outlier_iqr",
+    "graph_bfs",
+    "join_nearest",
+    "llm_vocab_coverage",
+    "llm_rouge_n",
+    "llm_span_mask",
+    "llm_sample_weighted",
     # (d) filler: stalest greens (last sampled r1), module order
     "flagship",
     "flt_isin",
