@@ -908,3 +908,66 @@ def test_outlier_iqr_broadcasts_fences(spark, sf_dir):
     plan = _executed_plan(spark, "dq_outlier_iqr", sf_dir)
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_bfs_final_plan_is_flat_checkpoint(spark, sf_dir):
+    """graph_bfs: every hop's expansion lands behind a localCheckpoint, so
+    the executed plan is a flat scan of the converged frontier — no join
+    history, no cartesian, just the ordered projection (the kcore/kmeans
+    loop-over-plans discipline)."""
+    plan = _executed_plan(spark, "graph_bfs", sf_dir)
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_join_nearest_is_grid_argmin_no_window(spark, sf_dir):
+    """join_nearest: candidates come from the grid-cell BROADCAST equi-join
+    (never cartesian), and the argmin is a min_by AGGREGATE — one
+    hash-partition exchange carrying (key, suppkey, mm) triples, no
+    window sort over the candidate fan-out."""
+    plan = _executed_plan(spark, "join_nearest", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_vocab_coverage_broadcasts_topk_vocab(spark, sf_dir):
+    """llm_vocab_coverage: the top-K vocab is TakeOrderedAndProject (no
+    global sort) and BROADCASTS onto the exploded corpus — token strings
+    never hash-partition; the only corpus exchange is the per-doc count
+    aggregate."""
+    plan = _executed_plan(spark, "llm_vocab_coverage", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rouge_panel_broadcasts_both_sides(spark, sf_dir):
+    """llm_rouge_n: both the 10-doc reference bigram set and the per-ref
+    totals BROADCAST; doc_id range predicates reach the parquet scan; no
+    cartesian pair expansion anywhere."""
+    plan = _executed_plan(spark, "llm_rouge_n", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters: [IsNotNull(doc_id)" in plan, plan
+
+
+def test_span_mask_is_pure_map(spark, sf_dir):
+    """llm_span_mask: span selection, both projections and both digests are
+    ONE per-row Catalyst projection — zero exchanges, zero Python."""
+    plan = _executed_plan(spark, "llm_span_mask", sf_dir)
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_sample_weighted_plans_partial_topn(spark, sf_dir):
+    """llm_sample_weighted: the per-stratum rank plans as WindowGroupLimit
+    (partial top-N BEFORE the exchange — each map task forwards at most
+    20 rows per source), one exchange, no join: the at-scale shape the
+    exp-keys scheme promises."""
+    plan = _executed_plan(spark, "llm_sample_weighted", sf_dir)
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan

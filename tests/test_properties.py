@@ -1106,3 +1106,124 @@ def test_outlier_iqr_rates_are_sane(spark, sf_dir):
     for r in rows:
         assert r.fence_lo < r.fence_hi
         assert 0 <= r.n_outliers < r.n_rows * 0.5
+
+
+def test_bfs_distances_are_valid_hop_counts(spark, sf_dir):
+    """graph_bfs: exactly 3 seeds at distance 0 (the 3 smallest node ids),
+    every distance in [0, 3], one row per node, and level-consistency —
+    every node at distance h > 0 has an in-edge from a node at h - 1
+    (BFS's defining invariant)."""
+    bfs = SPECS["graph_bfs"].builder(spark, sf_dir)
+    rows = bfs.collect()
+    assert rows
+    assert len({r.suppkey for r in rows}) == len(rows)
+    dists = {r.suppkey: r.dist for r in rows}
+    assert sorted(d for d in dists.values())[0] == 0
+    assert all(0 <= d <= 3 for d in dists.values())
+    seeds = sorted(k for k, d in dists.items() if d == 0)
+    assert len(seeds) == 3
+    from air_quality_data_pipeline_spark.operators.graph import _copurchase_edges
+
+    edges = _copurchase_edges(spark, sf_dir).collect()
+    preds: dict[int, set[int]] = {}
+    for e in edges:
+        preds.setdefault(e.dst, set()).add(e.src)
+    for node, d in dists.items():
+        if d > 0:
+            assert any(dists.get(p) == d - 1 for p in preds.get(node, ())), node
+
+
+def test_join_nearest_agrees_with_spatial_argmin(spark, sf_dir):
+    """join_nearest vs join_spatial: the nearest supplier per customer must
+    be the minimum-distance row of the radius join (same grid, same
+    radius) — two independent formulations of the same candidate set."""
+    near = {
+        r.c_custkey: (r.s_suppkey, r.dist_m)
+        for r in SPECS["join_nearest"].builder(spark, sf_dir).collect()
+    }
+    assert near
+    within: dict[int, list] = {}
+    for r in SPECS["join_spatial"].builder(spark, sf_dir).collect():
+        within.setdefault(r.c_custkey, []).append(r)
+    assert set(near) == set(within)
+    for ck, (sk, dm) in near.items():
+        best = min(within[ck], key=lambda r: (r.dist_m, r.s_suppkey))
+        # join_spatial rounds to whole meters; nearest quantizes to mm
+        assert abs(best.dist_m - dm) <= 0.5, (ck, best, dm)
+        assert dm <= 250_000.0
+
+
+def test_vocab_coverage_reconciles_with_token_count(spark, sf_dir):
+    """llm_vocab_coverage: one row per document, n_oov <= n_tokens, the rate
+    is the exact quotient, and corpus-wide coverage is sane — the top-500
+    vocab must cover a majority of token occurrences (by construction of
+    'top by frequency')."""
+    rows = SPECS["llm_vocab_coverage"].builder(spark, sf_dir).collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    tot = oov = 0
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert abs(r.oov_rate - r.n_oov / r.n_tokens) < 1e-12
+        tot += r.n_tokens
+        oov += r.n_oov
+    assert oov < tot * 0.5, f"top-500 vocab covers < 50%: {oov}/{tot}"
+
+
+def test_rouge_recall_is_a_bounded_overlap_ratio(spark, sf_dir):
+    """llm_rouge_n: recall in (0, 1], overlap never exceeds the reference
+    bigram count, ids stay inside the declared panel ranges, and one row
+    per (ref, cand) pair."""
+    rows = SPECS["llm_rouge_n"].builder(spark, sf_dir).collect()
+    assert rows
+    assert len({(r.ref_id, r.cand_id) for r in rows}) == len(rows)
+    for r in rows:
+        assert 0 <= r.ref_id < 10 and 10 <= r.cand_id < 60
+        assert 0 < r.n_overlap <= r.n_ref_bigrams
+        assert 0.0 < r.rouge2_recall <= 1.0
+
+
+def test_span_mask_is_deterministic_and_partitions_tokens(spark, sf_dir):
+    """llm_span_mask: masked + kept partition the token stream (n_masked <=
+    n_tokens, ~20% corpus-wide under the mod-5 selector), and a second
+    run reproduces every digest bit-for-bit (the determinism the
+    (doc_id, span) hash seed promises)."""
+    a = SPECS["llm_span_mask"].builder(spark, sf_dir)
+    rows = a.collect()
+    assert rows
+    tot = sum(r.n_tokens for r in rows)
+    masked = sum(r.n_masked for r in rows)
+    assert all(0 <= r.n_masked <= r.n_tokens for r in rows)
+    assert 0.10 < masked / tot < 0.32, masked / tot
+    again = {r.doc_id: r for r in SPECS["llm_span_mask"].builder(spark, sf_dir).collect()}
+    for r in rows:
+        b = again[r.doc_id]
+        assert (r.masked_digest, r.target_digest) == (b.masked_digest, b.target_digest)
+
+
+def test_sample_weighted_is_a_valid_stratified_sample(spark, sf_dir):
+    """llm_sample_weighted: per source, exactly min(20, stratum size) rows
+    with ranks 1..n, es_key non-increasing in rank order, distinct
+    doc_ids, and weights in the declared {1..5} band."""
+    rows = SPECS["llm_sample_weighted"].builder(spark, sf_dir).collect()
+    assert rows
+    sizes = {
+        r.source: r.n
+        for r in table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert set(by_src) == set(sizes)
+    all_ids = [r.doc_id for r in rows]
+    assert len(set(all_ids)) == len(all_ids)
+    for src, rs in by_src.items():
+        assert len(rs) == min(20, sizes[src])
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        keys = [r.es_key for r in rs]
+        assert keys == sorted(keys, reverse=True)
+        assert all(1 <= r.w <= 5 for r in rs)
