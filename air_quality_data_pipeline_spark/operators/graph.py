@@ -810,3 +810,126 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("suppkey"),
         F.col("dist").cast("int").alias("dist"),
     ).orderBy("suppkey")
+
+
+# --- graph_adamic_adar: link-prediction scoring ------------------------------
+
+# Adamic–Adar: for an edge (a, b), sum over common neighbors w of
+# 1 / ln(deg(w)) — the classic link-prediction / tie-strength feature
+# that, unlike raw common-neighbor counts (graph_jaccard's numerator),
+# DOWN-WEIGHTS hub intermediaries: a shared neighbor connected to
+# everything is weak evidence, a shared niche neighbor is strong.
+# Exactness: each neighbor's term is FLOOR(10^6 / ln(deg)) — ln and the
+# division run on identical operands in both engines, floor removes the
+# last-ulp knife edge, and the per-edge score is then a SUM of BIGINTs
+# (commutative — partitioning-independent). deg(w) >= 2 for any common
+# neighbor (w touches both endpoints), so ln never sees 1.
+_AA_SCALE = 1_000_000
+
+_ADAMIC_ADAR_ORACLE = """
+WITH pair_counts AS MATERIALIZED (
+  SELECT l1.l_suppkey AS src, l2.l_suppkey AS dst, COUNT(*) AS w
+  FROM lineitem l1
+  JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+  GROUP BY l1.l_suppkey, l2.l_suppkey
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM pair_counts
+  WHERE w > (SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*) FROM pair_counts)
+),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+fwd AS (SELECT src, dst FROM edges WHERE src < dst),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM fwd e1
+  JOIN fwd e2 ON e2.src = e1.dst
+  JOIN fwd e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+contrib AS (
+  SELECT x, y, w FROM (
+    SELECT a AS x, b AS y, c AS w FROM tri
+    UNION ALL SELECT a, c, b FROM tri
+    UNION ALL SELECT b, c, a FROM tri
+  )
+),
+scored AS (
+  SELECT c.x, c.y,
+         CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+         CAST(SUM(CAST(floor(1000000.0 / ln(CAST(d.d AS DOUBLE))) AS BIGINT))
+              AS BIGINT) AS aa_micro
+  FROM contrib c JOIN deg d ON d.node = c.w
+  GROUP BY c.x, c.y
+)
+SELECT f.src, f.dst,
+       COALESCE(s.common_neighbors, 0) AS common_neighbors,
+       COALESCE(s.aa_micro, 0) AS aa_micro,
+       CAST(COALESCE(s.aa_micro, 0) AS DOUBLE) / 1000000.0 AS adamic_adar
+FROM fwd f
+LEFT JOIN scored s ON s.x = f.src AND s.y = f.dst
+"""
+
+
+@register("graph_adamic_adar", oracle=_ADAMIC_ADAR_ORACLE, tags=("graph",))
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link-prediction score for every co-purchase edge: the
+    hub-discounted common-neighbor measure (Σ 1/ln deg(w)) — the feature
+    ranking "which weak ties are about to become strong" in
+    recommendation and graph-cleaning pipelines.
+
+    Scale shape: REUSES graph_jaccard's degree-bounded oriented triangle
+    pipeline — each canonical triangle (a<b<c over src<dst edges) emits
+    its three (edge, common-neighbor) credits MAP-SIDE via explode, the
+    per-neighbor weight arrives by broadcasting the |V|-row degree table
+    onto the credit stream, and one hash aggregate sums integer
+    micro-units (FLOOR(10^6/ln deg) — see module comment for why this is
+    bit-portable). Never materializes N(a)⋈N(b): the wedge join is
+    degree-bounded exactly like graph_triangles, so the 100 TB cost is
+    the triangle count, not sum-of-degrees²."""
+    apply_engine_conf(spark)
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    fwd = edges.filter(F.col("src") < F.col("dst"))
+    e1, e2, e3 = fwd.alias("e1"), fwd.alias("e2"), fwd.alias("e3")
+    wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).select(
+        F.col("e1.src").alias("a"), F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c")
+    )
+    tri = wedges.join(
+        e3, (F.col("a") == F.col("e3.src")) & (F.col("c") == F.col("e3.dst"))
+    ).select("a", "b", "c")
+    contrib = tri.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("x"), F.col("b").alias("y"), F.col("c").alias("w")),
+                F.struct(F.col("a").alias("x"), F.col("c").alias("y"), F.col("b").alias("w")),
+                F.struct(F.col("b").alias("x"), F.col("c").alias("y"), F.col("a").alias("w")),
+            )
+        ).alias("p")
+    ).select("p.x", "p.y", "p.w")
+    term = F.floor(F.lit(float(_AA_SCALE)) / F.log(F.col("d").cast("double"))).cast(
+        "bigint"
+    )
+    scored = (
+        contrib.join(F.broadcast(deg.withColumnRenamed("node", "w")), "w")
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+            F.sum(term).cast("bigint").alias("aa_micro"),
+        )
+    )
+    return (
+        fwd.join(scored, (fwd.src == scored.x) & (fwd.dst == scored.y), "left")
+        .select(
+            "src",
+            "dst",
+            F.coalesce("common_neighbors", F.lit(0)).cast("bigint").alias(
+                "common_neighbors"
+            ),
+            F.coalesce("aa_micro", F.lit(0)).cast("bigint").alias("aa_micro"),
+            (F.coalesce("aa_micro", F.lit(0)).cast("double") / _AA_SCALE).alias(
+                "adamic_adar"
+            ),
+        )
+    )

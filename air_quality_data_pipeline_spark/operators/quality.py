@@ -1077,3 +1077,88 @@ def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("lo").alias("fence_lo"),
         F.max("hi").alias("fence_hi"),
     )
+
+
+# --- dq_kanon: k-anonymity audit ----------------------------------------------
+
+# Privacy audit a training-data pipeline runs before release: under the
+# quasi-identifier tuple (nation, market segment, account-balance
+# thousand-bucket), how many customers sit in equivalence classes smaller
+# than k? A class of size 1 is a re-identifiable individual; k-anonymity
+# requires every class >= k. One grouped count builds the class table
+# (BOUNDED: <= |nations| x |segments| x |balance buckets| rows regardless
+# of data size); the per-k rollup then runs on that tiny table crossed
+# with the k panel — the corpus is scanned ONCE no matter how many k
+# thresholds are audited.
+_KANON_KS = (2, 5, 10)
+
+_KANON_ORACLE = f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+         CAST(COUNT(*) AS BIGINT) AS sz
+  FROM customer
+  GROUP BY ALL
+),
+ks AS (SELECT unnest([{", ".join(str(k) for k in _KANON_KS)}]) AS k)
+SELECT CAST(ks.k AS INT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN sz < ks.k THEN 1 ELSE 0 END) AS BIGINT) AS n_unsafe,
+       CAST(SUM(CASE WHEN sz < ks.k THEN sz ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       CAST(SUM(CASE WHEN sz < ks.k THEN sz ELSE 0 END) AS DOUBLE)
+         / SUM(sz) AS risk_rate
+FROM classes CROSS JOIN ks
+GROUP BY ks.k
+"""
+
+
+@register("dq_kanon", oracle=_KANON_ORACLE, tags=("quality",))
+def dq_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, segment, balance-bucket)
+    quasi-identifier: for k in {2, 5, 10}, the equivalence-class count,
+    the classes below k, the rows they expose, and the at-risk rate —
+    the pre-release privacy gate (companion to llm_pii_scrub: scrubbing
+    removes direct identifiers, this measures INDIRECT identifiability).
+
+    Scale shape: the corpus is scanned once into a class table whose size
+    is bounded by the quasi-identifier domain (~nations x segments x
+    buckets), NOT by row count; the k panel fans that tiny table out with
+    a 3-row broadcast cross — auditing more thresholds costs zero extra
+    scans. Counts are BIGINTs; the single rate division runs on identical
+    operands in both engines."""
+    apply_engine_conf(spark)
+    cust = table(spark, sf_dir, "customer")
+    classes = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_bucket"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in _KANON_KS])).alias("k")
+    )
+    return (
+        classes.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum(F.when(F.col("sz") < F.col("k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unsafe"),
+            F.sum(F.when(F.col("sz") < F.col("k"), F.col("sz")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_at_risk"),
+            (
+                F.sum(F.when(F.col("sz") < F.col("k"), F.col("sz")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.sum("sz")
+            ).alias("risk_rate"),
+        )
+        .select(
+            F.col("k").cast("int"),
+            "n_classes",
+            "n_unsafe",
+            "rows_at_risk",
+            "risk_rate",
+        )
+    )

@@ -768,3 +768,73 @@ def win_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("last_rev_mu"),
     )
+
+
+# --- win_gaps_islands: consecutive-activity islands ---------------------------
+
+# The canonical gaps-and-islands problem: collapse each user's set of
+# active DAYS into maximal runs of consecutive dates (islands), the
+# engagement-streak / uptime-segment primitive that powers retention
+# cohorts and SLA reports. The trick is the classic one: within a user,
+# (epoch_day - rank) is CONSTANT across a consecutive run and strictly
+# increasing across gaps, so one window + one hash aggregate does what a
+# self-join formulation needs O(n²) for. DENSE_RANK (not row_number over
+# a pre-distinct) absorbs duplicate days inside the same window pass, and
+# island length is (last − first + 1) by consecutiveness — so the whole
+# operator needs ONE exchange. Integer epoch days and counts; boundary
+# dates serialized yyyy-MM-dd (the portable date contract, see
+# f_date_arith) — value-hash exact.
+_GAPS_ISLANDS_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+t AS (
+  SELECT user_id, day,
+         (day - DATE '1970-01-01')
+           - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM d
+)
+SELECT user_id, strftime(MIN(day), '%Y-%m-%d') AS island_start,
+       strftime(MAX(day), '%Y-%m-%d') AS island_end,
+       CAST(MAX(day) - MIN(day) + 1 AS BIGINT) AS n_days
+FROM t GROUP BY user_id, grp
+"""
+
+
+@register("win_gaps_islands", oracle=_GAPS_ISLANDS_ORACLE, tags=("window",))
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's maximal runs of consecutive active
+    days (start, end, length) — activity streaks via the epoch_day −
+    row_number constant-group trick.
+
+    Scale shape: ONE exchange on user_id serves everything — DENSE_RANK
+    over the raw event stream replaces the usual pre-distinct (which
+    would cost a second, wider (user, day) shuffle), the epoch_day −
+    dense_rank group key is a row-local projection, and the island
+    aggregate keys on (user_id, grp), which the user_id partitioning
+    already clusters (no re-exchange; island length is last − first + 1
+    by consecutiveness, so duplicate days never miscount). Every
+    exchanged row is (BIGINT, DATE); per-user work is linear. The
+    self-join alternative (day d joins d+1) re-shuffles the same data
+    twice and still needs the run collapse; this is the shape that
+    survives a 100 TB event log."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    t = d.select(
+        "user_id",
+        "day",
+        (F.unix_date(F.col("day")) - F.dense_rank().over(w)).alias("grp"),
+    )
+    return (
+        t.groupBy("user_id", "grp")
+        .agg(
+            F.date_format(F.min("day"), "yyyy-MM-dd").alias("island_start"),
+            F.date_format(F.max("day"), "yyyy-MM-dd").alias("island_end"),
+            (F.unix_date(F.max("day")) - F.unix_date(F.min("day")) + 1)
+            .cast("bigint")
+            .alias("n_days"),
+        )
+        .drop("grp")
+    )

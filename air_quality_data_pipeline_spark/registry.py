@@ -131,6 +131,9 @@ DRIVER_PRIORITY = [
     "llm_rouge_n",
     "llm_span_mask",
     "llm_sample_weighted",
+    "graph_adamic_adar",
+    "win_gaps_islands",
+    "dq_kanon",
     # (d) filler: stalest greens (last sampled r1), module order
     "flagship",
     "flt_isin",

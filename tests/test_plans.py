@@ -971,3 +971,34 @@ def test_sample_weighted_plans_partial_topn(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan
+
+
+def test_adamic_adar_broadcasts_degrees_no_cartesian(spark, sf_dir):
+    """graph_adamic_adar: the |V|-row degree table BROADCASTS onto the
+    map-side credit stream; the triangle expansion is the degree-bounded
+    equi-join pipeline (never cartesian — the only nested-loop join is
+    the cached edge build's scalar mean threshold)."""
+    plan = _executed_plan(spark, "graph_adamic_adar", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan  # triangle -> 3 credits, map-side
+
+
+def test_gaps_islands_is_one_exchange(spark, sf_dir):
+    """win_gaps_islands: dense_rank over the raw stream (no pre-distinct
+    shuffle) and the island aggregate reuses the user_id partitioning —
+    ONE exchange end-to-end, no join."""
+    plan = _executed_plan(spark, "win_gaps_islands", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_kanon_class_table_is_bounded_single_scan(spark, sf_dir):
+    """dq_kanon: ONE scan of the corpus builds the domain-bounded class
+    table; the 3-row k panel arrives by broadcast (nested-loop on a
+    3-row build side is the right plan, not a shuffle join)."""
+    plan = _executed_plan(spark, "dq_kanon", sf_dir)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -1227,3 +1227,76 @@ def test_sample_weighted_is_a_valid_stratified_sample(spark, sf_dir):
         keys = [r.es_key for r in rs]
         assert keys == sorted(keys, reverse=True)
         assert all(1 <= r.w <= 5 for r in rs)
+
+
+def test_adamic_adar_is_consistent_with_jaccard(spark, sf_dir):
+    """graph_adamic_adar vs graph_jaccard: both count common neighbors of
+    every src<dst edge through independent pipelines — the counts must
+    agree edge-for-edge, and the AA score must be positive exactly when
+    common neighbors exist (each neighbor term 1/ln(deg) > 0)."""
+    aa = {
+        (r.src, r.dst): r
+        for r in SPECS["graph_adamic_adar"].builder(spark, sf_dir).collect()
+    }
+    jc = {
+        (r.src, r.dst): r.common_neighbors
+        for r in SPECS["graph_jaccard"].builder(spark, sf_dir).collect()
+    }
+    assert set(aa) == set(jc)
+    for k, r in aa.items():
+        assert r.common_neighbors == jc[k], k
+        assert (r.aa_micro > 0) == (r.common_neighbors > 0)
+        # each common neighbor contributes at most 1/ln(2) and > 0
+        assert r.adamic_adar <= r.common_neighbors / 0.6931 + 1e-9
+
+
+def test_gaps_islands_partition_active_days(spark, sf_dir):
+    """win_gaps_islands: per user, islands are disjoint, ordered, separated
+    by >= 1 missing day, and their total length equals the user's count
+    of distinct active days (islands PARTITION the activity set)."""
+    import datetime as dt
+
+    rows = SPECS["win_gaps_islands"].builder(spark, sf_dir).collect()
+    assert rows
+    active = {
+        r.user_id: r.n
+        for r in table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert set(by_user) == set(active)
+    for uid, isl in by_user.items():
+        isl.sort(key=lambda r: r.island_start)
+        total = 0
+        prev_end = None
+        for r in isl:
+            s = dt.date.fromisoformat(r.island_start)
+            e = dt.date.fromisoformat(r.island_end)
+            assert (e - s).days + 1 == r.n_days
+            if prev_end is not None:
+                assert (s - prev_end).days >= 2, (uid, prev_end, s)
+            prev_end = e
+            total += r.n_days
+        assert total == active[uid]
+
+
+def test_kanon_risk_is_monotone_in_k(spark, sf_dir):
+    """dq_kanon: raising k can only widen the unsafe set — n_unsafe,
+    rows_at_risk and risk_rate are monotone non-decreasing in k; class
+    count is k-invariant; rates stay in [0, 1]."""
+    rows = sorted(SPECS["dq_kanon"].builder(spark, sf_dir).collect(), key=lambda r: r.k)
+    assert [r.k for r in rows] == [2, 5, 10]
+    assert len({r.n_classes for r in rows}) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_unsafe <= b.n_unsafe
+        assert a.rows_at_risk <= b.rows_at_risk
+        assert a.risk_rate <= b.risk_rate + 1e-12
+    for r in rows:
+        assert 0.0 <= r.risk_rate <= 1.0
+        assert r.n_unsafe <= r.n_classes
