@@ -833,3 +833,87 @@ def llm_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "covered_tokens",
         (F.col("covered_tokens").cast("double") / F.size("a")).alias("dup_frac"),
     )
+
+
+# --- llm_ngram_containment: directional sub-document detection ----------------
+
+# Jaccard misses the "A is a chunk of B" case: a 50-token quote inside a
+# 5000-token page has tiny Jaccard but containment(A in B) ≈ 1.0.
+# Containment C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| is the DIRECTIONAL
+# overlap measure sub-document dedup needs (boilerplate quotes, nested
+# crawls, prompt-in-completion leaks). Same bounded ground-truth panel as
+# llm_ngram_jaccard (doc_id < 100 — the exact twin of the banded
+# approximate paths); the intersection is computed ONCE per unordered
+# pair, then fanned map-side into both directions with each side's own
+# denominator. Integer counts, exact-operand division.
+_CONTAIN_MIN = 0.30
+
+_NGRAM_CONTAIN_ORACLE = f"""
+WITH sub AS (
+  SELECT doc_id, list_distinct({shingles_duckdb(tokens_duckdb('text'))}) AS sh
+  FROM documents WHERE doc_id < 100
+),
+e AS (SELECT doc_id, UNNEST(sh) AS s FROM sub),
+inter AS (
+  SELECT a.doc_id AS lo, b.doc_id AS hi, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+dirs AS (
+  SELECT lo AS doc_a, hi AS doc_b, n_inter FROM inter
+  UNION ALL
+  SELECT hi AS doc_a, lo AS doc_b, n_inter FROM inter
+),
+sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM sub)
+SELECT d.doc_a, d.doc_b, d.n_inter, sz.n AS n_a,
+       CAST(d.n_inter AS DOUBLE) / sz.n AS containment
+FROM dirs d JOIN sz ON sz.doc_id = d.doc_a
+WHERE CAST(d.n_inter AS DOUBLE) / sz.n >= {_CONTAIN_MIN}
+"""
+
+
+@register("llm_ngram_containment", oracle=_NGRAM_CONTAIN_ORACLE, tags=("llm", "dedup"))
+def llm_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional n-gram containment C(A→B) = |sh(A)∩sh(B)| / |sh(A)| on
+    the bounded ground-truth panel — the sub-document dedup measure that
+    catches "A is a chunk of B" pairs symmetric Jaccard under-scores.
+
+    Scale shape: the shared-shingle equi-join computes each unordered
+    intersection ONCE (shingle strings meet only inside the join; the
+    pair stream carries ids + counts), explode() fans the pair into its
+    two directions MAP-SIDE, and the per-side denominator arrives by an
+    id-keyed join of the tiny size table. The panel bound makes the
+    quadratic tail explicit — the production path at 100 TB is the same
+    candidates-then-verify recipe with LSH candidates (llm_minhash_dedup)
+    feeding this exact containment verify."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sub = docs.select(
+        "doc_id",
+        F.array_distinct(F.expr(shingles_spark(tokens_spark("text")))).alias("sh"),
+    )
+    e = sub.select("doc_id", F.explode("sh").alias("s"))
+    e2 = e.select(F.col("doc_id").alias("hi"), F.col("s").alias("s_b"))
+    inter = (
+        e.join(e2, (e.s == e2.s_b) & (e.doc_id < e2.hi))
+        .groupBy(F.col("doc_id").alias("lo"), "hi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    dirs = inter.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("lo").alias("doc_a"), F.col("hi").alias("doc_b")),
+                F.struct(F.col("hi").alias("doc_a"), F.col("lo").alias("doc_b")),
+            )
+        ).alias("p"),
+        "n_inter",
+    ).select("p.doc_a", "p.doc_b", "n_inter")
+    sz = sub.select(
+        F.col("doc_id").alias("doc_a"), F.size("sh").cast("bigint").alias("n_a")
+    )
+    cont = F.col("n_inter").cast("double") / F.col("n_a")
+    return (
+        dirs.join(sz, "doc_a")
+        .select("doc_a", "doc_b", "n_inter", "n_a", cont.alias("containment"))
+        .filter(F.col("containment") >= _CONTAIN_MIN)
+    )

@@ -396,3 +396,70 @@ def mm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, frame_idx long, start_byte long, "
         "frame_len int, energy long, sig8 string",
     )
+
+
+# --- mm_dedup_binary: exact payload dedup across modalities --------------------
+
+# Training-set multimodal dedup, stage 1: EXACT payload duplicates. The
+# same image/audio blob re-crawled under different ids (or modal labels)
+# is found by grouping on (sha256(payload), byte length) — the digest
+# does the comparing, the length column is a second factor that makes an
+# (astronomically unlikely) digest collision detectable rather than
+# silent. Payload bytes NEVER cross an exchange: each executor reduces
+# its blobs to 40-byte (digest, len) keys map-side; the shuffle carries
+# keys and counts only — the property that makes exact media dedup
+# tractable at 100 TB of binaries (the binary twin of llm_exact_dedup's
+# text-digest discipline).
+_MM_DEDUP_ORACLE = """
+SELECT sha256(text) AS digest,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(MAX(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+            + MAX(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_kinds,
+       MIN(doc_id) AS keep_id
+FROM documents
+GROUP BY 1, 2
+HAVING COUNT(*) > 1
+"""
+
+
+@register("mm_dedup_binary", oracle=_MM_DEDUP_ORACLE, tags=("multimodal", "dedup"))
+def mm_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multimodal payload dedup: group binary blobs by
+    (sha256, byte length), surface every duplicate group with its copy
+    count, how many modal kinds it spans, and the canonical keep id
+    (smallest) — the first pass every media-corpus dedup runs before any
+    perceptual/near-dup stage.
+
+    Scale shape: the digest and byte length are computed map-side in ONE
+    codegen projection over the payload column — the blob itself dies at
+    the scan; the only exchange carries (32-byte digest, BIGINT) keys
+    with partial counts (map-side combine). Oracle computes the identical
+    sha256/length on the text the payload encodes (same UTF-8 bytes).
+    100 TB of media shuffles a few GB of digests."""
+    apply_engine_conf(spark)
+    media = _media(spark, sf_dir)
+    return (
+        media.select(
+            "doc_id",
+            "kind",
+            F.sha2(F.col("payload"), 256).alias("digest"),
+            F.length("payload").cast("bigint").alias("n_bytes"),
+        )
+        .groupBy("digest", "n_bytes")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            # modal-kind spread WITHOUT a count-distinct Expand: the kind
+            # domain is bounded, so presence flags (one max per kind)
+            # keep the rollup a single one-exchange aggregate
+            (
+                F.max(F.when(F.col("kind") == "image", 1).otherwise(0))
+                + F.max(F.when(F.col("kind") == "audio", 1).otherwise(0))
+            )
+            .cast("bigint")
+            .alias("n_kinds"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

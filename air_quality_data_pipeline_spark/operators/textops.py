@@ -2711,3 +2711,62 @@ def llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "es_key",
         )
     )
+
+
+# --- llm_tok_fertility: tokenizer fertility audit ------------------------------
+
+# Tokenizer FERTILITY — subword tokens per whitespace word — is the
+# metric that decides whether a tokenizer suits a corpus slice: fertility
+# near 1 means words survive whole, high fertility means the tokenizer
+# shreds this language/source (training cost up, effective context
+# down). Audited per (source, lang) cell with the SAME portable BPE-ish
+# lexer as llm_token_count (_TOKEN_RE: letter runs / digit runs /
+# symbols — Java regex and RE2 agree on the literal classes). BIGINT
+# sums; the two ratios divide identical operands in both engines.
+_TOK_FERTILITY_ORACLE = f"""
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS words,
+       CAST(SUM(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS BIGINT) AS subwords,
+       CAST(SUM(length(text)) AS BIGINT) AS chars,
+       CAST(SUM(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS DOUBLE)
+         / SUM(len(string_split(text, ' '))) AS fertility,
+       CAST(SUM(length(text)) AS DOUBLE)
+         / SUM(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS chars_per_subword
+FROM documents
+GROUP BY source, lang
+"""
+
+
+@register("llm_tok_fertility", oracle=_TOK_FERTILITY_ORACLE, tags=("llm", "text"))
+def llm_tok_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility audit per (source, lang): subword-per-word and
+    chars-per-subword ratios under the portable BPE-ish lexer — the
+    which-tokenizer-fits-this-corpus study (llm_token_count gives the
+    per-document counts; this is the corpus-cell rollup that the vocab /
+    budget decision actually reads).
+
+    Scale shape: both token counts are per-row regexp/split expressions
+    inside ONE codegen projection (zero Python); the rollup is a single
+    partial/final hash aggregate on a domain-bounded key (sources ×
+    langs) — exchanges carry one small row per cell per map task. 100 TB
+    cost is scan rate; the regex never leaves the executor."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("w"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_TOKEN_RE}', 0)"))
+        .cast("bigint")
+        .alias("sw"),
+        F.length("text").cast("bigint").alias("ch"),
+    )
+    return per.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("w").cast("bigint").alias("words"),
+        F.sum("sw").cast("bigint").alias("subwords"),
+        F.sum("ch").cast("bigint").alias("chars"),
+        (F.sum("sw").cast("double") / F.sum("w")).alias("fertility"),
+        (F.sum("ch").cast("double") / F.sum("sw")).alias("chars_per_subword"),
+    )

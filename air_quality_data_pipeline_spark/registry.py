@@ -134,6 +134,9 @@ DRIVER_PRIORITY = [
     "graph_adamic_adar",
     "win_gaps_islands",
     "dq_kanon",
+    "llm_ngram_containment",
+    "llm_tok_fertility",
+    "mm_dedup_binary",
     # (d) filler: stalest greens (last sampled r1), module order
     "flagship",
     "flt_isin",

@@ -1002,3 +1002,36 @@ def test_kanon_class_table_is_bounded_single_scan(spark, sf_dir):
     assert plan.count("Scan parquet") == 1, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_containment_computes_intersection_once(spark, sf_dir):
+    """llm_ngram_containment: ONE pair-aggregate exchange (the unordered
+    intersection), directions fanned map-side by explode, size table
+    joined broadcast — never a second pair shuffle, never cartesian."""
+    plan = _executed_plan(spark, "llm_ngram_containment", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tok_fertility_is_one_scan_one_exchange(spark, sf_dir):
+    """llm_tok_fertility: both lexers run inside one codegen projection;
+    the rollup is a single partial/final aggregate on the bounded
+    (source, lang) key — one scan, one exchange, zero Python."""
+    plan = _executed_plan(spark, "llm_tok_fertility", sf_dir)
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "EvalPython" not in plan
+
+
+def test_mm_dedup_binary_blobs_die_at_the_scan(spark, sf_dir):
+    """mm_dedup_binary: payload bytes reduce to (digest, len) map-side —
+    no exchange input carries the payload column; the kind spread uses
+    presence flags, not a count-distinct Expand (one exchange total)."""
+    plan = _executed_plan(spark, "mm_dedup_binary", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Expand" not in plan
+    import re as _re
+
+    for m in _re.finditer(r"Exchange hashpartitioning\([^\n]*", plan):
+        assert "payload#" not in m.group(0), m.group(0)

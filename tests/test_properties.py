@@ -1300,3 +1300,74 @@ def test_kanon_risk_is_monotone_in_k(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.risk_rate <= 1.0
         assert r.n_unsafe <= r.n_classes
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """llm_ngram_containment vs llm_ngram_jaccard: on the same panel,
+    max(C(A→B), C(B→A)) >= Jaccard(A,B) for every pair both report
+    (containment divides by one side, Jaccard by the union), and every
+    containment is in (0, 1]."""
+    cont = {}
+    for r in SPECS["llm_ngram_containment"].builder(spark, sf_dir).collect():
+        assert 0.0 < r.containment <= 1.0
+        assert 0 < r.n_inter <= r.n_a
+        cont[(r.doc_a, r.doc_b)] = r.containment
+    assert cont
+    jac = SPECS["llm_ngram_jaccard"].builder(spark, sf_dir).collect()
+    checked = 0
+    for r in jac:
+        best = max(
+            cont.get((r.doc_a, r.doc_b), 0.0), cont.get((r.doc_b, r.doc_a), 0.0)
+        )
+        if best:
+            assert best >= r.jaccard - 1e-12, (r.doc_a, r.doc_b, best, r.jaccard)
+            checked += 1
+    assert checked > 0
+
+
+def test_tok_fertility_reconciles_with_token_count(spark, sf_dir):
+    """llm_tok_fertility: cell sums must equal the per-document counts of
+    llm_token_count aggregated the same way (two independent pipelines),
+    and fertility >= 1 (the lexer never merges across whitespace)."""
+    cells = SPECS["llm_tok_fertility"].builder(spark, sf_dir).collect()
+    assert cells
+    per_doc = (
+        SPECS["llm_token_count"]
+        .builder(spark, sf_dir)
+        .join(table(spark, sf_dir, "documents").select("doc_id", "source", "lang"), "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.sum("ws_tokens").alias("w"),
+            F.sum("bpe_tokens").alias("sw"),
+            F.sum("chars").alias("ch"),
+        )
+        .collect()
+    )
+    ref = {(r.source, r.lang): r for r in per_doc}
+    assert len(cells) == len(ref)
+    for c in cells:
+        r = ref[(c.source, c.lang)]
+        assert (c.words, c.subwords, c.chars) == (r.w, r.sw, r.ch)
+        assert c.fertility >= 1.0
+
+
+def test_mm_dedup_binary_matches_text_dedup(spark, sf_dir):
+    """mm_dedup_binary vs llm_exact_dedup: the payload is the utf-8
+    encoding of the text, so binary duplicate groups must be exactly the
+    text duplicate groups (same keep ids, same copy counts) — two digest
+    functions (sha256 of bytes, md5 of string) over two columns agreeing
+    on the partition of the corpus."""
+    binary = {
+        r.keep_id: r.n_copies
+        for r in SPECS["mm_dedup_binary"].builder(spark, sf_dir).collect()
+    }
+    text = {
+        r.keep_id: r.dup_cnt
+        for r in SPECS["llm_exact_dedup"].builder(spark, sf_dir).collect()
+        if r.dup_cnt > 1
+    }
+    assert binary == text
+    rows = SPECS["mm_dedup_binary"].builder(spark, sf_dir).collect()
+    for r in rows:
+        assert 1 <= r.n_kinds <= 2
+        assert r.n_copies >= 2
