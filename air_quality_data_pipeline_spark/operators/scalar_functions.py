@@ -668,3 +668,85 @@ def f_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("shard_key"),
     )
+
+
+# --- f_ip_cidr: IPv4 parse, integer form, CIDR bucket, RFC-1918 flag ----------
+
+# Network-log analytics needs the IPv4 toolbox Spark doesn't ship as
+# builtins: dotted-quad → 32-bit integer, /16 CIDR bucketing, and the
+# RFC-1918 private-range predicate. The address is synthesized from
+# user_id (deterministic at every SF, like the geo operators' synthetic
+# coordinates), then PARSED BACK from its string form — the parse (split
+# + try-cast octets + positional weights) is the operator under test,
+# not the synthesis. Pure per-row codegen expressions: zero exchanges,
+# zero Python (function-tag gated).
+_IP_EXPR_SPARK = (
+    "concat(CAST(user_id % 223 + 1 AS STRING), '.', "
+    "CAST((user_id * 7) % 256 AS STRING), '.', "
+    "CAST((user_id * 13) % 256 AS STRING), '.', "
+    "CAST((user_id * 31) % 254 + 1 AS STRING))"
+)
+_IP_EXPR_DUCK = (
+    "(user_id % 223 + 1)::VARCHAR || '.' || "
+    "((user_id * 7) % 256)::VARCHAR || '.' || "
+    "((user_id * 13) % 256)::VARCHAR || '.' || "
+    "((user_id * 31) % 254 + 1)::VARCHAR"
+)
+
+_F_IP_CIDR_ORACLE = f"""
+WITH src AS (
+  SELECT event_id, {_IP_EXPR_DUCK} AS ip FROM events
+),
+oct AS (
+  SELECT event_id, ip,
+         CAST(string_split(ip, '.')[1] AS BIGINT) AS o1,
+         CAST(string_split(ip, '.')[2] AS BIGINT) AS o2,
+         CAST(string_split(ip, '.')[3] AS BIGINT) AS o3,
+         CAST(string_split(ip, '.')[4] AS BIGINT) AS o4
+  FROM src
+)
+SELECT event_id, ip,
+       o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS ip_num,
+       o1::VARCHAR || '.' || o2::VARCHAR || '.0.0/16' AS cidr16,
+       CAST(CASE WHEN o1 = 10 OR (o1 = 172 AND o2 BETWEEN 16 AND 31)
+                 OR (o1 = 192 AND o2 = 168) THEN 1 ELSE 0 END AS INT)
+         AS is_private
+FROM oct
+"""
+
+
+@register("f_ip_cidr", oracle=_F_IP_CIDR_ORACLE, tags=("function",))
+def f_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 toolbox: parse a dotted-quad address into its 32-bit integer
+    form, bucket it to /16 CIDR, and flag RFC-1918 private ranges — the
+    scalar kit behind network-log sessionization and geo-IP joins.
+
+    Scale shape: split + try_cast + positional weights are one codegen
+    projection; zero exchanges (function-tag plan-gated), so 100 TB
+    throughput is pure scan rate. try_cast keeps ANSI mode safe on
+    malformed quads (none here — but the operator contract is the parse,
+    which must not throw on dirty logs)."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    src = ev.select("event_id", F.expr(_IP_EXPR_SPARK).alias("ip"))
+    o = [
+        F.expr(f"try_cast(element_at(split(ip, '\\\\.'), {i + 1}) AS BIGINT)")
+        for i in range(4)
+    ]
+    return src.select(
+        "event_id",
+        "ip",
+        (o[0] * 16777216 + o[1] * 65536 + o[2] * 256 + o[3]).alias("ip_num"),
+        F.concat_ws(
+            "", o[0].cast("string"), F.lit("."), o[1].cast("string"), F.lit(".0.0/16")
+        ).alias("cidr16"),
+        F.when(
+            (o[0] == 10)
+            | ((o[0] == 172) & o[1].between(16, 31))
+            | ((o[0] == 192) & (o[1] == 168)),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("is_private"),
+    )

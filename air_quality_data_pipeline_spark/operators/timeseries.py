@@ -1266,3 +1266,200 @@ def ts_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("bias"),
     )
+
+
+# --- ts_twa: time-weighted average ---------------------------------------------
+
+# Plain AVG over irregular sensor readings over-weights bursts: ten
+# readings in a noisy minute count ten times what one reading covering a
+# quiet hour does. The time-weighted average integrates value × holding
+# time (last-observation-carried-forward between consecutive readings) —
+# the metric billing meters, SLA monitors and air-quality reporting
+# actually need. Exactness: value quantized to milli-units (FLOOR —
+# identical double op both engines), holding time to integer
+# milliseconds via identical integer division; the integral is then a
+# SUM of BIGINT products (≤ 1e6 × 8.6e7 per segment — no overflow), and
+# the single final division runs on identical operands. The last reading
+# of each (type, day) holds no segment (dt undefined → excluded), and
+# all-identical-timestamp groups (total dt 0) are dropped, not divided.
+_TWA_ORACLE = """
+WITH seg AS (
+  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         CAST(floor(value * 1000.0) AS BIGINT) AS v_milli,
+         (lead(epoch_us(ts)) OVER w - epoch_us(ts)) // 1000 AS dt_ms
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE)
+               ORDER BY epoch_us(ts), event_id)
+)
+SELECT event_type, day,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(dt_ms) AS BIGINT) AS covered_ms,
+       CAST(SUM(v_milli * dt_ms) AS BIGINT) AS integral_milli_ms,
+       CAST(SUM(v_milli * dt_ms) AS DOUBLE) / (1000.0 * SUM(dt_ms)) AS twa
+FROM seg
+WHERE dt_ms IS NOT NULL
+GROUP BY event_type, day
+HAVING SUM(dt_ms) > 0
+"""
+
+
+@register("ts_twa", oracle=_TWA_ORACLE, tags=("timeseries",))
+def ts_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per (event_type, day): integrate value ×
+    holding-time over consecutive readings (LOCF) and divide by covered
+    time — the burst-robust mean for irregular telemetry.
+
+    Scale shape: ONE exchange on (event_type, day) serves both the
+    lead() window (segment construction) and the integral aggregate
+    (same keys — Catalyst reuses the partitioning); every shuffled row
+    is (type, day, BIGINT, BIGINT). Integer milli-value × milli-second
+    products keep the integral commutative and bit-portable (see module
+    comment); day strings ride the portable yyyy-MM-dd contract."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.to_timestamp("ts"))
+    base = ev.select(
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        F.floor(F.col("value") * 1000.0).cast("bigint").alias("v_milli"),
+        us.alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("us", "event_id")
+    seg = base.select(
+        "event_type",
+        "day",
+        "v_milli",
+        ((F.lead("us").over(w) - F.col("us")) / F.lit(1000))
+        .cast("bigint")
+        .alias("dt_ms"),
+    ).filter(F.col("dt_ms").isNotNull())
+    return (
+        seg.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum("dt_ms").cast("bigint").alias("covered_ms"),
+            F.sum(F.col("v_milli") * F.col("dt_ms"))
+            .cast("bigint")
+            .alias("integral_milli_ms"),
+            (
+                F.sum(F.col("v_milli") * F.col("dt_ms")).cast("double")
+                / (F.lit(1000.0) * F.sum("dt_ms"))
+            ).alias("twa"),
+        )
+        .filter(F.col("covered_ms") > 0)
+    )
+
+
+# --- ts_theilsen: robust trend (median of pairwise slopes) ---------------------
+
+# OLS trend (ts_trend_slope) is one outlier away from nonsense; the
+# Theil–Sen estimator — the MEDIAN of all pairwise slopes — has a 29%
+# breakdown point and is THE robust trend line for noisy telemetry.
+# Pairwise over DAYS (not raw rows): the daily pre-aggregate bounds the
+# pair stage to days²/2 per series (~4k pairs for a quarter of data) no
+# matter how many raw readings exist — the same bounded-panel discipline
+# as llm_ngram_jaccard. Exactness: each slope is quantized by
+# cross-multiplying exact BIGINT daily sums/counts —
+# FLOOR(1000 × (sum_j·cnt_i − sum_i·cnt_j) / (cnt_i·cnt_j·Δday)) — no
+# double ever enters the ranking; the median picks the LOWER middle
+# element (rank (m+1)//2), an actual quantized slope, so the result is
+# integer-exact in both engines.
+_THEILSEN_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) - DATE '1970-01-01' AS d,
+         CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS s_mu,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+slopes AS (
+  SELECT a.event_type,
+         CAST(floor(1000.0 * (b.s_mu * a.c - a.s_mu * b.c)
+              / (1000000.0 * a.c * b.c * (b.d - a.d))) AS BIGINT) AS slope_milli
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND b.d > a.d
+),
+ranked AS (
+  SELECT event_type, slope_milli,
+         row_number() OVER (PARTITION BY event_type ORDER BY slope_milli) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS m
+  FROM slopes
+)
+SELECT event_type, CAST(m AS BIGINT) AS n_pairs,
+       slope_milli AS ts_slope_milli,
+       CAST(slope_milli AS DOUBLE) / 1000.0 AS ts_slope_per_day
+FROM ranked WHERE rn = (m + 1) // 2
+"""
+
+
+@register("ts_theilsen", oracle=_THEILSEN_ORACLE, tags=("timeseries",))
+def ts_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event_type: the median pairwise slope of
+    the DAILY series — the 29%-breakdown alternative to ts_trend_slope's
+    OLS, for telemetry where spikes would hijack a least-squares fit.
+
+    Scale shape: the raw stream collapses to one (type, day, BIGINT sum,
+    count) row per day FIRST (partial/final hash aggregate — the only
+    corpus-sized work); the quadratic pair stage runs on that bounded
+    daily table (days²/2 per series, independent of raw volume) as a
+    type-keyed equi-join, and the median is one rank window per type.
+    Slopes rank as cross-multiplied BIGINTs — no float in the order key
+    (see module comment)."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    # persist the bounded daily table: both pair-join branches read it, so
+    # without this the corpus-sized aggregate (the expensive stage) runs
+    # twice — scoped_persist caps it at ONE scan of events
+    daily = scoped_persist(
+        ev.groupBy(
+            "event_type", F.unix_date(F.to_date("ts")).cast("bigint").alias("d")
+        ).agg(
+            F.sum(F.floor(F.col("value") * 1000000.0).cast("bigint"))
+            .cast("bigint")
+            .alias("s_mu"),
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+        )
+    )
+    a = daily.select(
+        "event_type",
+        F.col("d").alias("d_a"),
+        F.col("s_mu").alias("s_a"),
+        F.col("c").alias("c_a"),
+    )
+    b = daily.select(
+        "event_type",
+        F.col("d").alias("d_b"),
+        F.col("s_mu").alias("s_b"),
+        F.col("c").alias("c_b"),
+    )
+    slopes = a.join(b, "event_type").filter(F.col("d_b") > F.col("d_a")).select(
+        "event_type",
+        F.floor(
+            F.lit(1000.0)
+            * (F.col("s_b") * F.col("c_a") - F.col("s_a") * F.col("c_b"))
+            / (
+                F.lit(1000000.0)
+                * F.col("c_a")
+                * F.col("c_b")
+                * (F.col("d_b") - F.col("d_a"))
+            )
+        )
+        .cast("bigint")
+        .alias("slope_milli"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope_milli")
+    wc = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope_milli",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("m"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(m + 1) div 2")
+    ).select(
+        "event_type",
+        F.col("m").cast("bigint").alias("n_pairs"),
+        F.col("slope_milli").alias("ts_slope_milli"),
+        (F.col("slope_milli").cast("double") / 1000.0).alias("ts_slope_per_day"),
+    )

@@ -137,6 +137,9 @@ DRIVER_PRIORITY = [
     "llm_ngram_containment",
     "llm_tok_fertility",
     "mm_dedup_binary",
+    "ts_twa",
+    "ts_theilsen",
+    "f_ip_cidr",
     # (d) filler: stalest greens (last sampled r1), module order
     "flagship",
     "flt_isin",

@@ -1035,3 +1035,32 @@ def test_mm_dedup_binary_blobs_die_at_the_scan(spark, sf_dir):
 
     for m in _re.finditer(r"Exchange hashpartitioning\([^\n]*", plan):
         assert "payload#" not in m.group(0), m.group(0)
+
+
+def test_twa_is_one_exchange_window_plus_agg(spark, sf_dir):
+    """ts_twa: the lead() window and the integral aggregate both key on
+    (event_type, day) — ONE exchange serves both; single scan, no join,
+    no Python."""
+    plan = _executed_plan(spark, "ts_twa", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "EvalPython" not in plan
+
+
+def test_theilsen_pairs_read_the_cached_daily(spark, sf_dir):
+    """ts_theilsen: the corpus-sized daily aggregate is persisted — both
+    pair-join branches hit InMemoryTableScan (one events pass total); the
+    pair stage is a type-keyed equi-join, never cartesian."""
+    plan = _executed_plan(spark, "ts_theilsen", sf_dir)
+    assert plan.count("InMemoryTableScan") == 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ip_cidr_never_shuffles(spark, sf_dir):
+    """f_ip_cidr: parse + bit math + range predicate are one codegen
+    projection — zero exchanges (also enforced by the function-tag sweep;
+    this pins the specific op)."""
+    plan = _executed_plan(spark, "f_ip_cidr", sf_dir)
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan

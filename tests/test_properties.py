@@ -1371,3 +1371,70 @@ def test_mm_dedup_binary_matches_text_dedup(spark, sf_dir):
     for r in rows:
         assert 1 <= r.n_kinds <= 2
         assert r.n_copies >= 2
+
+
+def test_twa_lies_within_value_range_and_covers_time(spark, sf_dir):
+    """ts_twa: the time-weighted average lies inside the group's
+    [min, max] value band (a convex combination of observed values, up
+    to milli-quantization), and covered time is positive and below 24 h
+    per (type, day)."""
+    rows = SPECS["ts_twa"].builder(spark, sf_dir).collect()
+    assert rows
+    ev = table(spark, sf_dir, "events")
+    band = {
+        (r.event_type, r.day): r
+        for r in ev.groupBy(
+            "event_type", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for r in rows:
+        b = band[(r.event_type, r.day)]
+        assert b.lo - 0.001 <= r.twa <= b.hi + 0.001, r
+        assert 0 < r.covered_ms <= 86_400_000
+        assert r.n_segments >= 1
+
+
+def test_theilsen_median_is_between_slope_extremes(spark, sf_dir):
+    """ts_theilsen: n_pairs == days·(days−1)/2 per type, and the median
+    slope is bracketed by the exact min/max pairwise daily-mean slopes
+    computed independently in Python."""
+    rows = {r.event_type: r for r in SPECS["ts_theilsen"].builder(spark, sf_dir).collect()}
+    assert rows
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.avg("value").alias("m"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.day.toordinal(), r.m))
+    for et, pts in series.items():
+        pts.sort()
+        n = len(pts)
+        slopes = [
+            (y2 - y1) / (x2 - x1) for i, (x1, y1) in enumerate(pts)
+            for (x2, y2) in pts[i + 1 :]
+        ]
+        r = rows[et]
+        assert r.n_pairs == n * (n - 1) // 2
+        assert min(slopes) - 0.002 <= r.ts_slope_per_day <= max(slopes) + 0.002
+
+
+def test_ip_cidr_roundtrip_and_ranges(spark, sf_dir):
+    """f_ip_cidr: ip_num round-trips to the dotted quad, every octet is in
+    range (first/last octet never 0 by synthesis), cidr16 prefixes the
+    address, and the private flag matches a Python reimplementation."""
+    rows = SPECS["f_ip_cidr"].builder(spark, sf_dir).limit(2000).collect()
+    assert rows
+    for r in rows:
+        o = [int(x) for x in r.ip.split(".")]
+        assert all(0 <= x <= 255 for x in o) and o[0] >= 1 and o[3] >= 1
+        assert r.ip_num == (o[0] << 24) + (o[1] << 16) + (o[2] << 8) + o[3]
+        assert r.cidr16 == f"{o[0]}.{o[1]}.0.0/16"
+        priv = o[0] == 10 or (o[0] == 172 and 16 <= o[1] <= 31) or (
+            o[0] == 192 and o[1] == 168
+        )
+        assert r.is_private == int(priv)
