@@ -1228,3 +1228,69 @@ def agg_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("est_within_15pct"),
     )
+
+
+# --- agg_gini: concentration (inequality) coefficient ---------------------------
+
+# "Is this corpus slice dominated by a few huge documents?" — the Gini
+# coefficient of document length per source, the corpus-balance audit a
+# data-mixing recipe reads next to llm_domain_mix (a source with high
+# length-Gini contributes fewer effective documents than its row count
+# suggests). Computed by the rank formula
+#   G = (2·Σ rᵢxᵢ − (n+1)·Σx) / (n·Σx)
+# over x sorted ascending: Σ rᵢxᵢ is invariant to how ties are ranked
+# (equal x, permuted ranks — same sum), so a (value, id) tiebreak makes
+# the window deterministic without affecting G. All-BIGINT numerators
+# (n_chars is already an integer), one final division on identical
+# operands — engine-exact, no float in any sum.
+_GINI_ORACLE = """
+WITH ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS r
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(2 * SUM(r * n_chars) - (COUNT(*) + 1) * SUM(n_chars) AS BIGINT)
+         AS gini_num,
+       CAST(COUNT(*) * SUM(n_chars) AS BIGINT) AS gini_den,
+       CAST(2 * SUM(r * n_chars) - (COUNT(*) + 1) * SUM(n_chars) AS DOUBLE)
+         / (COUNT(*) * SUM(n_chars)) AS gini
+FROM ranked GROUP BY source
+"""
+
+
+@register("agg_gini", oracle=_GINI_ORACLE, tags=("aggregate",))
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of document length per source — the
+    corpus-balance audit behind mixing decisions: 0 = every document the
+    same size, →1 = a handful of giants carry the slice.
+
+    Scale shape: ONE exchange on source serves both the ascending rank
+    window and the final aggregate (same key — Catalyst reuses the
+    partitioning); every shuffled row is (source, BIGINT, BIGINT). The
+    rank formula needs no pairwise |xᵢ−xⱼ| expansion (the textbook
+    definition is quadratic — this is the sorted-rank identity), and all
+    sums are BIGINT products of in-range operands (n·Σ(r·x) stays well
+    under 2^63 through sf100), so the result is bit-identical on any
+    partitioning."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source", "n_chars", F.row_number().over(w).cast("bigint").alias("r")
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("n_chars")
+    srx = F.sum(F.col("r") * F.col("n_chars"))
+    return ranked.groupBy("source").agg(
+        n.cast("bigint").alias("n_docs"),
+        sx.cast("bigint").alias("total_chars"),
+        (2 * srx - (n + 1) * sx).cast("bigint").alias("gini_num"),
+        (n * sx).cast("bigint").alias("gini_den"),
+        ((2 * srx - (n + 1) * sx).cast("double") / (n * sx)).alias("gini"),
+    )

@@ -2770,3 +2770,85 @@ def llm_tok_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("sw").cast("double") / F.sum("w")).alias("fertility"),
         (F.sum("ch").cast("double") / F.sum("sw")).alias("chars_per_subword"),
     )
+
+
+# --- llm_sft_format: instruction-tuning example rendering ----------------------
+
+# The SFT data-prep step: split each document into (prompt, completion)
+# at a fixed token boundary and render the chat template the trainer
+# consumes — with the template literals, role markers and newlines
+# pinned by digest (a one-character template drift silently ruins a
+# fine-tune; the digest makes it a hash mismatch instead). Everything is
+# per-row array/string algebra in ONE codegen projection: zero
+# exchanges, zero Python. Documents too short to split (≤ prompt length)
+# are excluded — an SFT pair needs a non-empty completion.
+_SFT_PROMPT_TOKENS = 16
+_SFT_SYSTEM = "You are a helpful assistant."
+
+_SFT_FORMAT_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS arr,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+split_doc AS (
+  SELECT doc_id, n,
+         array_to_string(list_slice(arr, 1, {_SFT_PROMPT_TOKENS}), ' ') AS prompt,
+         array_to_string(list_slice(arr, {_SFT_PROMPT_TOKENS} + 1, n), ' ')
+           AS completion
+  FROM base WHERE n > {_SFT_PROMPT_TOKENS}
+)
+SELECT doc_id,
+       CAST({_SFT_PROMPT_TOKENS} AS BIGINT) AS n_prompt_tokens,
+       CAST(n - {_SFT_PROMPT_TOKENS} AS BIGINT) AS n_completion_tokens,
+       CAST(length('<|system|>' || chr(10) || '{_SFT_SYSTEM}' || chr(10)
+            || '<|user|>' || chr(10) || prompt || chr(10)
+            || '<|assistant|>' || chr(10) || completion || '<|end|>') AS BIGINT)
+         AS n_chars,
+       md5('<|system|>' || chr(10) || '{_SFT_SYSTEM}' || chr(10)
+           || '<|user|>' || chr(10) || prompt || chr(10)
+           || '<|assistant|>' || chr(10) || completion || '<|end|>')
+         AS rendered_digest
+FROM split_doc
+"""
+
+
+@register("llm_sft_format", oracle=_SFT_FORMAT_ORACLE, tags=("llm", "text"))
+def llm_sft_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-tuning example rendering: split each document into a
+    16-token prompt + remainder completion and render the chat template
+    (system/user/assistant role markers), emitting token counts, rendered
+    length and the template digest — the SFT-format step of a
+    fine-tuning data pipeline, with the template pinned byte-for-byte.
+
+    Scale shape: split, slice, join and the digest build inside ONE
+    per-row Catalyst projection — ZERO exchanges, zero Python; the
+    filter (documents long enough to yield a completion) is a row-local
+    predicate. 100 TB cost is scan rate × executors; the rendered text
+    itself never needs to leave the executor — downstream writers
+    consume it in place, comparators consume the digest."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("arr"),
+        F.size(F.split("text", " ")).alias("n"),
+    ).filter(F.col("n") > _SFT_PROMPT_TOKENS)
+    prompt = F.expr(f"array_join(slice(arr, 1, {_SFT_PROMPT_TOKENS}), ' ')")
+    completion = F.expr(
+        f"array_join(slice(arr, {_SFT_PROMPT_TOKENS} + 1, n - {_SFT_PROMPT_TOKENS}), ' ')"
+    )
+    rendered = F.concat(
+        F.lit("<|system|>\n" + _SFT_SYSTEM + "\n<|user|>\n"),
+        prompt,
+        F.lit("\n<|assistant|>\n"),
+        completion,
+        F.lit("<|end|>"),
+    )
+    return base.select(
+        "doc_id",
+        F.lit(_SFT_PROMPT_TOKENS).cast("bigint").alias("n_prompt_tokens"),
+        (F.col("n") - _SFT_PROMPT_TOKENS).cast("bigint").alias("n_completion_tokens"),
+        F.length(rendered).cast("bigint").alias("n_chars"),
+        F.md5(rendered).alias("rendered_digest"),
+    )

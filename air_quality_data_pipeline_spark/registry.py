@@ -140,6 +140,8 @@ DRIVER_PRIORITY = [
     "ts_twa",
     "ts_theilsen",
     "f_ip_cidr",
+    "llm_sft_format",
+    "agg_gini",
     # (d) filler: stalest greens (last sampled r1), module order
     "flagship",
     "flt_isin",

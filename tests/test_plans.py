@@ -1064,3 +1064,21 @@ def test_ip_cidr_never_shuffles(spark, sf_dir):
     plan = _executed_plan(spark, "f_ip_cidr", sf_dir)
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan
+
+
+def test_sft_format_is_pure_map(spark, sf_dir):
+    """llm_sft_format: split + slice + template render + digest are one
+    codegen projection — zero exchanges, zero Python."""
+    plan = _executed_plan(spark, "llm_sft_format", sf_dir)
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan
+
+
+def test_gini_shares_one_source_exchange(spark, sf_dir):
+    """agg_gini: the ascending rank window and the final aggregate both
+    key on source — ONE exchange, one scan, no join (the rank identity
+    avoids the quadratic pairwise-difference expansion entirely)."""
+    plan = _executed_plan(spark, "agg_gini", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan

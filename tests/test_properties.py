@@ -1438,3 +1438,55 @@ def test_ip_cidr_roundtrip_and_ranges(spark, sf_dir):
             o[0] == 192 and o[1] == 168
         )
         assert r.is_private == int(priv)
+
+
+def test_sft_format_conserves_tokens_and_template(spark, sf_dir):
+    """llm_sft_format: prompt + completion tokens equal the document's
+    whitespace token count; rows exist exactly for documents longer than
+    the prompt; a hand-rendered template for one row reproduces the
+    digest bit-for-bit."""
+    import hashlib
+
+    rows = {r.doc_id: r for r in SPECS["llm_sft_format"].builder(spark, sf_dir).collect()}
+    assert rows
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    checked_digest = False
+    for d in docs:
+        toks = d.text.split(" ")
+        if len(toks) > 16:
+            r = rows.pop(d.doc_id)
+            assert r.n_prompt_tokens + r.n_completion_tokens == len(toks)
+            if not checked_digest:
+                rendered = (
+                    "<|system|>\nYou are a helpful assistant.\n<|user|>\n"
+                    + " ".join(toks[:16])
+                    + "\n<|assistant|>\n"
+                    + " ".join(toks[16:])
+                    + "<|end|>"
+                )
+                assert r.rendered_digest == hashlib.md5(rendered.encode()).hexdigest()
+                assert r.n_chars == len(rendered)
+                checked_digest = True
+        else:
+            assert d.doc_id not in rows
+    assert not rows  # every output row consumed exactly once
+    assert checked_digest
+
+
+def test_gini_matches_pairwise_definition(spark, sf_dir):
+    """agg_gini: the rank-identity G must equal the textbook mean-absolute-
+    difference definition G = Σᵢⱼ|xᵢ−xⱼ| / (2n²·mean) computed
+    independently in Python, and sit in [0, 1)."""
+    rows = SPECS["agg_gini"].builder(spark, sf_dir).collect()
+    assert rows
+    by_src: dict[str, list[int]] = {}
+    for d in table(spark, sf_dir, "documents").select("source", "n_chars").collect():
+        by_src.setdefault(d.source, []).append(d.n_chars)
+    for r in rows:
+        xs = by_src[r.source]
+        n, s = len(xs), sum(xs)
+        assert (r.n_docs, r.total_chars) == (n, s)
+        mad = sum(abs(a - b) for a in xs for b in xs)  # includes both orders
+        expected = mad / (2 * n * s)
+        assert abs(r.gini - expected) < 1e-9, (r.source, r.gini, expected)
+        assert 0.0 <= r.gini < 1.0
