@@ -824,6 +824,14 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # last-ulp knife edge, and the per-edge score is then a SUM of BIGINTs
 # (commutative — partitioning-independent). deg(w) >= 2 for any common
 # neighbor (w touches both endpoints), so ln never sees 1.
+#
+# Weights ride the EDGE table, not the credit stream: attaching
+# FLOOR(10^6/ln deg) to fwd's two endpoints (|E|/2-row joins) lets every
+# triangle carry t_a, t_b, t_c inline, so the 3x|tri| credit stream is
+# pure projection + ONE aggregate — profiled at sf1 (134M triangles),
+# joining the per-node weight onto the credit stream instead costs 342 s
+# in the oracle engine vs ~140 s for this shape; the same restructuring
+# removes a 400M-row broadcast-join probe from the Spark side.
 _AA_SCALE = 1_000_000
 
 _ADAMIC_ADAR_ORACLE = """
@@ -838,28 +846,33 @@ edges AS MATERIALIZED (
   SELECT src, dst FROM pair_counts
   WHERE w > (SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*) FROM pair_counts)
 ),
-deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
-fwd AS (SELECT src, dst FROM edges WHERE src < dst),
-tri AS (
-  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+wt AS MATERIALIZED (
+  SELECT src AS node,
+         CAST(floor(1000000.0 / ln(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS t
+  FROM edges GROUP BY src
+),
+fwd AS MATERIALIZED (
+  SELECT e.src, e.dst, wa.t AS t_src, wb.t AS t_dst
+  FROM (SELECT src, dst FROM edges WHERE src < dst) e
+  JOIN wt wa ON wa.node = e.src
+  JOIN wt wb ON wb.node = e.dst
+),
+tri AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c,
+         e1.t_src AS t_a, e1.t_dst AS t_b, e2.t_dst AS t_c
   FROM fwd e1
   JOIN fwd e2 ON e2.src = e1.dst
   JOIN fwd e3 ON e3.src = e1.src AND e3.dst = e2.dst
 ),
-contrib AS (
-  SELECT x, y, w FROM (
-    SELECT a AS x, b AS y, c AS w FROM tri
-    UNION ALL SELECT a, c, b FROM tri
-    UNION ALL SELECT b, c, a FROM tri
+scored AS MATERIALIZED (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+         CAST(SUM(t) AS BIGINT) AS aa_micro
+  FROM (
+    SELECT a AS x, b AS y, t_c AS t FROM tri
+    UNION ALL SELECT a, c, t_b FROM tri
+    UNION ALL SELECT b, c, t_a FROM tri
   )
-),
-scored AS (
-  SELECT c.x, c.y,
-         CAST(COUNT(*) AS BIGINT) AS common_neighbors,
-         CAST(SUM(CAST(floor(1000000.0 / ln(CAST(d.d AS DOUBLE))) AS BIGINT))
-              AS BIGINT) AS aa_micro
-  FROM contrib c JOIN deg d ON d.node = c.w
-  GROUP BY c.x, c.y
+  GROUP BY x, y
 )
 SELECT f.src, f.dst,
        COALESCE(s.common_neighbors, 0) AS common_neighbors,
@@ -878,46 +891,54 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     recommendation and graph-cleaning pipelines.
 
     Scale shape: REUSES graph_jaccard's degree-bounded oriented triangle
-    pipeline — each canonical triangle (a<b<c over src<dst edges) emits
-    its three (edge, common-neighbor) credits MAP-SIDE via explode, the
-    per-neighbor weight arrives by broadcasting the |V|-row degree table
-    onto the credit stream, and one hash aggregate sums integer
-    micro-units (FLOOR(10^6/ln deg) — see module comment for why this is
-    bit-portable). Never materializes N(a)⋈N(b): the wedge join is
-    degree-bounded exactly like graph_triangles, so the 100 TB cost is
-    the triangle count, not sum-of-degrees²."""
+    pipeline, but the per-node weight FLOOR(10^6/ln deg) is attached to
+    the EDGE table's two endpoints up front (two broadcast joins on the
+    |E|/2-row oriented edge list) so each canonical triangle carries all
+    three neighbor weights INLINE — the 3x|tri| credit stream is a pure
+    map-side explode feeding ONE hash aggregate, with no join anywhere on
+    the triangle-sized data (profiled: the join-the-credits alternative
+    is 2.4x slower at sf1 and the gap widens with triangle count).
+    Integer micro-unit sums — bit-portable on any partitioning (see
+    module comment)."""
     apply_engine_conf(spark)
     edges = _copurchase_edges(spark, sf_dir)
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("d")
+    wt = edges.groupBy(F.col("src").alias("node")).agg(
+        F.floor(
+            F.lit(float(_AA_SCALE)) / F.log(F.count(F.lit(1)).cast("double"))
+        )
+        .cast("bigint")
+        .alias("t")
     )
-    fwd = edges.filter(F.col("src") < F.col("dst"))
+    fwd = (
+        edges.filter(F.col("src") < F.col("dst"))
+        .join(F.broadcast(wt.select(F.col("node").alias("src"), F.col("t").alias("t_src"))), "src")
+        .join(F.broadcast(wt.select(F.col("node").alias("dst"), F.col("t").alias("t_dst"))), "dst")
+        .select("src", "dst", "t_src", "t_dst")
+    )
     e1, e2, e3 = fwd.alias("e1"), fwd.alias("e2"), fwd.alias("e3")
     wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).select(
-        F.col("e1.src").alias("a"), F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c")
+        F.col("e1.src").alias("a"),
+        F.col("e1.dst").alias("b"),
+        F.col("e2.dst").alias("c"),
+        F.col("e1.t_src").alias("t_a"),
+        F.col("e1.t_dst").alias("t_b"),
+        F.col("e2.t_dst").alias("t_c"),
     )
     tri = wedges.join(
         e3, (F.col("a") == F.col("e3.src")) & (F.col("c") == F.col("e3.dst"))
-    ).select("a", "b", "c")
+    ).select("a", "b", "c", "t_a", "t_b", "t_c")
     contrib = tri.select(
         F.explode(
             F.array(
-                F.struct(F.col("a").alias("x"), F.col("b").alias("y"), F.col("c").alias("w")),
-                F.struct(F.col("a").alias("x"), F.col("c").alias("y"), F.col("b").alias("w")),
-                F.struct(F.col("b").alias("x"), F.col("c").alias("y"), F.col("a").alias("w")),
+                F.struct(F.col("a").alias("x"), F.col("b").alias("y"), F.col("t_c").alias("t")),
+                F.struct(F.col("a").alias("x"), F.col("c").alias("y"), F.col("t_b").alias("t")),
+                F.struct(F.col("b").alias("x"), F.col("c").alias("y"), F.col("t_a").alias("t")),
             )
         ).alias("p")
-    ).select("p.x", "p.y", "p.w")
-    term = F.floor(F.lit(float(_AA_SCALE)) / F.log(F.col("d").cast("double"))).cast(
-        "bigint"
-    )
-    scored = (
-        contrib.join(F.broadcast(deg.withColumnRenamed("node", "w")), "w")
-        .groupBy("x", "y")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
-            F.sum(term).cast("bigint").alias("aa_micro"),
-        )
+    ).select("p.x", "p.y", "p.t")
+    scored = contrib.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+        F.sum("t").cast("bigint").alias("aa_micro"),
     )
     return (
         fwd.join(scored, (fwd.src == scored.x) & (fwd.dst == scored.y), "left")

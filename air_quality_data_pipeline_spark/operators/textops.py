@@ -2852,3 +2852,139 @@ def llm_sft_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(rendered).cast("bigint").alias("n_chars"),
         F.md5(rendered).alias("rendered_digest"),
     )
+
+
+# --- llm_char_entropy: character-entropy gibberish filter -----------------------
+
+# The Gopher/C4-family quality rule llm_quality_score doesn't cover:
+# CHARACTER-level Shannon entropy. Keyboard mash, base64 blobs and
+# single-char floods have abnormal char entropy, invisible to word-level
+# stats. Counts come from the length-minus-replace identity over a FIXED
+# literal alphabet (a-z, 0-9, space + an everything-else bucket), so the
+# whole operator is ONE per-row projection — no explode, no shuffle. The
+# entropy sum is an EXPLICIT left-to-right chain over the literal
+# alphabet order (the Python generator emits the same term order into
+# both engines), so the doubles agree bit-for-bit.
+_ENTROPY_ALPHABET = [chr(c) for c in range(ord("a"), ord("z") + 1)] + [
+    str(d) for d in range(10)
+] + [" "]
+
+
+def _char_entropy_sql(text: str, length: str) -> str:
+    """-Σ p·ln(p) as an explicit term chain; p from length-replace counts.
+    Identical SQL text works in Spark and DuckDB (both have length/replace/ln)."""
+    cnts = [
+        f"(length({text}) - length(replace({text}, '{c}', '')))"
+        for c in _ENTROPY_ALPHABET
+    ]
+    other = f"({length} - ({' + '.join(cnts)}))"
+    terms = [
+        f"(CASE WHEN {c} > 0 THEN -((CAST({c} AS DOUBLE) / {length}) * "
+        f"ln(CAST({c} AS DOUBLE) / {length})) ELSE 0.0 END)"
+        for c in [*cnts, other]
+    ]
+    return " + ".join(terms)
+
+
+_CHAR_ENTROPY_ORACLE = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       ROUND({_char_entropy_sql('text', 'length(text)')}, 9) AS char_entropy,
+       CAST(CASE WHEN ROUND({_char_entropy_sql('text', 'length(text)')}, 9) < 2.0
+                 THEN 1 ELSE 0 END AS INT) AS low_entropy
+FROM documents
+WHERE length(text) > 0
+"""
+
+
+@register("llm_char_entropy", oracle=_CHAR_ENTROPY_ORACLE, tags=("llm", "text", "quality"))
+def llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document plus the low-entropy
+    flag — the gibberish/flood filter (mashed keys, base64, repeated
+    fills) that word-level quality stats miss.
+
+    Scale shape: per-alphabet-char counts via the length-minus-replace
+    identity over a FIXED 37-char alphabet + other-bucket, the entropy a
+    literal left-to-right term chain — everything folds into ONE codegen
+    projection: zero exchanges, zero explode, zero Python. 100 TB cost is
+    scan rate; the chain order is pinned by the shared SQL generator, so
+    the double is bit-identical in both engines."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    # ROUND(…, 9): ln() is libm-class — JVM and C differ in the last ulp
+    # on some operands (same convention as the trig functions, f_trig)
+    ent = f'ROUND({_char_entropy_sql("text", "length(text)")}, 9)'
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.expr(ent).alias("char_entropy"),
+        F.expr(f"CAST(CASE WHEN {ent} < 2.0 THEN 1 ELSE 0 END AS INT)").alias(
+            "low_entropy"
+        ),
+    )
+
+
+# --- llm_dataset_interleave: deterministic mixing schedule ----------------------
+
+# Training consumes sources in a MIXING SCHEDULE, not in storage order: a
+# run that reads all of source A then all of source B drifts; the
+# schedule must interleave each source evenly across the epoch. The
+# classic deterministic recipe: within a source, docs take ranks 1..n;
+# the global sort key is the rational (2·rank − 1) / (2·n_source) — doc
+# k of a source sits at the k-th (2k−1)/2n quantile of the epoch, so
+# every source spreads uniformly regardless of size (the round-robin
+# generalization to unequal sizes). The key is emitted as an integer
+# (× 10^12, identical div both engines); materializing the total order
+# is the CONSUMER's range-partitioned sort — emitting the key instead of
+# a row_number()-over-() keeps the operator shuffle-bounded (a global
+# row_number would serialize the corpus through ONE partition at 100 TB).
+_INTERLEAVE_SCALE = 1_000_000_000_000
+
+_INTERLEAVE_ORACLE = f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY source) AS n_src
+  FROM documents
+)
+SELECT CAST((2 * rnk - 1) * {_INTERLEAVE_SCALE} // (2 * n_src) AS BIGINT)
+         AS schedule_key,
+       source, doc_id, CAST(rnk AS BIGINT) AS rank_in_source,
+       CAST(n_src AS BIGINT) AS n_in_source
+FROM ranked
+"""
+
+
+@register("llm_dataset_interleave", oracle=_INTERLEAVE_ORACLE, tags=("llm", "text"))
+def llm_dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dataset-mixing schedule: each document's epoch
+    position key (2k−1)/2n quantile of its source, emitted as a BIGINT —
+    sorting by (schedule_key, source, doc_id) yields an epoch order in
+    which every source is spread uniformly, whatever its size.
+
+    Scale shape: ONE exchange on source serves the rank window and the
+    per-source count (same partition spec — one sort, stacked windows);
+    the key is a row-local integer expression. Deliberately NOT a global
+    row_number: the total order is the consumer's range-partitioned sort
+    (TakeOrdered/write-sorted), because a row_number() over () funnels
+    the corpus through a single partition — the exact shape this
+    operator exists to avoid."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    wc = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        F.count(F.lit(1)).over(wc).cast("bigint").alias("n_src"),
+    )
+    return ranked.select(
+        F.expr(f"(2 * rnk - 1) * {_INTERLEAVE_SCALE}L div (2 * n_src)").alias(
+            "schedule_key"
+        ),
+        "source",
+        "doc_id",
+        F.col("rnk").alias("rank_in_source"),
+        F.col("n_src").alias("n_in_source"),
+    )

@@ -197,7 +197,18 @@ DRIVER_WINDOW = DRIVER_PRIORITY[:50]
 # emptying the deferral set. New operators registered this round must go
 # into block (c) of DRIVER_PRIORITY in the same commit — the round-6
 # lesson: a @register without window accounting ships a red suite.
-DEFERRED_FIRST_ROW: set[str] = set()
+#
+# Session-2 addendum: block (c) grew to 40 round-7 operators, filling all
+# 50 slots with first-row candidates. The two operators registered AFTER
+# the window filled are deliberately deferred to lead the round-8 window
+# (both locally oracle-green at sf0.001/0.01/0.1): llm_char_entropy and
+# llm_dataset_interleave. st_approx_distinct is rows-only by design
+# (HLL++ registers aren't DuckDB-reproducible; value anchor =
+# within-5%-of-exact property test) and is exempt per the rows-only rule.
+DEFERRED_FIRST_ROW: set[str] = {
+    "llm_char_entropy",
+    "llm_dataset_interleave",
+}
 
 
 def load_all_queries() -> dict[str, QuerySpec]:

@@ -454,3 +454,28 @@ def st_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(20,9)")).cast("double").alias("total_value"),
     )
     return run_available_now(agg, "complete", "st_static_join")
+
+
+@register("st_approx_distinct", tags=("streaming", "rows-only"))
+def st_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cardinality sketch: approx_count_distinct(user_id) per
+    event_type over the incremental stream — the only way to keep
+    "uniques so far" on an unbounded feed, because EXACT streaming
+    distinct needs per-key state linear in the universe (two chained
+    aggregations are also unsupported in one streaming query). The HLL++
+    register state is constant-size per group and merges associatively,
+    which is precisely what a micro-batch engine needs.
+
+    Rows-only by design: Spark's HLL++ estimate is deterministic for a
+    given dataset but not reproducible in DuckDB (different sketch
+    family). Its value anchor is the within-5%-of-exact property test
+    (tests/test_properties.py::test_streaming_approx_distinct_close_to_exact),
+    mirroring the agg_sketch_union precedent. Complete mode + AvailableNow
+    makes the final state comparable to the batch sketch over the same
+    rows."""
+    sdf = read_events_stream(spark, sf_dir)
+    agg = sdf.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return run_available_now(agg, "complete", "st_approx_distinct")

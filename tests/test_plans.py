@@ -1082,3 +1082,24 @@ def test_gini_shares_one_source_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_char_entropy_is_pure_map(spark, sf_dir):
+    """llm_char_entropy: the alphabet counts and the entropy chain fold
+    into one codegen projection — zero exchanges, zero Generate, zero
+    Python."""
+    plan = _executed_plan(spark, "llm_char_entropy", sf_dir)
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_interleave_is_one_exchange_no_global_window(spark, sf_dir):
+    """llm_dataset_interleave: rank window and per-source count stack on
+    ONE source exchange; crucially there is NO empty-partition-spec
+    window (a global row_number would funnel the corpus through one
+    partition — the shape this operator exists to avoid)."""
+    plan = _executed_plan(spark, "llm_dataset_interleave", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Join" not in plan

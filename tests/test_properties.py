@@ -1490,3 +1490,82 @@ def test_gini_matches_pairwise_definition(spark, sf_dir):
         expected = mad / (2 * n * s)
         assert abs(r.gini - expected) < 1e-9, (r.source, r.gini, expected)
         assert 0.0 <= r.gini < 1.0
+
+
+def test_streaming_approx_distinct_close_to_exact(spark, sf_dir):
+    """st_approx_distinct: the streaming HLL++ estimate must land within
+    5% of the exact batch distinct per event_type (rsd=0.02 → ~2σ gate),
+    and the event counts must match the batch counts exactly."""
+    rows = {r.event_type: r for r in SPECS["st_approx_distinct"].builder(spark, sf_dir).collect()}
+    assert rows
+    exact = {
+        r.event_type: r
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("u"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert set(rows) == set(exact)
+    for et, r in rows.items():
+        assert r.n_events == exact[et].n
+        assert abs(r.approx_users - exact[et].u) <= max(1, 0.05 * exact[et].u), (
+            et,
+            r.approx_users,
+            exact[et].u,
+        )
+
+
+def test_char_entropy_bounds_and_known_values(spark, sf_dir):
+    """llm_char_entropy: entropy in [0, ln(38)] (alphabet + other bucket),
+    and a Python reimplementation over the same alphabet reproduces the
+    value for a sample of documents."""
+    import math
+
+    rows = {r.doc_id: r for r in SPECS["llm_char_entropy"].builder(spark, sf_dir).collect()}
+    assert rows
+    cap = math.log(38) + 1e-9
+    for r in rows.values():
+        assert 0.0 <= r.char_entropy <= cap
+        assert r.low_entropy == int(r.char_entropy < 2.0)
+    alphabet = [chr(c) for c in range(97, 123)] + [str(d) for d in range(10)] + [" "]
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").limit(50).collect()
+    for d in docs:
+        n = len(d.text)
+        if n == 0:
+            continue
+        cnts = [d.text.count(c) for c in alphabet]
+        cnts.append(n - sum(cnts))
+        ent = -sum((c / n) * math.log(c / n) for c in cnts if c > 0)
+        assert abs(rows[d.doc_id].char_entropy - ent) < 1e-8, d.doc_id
+
+
+def test_interleave_schedule_spreads_sources_uniformly(spark, sf_dir):
+    """llm_dataset_interleave: keys are strictly increasing within a
+    source, bounded by the scale, and in the global (key, source, doc_id)
+    order every source's k-th document sits within one inter-doc stride
+    of its ideal k/n position — the uniform-spread guarantee."""
+    rows = SPECS["llm_dataset_interleave"].builder(spark, sf_dir).collect()
+    assert rows
+    total = len(rows)
+    by_src: dict[str, list] = {}
+    for r in rows:
+        assert 0 <= r.schedule_key < 1_000_000_000_000
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.rank_in_source)
+        keys = [r.schedule_key for r in rs]
+        assert keys == sorted(keys) and len(set(keys)) == len(keys)
+        assert all(r.n_in_source == len(rs) for r in rs)
+    ordered = sorted(rows, key=lambda r: (r.schedule_key, r.source, r.doc_id))
+    pos = {(r.source, r.rank_in_source): i for i, r in enumerate(ordered)}
+    for src, rs in by_src.items():
+        n = len(rs)
+        for r in rs:
+            ideal = (2 * r.rank_in_source - 1) / (2 * n) * total
+            assert abs(pos[(src, r.rank_in_source)] - ideal) <= total / n + len(by_src), (
+                src,
+                r.rank_in_source,
+            )
