@@ -1273,9 +1273,11 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning); every shuffled row is (source, BIGINT, BIGINT). The
     rank formula needs no pairwise |xᵢ−xⱼ| expansion (the textbook
     definition is quadratic — this is the sorted-rank identity), and all
-    sums are BIGINT products of in-range operands (n·Σ(r·x) stays well
-    under 2^63 through sf100), so the result is bit-identical on any
-    partitioning."""
+    sums are BIGINT products of in-range operands (Σ(r·x) ≈ n²·x̄/2 stays
+    under 2^63 through ~7×10⁸ rows per stratum at these lengths — sf100 is
+    ~10⁶; ANSI mode fails LOUDLY past that, and the remedy is casting the
+    two sums to DECIMAL(38,0), exact in both engines), so the result is
+    bit-identical on any partitioning."""
     apply_engine_conf(spark)
     docs = table(spark, sf_dir, "documents")
     from pyspark.sql import Window

@@ -2934,11 +2934,16 @@ def llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # k of a source sits at the k-th (2k−1)/2n quantile of the epoch, so
 # every source spreads uniformly regardless of size (the round-robin
 # generalization to unequal sizes). The key is emitted as an integer
-# (× 10^12, identical div both engines); materializing the total order
+# (× 10^9, identical div both engines); materializing the total order
 # is the CONSUMER's range-partitioned sort — emitting the key instead of
 # a row_number()-over-() keeps the operator shuffle-bounded (a global
 # row_number would serialize the corpus through ONE partition at 100 TB).
-_INTERLEAVE_SCALE = 1_000_000_000_000
+# Scale bound: (2n−1)·10^9 must fit int64 → safe to ~4.6e9 rows per
+# source (≈ 100 TB of 4 KB docs in ONE stratum); past SCALE rows/source
+# the keys merely coarsen into ties (broken by source, doc_id) — a
+# graceful degradation, never an overflow (a 10^12 scale would instead
+# hard-overflow at 4.6e6 rows/source — far below real corpora).
+_INTERLEAVE_SCALE = 1_000_000_000
 
 _INTERLEAVE_ORACLE = f"""
 WITH ranked AS (

@@ -1359,23 +1359,26 @@ def ts_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pairwise over DAYS (not raw rows): the daily pre-aggregate bounds the
 # pair stage to days²/2 per series (~4k pairs for a quarter of data) no
 # matter how many raw readings exist — the same bounded-panel discipline
-# as llm_ngram_jaccard. Exactness: each slope is quantized by
-# cross-multiplying exact BIGINT daily sums/counts —
-# FLOOR(1000 × (sum_j·cnt_i − sum_i·cnt_j) / (cnt_i·cnt_j·Δday)) — no
-# double ever enters the ranking; the median picks the LOWER middle
-# element (rank (m+1)//2), an actual quantized slope, so the result is
-# integer-exact in both engines.
+# as llm_ngram_jaccard. Exactness: the daily mean is quantized FIRST —
+# mean_mu = SUM(FLOOR(value·10⁶)) div COUNT(*), an exact BIGINT integer
+# division (error < 1 micro-unit, identical both engines) — and each
+# slope is FLOOR(1000 × (mean_mu_j − mean_mu_i) / (10⁶·Δday)): every
+# intermediate stays ~10⁹ regardless of rows per day, so nothing can
+# overflow at ANY scale (the cross-multiplied s·c alternative exceeds
+# int64 around 10⁸ rows/day·type). No raw double ever enters the
+# ranking; the median picks the LOWER middle element (rank (m+1)//2),
+# an actual quantized slope — integer-exact in both engines.
 _THEILSEN_ORACLE = """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) - DATE '1970-01-01' AS d,
-         CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS s_mu,
-         CAST(COUNT(*) AS BIGINT) AS c
+         CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT))
+              // COUNT(*) AS BIGINT) AS mean_mu
   FROM events GROUP BY event_type, CAST(ts AS DATE)
 ),
 slopes AS (
   SELECT a.event_type,
-         CAST(floor(1000.0 * (b.s_mu * a.c - a.s_mu * b.c)
-              / (1000000.0 * a.c * b.c * (b.d - a.d))) AS BIGINT) AS slope_milli
+         CAST(floor(1000.0 * (b.mean_mu - a.mean_mu)
+              / (1000000.0 * (b.d - a.d))) AS BIGINT) AS slope_milli
   FROM daily a JOIN daily b
     ON b.event_type = a.event_type AND b.d > a.d
 ),
@@ -1409,40 +1412,35 @@ def ts_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     # persist the bounded daily table: both pair-join branches read it, so
     # without this the corpus-sized aggregate (the expensive stage) runs
-    # twice — scoped_persist caps it at ONE scan of events
+    # twice — scoped_persist caps it at ONE scan of events. The mean is
+    # quantized to BIGINT micro-units HERE (div — exact integer division)
+    # so the pair stage works on ~1e9-magnitude integers at any scale.
     daily = scoped_persist(
         ev.groupBy(
             "event_type", F.unix_date(F.to_date("ts")).cast("bigint").alias("d")
         ).agg(
-            F.sum(F.floor(F.col("value") * 1000000.0).cast("bigint"))
-            .cast("bigint")
-            .alias("s_mu"),
-            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.expr(
+                "CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT))"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("mean_mu")
         )
     )
     a = daily.select(
         "event_type",
         F.col("d").alias("d_a"),
-        F.col("s_mu").alias("s_a"),
-        F.col("c").alias("c_a"),
+        F.col("mean_mu").alias("m_a"),
     )
     b = daily.select(
         "event_type",
         F.col("d").alias("d_b"),
-        F.col("s_mu").alias("s_b"),
-        F.col("c").alias("c_b"),
+        F.col("mean_mu").alias("m_b"),
     )
     slopes = a.join(b, "event_type").filter(F.col("d_b") > F.col("d_a")).select(
         "event_type",
         F.floor(
             F.lit(1000.0)
-            * (F.col("s_b") * F.col("c_a") - F.col("s_a") * F.col("c_b"))
-            / (
-                F.lit(1000000.0)
-                * F.col("c_a")
-                * F.col("c_b")
-                * (F.col("d_b") - F.col("d_a"))
-            )
+            * (F.col("m_b") - F.col("m_a"))
+            / (F.lit(1000000.0) * (F.col("d_b") - F.col("d_a")))
         )
         .cast("bigint")
         .alias("slope_milli"),

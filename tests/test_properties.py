@@ -1552,7 +1552,7 @@ def test_interleave_schedule_spreads_sources_uniformly(spark, sf_dir):
     total = len(rows)
     by_src: dict[str, list] = {}
     for r in rows:
-        assert 0 <= r.schedule_key < 1_000_000_000_000
+        assert 0 <= r.schedule_key < 1_000_000_000
         by_src.setdefault(r.source, []).append(r)
     for src, rs in by_src.items():
         rs.sort(key=lambda r: r.rank_in_source)
