@@ -83,11 +83,11 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     columns moved off the md5 digest, ADVICE r6 low) and agg_approx_topk
 #     (exactness precondition now asserted, ADVICE r6 low; already in (a)).
 # (c) new round-7 operators land here, each displacing one (d) filler.
-# (d) filler to 50: the 44 stalest greens — last driver sample round 1 —
-#     in module order; 41 fit, the final 3 (f_coalesce, f_cast_int,
-#     f_fmt_ts ... whichever sit past the fold after (c) grows) roll to
-#     round 8 as the lowest-risk class (single-expression scalar surfaces,
-#     driver-green in r1, untouched since).
+#     Session 2 grew this block to 40 — (a)+(b)+(c) now fill all 50
+#     slots, so NO (d) filler rides this round's window.
+# (d) stalest greens (last driver sample round 1), kept for ordering the
+#     registry tail and as the round-8 filler pool once the round-7
+#     first-row debt clears.
 DRIVER_PRIORITY = [
     # (a) never-sampled first rows
     "dq_reconciliation",
