@@ -1162,3 +1162,96 @@ def dq_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
             "risk_rate",
         )
     )
+
+
+# --- dq_volume_anomaly: day-over-day volume monitoring --------------------------
+
+# dq_anomaly flags VALUE outliers; this flags VOLUME outliers — the
+# "ingest dropped to half overnight" / "a producer went into a retry
+# loop" pager signal every pipeline monitors first. Daily row counts per
+# event_type, z-scored against the SERIES' own mean/std over all other
+# days (leave-one-out, so a single broken day can't mask itself by
+# inflating the baseline it's judged against). Counts are exact BIGINTs;
+# mean/std/z are derived from integer sums of identical operands —
+# engine-identical doubles, with the flag computed on the ROUNDed z
+# (libm-class sqrt ulp, same convention as f_trig / llm_char_entropy).
+_VOL_Z_THRESHOLD = 2.0
+
+_VOL_ANOMALY_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+stats AS (
+  SELECT event_type, day, n,
+         CAST(SUM(n) OVER w - n AS BIGINT) AS rest_sum,
+         CAST(SUM(n * n) OVER w - n * n AS BIGINT) AS rest_sq,
+         CAST(COUNT(*) OVER w - 1 AS BIGINT) AS rest_cnt
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type)
+),
+z AS (
+  SELECT event_type, day, n, rest_cnt,
+         ROUND(
+           (n - CAST(rest_sum AS DOUBLE) / rest_cnt)
+           / sqrt(greatest(
+               CAST(rest_sq AS DOUBLE) / rest_cnt
+               - (CAST(rest_sum AS DOUBLE) / rest_cnt)
+                 * (CAST(rest_sum AS DOUBLE) / rest_cnt),
+               1e-12)), 9) AS vol_z
+  FROM stats WHERE rest_cnt >= 2
+)
+SELECT event_type, day, n AS n_rows, vol_z,
+       CAST(CASE WHEN abs(vol_z) > {_VOL_Z_THRESHOLD} THEN 1 ELSE 0 END AS INT)
+         AS is_anomalous
+FROM z
+"""
+
+
+@register("dq_volume_anomaly", oracle=_VOL_ANOMALY_ORACLE, tags=("quality", "timeseries"))
+def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly monitor: each (event_type, day)'s row count z-scored
+    against the leave-one-out mean/std of the series' OTHER days — the
+    ingest-health pager signal (a collapsed producer, a retry storm),
+    with the broken day excluded from its own baseline so it cannot mask
+    itself.
+
+    Scale shape: the corpus collapses to one BIGINT count per (type, day)
+    cell FIRST (partial/final hash aggregate — the only corpus-sized
+    work); the leave-one-out stats are whole-partition window sums over
+    that domain-bounded cell table (≤ types × days rows), subtracting
+    self — no second scan, no self-join. One cell exchange + one tiny
+    type-keyed window exchange; everything shuffled is a handful of
+    integers per cell."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type")
+    stats = daily.select(
+        "event_type",
+        "day",
+        "n",
+        (F.sum("n").over(w) - F.col("n")).cast("bigint").alias("rest_sum"),
+        (F.sum(F.col("n") * F.col("n")).over(w) - F.col("n") * F.col("n"))
+        .cast("bigint")
+        .alias("rest_sq"),
+        (F.count(F.lit(1)).over(w) - 1).cast("bigint").alias("rest_cnt"),
+    ).filter(F.col("rest_cnt") >= 2)
+    mean = F.col("rest_sum").cast("double") / F.col("rest_cnt")
+    var = F.greatest(
+        F.col("rest_sq").cast("double") / F.col("rest_cnt") - mean * mean,
+        F.lit(1e-12),
+    )
+    z = F.round((F.col("n") - mean) / F.sqrt(var), 9)
+    return stats.select(
+        "event_type",
+        "day",
+        F.col("n").alias("n_rows"),
+        z.alias("vol_z"),
+        F.when(F.abs(z) > _VOL_Z_THRESHOLD, 1).otherwise(0).cast("int").alias(
+            "is_anomalous"
+        ),
+    )

@@ -2993,3 +2993,78 @@ def llm_dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rnk").alias("rank_in_source"),
         F.col("n_src").alias("n_in_source"),
     )
+
+
+# --- llm_winsorize: robust clipping transform ------------------------------------
+
+# dq_outlier_iqr COUNTS tail values; this CLEANS them — winsorization
+# clamps each document's length signal into its source's [p05, p95] band,
+# the standard robust preprocessing before length-based mixing weights or
+# curriculum scores (a single 100 MB page otherwise dominates any
+# mean-based recipe). Same exact-percentile recipe as dq_outlier_iqr
+# (percentile()/quantile_cont agree bit-for-bit on these inputs; swap
+# approx_percentile at 100 TB), fences broadcast back onto the stream,
+# clamp is a row-local greatest/least. Fences are FLOOR-quantized to
+# BIGINT so the clamped value — and therefore every downstream sum — is
+# integer-exact.
+_WINSOR_ORACLE = """
+WITH fences AS (
+  SELECT source,
+         CAST(floor(quantile_cont(n_chars, 0.05)) AS BIGINT) AS lo,
+         CAST(floor(quantile_cont(n_chars, 0.95)) AS BIGINT) AS hi
+  FROM documents GROUP BY source
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MAX(f.lo) AS fence_lo,
+       MAX(f.hi) AS fence_hi,
+       CAST(SUM(CASE WHEN d.n_chars < f.lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_lo,
+       CAST(SUM(CASE WHEN d.n_chars > f.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_hi,
+       CAST(SUM(greatest(f.lo, least(f.hi, d.n_chars))) AS BIGINT)
+         AS winsorized_sum,
+       CAST(SUM(d.n_chars) AS BIGINT) AS raw_sum
+FROM documents d JOIN fences f ON f.source = d.source
+GROUP BY d.source
+"""
+
+
+@register("llm_winsorize", oracle=_WINSOR_ORACLE, tags=("llm", "text", "quality"))
+def llm_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization audit per source: clamp document lengths into the
+    exact [p05, p95] band and report clipped counts plus the winsorized
+    vs raw sums — the robust-preprocessing step that stops tail documents
+    from dominating length-based mixing weights.
+
+    Scale shape: one pass computes the per-source percentiles (bounded
+    output — |sources| rows; the exact percentile is the test-scale
+    oracle-checkable choice, approx_percentile is the drop-in at 100 TB),
+    the fence table BROADCASTS onto the re-scan, and the clamp is
+    greatest/least in codegen. FLOOR-quantized BIGINT fences keep every
+    sum integer-exact; two corpus scans total (percentile pass + clamp
+    pass), no corpus-sized shuffle beyond the per-source rollup."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    fences = docs.groupBy("source").agg(
+        F.floor(F.expr("percentile(n_chars, 0.05D)")).cast("bigint").alias("lo"),
+        F.floor(F.expr("percentile(n_chars, 0.95D)")).cast("bigint").alias("hi"),
+    )
+    clamped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("n_chars")))
+    return (
+        docs.join(F.broadcast(fences), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max("lo").alias("fence_lo"),
+            F.max("hi").alias("fence_hi"),
+            F.sum(F.when(F.col("n_chars") < F.col("lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_lo"),
+            F.sum(F.when(F.col("n_chars") > F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_hi"),
+            F.sum(clamped).cast("bigint").alias("winsorized_sum"),
+            F.sum("n_chars").cast("bigint").alias("raw_sum"),
+        )
+    )

@@ -208,6 +208,9 @@ DRIVER_WINDOW = DRIVER_PRIORITY[:50]
 DEFERRED_FIRST_ROW: set[str] = {
     "llm_char_entropy",
     "llm_dataset_interleave",
+    # final session-2 pair, same deferral (locally green at sf0.001/0.01/0.1):
+    "dq_volume_anomaly",
+    "llm_winsorize",
 }
 
 

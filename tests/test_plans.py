@@ -1103,3 +1103,23 @@ def test_interleave_is_one_exchange_no_global_window(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "Join" not in plan
+
+
+def test_volume_anomaly_is_cell_bounded(spark, sf_dir):
+    """dq_volume_anomaly: one corpus scan into the (type, day) cell
+    aggregate; the leave-one-out stats are window sums on the bounded
+    cell table — no join, no second scan."""
+    plan = _executed_plan(spark, "dq_volume_anomaly", sf_dir)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_winsorize_broadcasts_fences(spark, sf_dir):
+    """llm_winsorize: the |sources|-row fence table joins the clamp pass
+    as a BROADCAST; the clamp itself is codegen greatest/least (no
+    Python, no sort-merge)."""
+    plan = _executed_plan(spark, "llm_winsorize", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan

@@ -1569,3 +1569,47 @@ def test_interleave_schedule_spreads_sources_uniformly(spark, sf_dir):
                 src,
                 r.rank_in_source,
             )
+
+
+def test_volume_anomaly_zscores_are_leave_one_out(spark, sf_dir):
+    """dq_volume_anomaly: a Python reimplementation of the leave-one-out
+    z-score over the exact daily counts reproduces vol_z, and the flag
+    matches the |z| > 2 rule."""
+    import math
+
+    rows = SPECS["dq_volume_anomaly"].builder(spark, sf_dir).collect()
+    assert rows
+    daily: dict[str, dict[str, int]] = {}
+    for r in (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ):
+        daily.setdefault(r.event_type, {})[r.day] = r.n
+    for r in rows:
+        series = daily[r.event_type]
+        rest = [n for d, n in series.items() if d != r.day]
+        assert len(rest) == len(series) - 1 and len(rest) >= 2
+        m = sum(rest) / len(rest)
+        var = max(sum(n * n for n in rest) / len(rest) - m * m, 1e-12)
+        z = (series[r.day] - m) / math.sqrt(var)
+        assert abs(r.vol_z - z) < 1e-6, (r.event_type, r.day, r.vol_z, z)
+        assert r.is_anomalous == int(abs(r.vol_z) > 2.0)
+
+
+def test_winsorize_conserves_and_clamps(spark, sf_dir):
+    """llm_winsorize: fences ordered, winsorized_sum between n*lo and n*hi,
+    winsorized_sum == raw_sum exactly when nothing clipped, and the
+    clipped fractions stay near the nominal 5% tails."""
+    rows = SPECS["llm_winsorize"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.fence_lo <= r.fence_hi
+        assert r.n_docs * r.fence_lo <= r.winsorized_sum <= r.n_docs * r.fence_hi
+        clipped = r.n_clipped_lo + r.n_clipped_hi
+        if clipped == 0:
+            assert r.winsorized_sum == r.raw_sum
+        # each tail is at most ~5% + quantization slack
+        assert r.n_clipped_lo <= r.n_docs * 0.06 + 1
+        assert r.n_clipped_hi <= r.n_docs * 0.06 + 1
