@@ -3068,3 +3068,309 @@ def llm_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("raw_sum"),
         )
     )
+
+
+# --- llm_markup_strip: markdown/HTML boilerplate removal ---------------------
+
+# Web-corpus cleaning step the reference never needs (its payloads are
+# JSON): strip markdown structure — ATX headers, bold markers, inline
+# links — down to plain text, reporting per-document removed-byte counts
+# and a digest of the cleaned text. The fixtures carry no markup, so a
+# marked-up variant is synthesized DETERMINISTICALLY from (source, text,
+# doc_id) in BOTH engines first (the llm_dataset_diff recipe) — the strip
+# chain is then exercised against known-true expected removals. Regex
+# dialects differ only in backreference spelling (Java ``$1`` vs RE2
+# ``\1``) and DuckDB's per-call 'g' flag; patterns themselves are shared.
+_MARKUP_ORACLE = r"""
+WITH marked AS (
+  SELECT doc_id,
+         '# ' || source || chr(10) || '**' || substr(text, 1, 40) || '** '
+           || text || ' [link](http://' || source || '.example.com/'
+           || doc_id || ')' AS m
+  FROM documents
+),
+cleaned AS (
+  SELECT doc_id, m,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(m, '\[([^\]]*)\]\(([^)]*)\)', '\1', 'g'),
+             '\*\*', '', 'g'),
+           '^# [^\n]*\n', '') AS c
+  FROM marked
+)
+SELECT doc_id,
+       CAST(length(m) AS BIGINT) AS n_marked,
+       CAST(length(c) AS BIGINT) AS n_clean,
+       CAST(length(m) - length(c) AS BIGINT) AS n_removed,
+       substr(md5(c), 1, 16) AS clean_sig
+FROM cleaned
+"""
+
+
+@register("llm_markup_strip", oracle=_MARKUP_ORACLE, tags=("llm", "text"))
+def llm_markup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown/boilerplate stripping for web-corpus cleaning: remove ATX
+    header lines, ``**bold**`` markers, and ``[text](url)`` links (keeping
+    the anchor text), reporting removed-byte counts and a cleaned-text
+    digest per document. The markup is synthesized deterministically from
+    (source, text, doc_id) so the strip chain is verified against
+    known-true removals on a markup-free fixture.
+
+    Scale shape: the whole synthesize→strip→measure chain is ONE codegen
+    projection per row — zero exchanges, zero Python, no UDF (Java regex
+    in whole-stage codegen); 100 TB of pages cost exactly one scan and
+    the cleaned text never crosses an exchange (only its digest and two
+    BIGINT lengths leave the projection)."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    marked = F.concat(
+        F.lit("# "), F.col("source"), F.lit("\n"),
+        F.lit("**"), F.expr("substr(text, 1, 40)"), F.lit("** "),
+        F.col("text"),
+        F.lit(" [link](http://"), F.col("source"), F.lit(".example.com/"),
+        F.col("doc_id").cast("string"), F.lit(")"),
+    )
+    m = docs.select("doc_id", marked.alias("m"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("m"), r"\[([^\]]*)\]\(([^)]*)\)", "$1"
+            ),
+            r"\*\*", "",
+        ),
+        r"^# [^\n]*\n", "",
+    )
+    return m.select(
+        "doc_id",
+        F.length("m").cast("bigint").alias("n_marked"),
+        F.length(clean).cast("bigint").alias("n_clean"),
+        (F.length("m") - F.length(clean)).cast("bigint").alias("n_removed"),
+        F.substring(F.md5(clean), 1, 16).alias("clean_sig"),
+    )
+
+
+# --- llm_url_extract: link/domain extraction for web-corpus analysis ---------
+
+# The link-graph precursor: pull every URL out of each document, reduce it
+# to (scheme, domain), and aggregate per-domain link and document counts —
+# the table crawl-frontier prioritization and spam-domain blocklists are
+# built from. URLs are synthesized deterministically from (source, lang,
+# doc_id) — one per doc plus a conditional CDN link — so extraction counts
+# are known-true on the word-soup fixture. The regex captures scheme +
+# registrable domain only; paths never leave the projection.
+_URL_ORACLE = r"""
+WITH enriched AS (
+  SELECT doc_id,
+         text || ' http://' || source || '.example.com/p/' || doc_id
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' https://cdn-' || lang || '.example.org/a/'
+                        || (doc_id % 7)
+                   ELSE '' END AS t
+  FROM documents
+),
+links AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(t, 'https?://[a-z0-9.-]+')) AS url
+  FROM enriched
+)
+SELECT regexp_replace(url, '^https?://', '') AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_links,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN url LIKE 'https://%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_https,
+       CAST(SUM(CASE WHEN url LIKE 'http://%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_http
+FROM links
+GROUP BY regexp_replace(url, '^https?://', '')
+"""
+
+
+@register("llm_url_extract", oracle=_URL_ORACLE, tags=("llm", "text"))
+def llm_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain extraction over the corpus: regexp-extract every link,
+    reduce to its domain, and aggregate per-domain link counts, document
+    reach, and scheme split — the precursor table for crawl-frontier
+    ranking and spam-domain blocklists. Links are synthesized
+    deterministically from (source, lang, doc_id) so the expected counts
+    are known-true on the link-free fixture.
+
+    Scale shape: extraction is a codegen regexp_extract_all + generator
+    explode (no Python); each row fans out to its ≤2 (domain, flags)
+    pairs MAP-SIDE, and the only exchange is the partial/final hash
+    aggregate on the bounded domain key — document text never shuffles,
+    and COUNT(DISTINCT doc_id) rides the same aggregate (Expand over the
+    already-tiny domain grain, not the corpus)."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" http://"), F.col("source"), F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" https://cdn-"), F.col("lang"),
+                    F.lit(".example.org/a/"),
+                    (F.col("doc_id") % 7).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    links = enriched.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(t, 'https?://[a-z0-9.-]+', 0)")
+        ).alias("url"),
+    )
+    return (
+        links.select(
+            "doc_id",
+            F.regexp_replace("url", "^https?://", "").alias("domain"),
+            F.col("url").startswith("https://").cast("int").alias("is_https"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_links"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.sum("is_https").cast("bigint").alias("n_https"),
+            F.sum(1 - F.col("is_https")).cast("bigint").alias("n_http"),
+        )
+    )
+
+
+# --- llm_char_bigram_entropy: conditional character entropy per source -------
+
+# The gibberish detector one level up from llm_char_entropy's per-document
+# unigram H: corpus-level bigram entropy H(c1,c2) and the conditional
+# H(c2|c1) = H(c1,c2) − H(c1) per source. Natural text has LOW conditional
+# entropy (characters are predictable from their predecessor); random
+# flood/binary-in-text has cond-H ≈ unigram H. The unigram marginal is
+# derived FROM the bigram cell table (first-char marginal) plus a
+# last-char correction aggregate, so the corpus-sized explode happens
+# once. Entropy terms use the agg_entropy fixed-point recipe: each
+# per-cell term FLOOR-quantized to integer micro-nats before the
+# order-free sum; ln() sees identical doubles (ratios of exact BIGINTs)
+# in both engines.
+_BIGRAM_ENT_ORACLE = """
+WITH bg AS (
+  SELECT d.source, substr(d.text, t.j, 2) AS gram
+  FROM documents d, unnest(range(1, length(d.text))) AS t(j)
+  WHERE length(d.text) >= 2
+),
+cells2 AS (
+  SELECT source, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM bg GROUP BY source, gram
+),
+last_char AS (
+  SELECT source, substr(text, length(text), 1) AS c,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents WHERE length(text) >= 2 GROUP BY source, substr(text, length(text), 1)
+),
+cells1 AS (
+  SELECT source, c, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+    SELECT source, substr(gram, 1, 1) AS c, cnt FROM cells2
+    UNION ALL
+    SELECT source, c, cnt FROM last_char
+  ) GROUP BY source, c
+),
+terms2 AS (
+  SELECT source, cnt,
+         CAST(floor(
+           -(CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY source) AS DOUBLE))
+            * ln(CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY source) AS DOUBLE))
+            * 1000000.0) AS BIGINT) AS t
+  FROM cells2
+),
+terms1 AS (
+  SELECT source, cnt,
+         CAST(floor(
+           -(CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY source) AS DOUBLE))
+            * ln(CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY source) AS DOUBLE))
+            * 1000000.0) AS BIGINT) AS t
+  FROM cells1
+),
+h2 AS (
+  SELECT source, SUM(cnt) AS total2, SUM(t) AS h2_micro FROM terms2 GROUP BY source
+),
+h1 AS (
+  SELECT source, SUM(cnt) AS total1, SUM(t) AS h1_micro FROM terms1 GROUP BY source
+)
+SELECT h1.source,
+       CAST(h1.total1 AS BIGINT) AS n_chars,
+       CAST(h2.total2 AS BIGINT) AS n_bigrams,
+       CAST(h1.h1_micro AS DOUBLE) / 1000000.0 AS h1_nats,
+       CAST(h2.h2_micro AS DOUBLE) / 1000000.0 AS h2_nats,
+       CAST(h2.h2_micro - h1.h1_micro AS DOUBLE) / 1000000.0 AS cond_h_nats
+FROM h1 JOIN h2 ON h1.source = h2.source
+"""
+
+
+@register(
+    "llm_char_bigram_entropy", oracle=_BIGRAM_ENT_ORACLE, tags=("llm", "text")
+)
+def llm_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional character entropy H(c2|c1) = H(bigram) − H(unigram) per
+    source — the corpus-level gibberish/flood detector: natural text is
+    predictable from its previous character (low cond-H), random floods
+    are not (cond-H ≈ unigram H).
+
+    Scale shape: the corpus-sized work is ONE generator explode into the
+    map-side-combined (source, bigram) aggregate — the cell table is
+    bounded by sources × alphabet² whatever the input size. The unigram
+    marginal is DERIVED from that cell table (first-char sums) plus a
+    plain-scan last-char correction, so no second explode exists. Entropy
+    terms are FLOOR-quantized micro-nats (order-free partials, ln() on
+    identical exact-ratio doubles in both engines — the agg_entropy
+    recipe)."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    bg = docs.select(
+        "source",
+        F.expr("explode(sequence(1, length(text) - 1))").alias("j"),
+        "text",
+    ).select("source", F.expr("substr(text, j, 2)").alias("gram"))
+    # Persisted: the bounded (source, bigram) cell table feeds BOTH the
+    # H2 entropy branch and the derived unigram marginal — without the
+    # persist, Spark re-runs the corpus-sized explode per branch.
+    cells2 = scoped_persist(
+        bg.groupBy("source", "gram").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+    )
+    last_char = docs.groupBy(
+        "source", F.expr("substr(text, length(text), 1)").alias("c")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    cells1 = (
+        cells2.select("source", F.expr("substr(gram, 1, 1)").alias("c"), "cnt")
+        .unionAll(last_char)
+        .groupBy("source", "c")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+
+    def ent(cells: DataFrame, out: str) -> DataFrame:
+        w = Window.partitionBy("source")
+        p = F.col("cnt").cast("double") / F.sum("cnt").over(w).cast("double")
+        term = F.floor(-p * F.log(p) * F.lit(1000000.0)).cast("bigint")
+        return (
+            cells.select("source", "cnt", term.alias("t"))
+            .groupBy("source")
+            .agg(
+                F.sum("cnt").cast("bigint").alias(f"total_{out}"),
+                F.sum("t").cast("bigint").alias(f"{out}_micro"),
+            )
+        )
+
+    h2 = ent(cells2, "h2")
+    h1 = ent(cells1, "h1")
+    return h1.join(h2, "source").select(
+        "source",
+        F.col("total_h1").alias("n_chars"),
+        F.col("total_h2").alias("n_bigrams"),
+        (F.col("h1_micro").cast("double") / 1e6).alias("h1_nats"),
+        (F.col("h2_micro").cast("double") / 1e6).alias("h2_nats"),
+        ((F.col("h2_micro") - F.col("h1_micro")).cast("double") / 1e6).alias(
+            "cond_h_nats"
+        ),
+    )

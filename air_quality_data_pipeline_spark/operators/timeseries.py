@@ -1461,3 +1461,210 @@ def ts_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("slope_milli").alias("ts_slope_milli"),
         (F.col("slope_milli").cast("double") / 1000.0).alias("ts_slope_per_day"),
     )
+
+
+# --- ts_changepoint: CUSUM argmax change-point per series ---------------------
+
+# Offline change-point estimation (the "when did the level shift" question
+# behind incident timelines and A/B launch audits): for each event_type's
+# daily-volume series x_1..x_n, the CUSUM statistic
+# S_k = n·(x_1+..+x_k) − k·(x_1+..+x_n) peaks at the most likely mean-shift
+# index. Everything is BIGINT: x is the FLOOR-micro-quantized daily value
+# sum, so S_k is exact in both engines (no float drift, no ordering
+# sensitivity). Overflow bound: |S_k| ≤ n_days · tot_micro — with 30 days
+# and value ≤ ~600, tot_micro reaches ~1.2e16 at sf100, keeping S under
+# 4e17, well inside int64; the cliff (tot_micro > 3e17) is three decades
+# past that.
+_CHANGEPOINT_ORACLE = """
+WITH daily AS (
+  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d')
+),
+cum AS (
+  SELECT event_type, day, x,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS k,
+         CAST(SUM(x) OVER w AS BIGINT) AS cum_x,
+         CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+scored AS (
+  SELECT event_type, day, k, n_days,
+         n_days * cum_x - k * tot AS s,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY abs(n_days * cum_x - k * tot) DESC, k ASC)
+           AS rnk
+  FROM cum
+)
+SELECT event_type, n_days, day AS cp_day, k AS cp_k, s AS cusum_stat
+FROM scored WHERE rnk = 1
+"""
+
+
+@register("ts_changepoint", oracle=_CHANGEPOINT_ORACLE, tags=("timeseries",))
+def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM change-point per event_type: the day k maximizing
+    |n·cumsum_k − k·total| over the daily-volume series — the most likely
+    mean-shift index (incident timelines, launch audits). ts_cusum tracks
+    the running drift; this names the single most likely break.
+
+    Scale shape: the corpus collapses to the (type, day) daily cell table
+    in ONE map-side-combined aggregate — bounded by types × days at any
+    input size; every window after that (cumsum, total, argmax rank) runs
+    on the cell table inside one type-keyed exchange. All arithmetic is
+    BIGINT on FLOOR-micro-quantized sums: S_k is exact in both engines,
+    and |S_k| ≤ n_days · tot_micro keeps int64 headroom through sf100+
+    (see oracle comment)."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000000.0).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .cast("bigint")
+        .alias("k"),
+        F.sum("x").over(wcum).cast("bigint").alias("cum_x"),
+        F.sum("x").over(wall).cast("bigint").alias("tot"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n_days"),
+    )
+    s = F.col("n_days") * F.col("cum_x") - F.col("k") * F.col("tot")
+    scored = cum.select(
+        "event_type",
+        "day",
+        "k",
+        "n_days",
+        s.alias("s"),
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                F.abs(s).desc(), F.col("k").asc()
+            )
+        )
+        .alias("rnk"),
+    )
+    return scored.filter(F.col("rnk") == 1).select(
+        "event_type",
+        "n_days",
+        F.col("day").alias("cp_day"),
+        F.col("k").alias("cp_k"),
+        F.col("s").alias("cusum_stat"),
+    )
+
+
+# --- ts_drawdown: maximum drawdown of the cumulative daily series ------------
+
+# The path-dependent risk statistic running extrema alone don't give: how
+# far the cumulative series fell from its best-so-far peak, and when. The
+# "equity curve" is the running total of daily micro-quantized value sums
+# per event_type; drawdown_k = runmax(cum)_k − cum_k; the answer is the
+# worst (largest) drawdown with its trough day and the peak day it fell
+# from. All BIGINT — same overflow envelope as ts_changepoint.
+_DRAWDOWN_ORACLE = """
+WITH daily AS (
+  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d')
+),
+curve AS (
+  SELECT event_type, day, x,
+         CAST(SUM(x) OVER w AS BIGINT) AS cum
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+dd AS (
+  SELECT event_type, day, cum,
+         CAST(MAX(cum) OVER w AS BIGINT) AS peak,
+         CAST(MAX(cum) OVER w AS BIGINT) - cum AS drawdown
+  FROM curve
+  WINDOW w AS (PARTITION BY event_type ORDER BY day ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+ranked AS (
+  SELECT event_type, day, peak, drawdown,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY drawdown DESC, day ASC) AS rnk,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+  FROM dd
+)
+SELECT event_type, n_days, day AS trough_day, peak AS peak_cum_micro,
+       drawdown AS max_drawdown_micro
+FROM ranked WHERE rnk = 1
+"""
+
+
+@register("ts_drawdown", oracle=_DRAWDOWN_ORACLE, tags=("timeseries",))
+def ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per event_type: the deepest fall of the cumulative
+    daily-value curve below its running peak, with the trough day — the
+    path-dependent severity statistic behind SLA burn-down and revenue-dip
+    audits (win_running_extrema gives the extrema; this measures the gap
+    between them in sequence).
+
+    Scale shape: identical envelope to ts_changepoint — one map-side
+    combined corpus collapse to (type, day) cells, then cumsum / running
+    max / argmax windows all inside one type-keyed exchange on the
+    bounded cell table. BIGINT micro-units throughout; drawdown ≥ 0 by
+    construction (running max includes the current row)."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000000.0).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = daily.select(
+        "event_type", "day", F.sum("x").over(wcum).cast("bigint").alias("cum")
+    )
+    dd = curve.select(
+        "event_type",
+        "day",
+        F.max("cum").over(wcum).cast("bigint").alias("peak"),
+        (F.max("cum").over(wcum) - F.col("cum")).cast("bigint").alias("drawdown"),
+    )
+    wall = Window.partitionBy("event_type")
+    ranked = dd.select(
+        "event_type",
+        "day",
+        "peak",
+        "drawdown",
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("drawdown").desc(), F.col("day").asc()
+            )
+        )
+        .alias("rnk"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n_days"),
+    )
+    return ranked.filter(F.col("rnk") == 1).select(
+        "event_type",
+        "n_days",
+        F.col("day").alias("trough_day"),
+        F.col("peak").alias("peak_cum_micro"),
+        F.col("drawdown").alias("max_drawdown_micro"),
+    )

@@ -211,6 +211,15 @@ DEFERRED_FIRST_ROW: set[str] = {
     # final session-2 pair, same deferral (locally green at sf0.001/0.01/0.1):
     "dq_volume_anomaly",
     "llm_winsorize",
+    # session-3 batch A (web-corpus text ops), same deferral — the round-7
+    # window shipped full; all three are locally oracle-green and queued
+    # for round-8 first rows:
+    "llm_markup_strip",
+    "llm_url_extract",
+    "llm_char_bigram_entropy",
+    # session-3 batch B (cell-bounded series statistics), same deferral:
+    "ts_changepoint",
+    "ts_drawdown",
 }
 
 

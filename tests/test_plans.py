@@ -1123,3 +1123,55 @@ def test_winsorize_broadcasts_fences(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_markup_strip_is_pure_projection(spark, sf_dir):
+    """llm_markup_strip: synthesize→strip→measure is ONE codegen projection
+    over one scan — zero exchanges, zero Python, no generator."""
+    plan = _executed_plan(spark, "llm_markup_strip", sf_dir)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan
+    assert "Generate" not in plan
+
+
+def test_url_extract_fans_out_map_side(spark, sf_dir):
+    """llm_url_extract: codegen regexp_extract_all + generator explode (no
+    Python), one corpus scan; only the bounded domain grain shuffles."""
+    plan = _executed_plan(spark, "llm_url_extract", sf_dir)
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Generate") == 1, plan
+    assert "EvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_bigram_entropy_reuses_the_cell_cache(spark, sf_dir):
+    """llm_char_bigram_entropy: the (source, bigram) cell table is
+    persisted — the H2 branch and the derived unigram marginal both read
+    InMemoryTableScan (one corpus explode total); no cartesian, no
+    Python."""
+    plan = _executed_plan(spark, "llm_char_bigram_entropy", sf_dir)
+    assert plan.count("InMemoryTableScan") == 2, plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_changepoint_is_cell_bounded(spark, sf_dir):
+    """ts_changepoint: one corpus scan into the (type, day) cell aggregate;
+    cumsum/total/argmax windows all ride the type-keyed exchange on the
+    bounded cell table — no join, no single-partition funnel."""
+    plan = _executed_plan(spark, "ts_changepoint", sf_dir)
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Join" not in plan
+
+
+def test_drawdown_is_cell_bounded(spark, sf_dir):
+    """ts_drawdown: same envelope as ts_changepoint — one corpus collapse,
+    windows on the bounded cell table, no join, no global sort."""
+    plan = _executed_plan(spark, "ts_drawdown", sf_dir)
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Join" not in plan

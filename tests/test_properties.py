@@ -1613,3 +1613,136 @@ def test_winsorize_conserves_and_clamps(spark, sf_dir):
         # each tail is at most ~5% + quantization slack
         assert r.n_clipped_lo <= r.n_docs * 0.06 + 1
         assert r.n_clipped_hi <= r.n_docs * 0.06 + 1
+
+
+def test_markup_strip_matches_python_re(spark, sf_dir):
+    """llm_markup_strip: an independent Python re.sub chain over the same
+    synthesized markup reproduces every cleaned-text digest and length —
+    pins BOTH engines' regex semantics to a third implementation."""
+    import hashlib
+    import re
+
+    rows = {r.doc_id: r for r in SPECS["llm_markup_strip"].builder(spark, sf_dir).collect()}
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text").collect()
+    assert len(rows) == len(docs) and docs
+    for d in docs:
+        m = (
+            f"# {d.source}\n**{d.text[:40]}** {d.text}"
+            f" [link](http://{d.source}.example.com/{d.doc_id})"
+        )
+        c = re.sub(r"\[([^\]]*)\]\(([^)]*)\)", r"\1", m)
+        c = re.sub(r"\*\*", "", c)
+        c = re.sub(r"^# [^\n]*\n", "", c)
+        r = rows[d.doc_id]
+        assert r.n_marked == len(m) and r.n_clean == len(c), d.doc_id
+        assert r.n_removed == len(m) - len(c)
+        assert r.clean_sig == hashlib.md5(c.encode()).hexdigest()[:16], d.doc_id
+
+
+def test_url_extract_counts_are_known_true(spark, sf_dir):
+    """llm_url_extract: the synthesized links imply exact totals — every
+    doc contributes one http link, every doc_id % 3 == 0 doc one extra
+    https link; per-domain doc reach never exceeds link count."""
+    rows = SPECS["llm_url_extract"].builder(spark, sf_dir).collect()
+    docs = table(spark, sf_dir, "documents").select("doc_id").collect()
+    n = len(docs)
+    n_cdn = sum(1 for d in docs if d.doc_id % 3 == 0)
+    assert sum(r.n_links for r in rows) == n + n_cdn
+    assert sum(r.n_https for r in rows) == n_cdn
+    assert sum(r.n_http for r in rows) == n
+    for r in rows:
+        assert r.n_docs <= r.n_links
+        assert r.n_links == r.n_https + r.n_http
+
+
+def test_bigram_entropy_identities(spark, sf_dir):
+    """llm_char_bigram_entropy: per source, chars − bigrams == doc count
+    (each doc of length L yields L chars and L−1 bigrams), cond_h is
+    exactly h2 − h1 (shared micro-nat quantization), and natural text is
+    predictable: 0 < cond_h < h1 < h2."""
+    rows = SPECS["llm_char_bigram_entropy"].builder(spark, sf_dir).collect()
+    per_src = {
+        r.source: r.n
+        for r in table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 2)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert rows and len(rows) == len(per_src)
+    for r in rows:
+        assert r.n_chars - r.n_bigrams == per_src[r.source], r.source
+        assert abs(r.cond_h_nats - (r.h2_nats - r.h1_nats)) < 1e-9
+        assert 0.0 < r.cond_h_nats < r.h1_nats < r.h2_nats, r
+
+
+def _daily_micro_cells(spark, sf_dir):
+    import math
+
+    cells = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 1000000.0).cast("bigint")).alias("x")
+        )
+        .collect()
+    )
+    series: dict[str, list[tuple[str, int]]] = {}
+    for r in cells:
+        series.setdefault(r.event_type, []).append((r.day, r.x))
+    for v in series.values():
+        v.sort()
+    return series
+
+
+def test_changepoint_matches_python_cusum(spark, sf_dir):
+    """ts_changepoint: an independent Python CUSUM over the exact daily
+    micro cells reproduces the argmax day and statistic for every series."""
+    series = _daily_micro_cells(spark, sf_dir)
+    rows = {r.event_type: r for r in SPECS["ts_changepoint"].builder(spark, sf_dir).collect()}
+    assert set(rows) == set(series)
+    for et, pts in series.items():
+        n = len(pts)
+        tot = sum(x for _, x in pts)
+        best = None
+        cum = 0
+        for k, (day, x) in enumerate(pts, start=1):
+            cum += x
+            s = n * cum - k * tot
+            key = (-abs(s), k)
+            if best is None or key < best[0]:
+                best = (key, day, k, s)
+        r = rows[et]
+        assert (r.cp_day, r.cp_k, r.cusum_stat) == (best[1], best[2], best[3]), et
+        assert r.n_days == n
+
+
+def test_drawdown_matches_python_curve(spark, sf_dir):
+    """ts_drawdown: an independent Python pass over the cumulative curve
+    reproduces the worst drawdown, its trough day, and the peak value;
+    drawdown is non-negative by construction."""
+    series = _daily_micro_cells(spark, sf_dir)
+    rows = {r.event_type: r for r in SPECS["ts_drawdown"].builder(spark, sf_dir).collect()}
+    assert set(rows) == set(series)
+    for et, pts in series.items():
+        cum = 0
+        peak = None
+        best = None
+        for day, x in pts:
+            cum += x
+            peak = cum if peak is None else max(peak, cum)
+            dd = peak - cum
+            key = (-dd, day)
+            if best is None or key < best[0]:
+                best = (key, day, peak, dd)
+        r = rows[et]
+        assert (r.trough_day, r.peak_cum_micro, r.max_drawdown_micro) == (
+            best[1],
+            best[2],
+            best[3],
+        ), et
+        assert r.max_drawdown_micro >= 0
+        assert r.n_days == len(pts)
