@@ -1296,3 +1296,116 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n * sx).cast("bigint").alias("gini_den"),
         ((2 * srx - (n + 1) * sx).cast("double") / (n * sx)).alias("gini"),
     )
+
+
+# --- agg_concentration: CR4 + HHI market-concentration audit ------------------
+
+# The market-structure diagnostic (antitrust CR-k and Herfindahl index)
+# applied per nation to supplier revenue. Per-supplier revenue uses the
+# repo's exact-revenue idiom (per-row DECIMAL(20,4) cast before the sum);
+# shares divide two exact-operand DOUBLEs; HHI's share² terms are
+# FLOOR-quantized to pico-units (1e12) BEFORE the sum so partial
+# aggregates combine order-free — the agg_entropy fixed-point recipe.
+_CONCENTRATION_ORACLE = """
+WITH rev AS (
+  SELECT s.s_nationkey AS nationkey, l.l_suppkey AS suppkey,
+         SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20, 4)))
+           AS r
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY s.s_nationkey, l.l_suppkey
+),
+ranked AS (
+  SELECT nationkey, suppkey, r,
+         ROW_NUMBER() OVER (PARTITION BY nationkey
+                            ORDER BY r DESC, suppkey ASC) AS rnk,
+         SUM(r) OVER (PARTITION BY nationkey) AS tot
+  FROM rev
+),
+terms AS (
+  SELECT nationkey, rnk, r, tot,
+         CAST(floor(
+           (CAST(r AS DOUBLE) / CAST(tot AS DOUBLE))
+           * (CAST(r AS DOUBLE) / CAST(tot AS DOUBLE)) * 1000000000000.0
+         ) AS BIGINT) AS hhi_pico
+  FROM ranked
+)
+SELECT nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(MAX(tot) AS DOUBLE) AS total_rev,
+       CAST(SUM(CASE WHEN rnk <= 4 THEN CAST(r AS DOUBLE) ELSE 0.0 END)
+            AS DOUBLE) / CAST(MAX(tot) AS DOUBLE) AS cr4,
+       CAST(SUM(hhi_pico) AS DOUBLE) / 1000000000000.0 AS hhi
+FROM terms
+GROUP BY nationkey
+"""
+
+
+@register(
+    "agg_concentration", oracle=_CONCENTRATION_ORACLE, tags=("agg", "window")
+)
+def agg_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration audit per nation: CR4 (top-4 supplier share of
+    revenue) and the Herfindahl–Hirschman index Σ shareᵢ² — the skew
+    companion to agg_gini that names WHERE revenue concentrates, used for
+    sourcing-risk and antitrust-style screens.
+
+    Scale shape: the corpus collapses to the |suppliers|-row revenue
+    table in one map-side-combined aggregate (the supplier dim joins
+    BROADCAST); rank/total windows and the final rollup all key on
+    nationkey — one bounded-table exchange. Revenue is the repo's exact
+    DECIMAL(20,4) idiom; the only float work is share division on
+    exact-operand doubles and the FLOOR-pico-quantized share² terms
+    (order-free partial sums)."""
+    apply_engine_conf(spark)
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(20,4)"
+                )
+            ).alias("r")
+        )
+    )
+    wn = Window.partitionBy("nationkey")
+    ranked = rev.select(
+        "nationkey",
+        "r",
+        F.row_number()
+        .over(wn.orderBy(F.col("r").desc(), F.col("suppkey").asc()))
+        .alias("rnk"),
+        F.sum("r").over(wn).alias("tot"),
+    )
+    share = F.col("r").cast("double") / F.col("tot").cast("double")
+    terms = ranked.select(
+        "nationkey",
+        "rnk",
+        "r",
+        "tot",
+        F.floor(share * share * F.lit(1000000000000.0)).cast("bigint").alias(
+            "hhi_pico"
+        ),
+    )
+    return terms.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.max("tot").cast("double").alias("total_rev"),
+        (
+            F.sum(
+                F.when(F.col("rnk") <= 4, F.col("r").cast("double")).otherwise(
+                    0.0
+                )
+            )
+            / F.max("tot").cast("double")
+        ).alias("cr4"),
+        (F.sum("hhi_pico").cast("double") / F.lit(1000000000000.0)).alias(
+            "hhi"
+        ),
+    )

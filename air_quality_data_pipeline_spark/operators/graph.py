@@ -30,7 +30,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import register
-from ..session import apply_engine_conf
+from ..session import apply_engine_conf, scoped_persist
 from ..tables import table
 
 _SCALE = 1_000_000_000_000  # 10^12 fixed-point scale
@@ -953,4 +953,102 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "adamic_adar"
             ),
         )
+    )
+
+
+# --- graph_reciprocity: weighted reciprocity of the behavior-transition graph -
+
+# The directed companion to the symmetric co-purchase graph: nodes are
+# event types, a directed edge (a → b) with weight w counts how often a
+# user's event of type a is IMMEDIATELY followed by one of type b (the
+# Markov transition graph behind funnel design and bot detection — organic
+# behavior has asymmetric flows like view→purchase ≫ purchase→view).
+# Weighted reciprocity per source node: Σ_b min(w(a,b), w(b,a)) / Σ_b
+# w(a,b) — 1.0 means every outflow is matched by an equal return flow.
+_RECIPROCITY_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC) AS prev_type
+  FROM events
+),
+edges AS (
+  SELECT prev_type AS src, event_type AS dst,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM seq
+  WHERE prev_type IS NOT NULL AND prev_type <> event_type
+  GROUP BY prev_type, event_type
+),
+matched AS (
+  SELECT e.src, e.dst, e.w,
+         COALESCE(r.w, 0) AS w_rev,
+         CASE WHEN e.w < COALESCE(r.w, 0) THEN e.w
+              ELSE COALESCE(r.w, 0) END AS w_min
+  FROM edges e LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src
+)
+SELECT src AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_out_edges,
+       CAST(SUM(w) AS BIGINT) AS out_weight,
+       CAST(SUM(w_min) AS BIGINT) AS reciprocated_weight,
+       CAST(SUM(w_min) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS reciprocity
+FROM matched
+GROUP BY src
+"""
+
+
+@register("graph_reciprocity", oracle=_RECIPROCITY_ORACLE, tags=("graph",))
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reciprocity of the directed behavior-transition graph:
+    nodes are event types, edge (a → b) counts immediate a→b successions
+    within a user's stream; reciprocity(a) = Σ min(w_ab, w_ba) / Σ w_ab.
+    Organic flows are asymmetric (view→purchase ≫ purchase→view) — a
+    reciprocity spike is a bot/replay signature.
+
+    Scale shape: the corpus-sized work is ONE user-keyed window (lag) —
+    the same exchange any sessionization pays — collapsing map-side into
+    the ≤ |types|² edge table; the reverse-edge match is a self-join on
+    that bounded table (broadcast at any corpus size: the node domain,
+    not the data, bounds it). Counts are BIGINT; the single division has
+    exact-operand inputs, bit-identical in both engines."""
+    apply_engine_conf(spark)
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    # Persisted: the ≤ |types|² edge table feeds BOTH sides of the
+    # reverse-edge self-join — without the persist, the corpus-sized lag
+    # window runs twice.
+    edges = scoped_persist(
+        seq.filter(
+            F.col("prev_type").isNotNull()
+            & (F.col("prev_type") != F.col("event_type"))
+        )
+        .groupBy(
+            F.col("prev_type").alias("src"), F.col("event_type").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    rev = edges.select(
+        F.col("src").alias("r_dst"), F.col("dst").alias("r_src"),
+        F.col("w").alias("w_rev"),
+    )
+    matched = edges.join(
+        F.broadcast(rev),
+        (F.col("src") == F.col("r_src")) & (F.col("dst") == F.col("r_dst")),
+        "left",
+    ).select(
+        "src",
+        "w",
+        F.least(F.col("w"), F.coalesce(F.col("w_rev"), F.lit(0))).alias("w_min"),
+    )
+    return matched.groupBy(F.col("src").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_out_edges"),
+        F.sum("w").cast("bigint").alias("out_weight"),
+        F.sum("w_min").cast("bigint").alias("reciprocated_weight"),
+        (F.sum("w_min").cast("double") / F.sum("w").cast("double")).alias(
+            "reciprocity"
+        ),
     )

@@ -1255,3 +1255,89 @@ def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomalous"
         ),
     )
+
+
+# --- dq_join_skew: join-key skew advisor --------------------------------------
+
+# The "should I salt this join" diagnostic, run BEFORE the shuffle that
+# hurts: for each candidate join key of the fact table, the frequency
+# distribution's hot-key share and tail ratio. A key whose top-1 share or
+# max/median ratio explodes produces straggler reduce tasks at 100 TB —
+# exactly what join_salted exists to fix; this operator names which keys
+# need it. One corpus scan fans each row to its 3 (key_name, key_value)
+# pairs map-side; everything after runs on the bounded key-frequency
+# tables. Percentiles FLOOR-quantize to BIGINT (the llm_winsorize
+# recipe); the two ratio divisions have exact-operand inputs.
+_JOIN_SKEW_KEYS = ["l_partkey", "l_suppkey", "l_orderkey"]
+
+_JOIN_SKEW_ORACLE = f"""
+WITH pairs AS (
+  {" UNION ALL ".join(
+      f"SELECT '{k}' AS key_name, CAST({k} AS BIGINT) AS key_val FROM lineitem"
+      for k in _JOIN_SKEW_KEYS
+  )}
+),
+freq AS (
+  SELECT key_name, key_val, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pairs GROUP BY key_name, key_val
+)
+SELECT key_name,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(cnt) AS BIGINT) AS max_freq,
+       CAST(floor(quantile_cont(cnt, 0.5)) AS BIGINT) AS p50_freq,
+       CAST(floor(quantile_cont(cnt, 0.99)) AS BIGINT) AS p99_freq,
+       CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top1_share,
+       CAST(MAX(cnt) AS DOUBLE)
+         / CAST(floor(quantile_cont(cnt, 0.5)) AS DOUBLE) AS skew_ratio
+FROM freq
+GROUP BY key_name
+"""
+
+
+@register("dq_join_skew", oracle=_JOIN_SKEW_ORACLE, tags=("dq",))
+def dq_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew advisor: for each candidate join key of the fact
+    table, the frequency distribution's size, hot-key share, and
+    max/median tail ratio — the pre-shuffle diagnostic that names which
+    keys need join_salted / AQE skew handling before a 100 TB shuffle
+    makes the answer obvious the expensive way.
+
+    Scale shape: ONE corpus scan fans each row to its 3 (key_name,
+    key_value) pairs via a generator (map-side, no extra scans — the
+    agg_countmin_freq lesson); the partial/final hash aggregate bounds
+    everything after at the distinct-key grain, and the 3-row stats
+    rollup keys on key_name. Exact percentiles FLOOR-quantize to BIGINT
+    (swap approx_percentile at 100 TB — same plan); ratio divisions see
+    exact-operand inputs in both engines."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("key_name"),
+                        F.col(k).cast("bigint").alias("key_val"),
+                    )
+                    for k in _JOIN_SKEW_KEYS
+                ]
+            )
+        ).alias("p")
+    ).select("p.key_name", "p.key_val")
+    freq = pairs.groupBy("key_name", "key_val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    p50 = F.floor(F.expr("percentile(cnt, 0.5D)")).cast("bigint")
+    p99 = F.floor(F.expr("percentile(cnt, 0.99D)")).cast("bigint")
+    return freq.groupBy("key_name").agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_freq"),
+        p50.alias("p50_freq"),
+        p99.alias("p99_freq"),
+        (F.max("cnt").cast("double") / F.sum("cnt").cast("double")).alias(
+            "top1_share"
+        ),
+        (F.max("cnt").cast("double") / p50.cast("double")).alias("skew_ratio"),
+    )

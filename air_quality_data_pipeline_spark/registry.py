@@ -220,6 +220,10 @@ DEFERRED_FIRST_ROW: set[str] = {
     # session-3 batch B (cell-bounded series statistics), same deferral:
     "ts_changepoint",
     "ts_drawdown",
+    # session-3 batch C (graph/market-structure/skew diagnostics):
+    "graph_reciprocity",
+    "agg_concentration",
+    "dq_join_skew",
 }
 
 

@@ -1175,3 +1175,35 @@ def test_drawdown_is_cell_bounded(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "Join" not in plan
+
+
+def test_reciprocity_joins_the_cached_edge_table(spark, sf_dir):
+    """graph_reciprocity: the corpus-sized lag window collapses into a
+    persisted bounded edge table; BOTH self-join sides read the cache
+    (InMemoryTableScan x2) and the reverse match is a broadcast join."""
+    plan = _executed_plan(spark, "graph_reciprocity", sf_dir)
+    assert plan.count("InMemoryTableScan") == 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_concentration_broadcasts_the_dim(spark, sf_dir):
+    """agg_concentration: supplier dim joins BROADCAST onto the fact scan;
+    rank/total windows and the rollup ride one bounded nationkey
+    exchange — no sort-merge join, no single-partition funnel."""
+    plan = _executed_plan(spark, "agg_concentration", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_join_skew_fans_keys_map_side(spark, sf_dir):
+    """dq_join_skew: ONE fact scan fans each row to its 3 (key_name,
+    key_value) pairs via a generator — not 3 unioned scans; everything
+    after runs at the distinct-key grain."""
+    plan = _executed_plan(spark, "dq_join_skew", sf_dir)
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Generate") == 1, plan
+    assert "EvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan, plan

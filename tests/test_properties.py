@@ -1746,3 +1746,88 @@ def test_drawdown_matches_python_curve(spark, sf_dir):
         ), et
         assert r.max_drawdown_micro >= 0
         assert r.n_days == len(pts)
+
+
+def test_reciprocity_matches_python_transitions(spark, sf_dir):
+    """graph_reciprocity: an independent Python pass over per-user event
+    sequences reproduces every edge weight, reciprocated weight, and
+    ratio; reciprocity is in [0, 1] and total reciprocated weight is even
+    (each matched pair contributes min(w_ab, w_ba) twice)."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    seqs: dict[int, list] = {}
+    for r in ev:
+        seqs.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    w: dict[tuple, int] = {}
+    for s in seqs.values():
+        s.sort()
+        for (_, _, a), (_, _, b) in zip(s, s[1:]):
+            if a != b:
+                w[(a, b)] = w.get((a, b), 0) + 1
+    out: dict[str, dict] = {}
+    for (a, b), cnt in w.items():
+        d = out.setdefault(a, {"edges": 0, "out": 0, "rec": 0})
+        d["edges"] += 1
+        d["out"] += cnt
+        d["rec"] += min(cnt, w.get((b, a), 0))
+    rows = {r.event_type: r for r in SPECS["graph_reciprocity"].builder(spark, sf_dir).collect()}
+    assert set(rows) == set(out)
+    for et, d in out.items():
+        r = rows[et]
+        assert (r.n_out_edges, r.out_weight, r.reciprocated_weight) == (
+            d["edges"],
+            d["out"],
+            d["rec"],
+        ), et
+        assert 0.0 <= r.reciprocity <= 1.0
+    assert sum(r.reciprocated_weight for r in rows.values()) % 2 == 0
+
+
+def test_concentration_bounds(spark, sf_dir):
+    """agg_concentration: one row per supplier nation; CR4 within
+    [min(4, n)/n, 1] (top-4 can't beat everything or undercut the
+    average), HHI within [1/n − ε, 1 + ε] with ε the pico-quantization
+    slack, and CR4² / 16 ≤ HHI (each of 4 equal top shares squared)."""
+    rows = SPECS["agg_concentration"].builder(spark, sf_dir).collect()
+    n_nations = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            table(spark, sf_dir, "lineitem").select(
+                F.col("l_suppkey").alias("s_suppkey")
+            ).distinct(),
+            "s_suppkey",
+        )
+        .select("s_nationkey")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_nations
+    for r in rows:
+        n = r.n_suppliers
+        eps = (n + 1) * 1e-12 + 1e-9
+        assert r.total_rev > 0
+        assert min(4, n) / n - 1e-9 <= r.cr4 <= 1.0 + 1e-9, r
+        assert 1.0 / n - eps <= r.hhi <= 1.0 + eps, r
+        assert r.hhi >= (r.cr4 * r.cr4) / 16.0 - eps, r
+
+
+def test_join_skew_orders_and_reconciles(spark, sf_dir):
+    """dq_join_skew: one row per audited key, each seeing the same corpus
+    size; max ≥ p99 ≥ p50 ≥ 1; l_partkey's max frequency matches a direct
+    groupBy recount."""
+    rows = {r.key_name: r for r in SPECS["dq_join_skew"].builder(spark, sf_dir).collect()}
+    assert set(rows) == {"l_partkey", "l_suppkey", "l_orderkey"}
+    li = table(spark, sf_dir, "lineitem")
+    n = li.count()
+    direct_max = (
+        li.groupBy("l_partkey").count().agg(F.max("count")).collect()[0][0]
+    )
+    for r in rows.values():
+        assert r.n_rows == n
+        assert r.max_freq >= r.p99_freq >= r.p50_freq >= 1, r
+        assert r.n_keys <= r.n_rows
+        assert abs(r.top1_share - r.max_freq / n) < 1e-12
+    assert rows["l_partkey"].max_freq == direct_max
