@@ -750,3 +750,47 @@ def f_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_private"),
     )
+
+
+# --- f_codec: base64/hex codec kit with verified roundtrip --------------------
+
+# The wire-format scalar kit (webhook payloads, cache keys, binary-safe
+# CSV columns): base64 and hex encodings of document text with an
+# in-plan roundtrip proof. Cross-engine gotcha pinned here: Spark's
+# base64() MIME-wraps at 76 chars with CRLF (java.util.Base64 MIME
+# encoder) where DuckDB's to_base64 never wraps — the Spark side strips
+# the fold so both engines emit RFC 4648 §4 unwrapped form. hex() is
+# uppercase in both.
+_CODEC_ORACLE = """
+SELECT doc_id,
+       substr(md5(to_base64(text::BLOB)), 1, 16) AS b64_sig,
+       CAST(length(to_base64(text::BLOB)) AS BIGINT) AS b64_len,
+       substr(md5(hex(text)), 1, 16) AS hex_sig,
+       CASE WHEN from_base64(to_base64(text::BLOB))::VARCHAR = text
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS roundtrip_ok
+FROM documents
+"""
+
+
+@register("f_codec", oracle=_CODEC_ORACLE, tags=("function",))
+def f_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base64/hex codec kit with an in-plan roundtrip proof per document:
+    encode, digest the encodings, and verify decode(encode(x)) == x as a
+    column the oracle hash-checks. Pure codegen projection — JVM codec
+    intrinsics map-side, zero shuffle (function-tag gated). Spark's MIME
+    line-folding (76-char CRLF wrap) is normalized away so both engines
+    emit RFC 4648 unwrapped base64."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    b64 = F.regexp_replace(
+        F.base64(F.col("text").cast("binary")), "\r\n", ""
+    )
+    return docs.select(
+        "doc_id",
+        F.substring(F.md5(b64), 1, 16).alias("b64_sig"),
+        F.length(b64).cast("bigint").alias("b64_len"),
+        F.substring(F.md5(F.hex(F.col("text"))), 1, 16).alias("hex_sig"),
+        (F.unbase64(b64).cast("string") == F.col("text"))
+        .cast("bigint")
+        .alias("roundtrip_ok"),
+    )

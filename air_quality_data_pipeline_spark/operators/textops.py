@@ -3374,3 +3374,108 @@ def llm_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cond_h_nats"
         ),
     )
+
+
+# --- llm_token_budget: largest-remainder budget allocation --------------------
+
+# The mixing-recipe step after llm_domain_mix decides proportions: given a
+# FIXED total token budget, allocate an integer per-source quota
+# proportional to source weight such that quotas sum to EXACTLY the
+# budget (floor everything, then hand the leftover +1s to the largest
+# remainders — Hamilton's method). Everything is BIGINT: quota = (B·w)
+# div W and remainder = B·w − quota·W are exact in both engines; the
+# only windows run on the |sources|-row weight table (domain-bounded at
+# any corpus size, so its single-partition exchange is a constant, not a
+# funnel). Overflow: B·w ≤ 1e6 · total_chars — int64-safe until the
+# corpus holds ~9e12 chars per source (three decades past sf100).
+_TOKEN_BUDGET = 1_000_000
+
+_TOKEN_BUDGET_ORACLE = f"""
+WITH w AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS weight
+  FROM documents GROUP BY source
+),
+q AS (
+  SELECT source, weight,
+         CAST(SUM(weight) OVER () AS BIGINT) AS total_w,
+         ({_TOKEN_BUDGET} * weight) // CAST(SUM(weight) OVER () AS BIGINT)
+           AS floor_quota,
+         {_TOKEN_BUDGET} * weight
+           - (({_TOKEN_BUDGET} * weight) // CAST(SUM(weight) OVER () AS BIGINT))
+             * CAST(SUM(weight) OVER () AS BIGINT) AS rem
+  FROM w
+),
+r AS (
+  SELECT source, weight, floor_quota, rem,
+         CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS BIGINT)
+           AS rnk,
+         CAST({_TOKEN_BUDGET} - SUM(floor_quota) OVER () AS BIGINT)
+           AS leftover
+  FROM q
+)
+SELECT source, weight, floor_quota, rem, rnk,
+       CASE WHEN rnk <= leftover THEN CAST(1 AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS extra,
+       floor_quota + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END
+         AS final_quota
+FROM r
+"""
+
+
+@register("llm_token_budget", oracle=_TOKEN_BUDGET_ORACLE, tags=("llm", "text"))
+def llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) budget allocation: integer per-source
+    token quotas proportional to corpus weight that sum to EXACTLY the
+    1M-token budget — the step that turns llm_domain_mix's proportions
+    into an executable sampling plan with no rounding drift.
+
+    Scale shape: one map-side-combined corpus collapse to the
+    |sources|-row weight table; the total/rank windows run on that
+    domain-bounded table (its single-partition exchange is a constant-
+    size plan node, not a data funnel). All arithmetic is BIGINT —
+    quota = (B·w) div W and remainder are exact, so the Σquota == B
+    invariant is checkable bit-for-bit in both engines."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    B = F.lit(_TOKEN_BUDGET).cast("bigint")
+    w = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("weight")
+    )
+    wall = Window.partitionBy()
+    q = w.select(
+        "source",
+        "weight",
+        F.sum("weight").over(wall).cast("bigint").alias("total_w"),
+    ).select(
+        "source",
+        "weight",
+        F.expr(f"({_TOKEN_BUDGET} * weight) div total_w").alias("floor_quota"),
+        (
+            B * F.col("weight")
+            - F.expr(f"({_TOKEN_BUDGET} * weight) div total_w")
+            * F.col("total_w")
+        ).alias("rem"),
+    )
+    r = q.select(
+        "source",
+        "weight",
+        "floor_quota",
+        "rem",
+        F.row_number()
+        .over(wall.orderBy(F.col("rem").desc(), F.col("source").asc()))
+        .cast("bigint")
+        .alias("rnk"),
+        (B - F.sum("floor_quota").over(wall)).cast("bigint").alias("leftover"),
+    )
+    extra = F.when(F.col("rnk") <= F.col("leftover"), F.lit(1)).otherwise(
+        F.lit(0)
+    ).cast("bigint")
+    return r.select(
+        "source",
+        "weight",
+        "floor_quota",
+        "rem",
+        "rnk",
+        extra.alias("extra"),
+        (F.col("floor_quota") + extra).alias("final_quota"),
+    )

@@ -1668,3 +1668,78 @@ def ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("peak").alias("peak_cum_micro"),
         F.col("drawdown").alias("max_drawdown_micro"),
     )
+
+
+# --- ts_peak_detect: strict local maxima of the daily series ------------------
+
+# The alerting primitive between ts_mad_outliers (distribution outliers)
+# and ts_changepoint (single break): which DAYS are strict local peaks of
+# each series, with their prominence over the higher neighbor. Neighbor
+# comparison is lag/lead on the bounded (type, day) cell table; BIGINT
+# micro-units end to end, so peak membership is bit-identical in both
+# engines (no float tie ambiguity).
+_PEAK_ORACLE = """
+WITH daily AS (
+  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d')
+),
+nb AS (
+  SELECT event_type, day, x,
+         LAG(x)  OVER w AS prev_x,
+         LEAD(x) OVER w AS next_x
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day ASC)
+)
+SELECT event_type, day, x AS x_micro, prev_x AS prev_micro,
+       next_x AS next_micro,
+       x - CASE WHEN prev_x > next_x THEN prev_x ELSE next_x END
+         AS prominence_micro
+FROM nb
+WHERE prev_x IS NOT NULL AND next_x IS NOT NULL
+  AND x > prev_x AND x > next_x
+"""
+
+
+@register("ts_peak_detect", oracle=_PEAK_ORACLE, tags=("timeseries",))
+def ts_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict local-maximum days per event_type with prominence over the
+    higher neighbor — the spike-alert primitive (campaign day, incident
+    burst) that names WHICH days peaked, where ts_mad_outliers only says
+    how far from typical they were.
+
+    Scale shape: the ts_changepoint envelope — one map-side-combined
+    corpus collapse to (type, day) cells, one lag/lead window inside the
+    type-keyed exchange on the bounded cell table, row-local peak
+    predicate. BIGINT micro-units make peak membership exact (float ties
+    can't flip a comparison differently per engine)."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000000.0).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    nb = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.lag("x").over(w).alias("prev_x"),
+        F.lead("x").over(w).alias("next_x"),
+    )
+    return nb.filter(
+        F.col("prev_x").isNotNull()
+        & F.col("next_x").isNotNull()
+        & (F.col("x") > F.col("prev_x"))
+        & (F.col("x") > F.col("next_x"))
+    ).select(
+        "event_type",
+        "day",
+        F.col("x").alias("x_micro"),
+        F.col("prev_x").alias("prev_micro"),
+        F.col("next_x").alias("next_micro"),
+        (F.col("x") - F.greatest("prev_x", "next_x")).alias("prominence_micro"),
+    )

@@ -224,6 +224,10 @@ DEFERRED_FIRST_ROW: set[str] = {
     "graph_reciprocity",
     "agg_concentration",
     "dq_join_skew",
+    # session-3 batch D (allocation, peak alerts, codec kit):
+    "llm_token_budget",
+    "ts_peak_detect",
+    "f_codec",
 }
 
 

@@ -1207,3 +1207,25 @@ def test_join_skew_fans_keys_map_side(spark, sf_dir):
     assert plan.count("Generate") == 1, plan
     assert "EvalPython" not in plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_token_budget_single_partition_is_bounded(spark, sf_dir):
+    """llm_token_budget: one corpus collapse exchange; the global
+    total/rank windows run on the |sources|-row weight table, so the
+    single-partition exchange is a constant-size plan node (domain-
+    bounded), not a data funnel — exactly one of each."""
+    plan = _executed_plan(spark, "llm_token_budget", sf_dir)
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "Join" not in plan
+
+
+def test_peak_detect_is_cell_bounded(spark, sf_dir):
+    """ts_peak_detect: the ts_changepoint envelope — one corpus collapse,
+    one lag/lead window on the bounded cell table, row-local predicate."""
+    plan = _executed_plan(spark, "ts_peak_detect", sf_dir)
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Join" not in plan

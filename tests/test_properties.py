@@ -1831,3 +1831,63 @@ def test_join_skew_orders_and_reconciles(spark, sf_dir):
         assert r.n_keys <= r.n_rows
         assert abs(r.top1_share - r.max_freq / n) < 1e-12
     assert rows["l_partkey"].max_freq == direct_max
+
+
+def test_token_budget_sums_exactly_and_stays_proportional(spark, sf_dir):
+    """llm_token_budget: quotas sum to EXACTLY the 1M budget, extras equal
+    the floor shortfall, and every final quota is within 1 of the exact
+    proportional share (the Hamilton-method guarantee)."""
+    rows = SPECS["llm_token_budget"].builder(spark, sf_dir).collect()
+    B = 1_000_000
+    W = sum(r.weight for r in rows)
+    assert sum(r.final_quota for r in rows) == B
+    assert sum(r.extra for r in rows) == B - sum(r.floor_quota for r in rows)
+    for r in rows:
+        exact = B * r.weight / W
+        assert r.floor_quota == (B * r.weight) // W
+        assert abs(r.final_quota - exact) < 1.0, r
+        assert r.extra in (0, 1)
+
+
+def test_peak_detect_matches_python_scan(spark, sf_dir):
+    """ts_peak_detect: an independent Python pass over the daily micro
+    cells reproduces the exact peak set and prominences."""
+    series = _daily_micro_cells(spark, sf_dir)
+    expected = {}
+    for et, pts in series.items():
+        for i in range(1, len(pts) - 1):
+            (_, prev), (day, x), (_, nxt) = pts[i - 1], pts[i], pts[i + 1]
+            if x > prev and x > nxt:
+                expected[(et, day)] = (x, prev, nxt, x - max(prev, nxt))
+    rows = SPECS["ts_peak_detect"].builder(spark, sf_dir).collect()
+    got = {
+        (r.event_type, r.day): (
+            r.x_micro,
+            r.prev_micro,
+            r.next_micro,
+            r.prominence_micro,
+        )
+        for r in rows
+    }
+    assert got == expected
+    for v in got.values():
+        assert v[3] > 0
+
+
+def test_codec_roundtrip_against_python(spark, sf_dir):
+    """f_codec: every document roundtrips; b64 length follows 4·ceil(n/3);
+    the base64 digest matches Python's RFC 4648 encoder (pins the MIME
+    fold normalization)."""
+    import base64
+    import hashlib
+
+    rows = {r.doc_id: r for r in SPECS["f_codec"].builder(spark, sf_dir).collect()}
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    assert len(rows) == len(docs)
+    for d in docs:
+        r = rows[d.doc_id]
+        assert r.roundtrip_ok == 1
+        raw = d.text.encode()
+        b64 = base64.b64encode(raw).decode()
+        assert r.b64_len == len(b64) == 4 * ((len(raw) + 2) // 3)
+        assert r.b64_sig == hashlib.md5(b64.encode()).hexdigest()[:16]
