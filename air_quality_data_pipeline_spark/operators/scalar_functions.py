@@ -756,17 +756,20 @@ def f_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The wire-format scalar kit (webhook payloads, cache keys, binary-safe
 # CSV columns): base64 and hex encodings of document text with an
-# in-plan roundtrip proof. Cross-engine gotcha pinned here: Spark's
+# in-plan roundtrip proof. Cross-engine gotchas pinned here: Spark's
 # base64() MIME-wraps at 76 chars with CRLF (java.util.Base64 MIME
 # encoder) where DuckDB's to_base64 never wraps — the Spark side strips
 # the fold so both engines emit RFC 4648 §4 unwrapped form. hex() is
-# uppercase in both.
+# uppercase in both. DuckDB's VARCHAR::BLOB cast REJECTS non-ASCII
+# (adversarial-fixture finding); encode()/decode() is its UTF-8 byte
+# path, matching Spark's cast(string AS binary).
 _CODEC_ORACLE = """
 SELECT doc_id,
-       substr(md5(to_base64(text::BLOB)), 1, 16) AS b64_sig,
-       CAST(length(to_base64(text::BLOB)) AS BIGINT) AS b64_len,
+       substr(md5(to_base64(encode(text))), 1, 16) AS b64_sig,
+       CAST(length(to_base64(encode(text))) AS BIGINT) AS b64_len,
        substr(md5(hex(text)), 1, 16) AS hex_sig,
-       CASE WHEN from_base64(to_base64(text::BLOB))::VARCHAR = text
+       CASE WHEN text IS NULL THEN NULL
+            WHEN decode(from_base64(to_base64(encode(text)))) = text
             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS roundtrip_ok
 FROM documents
 """

@@ -410,6 +410,11 @@ _DOC_CHUNK_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks, len(string_split(text, ' ')) AS n
   FROM documents
+  -- NULL text yields no chunks: without the guard, NULL-skipping
+  -- greatest()/least() in BOTH engines fabricate one phantom chunk whose
+  -- text renders '' in Spark (concat_ws skips NULL) but NULL in DuckDB
+  -- (adversarial-fixture finding)
+  WHERE text IS NOT NULL
 ),
 c AS (
   SELECT doc_id, toks, n,
@@ -439,7 +444,8 @@ def llm_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``greatest(..., 0)`` guards the short-doc case so ``sequence`` never
     sees a negative length (Spark would generate a DESCENDING range)."""
     apply_engine_conf(spark)
-    docs = table(spark, sf_dir, "documents")
+    # NULL text → no chunks (see the oracle's WHERE comment)
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     c = docs.select(
         "doc_id",
         F.expr(tokens_spark("text")).alias("toks"),
@@ -2123,7 +2129,12 @@ WITH s AS (
 )
 SELECT doc_id,
        CAST(len(sents) AS BIGINT) AS n_sentences,
-       CAST(list_sum(list_transform(sents, x -> length(x))) AS BIGINT) AS sum_chars,
+       -- COALESCE: list_sum([]) is NULL in DuckDB where Spark's aggregate()
+       -- fold yields its 0 seed; NULL text stays NULL via the CASE guard
+       -- (adversarial-fixture finding)
+       CASE WHEN sents IS NULL THEN NULL
+            ELSE CAST(COALESCE(list_sum(list_transform(sents, x -> length(x))), 0)
+                      AS BIGINT) END AS sum_chars,
        CAST(list_max(list_transform(sents, x -> length(x))) AS BIGINT) AS max_chars,
        CASE WHEN len(sents) > 0
             THEN CAST(list_sum(list_transform(sents, x -> length(x))) AS DOUBLE)
