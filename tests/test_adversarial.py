@@ -110,3 +110,140 @@ def test_adversarial_oracle_match(spark, adv_dir, name):
     assert spec.oracle is not None
     problems = check_query(spec.builder(spark, adv_dir), spec.oracle, adv_dir)
     assert not problems, f"{name} diverges on hostile rows: {problems[:3]}"
+
+
+# --- adversarial events: timestamp collisions --------------------------------
+
+# Real event streams have timestamp ties (batched ingestion, clock
+# granularity); the synthetic fixtures' microsecond-random ts almost never
+# collide, so a window ordered by ts WITHOUT a deterministic tie-break
+# looks green at every shipped SF while being engine-dependent (and
+# run-dependent) on real data. This fixture forces the worst case — one
+# user whose events ALL share a timestamp, one with pairwise duplicates —
+# plus value edge cases (exact zeros, negatives), and replays the
+# time-series / window panel through the driver comparator.
+
+_TS_BASE = 1704067200_000_000  # 2024-01-01 00:00:00 UTC in epoch-µs
+
+
+def _adv_events_rows():
+    rows = []
+    eid = 0
+    types = ["view", "click", "purchase", "signup", "error"]
+    # user 1: 40 events, ALL at the same microsecond, across types/values
+    for i in range(40):
+        rows.append((eid, _TS_BASE + 3_600_000_000, 1, types[i % 5],
+                     float(i % 7) - 2.0, '{"k": %d}' % i))
+        eid += 1
+    # user 2: pairwise-duplicate timestamps over 6 days (daily cells stay
+    # non-degenerate for changepoint/peak/volume ops)
+    for d in range(6):
+        for j in range(10):
+            ts = _TS_BASE + d * 86_400_000_000 + (j // 2) * 1_000_000
+            rows.append((eid, ts, 2, types[j % 5], 0.0 if j == 0 else j * 1.5,
+                         '{"k": %d}' % j))
+            eid += 1
+    # user 3: clean strictly-increasing control series over 6 days
+    for d in range(6):
+        for j in range(8):
+            ts = _TS_BASE + d * 86_400_000_000 + j * 7_000_000 + 13
+            rows.append((eid, ts, 3, types[(d + j) % 5], d + j * 0.25,
+                         '{"k": %d}' % (d * 10 + j)))
+            eid += 1
+    # user 4: a single event (windows of size 1)
+    rows.append((eid, _TS_BASE + 5_000_000, 4, "view", 42.0, "{}"))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def adv_events_dir(spark):
+    src = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    dst = "/tmp/adv_events_fixture"
+    os.makedirs(dst, exist_ok=True)
+    for name in TABLE_NAMES:
+        if name == "events":
+            continue
+        target = os.path.join(dst, f"{name}.parquet")
+        if not os.path.exists(target):
+            shutil.copyfile(os.path.join(src, f"{name}.parquet"), target)
+    rows = _adv_events_rows()
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": list(cols[0]),
+                "ts": list(cols[1]),
+                "user_id": list(cols[2]),
+                "event_type": list(cols[3]),
+                "value": list(cols[4]),
+                "props": list(cols[5]),
+            },
+            schema=schema,
+        ),
+        os.path.join(dst, "events.parquet"),
+    )
+    return dst
+
+
+# Every oracle-checked operator that orders or aggregates the events
+# stream. A tie in ts must not make the result engine-dependent.
+ADV_EVENTS_PANEL = [
+    "ts_gapfill",
+    "ts_ohlc",
+    "ts_rolling",
+    "ts_seasonal",
+    "ts_concurrency",
+    "ts_ewma",
+    "ts_cusum",
+    "ts_mad_outliers",
+    "ts_interval_merge",
+    "ts_trend_slope",
+    "ts_downsample",
+    "ts_autocorr",
+    "ts_sliding_corr",
+    "ts_period_over_period",
+    "ts_forecast_baseline",
+    "ts_twa",
+    "ts_theilsen",
+    "ts_changepoint",
+    "ts_drawdown",
+    "ts_peak_detect",
+    "win_rank",
+    "win_latest",
+    "win_frame",
+    "win_offsets",
+    "win_distribution",
+    "win_sessionize",
+    "win_funnel",
+    "win_ntile",
+    "win_median_smooth",
+    "win_streaks",
+    "win_share",
+    "win_pct_rank",
+    "win_running_extrema",
+    "win_cumulative_distinct",
+    "win_attribution",
+    "win_gaps_islands",
+    "win_retention",
+    "agg_entropy",
+    "dq_volume_anomaly",
+    "graph_reciprocity",
+]
+
+
+@pytest.mark.parametrize("name", ADV_EVENTS_PANEL)
+def test_adversarial_ts_collisions(spark, adv_events_dir, name):
+    spec = SPECS[name]
+    assert spec.oracle is not None
+    problems = check_query(spec.builder(spark, adv_events_dir), spec.oracle, adv_events_dir)
+    assert not problems, f"{name} diverges under ts collisions: {problems[:3]}"
