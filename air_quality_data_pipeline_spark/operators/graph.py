@@ -1052,3 +1052,120 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reciprocity"
         ),
     )
+
+
+# --- graph_modularity: partition quality of an attribute community ------------
+
+# Newman modularity of the supplier-nation partition over the co-purchase
+# graph: do suppliers co-sell within their nation more than a random
+# degree-preserving rewiring would predict? Q = Σ_c (e_c/m2 − (K_c/m2)²)
+# with m2 = directed edge count (the symmetric list counts each
+# undirected edge twice), e_c = within-community directed edges, K_c =
+# community degree sum. All counts are BIGINT; every division has
+# exact-operand inputs, and the global Q is the division of two exact
+# BIGINTs (Q_num = m2·Σe_c − ΣK_c², denominator m2²) — no float
+# accumulation anywhere.
+_MODULARITY_ORACLE = """
+WITH pair_counts AS MATERIALIZED (
+  SELECT l1.l_suppkey AS src, l2.l_suppkey AS dst, COUNT(*) AS w
+  FROM lineitem l1
+  JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+  GROUP BY l1.l_suppkey, l2.l_suppkey
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM pair_counts
+  WHERE w > (SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*) FROM pair_counts)
+),
+lab AS (
+  SELECT e.src, e.dst,
+         ss.s_nationkey AS c_src, sd.s_nationkey AS c_dst
+  FROM edges e
+  JOIN supplier ss ON ss.s_suppkey = e.src
+  JOIN supplier sd ON sd.s_suppkey = e.dst
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM edges),
+by_c AS (
+  SELECT c_src AS community,
+         CAST(COUNT(*) AS BIGINT) AS degree_sum,
+         CAST(SUM(CASE WHEN c_src = c_dst THEN 1 ELSE 0 END) AS BIGINT)
+           AS internal_edges
+  FROM lab GROUP BY c_src
+),
+tot AS (
+  SELECT CAST(SUM(internal_edges) AS BIGINT) AS sum_e,
+         CAST(SUM(degree_sum * degree_sum) AS BIGINT) AS sum_k2
+  FROM by_c
+)
+SELECT b.community,
+       CAST((SELECT COUNT(DISTINCT s_nationkey) FROM supplier
+             WHERE s_suppkey IN (SELECT src FROM edges)) AS BIGINT)
+         AS n_communities,
+       b.degree_sum, b.internal_edges,
+       CAST(b.internal_edges AS DOUBLE) / CAST(m.m2 AS DOUBLE)
+         - (CAST(b.degree_sum AS DOUBLE) / CAST(m.m2 AS DOUBLE))
+           * (CAST(b.degree_sum AS DOUBLE) / CAST(m.m2 AS DOUBLE))
+         AS q_contrib,
+       CAST(m.m2 * t.sum_e - t.sum_k2 AS DOUBLE)
+         / CAST(m.m2 * m.m2 AS DOUBLE) AS q_global
+FROM by_c b, m, tot t
+"""
+
+
+@register("graph_modularity", oracle=_MODULARITY_ORACLE, tags=("graph",))
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the supplier-nation partition over the
+    co-purchase graph — the partition-quality score behind community
+    detection: q_contrib per nation (within-nation edge share minus the
+    degree-preserving null expectation) and the exact global Q.
+
+    Scale shape: edges come from the memoized persisted co-purchase
+    build shared with pagerank/cc/kcore (one build per session × sf);
+    labeling is a BROADCAST of the supplier dim onto both endpoints; the
+    per-community rollup and the two scalar aggregates (m2, ΣK²) are all
+    bounded-table work. Q_num = m2·Σe_c − ΣK_c² stays BIGINT-exact
+    (m2 ≤ \\|E\\|, K_c² ≤ m2² — int64-safe to ~3e9 directed edges), and
+    every emitted double is a division of exact operands."""
+    apply_engine_conf(spark)
+    edges = _copurchase_edges(spark, sf_dir)
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    lab = (
+        edges.join(
+            F.broadcast(supp.withColumnRenamed("s_nationkey", "c_src")),
+            edges.src == F.col("s_suppkey"),
+        )
+        .drop("s_suppkey")
+        .join(
+            F.broadcast(supp.withColumnRenamed("s_nationkey", "c_dst")),
+            F.col("dst") == F.col("s_suppkey"),
+        )
+        .drop("s_suppkey")
+    )
+    by_c = lab.groupBy(F.col("c_src").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree_sum"),
+        F.sum(F.when(F.col("c_src") == F.col("c_dst"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("internal_edges"),
+    )
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    m2 = F.sum("degree_sum").over(wall).cast("bigint")
+    sum_e = F.sum("internal_edges").over(wall).cast("bigint")
+    sum_k2 = (
+        F.sum(F.col("degree_sum") * F.col("degree_sum")).over(wall).cast("bigint")
+    )
+    n_comm = F.count(F.lit(1)).over(wall).cast("bigint")
+    d = F.col("degree_sum").cast("double") / m2.cast("double")
+    return by_c.select(
+        "community",
+        n_comm.alias("n_communities"),
+        "degree_sum",
+        "internal_edges",
+        (
+            F.col("internal_edges").cast("double") / m2.cast("double") - d * d
+        ).alias("q_contrib"),
+        (
+            (m2 * sum_e - sum_k2).cast("double") / (m2 * m2).cast("double")
+        ).alias("q_global"),
+    )

@@ -3490,3 +3490,167 @@ def llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra.alias("extra"),
         (F.col("floor_quota") + extra).alias("final_quota"),
     )
+
+
+# --- llm_template_detect: boilerplate family discovery ------------------------
+
+# The CCNet/RefinedWeb-style boilerplate sweep: documents sharing a
+# head fingerprint are one template family (cookie banners, ToS blocks,
+# forum headers) and get deduplicated or stripped as a GROUP, not
+# per-document. The fixture carries no templates, so a known-true family
+# is planted deterministically in BOTH engines (every doc_id % 5 == 0
+# gets the same ToS header — the llm_markup_strip recipe); detection
+# keys on the first-3-token fingerprint, so the planted family MUST
+# surface and random word-soup collisions surface identically in both
+# engines.
+_TEMPLATE_ORACLE = """
+WITH prepped AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 5 = 0
+              THEN 'TERMS OF SERVICE apply. ' || text ELSE text END AS t
+  FROM documents
+),
+fp AS (
+  SELECT doc_id, source,
+         md5(array_to_string(list_slice(string_split(t, ' '), 1, 3), ' '))
+           AS family_fp,
+         length(t) AS n_chars
+  FROM prepped
+)
+SELECT family_fp,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(MIN(doc_id) AS BIGINT) AS exemplar_doc,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM fp
+GROUP BY family_fp
+HAVING COUNT(*) >= 2
+"""
+
+
+@register("llm_template_detect", oracle=_TEMPLATE_ORACLE, tags=("llm", "text"))
+def llm_template_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/template family discovery: group documents by the
+    md5 of their first three tokens and report families with ≥ 2 members
+    (size, source spread, exemplar, bytes) — the sweep that finds cookie
+    banners and ToS blocks so they can be stripped as a group. A
+    known-true family is planted deterministically (every 5th doc gets
+    the same header), so detection is verified against a planted truth,
+    not just cross-engine agreement.
+
+    Scale shape: fingerprinting is one codegen projection (split + slice
+    + concat + md5 — text never leaves the map side); the only exchange
+    is the partial/final aggregate on the 16-byte family key. At 100 TB
+    the family table is bounded by distinct boilerplate heads, and the
+    HAVING prunes singletons before any further processing."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    t = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit("TERMS OF SERVICE apply. "), F.col("text")),
+    ).otherwise(F.col("text"))
+    fp = docs.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.expr(
+                "concat_ws(' ', slice(split("
+                "CASE WHEN doc_id % 5 = 0 THEN 'TERMS OF SERVICE apply. ' || text"
+                " ELSE text END, ' '), 1, 3))"
+            )
+        ).alias("family_fp"),
+        F.length(t).alias("n_chars"),
+    )
+    return (
+        fp.groupBy("family_fp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").cast("bigint").alias("exemplar_doc"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# --- llm_blocklist_filter: keyword-category safety gate -----------------------
+
+# The seed safety filter every corpus pipeline runs before the expensive
+# classifiers: a categorized keyword blocklist, per-document category hit
+# counts, and a keep/flag/drop action. Categories use fixture vocabulary
+# so hit counts are non-degenerate; the category → terms panel is a
+# LITERAL in both engines (at 100 TB it's a broadcast dict — same plan).
+_BLOCK_CATS = {
+    "perf": ("slow", "error"),
+    "spam": ("fast", "big"),
+    "infra": ("spark", "stream"),
+}
+_FLAG_AT, _DROP_AT = 3, 8
+
+
+def _hits_duck(cat: str) -> str:
+    terms = ", ".join(f"'{t}'" for t in _BLOCK_CATS[cat])
+    return (
+        f"CAST(len(list_filter(string_split(text, ' '), x -> x IN ({terms})))"
+        f" AS BIGINT)"
+    )
+
+
+_BLOCKLIST_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         {_hits_duck("perf")} AS perf_hits,
+         {_hits_duck("spam")} AS spam_hits,
+         {_hits_duck("infra")} AS infra_hits
+  FROM documents
+)
+SELECT doc_id, source, perf_hits, spam_hits, infra_hits,
+       perf_hits + spam_hits + infra_hits AS total_hits,
+       CASE WHEN perf_hits + spam_hits + infra_hits >= {_DROP_AT} THEN 'drop'
+            WHEN perf_hits + spam_hits + infra_hits >= {_FLAG_AT} THEN 'flag'
+            ELSE 'keep' END AS action
+FROM scored
+"""
+
+
+@register("llm_blocklist_filter", oracle=_BLOCKLIST_ORACLE, tags=("llm", "text"))
+def llm_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorized keyword blocklist gate: per-document hit counts for
+    each category plus a threshold keep/flag/drop action — the cheap
+    always-on seed filter that runs before any learned safety classifier
+    and routes documents to review queues.
+
+    Scale shape: the entire scoring is ONE codegen projection (split +
+    higher-order filter per category — counting multiplicity, which
+    array_intersect would lose); zero exchanges, zero Python, text never
+    leaves the map side. The category panel is a broadcast-sized literal;
+    adding categories widens the projection, never adds a pass."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+
+    def hits(cat: str):
+        terms = ", ".join(f"'{t}'" for t in _BLOCK_CATS[cat])
+        return F.expr(
+            f"CAST(size(filter(split(text, ' '), x -> x IN ({terms}))) AS BIGINT)"
+        )
+
+    scored = docs.select(
+        "doc_id",
+        "source",
+        hits("perf").alias("perf_hits"),
+        hits("spam").alias("spam_hits"),
+        hits("infra").alias("infra_hits"),
+    )
+    total = F.col("perf_hits") + F.col("spam_hits") + F.col("infra_hits")
+    return scored.select(
+        "doc_id",
+        "source",
+        "perf_hits",
+        "spam_hits",
+        "infra_hits",
+        total.alias("total_hits"),
+        F.when(total >= _DROP_AT, F.lit("drop"))
+        .when(total >= _FLAG_AT, F.lit("flag"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+    )

@@ -228,6 +228,10 @@ DEFERRED_FIRST_ROW: set[str] = {
     "llm_token_budget",
     "ts_peak_detect",
     "f_codec",
+    # session-3 batch E (boilerplate discovery, safety gate, communities):
+    "llm_template_detect",
+    "llm_blocklist_filter",
+    "graph_modularity",
 }
 
 

@@ -1229,3 +1229,33 @@ def test_peak_detect_is_cell_bounded(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "Join" not in plan
+
+
+def test_template_detect_is_one_aggregate(spark, sf_dir):
+    """llm_template_detect: fingerprinting is a codegen projection; the
+    only corpus exchange is the aggregate on the 16-byte family key."""
+    plan = _executed_plan(spark, "llm_template_detect", sf_dir)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "EvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Join" not in plan
+
+
+def test_blocklist_filter_never_shuffles(spark, sf_dir):
+    """llm_blocklist_filter: scoring + action routing is ONE codegen
+    projection — zero exchanges, zero Python, text stays map-side."""
+    plan = _executed_plan(spark, "llm_blocklist_filter", sf_dir)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan
+
+
+def test_modularity_broadcasts_labels_on_cached_edges(spark, sf_dir):
+    """graph_modularity: consumes the memoized persisted edge build
+    (InMemoryTableScan) with the supplier dim BROADCAST onto both
+    endpoints; the community rollup is bounded-table work."""
+    plan = _executed_plan(spark, "graph_modularity", sf_dir)
+    assert plan.count("InMemoryTableScan") >= 1, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

@@ -1891,3 +1891,85 @@ def test_codec_roundtrip_against_python(spark, sf_dir):
         b64 = base64.b64encode(raw).decode()
         assert r.b64_len == len(b64) == 4 * ((len(raw) + 2) // 3)
         assert r.b64_sig == hashlib.md5(b64.encode()).hexdigest()[:16]
+
+
+def test_template_detect_finds_the_planted_family(spark, sf_dir):
+    """llm_template_detect: the deterministically planted ToS header
+    family must surface with exactly the planted membership (every
+    doc_id % 5 == 0), exemplar doc 0; every reported family has >= 2
+    members."""
+    import hashlib
+
+    rows = SPECS["llm_template_detect"].builder(spark, sf_dir).collect()
+    n_planted = (
+        table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0).count()
+    )
+    fp = hashlib.md5(b"TERMS OF SERVICE").hexdigest()
+    planted = [r for r in rows if r.family_fp == fp]
+    assert len(planted) == 1
+    assert planted[0].n_docs == n_planted
+    assert planted[0].exemplar_doc == 0
+    for r in rows:
+        assert r.n_docs >= 2
+        assert 1 <= r.n_sources
+
+
+def test_blocklist_filter_matches_python_and_splits(spark, sf_dir):
+    """llm_blocklist_filter: a Python recount reproduces every category
+    hit count and action; the fixture split is non-degenerate (all three
+    actions occur)."""
+    cats = {
+        "perf": ("slow", "error"),
+        "spam": ("fast", "big"),
+        "infra": ("spark", "stream"),
+    }
+    rows = {r.doc_id: r for r in SPECS["llm_blocklist_filter"].builder(spark, sf_dir).collect()}
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    assert len(rows) == len(docs)
+    seen_actions = set()
+    for d in docs:
+        toks = d.text.split(" ")
+        hits = {c: sum(1 for t in toks if t in terms) for c, terms in cats.items()}
+        r = rows[d.doc_id]
+        assert (r.perf_hits, r.spam_hits, r.infra_hits) == (
+            hits["perf"],
+            hits["spam"],
+            hits["infra"],
+        ), d.doc_id
+        total = sum(hits.values())
+        expected = "drop" if total >= 8 else ("flag" if total >= 3 else "keep")
+        assert r.total_hits == total and r.action == expected
+        seen_actions.add(r.action)
+    assert seen_actions == {"keep", "flag", "drop"}
+
+
+def test_modularity_matches_python_and_bounds(spark, sf_dir):
+    """graph_modularity: a Python recomputation over the collected
+    (bounded) edge set reproduces every community row and the global Q;
+    Q within [-0.5, 1]; degree sums tile m2."""
+    from air_quality_data_pipeline_spark.operators.graph import _copurchase_edges
+
+    edges = _copurchase_edges(spark, sf_dir).collect()
+    nat = {
+        r.s_suppkey: r.s_nationkey
+        for r in table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey").collect()
+    }
+    m2 = len(edges)
+    by_c: dict[int, list[int]] = {}
+    for e in edges:
+        c = nat[e.src]
+        d = by_c.setdefault(c, [0, 0])
+        d[0] += 1
+        d[1] += 1 if nat[e.dst] == c else 0
+    rows = {r.community: r for r in SPECS["graph_modularity"].builder(spark, sf_dir).collect()}
+    assert set(rows) == set(by_c)
+    sum_e = sum(v[1] for v in by_c.values())
+    sum_k2 = sum(v[0] * v[0] for v in by_c.values())
+    q_global = (m2 * sum_e - sum_k2) / (m2 * m2)
+    assert -0.5 <= q_global <= 1.0
+    assert sum(v[0] for v in by_c.values()) == m2
+    for c, (k, e_c) in by_c.items():
+        r = rows[c]
+        assert (r.degree_sum, r.internal_edges) == (k, e_c), c
+        assert abs(r.q_contrib - (e_c / m2 - (k / m2) ** 2)) < 1e-12
+        assert abs(r.q_global - q_global) < 1e-12
