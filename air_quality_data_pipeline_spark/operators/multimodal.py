@@ -463,3 +463,100 @@ def mm_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+# --- mm_patch_grid: ViT-style patch addressing --------------------------------
+
+# Vision-training data prep: every image is cut into a grid of 256px
+# patches (edge patches smaller), each with a stable (patch_id, px, py,
+# pw, ph) address — the coordinate system a patch-level loader, masking
+# policy, or tile dedup keys on. Dimensions come from the image METADATA
+# (here the same md5-derived stand-in both engines share — at 100 TB
+# they're real width/height columns); the payload is never touched, so
+# the whole grid is codegen + one generator, zero Python. A fixed
+# doc_id % 29 panel bounds the exploded output like the other
+# ground-truth panels.
+_PATCH = 256
+
+_PATCH_GRID_ORACLE = f"""
+WITH img AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(text), 1, 4)) AS BIGINT) % 1920 AS w,
+         CAST(('0x' || substring(md5(text), 5, 4)) AS BIGINT) % 1080 AS h
+  FROM documents
+  WHERE doc_id % 2 = 0 AND doc_id % 29 = 0
+),
+-- zero-dim guard: a width/height of 0 (md5 % 1920 CAN be 0) has no
+-- patches; without it Spark's sequence(0, -1) would generate a
+-- DESCENDING range (the llm_doc_chunk lesson)
+nz AS (SELECT * FROM img WHERE w > 0 AND h > 0),
+g AS (
+  SELECT doc_id, w, h,
+         (w + {_PATCH - 1}) // {_PATCH} AS n_x,
+         (h + {_PATCH - 1}) // {_PATCH} AS n_y
+  FROM nz
+)
+SELECT doc_id, w AS width, h AS height,
+       CAST(i AS BIGINT) AS patch_id,
+       CAST(i % n_x AS BIGINT) AS px,
+       CAST(i // n_x AS BIGINT) AS py,
+       CAST(least({_PATCH}, w - (i % n_x) * {_PATCH}) AS BIGINT) AS pw,
+       CAST(least({_PATCH}, h - (i // n_x) * {_PATCH}) AS BIGINT) AS ph
+FROM g, UNNEST(range(0, n_x * n_y)) AS t(i)
+"""
+
+
+@register("mm_patch_grid", oracle=_PATCH_GRID_ORACLE, tags=("multimodal",))
+def mm_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch grid addressing over the image-kind media panel:
+    each image becomes ceil(w/256)·ceil(h/256) patches with stable
+    (patch_id, px, py) coordinates and exact edge-patch sizes — the
+    address space patch-level loaders, mask policies, and tile dedup
+    key on.
+
+    Scale shape: dimensions are metadata (the md5 stand-in here; real
+    width/height columns at 100 TB) so the payload is NEVER read — the
+    grid is one codegen projection + ONE generator (a single explode
+    over the linearized patch index, px/py recovered by div/mod, not a
+    nested explode); output is bounded by the fixed doc panel. Zero
+    Python, zero joins."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    img = docs.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 29 == 0)).select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(md5(text), 1, 4), 16, 10) AS BIGINT) % 1920"
+        ).alias("w"),
+        F.expr(
+            "CAST(conv(substring(md5(text), 5, 4), 16, 10) AS BIGINT) % 1080"
+        ).alias("h"),
+    )
+    # zero-dim guard — see the oracle comment (sequence(0, -1) descends)
+    g = img.filter((F.col("w") > 0) & (F.col("h") > 0)).select(
+        "doc_id",
+        "w",
+        "h",
+        F.expr(f"(w + {_PATCH - 1}) div {_PATCH}").alias("n_x"),
+        F.expr(f"(h + {_PATCH - 1}) div {_PATCH}").alias("n_y"),
+    )
+    x = g.select(
+        "doc_id",
+        "w",
+        "h",
+        "n_x",
+        F.explode(F.expr("sequence(0, n_x * n_y - 1)")).alias("i"),
+    )
+    return x.select(
+        "doc_id",
+        F.col("w").alias("width"),
+        F.col("h").alias("height"),
+        F.col("i").cast("bigint").alias("patch_id"),
+        (F.col("i") % F.col("n_x")).cast("bigint").alias("px"),
+        F.expr("i div n_x").cast("bigint").alias("py"),
+        F.expr(f"least({_PATCH}, w - (i % n_x) * {_PATCH})")
+        .cast("bigint")
+        .alias("pw"),
+        F.expr(f"least({_PATCH}, h - (i div n_x) * {_PATCH})")
+        .cast("bigint")
+        .alias("ph"),
+    )

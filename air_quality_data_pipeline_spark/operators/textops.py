@@ -3654,3 +3654,121 @@ def llm_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("keep"))
         .alias("action"),
     )
+
+
+# --- llm_url_canonicalize: URL normalization + collapse -----------------------
+
+# The crawl-dedup step BEFORE any fetch: raw URLs differ in scheme/host
+# case, trailing slashes, tracking params, and fragments while naming the
+# same resource. Messy variants are synthesized deterministically (case
+# flips by parity, conditional trailing slash / utm params / fragment;
+# path keys on doc_id % 10 so variants genuinely collide), then
+# canonicalized — lowercase scheme+host, strip fragment and trailing
+# slash, keep ONLY the allowlisted id param — and collapsed. The whole
+# chain is split_part/lower/regexp algebra shared by both engines.
+_RAW_URL_DUCK = """
+  CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'http://' END
+  || CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END
+  || '.Example.COM/p/' || (doc_id % 10)
+  || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+  || '?utm_source=x&id=' || (doc_id % 5)
+  || CASE WHEN doc_id % 3 = 0 THEN '&utm_campaign=y' ELSE '' END
+  || CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END
+"""
+
+_URL_CANON_ORACLE = f"""
+WITH raw AS (
+  SELECT doc_id, source, {_RAW_URL_DUCK} AS url FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+         lower(split_part(url, '://', 1)) AS scheme,
+         lower(split_part(split_part(url, '://', 2), '/', 1)) AS host,
+         regexp_replace(
+           split_part(split_part('/' || split_part(split_part(url, '://', 2),
+                                                    '/', 2) || '/'
+                                 || split_part(split_part(url, '://', 2), '/', 3),
+                      '#', 1), '?', 1),
+           '/$', '') AS path,
+         split_part(split_part(split_part(url, 'id=', 2), '&', 1), '#', 1)
+           AS id_param
+  FROM raw
+),
+canon AS (
+  SELECT doc_id, url,
+         scheme || '://' || host || path
+           || CASE WHEN id_param <> '' THEN '?id=' || id_param ELSE '' END
+           AS canonical
+  FROM parts
+)
+SELECT canonical,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM canon
+GROUP BY canonical
+"""
+
+
+@register("llm_url_canonicalize", oracle=_URL_CANON_ORACLE, tags=("llm", "text"))
+def llm_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + collapse: lowercase scheme/host, strip
+    fragment and trailing slash, drop everything but the allowlisted id
+    param, then group raw variants under their canonical form — the
+    crawl-frontier dedup that stops refetching HTTP://HOST/x/?utm=…#frag
+    as a new page. Messy variants are synthesized deterministically so
+    the collapse factor is known-true.
+
+    Scale shape: canonicalization is ONE codegen projection (split_part /
+    lower / regexp algebra — no UDF, no Python); the only corpus exchange
+    is the aggregate on the canonical key, and COUNT(DISTINCT url) rides
+    it at the already-collapsed grain. At 100 TB the frontier shuffles
+    canonical strings once — exactly the llm_exact_dedup digest shape."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.expr(
+            """
+            CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'http://' END
+            || CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END
+            || '.Example.COM/p/' || CAST(doc_id % 10 AS STRING)
+            || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+            || '?utm_source=x&id=' || CAST(doc_id % 5 AS STRING)
+            || CASE WHEN doc_id % 3 = 0 THEN '&utm_campaign=y' ELSE '' END
+            || CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END
+            """
+        ).alias("url"),
+    )
+    parts = raw.select(
+        "doc_id",
+        "url",
+        F.expr("lower(split_part(url, '://', 1))").alias("scheme"),
+        F.expr("lower(split_part(split_part(url, '://', 2), '/', 1))").alias(
+            "host"
+        ),
+        F.expr(
+            """regexp_replace(
+                 split_part(split_part('/' || split_part(split_part(url, '://', 2),
+                                                          '/', 2) || '/'
+                                       || split_part(split_part(url, '://', 2), '/', 3),
+                            '#', 1), '?', 1),
+                 '/$', '')"""
+        ).alias("path"),
+        F.expr(
+            "split_part(split_part(split_part(url, 'id=', 2), '&', 1), '#', 1)"
+        ).alias("id_param"),
+    )
+    canon = parts.select(
+        "doc_id",
+        "url",
+        F.expr(
+            """scheme || '://' || host || path
+               || CASE WHEN id_param <> '' THEN '?id=' || id_param ELSE '' END"""
+        ).alias("canonical"),
+    )
+    return canon.groupBy("canonical").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+        F.countDistinct("url").cast("bigint").alias("n_raw_variants"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+    )

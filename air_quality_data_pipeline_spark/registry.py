@@ -232,6 +232,9 @@ DEFERRED_FIRST_ROW: set[str] = {
     "llm_template_detect",
     "llm_blocklist_filter",
     "graph_modularity",
+    # session-3 batch F (crawl-frontier dedup, vision patch addressing):
+    "llm_url_canonicalize",
+    "mm_patch_grid",
 }
 
 

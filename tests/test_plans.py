@@ -1259,3 +1259,25 @@ def test_modularity_broadcasts_labels_on_cached_edges(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_url_canonicalize_is_one_aggregate(spark, sf_dir):
+    """llm_url_canonicalize: canonicalization is codegen split_part/regex
+    algebra; the only corpus exchange is the aggregate on the canonical
+    key (distinct-raw rides it at the collapsed grain)."""
+    plan = _executed_plan(spark, "llm_url_canonicalize", sf_dir)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "EvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Join" not in plan
+
+
+def test_patch_grid_is_pure_generate(spark, sf_dir):
+    """mm_patch_grid: metadata-only geometry — one scan, ONE generator
+    (linearized patch index, no nested explode), zero exchanges, zero
+    Python; the payload column is never read."""
+    plan = _executed_plan(spark, "mm_patch_grid", sf_dir)
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Generate") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan

@@ -1973,3 +1973,66 @@ def test_modularity_matches_python_and_bounds(spark, sf_dir):
         assert (r.degree_sum, r.internal_edges) == (k, e_c), c
         assert abs(r.q_contrib - (e_c / m2 - (k / m2) ** 2)) < 1e-12
         assert abs(r.q_global - q_global) < 1e-12
+
+
+def test_url_canonicalize_matches_python(spark, sf_dir):
+    """llm_url_canonicalize: an independent Python canonicalizer over the
+    same synthesized raw URLs reproduces every group (count, variant
+    count, first doc); canonical forms carry no fragment, no utm params,
+    no trailing slash, and a lowercase scheme+host."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source").collect()
+    groups: dict[str, dict] = {}
+    for d in docs:
+        i, src = d.doc_id, d.source
+        url = (
+            ("HTTP://" if i % 2 == 0 else "http://")
+            + (src.upper() if i % 3 == 0 else src)
+            + ".Example.COM/p/" + str(i % 10)
+            + ("/" if i % 2 == 0 else "")
+            + "?utm_source=x&id=" + str(i % 5)
+            + ("&utm_campaign=y" if i % 3 == 0 else "")
+            + ("#frag" if i % 7 == 0 else "")
+        )
+        scheme, rest = url.split("://", 1)
+        host, _, pathq = rest.partition("/")
+        path = "/" + pathq.split("#", 1)[0].split("?", 1)[0].rstrip("/")
+        id_param = url.split("id=", 1)[1].split("&", 1)[0].split("#", 1)[0]
+        canon = (
+            scheme.lower() + "://" + host.lower() + path
+            + ("?id=" + id_param if id_param else "")
+        )
+        g = groups.setdefault(canon, {"n": 0, "raw": set(), "first": i})
+        g["n"] += 1
+        g["raw"].add(url)
+        g["first"] = min(g["first"], i)
+    rows = {r.canonical: r for r in SPECS["llm_url_canonicalize"].builder(spark, sf_dir).collect()}
+    assert set(rows) == set(groups)
+    for c, g in groups.items():
+        r = rows[c]
+        assert (r.n_urls, r.n_raw_variants, r.first_doc) == (
+            g["n"],
+            len(g["raw"]),
+            g["first"],
+        ), c
+        assert "#" not in c and "utm" not in c and not c.split("?")[0].endswith("//")
+    assert sum(g["n"] for g in groups.values()) == len(docs)
+
+
+def test_patch_grid_tiles_exactly(spark, sf_dir):
+    """mm_patch_grid: per image, the patch count is ceil(w/256)·ceil(h/256)
+    and Σ pw·ph over its patches equals w·h exactly (a perfect tiling —
+    no overlap, no gap); coordinates stay in range."""
+    rows = SPECS["mm_patch_grid"].builder(spark, sf_dir).collect()
+    assert rows
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc, ps in per_doc.items():
+        w, h = ps[0].width, ps[0].height
+        n_x, n_y = -(-w // 256), -(-h // 256)
+        assert len(ps) == n_x * n_y, doc
+        assert sum(p.pw * p.ph for p in ps) == w * h, doc
+        assert {p.patch_id for p in ps} == set(range(n_x * n_y))
+        for p in ps:
+            assert 0 <= p.px < n_x and 0 <= p.py < n_y
+            assert 1 <= p.pw <= 256 and 1 <= p.ph <= 256
