@@ -28,7 +28,16 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL for zero-norm operands (undefined similarity), never an error.
+
+    A broken encoder WILL ship zero vectors; an unguarded division is a
+    DIVIDE_BY_ZERO job-kill under Spark 4's default ANSI mode — a single
+    bad row aborts a 100 TB similarity pass (adversarial-fixture
+    finding). NULL propagates through every threshold comparison as
+    not-a-match, which is the semantics a dedup/search pipeline wants
+    for an undefined similarity."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0.0, dot_product(a, b) / denom)
 
 
 # DuckDB fragments computing the identical sequential folds over FLOAT[] lists.
@@ -50,4 +59,11 @@ def l2_norm_duckdb(a: str, dims: int) -> str:
 
 
 def cosine_similarity_duckdb(a: str, b: str, dims: int) -> str:
-    return f"({dot_product_duckdb(a, b, dims)} / ({l2_norm_duckdb(a, dims)} * {l2_norm_duckdb(b, dims)}))"
+    # NULL on zero-norm operands, mirroring the Spark guard above (DuckDB's
+    # float division yields Inf/NaN instead of erroring — a silent
+    # divergence rather than a crash, same fix either way).
+    denom = f"({l2_norm_duckdb(a, dims)} * {l2_norm_duckdb(b, dims)})"
+    return (
+        f"(CASE WHEN {denom} <> 0.0 THEN "
+        f"{dot_product_duckdb(a, b, dims)} / {denom} END)"
+    )

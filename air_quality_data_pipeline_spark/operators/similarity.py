@@ -943,12 +943,21 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("qlabel"),
         F.col("vec").alias("qvec"),
     )
-    scored = F.broadcast(q).join(v, q.qlabel != v.label).select(
-        "qid",
-        "qlabel",
-        "vec_id",
-        "label",
-        cosine_similarity(F.col("qvec"), F.col("vec")).alias("cosine"),
+    scored = (
+        F.broadcast(q)
+        .join(v, q.qlabel != v.label)
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            cosine_similarity(F.col("qvec"), F.col("vec")).alias("cosine"),
+        )
+        # a zero-norm query has NULL similarity to every candidate — no
+        # hard negative is minable for it, so it yields NO row (matches
+        # the oracle's cosine = max(cosine) equi-join, which drops the
+        # all-NULL group; adversarial-fixture finding)
+        .filter(F.col("cosine").isNotNull())
     )
     return scored.groupBy("qid").agg(
         F.min("qlabel").alias("qlabel"),

@@ -247,3 +247,92 @@ def test_adversarial_ts_collisions(spark, adv_events_dir, name):
     assert spec.oracle is not None
     problems = check_query(spec.builder(spark, adv_events_dir), spec.oracle, adv_events_dir)
     assert not problems, f"{name} diverges under ts collisions: {problems[:3]}"
+
+
+# --- adversarial embeddings: degenerate vectors -------------------------------
+
+# Broken encoders ship zero vectors, exact duplicates, denormal-scale
+# values, and constant vectors; cosine math divides by the norm, so a
+# zero-norm row is where engine semantics (NULL vs NaN vs Inf) diverge
+# first. 64-dim like the fixture; every value is a power of two times a
+# small integer so dot products and norms are EXACT in float64 and any
+# divergence is semantic, not rounding.
+
+
+def _adv_embeddings_rows():
+    import struct
+
+    dim = 64
+    rows = []
+
+    def vec(fn):
+        return [float(fn(i)) for i in range(dim)]
+
+    rows.append((0, vec(lambda i: 0.0), 0))                        # zero vector
+    rows.append((1, vec(lambda i: 0.25), 1))                       # constant
+    rows.append((2, vec(lambda i: 0.25), 1))                       # exact duplicate
+    rows.append((3, vec(lambda i: -0.25), 2))                      # antipodal
+    rows.append((4, vec(lambda i: 2.0 ** -60 if i == 0 else 0.0), 3))  # tiny norm
+    rows.append((5, vec(lambda i: 1024.0 if i == 0 else 0.0), 4))  # huge single-axis
+    rows.append((6, vec(lambda i: (1 if i % 2 == 0 else -1) * 0.125), 5))
+    rows.append((7, vec(lambda i: 0.0625 * ((i % 5) - 2)), 6))
+    # a clean cluster of slightly-perturbed copies (near-dup bait)
+    for k in range(8, 20):
+        rows.append((k, vec(lambda i, k=k: 0.5 if i == (k % 4) else 0.125), 7 + (k % 3)))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def adv_emb_dir(spark):
+    src = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    dst = "/tmp/adv_emb_fixture"
+    os.makedirs(dst, exist_ok=True)
+    for name in TABLE_NAMES:
+        if name == "embeddings":
+            continue
+        target = os.path.join(dst, f"{name}.parquet")
+        if not os.path.exists(target):
+            shutil.copyfile(os.path.join(src, f"{name}.parquet"), target)
+    rows = _adv_embeddings_rows()
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": [r[0] for r in rows],
+                "embedding": [r[1] for r in rows],
+                "label": [r[2] for r in rows],
+            },
+            schema=schema,
+        ),
+        os.path.join(dst, "embeddings.parquet"),
+    )
+    return dst
+
+
+ADV_EMB_PANEL = [
+    "llm_sim_search",
+    "llm_emb_neardup",
+    "llm_emb_centroid",
+    "llm_kmeans_iter",
+    "llm_sim_search_ivf",
+    "llm_ann_recall",
+    "llm_emb_lsh",
+    "llm_semantic_dedup",
+    "llm_emb_quantize",
+    "llm_hard_negatives",
+    "llm_mmr_diversify",
+]
+
+
+@pytest.mark.parametrize("name", ADV_EMB_PANEL)
+def test_adversarial_degenerate_vectors(spark, adv_emb_dir, name):
+    spec = SPECS[name]
+    assert spec.oracle is not None
+    problems = check_query(spec.builder(spark, adv_emb_dir), spec.oracle, adv_emb_dir)
+    assert not problems, f"{name} diverges on degenerate vectors: {problems[:3]}"
