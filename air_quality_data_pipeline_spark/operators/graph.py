@@ -1169,3 +1169,110 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (m2 * sum_e - sum_k2).cast("double") / (m2 * m2).cast("double")
         ).alias("q_global"),
     )
+
+
+# --- graph_clustering_coef: local clustering coefficient ----------------------
+
+# The local-density companion to graph_triangles' counts: c_v =
+# 2·T_v / (deg_v·(deg_v − 1)) — how close each supplier's neighborhood
+# is to a clique (high c_v + low degree = tight ring; web-graph spam
+# farms and co-purchase cliques both surface here). Triangle counts come
+# from the same oriented (src < dst) pipeline as graph_triangles — each
+# triangle enumerated ONCE — joined back to the degree table so
+# zero-triangle nodes still appear; nodes of degree < 2 are excluded
+# (coefficient undefined). The division sees two exact BIGINTs.
+_CLUSTERING_ORACLE = """
+WITH pair_counts AS MATERIALIZED (
+  SELECT l1.l_suppkey AS src, l2.l_suppkey AS dst, COUNT(*) AS w
+  FROM lineitem l1
+  JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+  GROUP BY l1.l_suppkey, l2.l_suppkey
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM pair_counts
+  WHERE w > (SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*) FROM pair_counts)
+),
+fwd AS MATERIALIZED (SELECT src, dst FROM edges WHERE src < dst),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM edges GROUP BY src),
+tri AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM fwd e1
+  JOIN fwd e2 ON e2.src = e1.dst
+  JOIN fwd e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+per_node AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+)
+SELECT CAST(d.node AS BIGINT) AS suppkey, d.degree,
+       COALESCE(p.n_triangles, 0) AS n_triangles,
+       CAST(2 * COALESCE(p.n_triangles, 0) AS DOUBLE)
+         / CAST(d.degree * (d.degree - 1) AS DOUBLE) AS clustering
+FROM deg d LEFT JOIN per_node p ON p.node = d.node
+WHERE d.degree >= 2
+"""
+
+
+@register("graph_clustering_coef", oracle=_CLUSTERING_ORACLE, tags=("graph",))
+def graph_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per supplier: c_v = 2·T_v /
+    (deg_v·(deg_v − 1)) over the co-purchase graph — the
+    neighborhood-density score (cliques and spam-farm rings have c ≈ 1,
+    hubs bridging communities have c ≈ 0) that graph_triangles' raw
+    counts don't normalize for.
+
+    Scale shape: reuses the memoized persisted edge build; triangles are
+    enumerated once on the oriented (src < dst) half (the degree-bounded
+    graph_triangles pipeline), then LEFT-joined back to the degree table
+    so zero-triangle nodes keep a row. Everything exchanged is
+    (node, BIGINT) pairs; the coefficient divides two exact BIGINTs —
+    bit-identical in both engines."""
+    apply_engine_conf(spark)
+    edges = _copurchase_edges(spark, sf_dir)
+    fwd = edges.filter(F.col("src") < F.col("dst"))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    e1 = fwd.alias("e1")
+    e2 = fwd.alias("e2")
+    e3 = fwd.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(per_node, "node", "left")
+        .select(
+            F.col("node").cast("bigint").alias("suppkey"),
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint").alias(
+                "n_triangles"
+            ),
+            (
+                (2 * F.coalesce(F.col("n_triangles"), F.lit(0))).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double")
+            ).alias("clustering"),
+        )
+    )

@@ -235,6 +235,8 @@ DEFERRED_FIRST_ROW: set[str] = {
     # session-3 batch F (crawl-frontier dedup, vision patch addressing):
     "llm_url_canonicalize",
     "mm_patch_grid",
+    # session-3 batch G (neighborhood density):
+    "graph_clustering_coef",
 }
 
 

@@ -1281,3 +1281,12 @@ def test_patch_grid_is_pure_generate(spark, sf_dir):
     assert plan.count("Generate") == 1, plan
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan
+
+
+def test_clustering_coef_reuses_edge_cache(spark, sf_dir):
+    """graph_clustering_coef: consumes the memoized persisted edge build;
+    oriented triangle enumeration, no cartesian, no Python."""
+    plan = _executed_plan(spark, "graph_clustering_coef", sf_dir)
+    assert plan.count("InMemoryTableScan") >= 1, plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

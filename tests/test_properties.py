@@ -2036,3 +2036,22 @@ def test_patch_grid_tiles_exactly(spark, sf_dir):
         for p in ps:
             assert 0 <= p.px < n_x and 0 <= p.py < n_y
             assert 1 <= p.pw <= 256 and 1 <= p.ph <= 256
+
+
+def test_clustering_coef_consistent_with_triangles(spark, sf_dir):
+    """graph_clustering_coef: coefficients live in [0, 1], triangle
+    counts never exceed C(deg, 2), no degree-<2 node appears, and the
+    per-node triangle counts agree exactly with graph_triangles'
+    independent output."""
+    rows = {r.suppkey: r for r in SPECS["graph_clustering_coef"].builder(spark, sf_dir).collect()}
+    tri = {r.suppkey: r.n_triangles for r in SPECS["graph_triangles"].builder(spark, sf_dir).collect()}
+    assert rows
+    for k, r in rows.items():
+        assert r.degree >= 2
+        assert 0 <= r.n_triangles <= r.degree * (r.degree - 1) // 2, k
+        assert 0.0 <= r.clustering <= 1.0
+        assert abs(r.clustering - 2 * r.n_triangles / (r.degree * (r.degree - 1))) < 1e-15
+        assert tri.get(k, 0) == r.n_triangles, k
+    # every node graph_triangles credits must be present here (deg >= 2
+    # is implied by membership in any triangle)
+    assert set(tri) <= set(rows)
