@@ -53,9 +53,12 @@ def adv_dir(spark):
     for name in TABLE_NAMES:
         if name == "documents":
             continue
-        target = os.path.join(dst, f"{name}.parquet")
-        if not os.path.exists(target):
-            shutil.copyfile(os.path.join(src, f"{name}.parquet"), target)
+        # unconditional copy: the driver can regenerate sf0.001 between
+        # rounds, and a stale cached companion would silently skew replays
+        shutil.copyfile(
+            os.path.join(src, f"{name}.parquet"),
+            os.path.join(dst, f"{name}.parquet"),
+        )
     rows = {
         "doc_id": list(range(len(_ADV_TEXTS))),
         "text": _ADV_TEXTS,
@@ -163,9 +166,12 @@ def adv_events_dir(spark):
     for name in TABLE_NAMES:
         if name == "events":
             continue
-        target = os.path.join(dst, f"{name}.parquet")
-        if not os.path.exists(target):
-            shutil.copyfile(os.path.join(src, f"{name}.parquet"), target)
+        # unconditional copy: the driver can regenerate sf0.001 between
+        # rounds, and a stale cached companion would silently skew replays
+        shutil.copyfile(
+            os.path.join(src, f"{name}.parquet"),
+            os.path.join(dst, f"{name}.parquet"),
+        )
     rows = _adv_events_rows()
     schema = pa.schema(
         [
@@ -290,9 +296,12 @@ def adv_emb_dir(spark):
     for name in TABLE_NAMES:
         if name == "embeddings":
             continue
-        target = os.path.join(dst, f"{name}.parquet")
-        if not os.path.exists(target):
-            shutil.copyfile(os.path.join(src, f"{name}.parquet"), target)
+        # unconditional copy: the driver can regenerate sf0.001 between
+        # rounds, and a stale cached companion would silently skew replays
+        shutil.copyfile(
+            os.path.join(src, f"{name}.parquet"),
+            os.path.join(dst, f"{name}.parquet"),
+        )
     rows = _adv_embeddings_rows()
     schema = pa.schema(
         [
