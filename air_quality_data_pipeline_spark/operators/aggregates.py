@@ -1409,3 +1409,77 @@ def agg_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hhi"
         ),
     )
+
+
+# --- agg_wilson_ci: binomial rate with Wilson confidence interval -------------
+
+# The A/B-test / conversion-dashboard aggregate a plain mean can't give:
+# Wilson-score 95% bounds on a per-group success rate, which stay inside
+# [0,1] and behave at small n where the normal approximation lies. The
+# success predicate (value > 100) is row-local; s and n are exact
+# BIGINTs, so every double reaching sqrt is identical in both engines;
+# ROUND(9) absorbs the sqrt ulp (the dq_volume_anomaly recipe). z is a
+# shared literal.
+_WILSON_Z = "1.959963984540054"
+
+_WILSON_ORACLE = f"""
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS s
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n, s,
+       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat,
+       ROUND((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+              + {_WILSON_Z} * {_WILSON_Z} / (2.0 * CAST(n AS DOUBLE))
+              - {_WILSON_Z} * sqrt(
+                  (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                  + {_WILSON_Z} * {_WILSON_Z}
+                    / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+             / (1.0 + {_WILSON_Z} * {_WILSON_Z} / CAST(n AS DOUBLE)), 9) AS ci_lo,
+       ROUND((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+              + {_WILSON_Z} * {_WILSON_Z} / (2.0 * CAST(n AS DOUBLE))
+              + {_WILSON_Z} * sqrt(
+                  (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                  + {_WILSON_Z} * {_WILSON_Z}
+                    / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+             / (1.0 + {_WILSON_Z} * {_WILSON_Z} / CAST(n AS DOUBLE)), 9) AS ci_hi
+FROM g
+"""
+
+
+@register("agg_wilson_ci", oracle=_WILSON_ORACLE, tags=("agg", "stats"))
+def agg_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type success rate with Wilson-score 95% bounds — the
+    conversion-dashboard aggregate that stays inside [0, 1] and behaves
+    at small n, where mean ± z·stderr does not.
+
+    Scale shape: one map-side-combined corpus collapse to (type, n, s)
+    BIGINT cells; all the interval algebra is row-local arithmetic on
+    the bounded cell table, with the single sqrt fed identical
+    exact-ratio doubles in both engines (ROUND(9) for the ulp)."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("value") > 100.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("s"),
+    )
+    z = F.expr(_WILSON_Z)
+    n = F.col("n").cast("double")
+    p = F.col("s").cast("double") / n
+    denom = F.lit(1.0) + z * z / n
+    center = p + z * z / (F.lit(2.0) * n)
+    half = z * F.sqrt(p * (F.lit(1.0) - p) / n + z * z / (F.lit(4.0) * n * n))
+    return g.select(
+        "event_type",
+        "n",
+        "s",
+        p.alias("p_hat"),
+        F.round((center - half) / denom, 9).alias("ci_lo"),
+        F.round((center + half) / denom, 9).alias("ci_hi"),
+    )

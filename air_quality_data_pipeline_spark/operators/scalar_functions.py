@@ -797,3 +797,54 @@ def f_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("roundtrip_ok"),
     )
+
+
+# --- f_geo_bearing: initial great-circle bearing -------------------------------
+
+# The navigation companion to f_haversine's distance: the initial bearing
+# from each part's synthetic coordinate toward the reference point,
+# normalized to [0, 360). Same shared-trig discipline as haversine:
+# every operand reaching atan2 is the same double in both engines, and
+# the result is ROUND(6)-quantized because libm atan2 can differ in the
+# last ulp.
+_BEARING_DUCK = """
+ROUND(
+  (degrees(atan2(
+     sin(radians(40.7128 - {lat})) * 0.0 + sin(radians(-74.0060 - {lon})) * cos(radians(40.7128)),
+     cos(radians({lat})) * sin(radians(40.7128))
+       - sin(radians({lat})) * cos(radians(40.7128)) * cos(radians(-74.0060 - {lon}))
+   )) % 360.0 + 360.0) % 360.0, 6)
+"""
+
+_F_BEARING_ORACLE = f"""
+SELECT p_partkey,
+       {_BEARING_DUCK.format(lat="(CAST((p_partkey % 1800) AS DOUBLE) / 10.0 - 90.0)",
+                             lon="(CAST(((p_partkey * 7) % 3600) AS DOUBLE) / 10.0 - 180.0)")}
+         AS bearing_deg
+FROM part
+"""
+
+
+@register("f_geo_bearing", oracle=_F_BEARING_ORACLE, tags=("function", "geo"))
+def f_geo_bearing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial great-circle bearing (degrees, [0, 360)) from each part's
+    synthetic coordinate to the reference point — the navigation scalar
+    next to f_haversine's distance (geofencing, direction-of-travel
+    features). Pure codegen trig; ROUND(6) absorbs libm atan2 ulp; the
+    double-mod normalization is exact on identical operands."""
+    apply_engine_conf(spark)
+    part = table(spark, sf_dir, "part")
+    lat = synthetic_lat(F.col("p_partkey"))
+    lon = synthetic_lon(F.col("p_partkey"))
+    lat2, lon2 = F.lit(40.7128), F.lit(-74.0060)
+    y = F.sin(F.radians(lat2 - lat)) * F.lit(0.0) + F.sin(
+        F.radians(lon2 - lon)
+    ) * F.cos(F.radians(lat2))
+    x = F.cos(F.radians(lat)) * F.sin(F.radians(lat2)) - F.sin(
+        F.radians(lat)
+    ) * F.cos(F.radians(lat2)) * F.cos(F.radians(lon2 - lon))
+    deg = F.degrees(F.atan2(y, x))
+    return part.select(
+        "p_partkey",
+        F.round((deg % 360.0 + 360.0) % 360.0, 6).alias("bearing_deg"),
+    )

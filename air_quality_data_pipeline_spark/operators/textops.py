@@ -3772,3 +3772,70 @@ def llm_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("url").cast("bigint").alias("n_raw_variants"),
         F.min("doc_id").cast("bigint").alias("first_doc"),
     )
+
+
+# --- llm_pad_waste: pad-vs-pack efficiency audit -------------------------------
+
+# Quantifies WHY llm_seq_pack exists: if every document were its own
+# training sequence padded up to a multiple of 64 tokens, how many pad
+# tokens would each source burn? The audit reports real vs padded token
+# totals and the waste ratio — the number that justifies (and sizes) a
+# packing stage in a training-data pipeline. All integers: padded =
+# 64·ceil(tokens/64) per doc, summed map-side; the one ratio division
+# has exact-operand inputs.
+_PAD_MULT = 64
+
+_PAD_WASTE_ORACLE = f"""
+WITH t AS (
+  SELECT source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS real_tokens,
+       CAST(SUM({_PAD_MULT} * ((n_tokens + {_PAD_MULT - 1}) // {_PAD_MULT}))
+            AS BIGINT) AS padded_tokens,
+       CAST(SUM({_PAD_MULT} * ((n_tokens + {_PAD_MULT - 1}) // {_PAD_MULT}))
+            - SUM(n_tokens) AS BIGINT) AS pad_tokens,
+       CAST(SUM({_PAD_MULT} * ((n_tokens + {_PAD_MULT - 1}) // {_PAD_MULT}))
+            - SUM(n_tokens) AS DOUBLE)
+         / CAST(SUM({_PAD_MULT} * ((n_tokens + {_PAD_MULT - 1}) // {_PAD_MULT}))
+                AS DOUBLE) AS waste_ratio
+FROM t GROUP BY source
+"""
+
+
+@register("llm_pad_waste", oracle=_PAD_WASTE_ORACLE, tags=("llm", "text", "packing"))
+def llm_pad_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pad-vs-pack efficiency audit per source: tokens burned if every
+    document were padded to a multiple of 64 instead of packed — the
+    number that justifies and sizes llm_seq_pack (a high waste ratio
+    means short docs dominate and packing pays).
+
+    Scale shape: one codegen projection (tokenize + ceil-division) into
+    one map-side-combined aggregate on the bounded source key; all
+    BIGINT, one exact-operand division."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", F.expr(f"size({tokens_spark('text')})").alias("n_tokens")
+    )
+    padded = F.expr(
+        f"{_PAD_MULT} * ((n_tokens + {_PAD_MULT - 1}) div {_PAD_MULT})"
+    )
+    g = t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("real_tokens"),
+        F.sum(padded).cast("bigint").alias("padded_tokens"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "real_tokens",
+        "padded_tokens",
+        (F.col("padded_tokens") - F.col("real_tokens")).alias("pad_tokens"),
+        (
+            (F.col("padded_tokens") - F.col("real_tokens")).cast("double")
+            / F.col("padded_tokens").cast("double")
+        ).alias("waste_ratio"),
+    )

@@ -209,7 +209,7 @@ DRIVER_WINDOW = DRIVER_PRIORITY[:50]
 # Session-3 addendum: every session-3 operator (batches A–G below) joins
 # the same deferral — all are locally oracle-green at sf0.001/0.01/0.1
 # AND at sf1 (10× driver scale), and the deferral set now exactly lists
-# the round-8 window's first 21 candidates.
+# the round-8 window's first 24 candidates.
 DEFERRED_FIRST_ROW: set[str] = {
     "llm_char_entropy",
     "llm_dataset_interleave",
@@ -242,6 +242,10 @@ DEFERRED_FIRST_ROW: set[str] = {
     "mm_patch_grid",
     # session-3 batch G (neighborhood density):
     "graph_clustering_coef",
+    # session-3 batch H (geo bearing, Wilson CI, pad-waste audit):
+    "f_geo_bearing",
+    "agg_wilson_ci",
+    "llm_pad_waste",
 }
 
 

@@ -1290,3 +1290,21 @@ def test_clustering_coef_reuses_edge_cache(spark, sf_dir):
     assert plan.count("InMemoryTableScan") >= 1, plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_wilson_ci_is_cell_bounded(spark, sf_dir):
+    """agg_wilson_ci: one corpus collapse to (type, n, s) cells; interval
+    algebra is row-local on the bounded table."""
+    plan = _executed_plan(spark, "agg_wilson_ci", sf_dir)
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan
+
+
+def test_pad_waste_is_one_aggregate(spark, sf_dir):
+    """llm_pad_waste: tokenize + ceil-division in codegen, one map-side
+    combined aggregate on the source key."""
+    plan = _executed_plan(spark, "llm_pad_waste", sf_dir)
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "EvalPython" not in plan

@@ -2055,3 +2055,62 @@ def test_clustering_coef_consistent_with_triangles(spark, sf_dir):
     # every node graph_triangles credits must be present here (deg >= 2
     # is implied by membership in any triangle)
     assert set(tri) <= set(rows)
+
+
+def test_wilson_ci_brackets_and_shrinks(spark, sf_dir):
+    """agg_wilson_ci: 0 <= ci_lo <= p_hat <= ci_hi <= 1 for every group,
+    and a Python reimplementation reproduces the bounds."""
+    import math
+
+    z = 1.959963984540054
+    rows = SPECS["agg_wilson_ci"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        p = r.s / r.n
+        denom = 1 + z * z / r.n
+        center = p + z * z / (2 * r.n)
+        half = z * math.sqrt(p * (1 - p) / r.n + z * z / (4 * r.n * r.n))
+        assert abs(r.ci_lo - round((center - half) / denom, 9)) < 1e-9
+        assert abs(r.ci_hi - round((center + half) / denom, 9)) < 1e-9
+        assert 0.0 <= r.ci_lo <= r.p_hat <= r.ci_hi <= 1.0, r
+
+
+def test_pad_waste_reconciles_with_token_count(spark, sf_dir):
+    """llm_pad_waste: padded ≡ 0 (mod 64), padded − real < 64·n_docs,
+    real token totals reconcile with a direct recount."""
+    rows = SPECS["llm_pad_waste"].builder(spark, sf_dir).collect()
+    direct = {
+        r.source: r.t
+        for r in table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.expr("size(split(text, ' '))")).alias("t"))
+        .collect()
+    }
+    assert {r.source for r in rows} == set(direct)
+    for r in rows:
+        assert r.real_tokens == direct[r.source]
+        assert r.padded_tokens % 64 == 0
+        assert 0 <= r.pad_tokens < 64 * r.n_docs
+        assert abs(r.waste_ratio - r.pad_tokens / r.padded_tokens) < 1e-15
+
+
+def test_geo_bearing_range_and_python(spark, sf_dir):
+    """f_geo_bearing: bearings live in [0, 360) and match a Python
+    implementation of the same formula to the shared ROUND(6) grid."""
+    import math
+
+    rows = SPECS["f_geo_bearing"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:500]:
+        k = r.p_partkey
+        lat = (k % 1800) / 10.0 - 90.0
+        lon = ((k * 7) % 3600) / 10.0 - 180.0
+        lat1, lat2 = math.radians(lat), math.radians(40.7128)
+        dlon = math.radians(-74.0060 - lon)
+        y = math.sin(dlon) * math.cos(lat2)
+        x = math.cos(lat1) * math.sin(lat2) - math.sin(lat1) * math.cos(
+            lat2
+        ) * math.cos(dlon)
+        deg = (math.degrees(math.atan2(y, x)) % 360.0 + 360.0) % 360.0
+        assert 0.0 <= r.bearing_deg < 360.0
+        assert abs(r.bearing_deg - deg) < 1e-5, k
