@@ -757,12 +757,16 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The weight product runs at decimal(18,4) x decimal(9,2) -> (28,6): inside
 # Spark's max precision 38, so the weighted power sum is EXACT in both
 # engines (the ts_cusum width lesson applied up front). The final share is
-# ONE double division of identical exact values.
+# ONE double division — ROUND(6)-quantized: once the exact decimal sum's
+# scaled integer exceeds 2^53 (first happens at sf1), DuckDB's
+# int128/10^scale float conversion and Java's BigDecimal.doubleValue can
+# differ by one ulp (caught by the full sf1 replay; 1.5e-11 absolute on a
+# 5e4 mean).
 _WEIGHTED_AVG_ORACLE = """
 SELECT l_returnflag,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 4))
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 4))
                 * CAST(l_quantity AS DECIMAL(9, 2))) AS DOUBLE)
-         / CAST(SUM(CAST(l_quantity AS DECIMAL(9, 2))) AS DOUBLE) AS wavg_price,
+         / CAST(SUM(CAST(l_quantity AS DECIMAL(9, 2))) AS DOUBLE), 6) AS wavg_price,
        CAST(SUM(CAST(l_quantity AS DECIMAL(9, 2))) AS DOUBLE) AS total_qty,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM lineitem
@@ -788,7 +792,9 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = F.col("l_quantity").cast("decimal(9,2)")
     return li.groupBy("l_returnflag").agg(
-        (F.sum(wx).cast("double") / F.sum(w).cast("double")).alias("wavg_price"),
+        F.round(F.sum(wx).cast("double") / F.sum(w).cast("double"), 6).alias(
+            "wavg_price"
+        ),
         F.sum(w).cast("double").alias("total_qty"),
         F.count(F.lit(1)).alias("n"),
     )

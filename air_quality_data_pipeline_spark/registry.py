@@ -206,7 +206,7 @@ DRIVER_WINDOW = DRIVER_PRIORITY[:50]
 # (HLL++ registers aren't DuckDB-reproducible; value anchor =
 # within-5%-of-exact property test) and is exempt per the rows-only rule.
 #
-# Session-3 addendum: every session-3 operator (batches A–G below) joins
+# Session-3 addendum: every session-3 operator (batches A–H below) joins
 # the same deferral — all are locally oracle-green at sf0.001/0.01/0.1
 # AND at sf1 (10× driver scale), and the deferral set now exactly lists
 # the round-8 window's first 24 candidates.
