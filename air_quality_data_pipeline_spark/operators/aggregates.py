@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.exact import exact_sum, exact_sum_sql
 from ..registry import register
-from ..session import apply_engine_conf
+from ..session import apply_engine_conf, scoped_persist
 from ..tables import table
 
 _AGG_COUNT_GRP_ORACLE = """
@@ -1488,4 +1488,237 @@ def agg_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.alias("p_hat"),
         F.round((center - half) / denom, 9).alias("ci_lo"),
         F.round((center + half) / denom, 9).alias("ci_hi"),
+    )
+
+
+# --- agg_bloom_filter: oracle-exact Bloom membership with an exact anchor -----
+
+# The membership twin of agg_countmin_freq's frequency sketch: build a
+# k=3 x m=262144-bit Bloom filter over l_partkey, probe a fixed 32-key
+# panel (16 keys present at every SF, 16 drawn from 1e9+ so they stay
+# absent through sf10000), and join back exact membership so the
+# one-sided guarantee (present keys ALWAYS hit; misses only ever happen
+# on absent keys) is itself a hash-checked column. Hashes are the
+# engine-portable md5 fold (the agg_countmin_freq recipe), so the whole
+# bit-vector — not just row counts — is bit-reproducible in DuckDB.
+_BF_K = 3
+_BF_M = 262144
+_BF_PRESENT = 16  # panel keys 1..16 exist at every SF (partkeys start at 0)
+_BF_ABSENT_BASE = 1_000_000_000
+
+
+def _bf_bit(x_sql: str, j: int) -> str:
+    """Shared (Spark) SQL: bit position of key expr ``x_sql`` for hash j."""
+    return (
+        f"CAST(CAST(conv(substring(md5(concat('bf{j}|', CAST({x_sql} AS STRING))), 1, 14), "
+        f"16, 10) AS BIGINT) % {_BF_M} AS BIGINT)"
+    )
+
+
+def _bf_bit_duck(x_sql: str, j: int) -> str:
+    return (
+        f"CAST(CAST(('0x' || substring(md5('bf{j}|' || CAST({x_sql} AS VARCHAR)), 1, 14)) "
+        f"AS BIGINT) % {_BF_M} AS BIGINT)"
+    )
+
+
+_BF_ORACLE = f"""
+WITH bits AS (
+  SELECT DISTINCT bit FROM (
+    {" UNION ALL ".join(
+        f"SELECT {_bf_bit_duck('l_partkey', j)} AS bit FROM lineitem"
+        for j in range(_BF_K)
+    )}
+)
+),
+panel AS (
+  SELECT unnest(range(1, {_BF_PRESENT + 1})) AS partkey
+  UNION ALL
+  SELECT unnest(range({_BF_ABSENT_BASE + 1}, {_BF_ABSENT_BASE + _BF_PRESENT + 1}))
+),
+probe_bits AS (
+  {" UNION ALL ".join(
+      f"SELECT partkey, {_bf_bit_duck('partkey', j)} AS bit FROM panel"
+      for j in range(_BF_K)
+  )}
+),
+hits AS (
+  SELECT p.partkey,
+         CAST(MIN(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS bloom_hit
+  FROM probe_bits p LEFT JOIN bits b USING (bit)
+  GROUP BY p.partkey
+),
+exact AS (SELECT DISTINCT l_partkey AS partkey FROM lineitem)
+SELECT h.partkey,
+       h.bloom_hit,
+       CAST(CASE WHEN e.partkey IS NULL THEN 0 ELSE 1 END AS BIGINT) AS exact_present,
+       CAST(CASE WHEN h.bloom_hit = 1 AND e.partkey IS NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS false_positive
+FROM hits h LEFT JOIN exact e USING (partkey)
+"""
+
+
+@register("agg_bloom_filter", oracle=_BF_ORACLE, tags=("agg", "sketch"))
+def agg_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership with an exact anchor: set the k=3 bit
+    positions of every l_partkey in an m=262144-bit filter, probe a fixed
+    32-key panel (16 present at every SF, 16 absent through sf10000), and
+    join back exact membership so the driver hash-checks the one-sided
+    guarantee itself (present => hit; false positives only on absents).
+
+    Scale shape: the bit-vector is a partial-distinct aggregate over the
+    k per-row hash positions — the exchange carries <= m = 262k rows per
+    map task at ANY input size, which is the point of the sketch at
+    100 TB (the agg_countmin_freq argument, for membership instead of
+    frequency). One lineitem scan fans each row to its k bits via a
+    generator, never k unioned scans; the bounded bit table then joins
+    the constant 96-row probe side. The exact anchor prunes its scan to
+    the panel key range at the parquet reader."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    bits = (
+        li.select(
+            F.explode(
+                F.array(*[F.expr(_bf_bit("l_partkey", j)) for j in range(_BF_K)])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    panel = (
+        spark.range(1, _BF_PRESENT + 1)
+        .union(spark.range(_BF_ABSENT_BASE + 1, _BF_ABSENT_BASE + _BF_PRESENT + 1))
+        .select(F.col("id").alias("partkey"))
+    )
+    probe_bits = panel.select(
+        "partkey",
+        F.explode(
+            F.array(*[F.expr(_bf_bit("partkey", j)) for j in range(_BF_K)])
+        ).alias("bit"),
+    )
+    hits = (
+        probe_bits.join(bits.withColumn("set_", F.lit(1)), "bit", "left")
+        .groupBy("partkey")
+        .agg(F.min(F.coalesce(F.col("set_"), F.lit(0))).cast("bigint").alias("bloom_hit"))
+    )
+    exact = (
+        li.filter(
+            F.col("l_partkey").between(1, _BF_PRESENT)
+            | F.col("l_partkey").between(
+                _BF_ABSENT_BASE + 1, _BF_ABSENT_BASE + _BF_PRESENT
+            )
+        )
+        .select(F.col("l_partkey").alias("partkey"))
+        .distinct()
+        .withColumn("present_", F.lit(1))
+    )
+    return (
+        hits.join(F.broadcast(exact), "partkey", "left")
+        .select(
+            "partkey",
+            "bloom_hit",
+            F.coalesce(F.col("present_"), F.lit(0)).cast("bigint").alias("exact_present"),
+            F.when((F.col("bloom_hit") == 1) & F.col("present_").isNull(), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("false_positive"),
+        )
+    )
+
+
+# --- agg_ttest: Welch two-sample t-test between group pairs -------------------
+
+# The experiment-analysis primitive next to agg_wilson_ci (rates) and
+# dq_ks_test (distributions): does mean(value) differ between two event
+# types? Welch's unequal-variance t with Satterthwaite df, computed for
+# every unordered type pair. Parity discipline: values quantize to
+# DECIMAL(18,9) so s1/s2 are exact associative sums (the ts_cusum recipe);
+# every double is then derived from identical exact operands, and the two
+# lib-m-adjacent outputs (t needs sqrt, df squares small doubles) get
+# ROUND(9)/ROUND(6).
+_TTEST_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18, 9))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value AS DECIMAL(18, 9)) * CAST(value AS DECIMAL(18, 9)))
+              AS DOUBLE) AS s2
+  FROM events GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n, s1 / n AS mean,
+         (s2 - s1 * s1 / n) / (n - 1) AS var
+  FROM g
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       a.n AS n_a, b.n AS n_b, a.mean AS mean_a, b.mean AS mean_b,
+       ROUND((a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n), 9) AS t_stat,
+       ROUND(
+         (a.var / a.n + b.var / b.n) * (a.var / a.n + b.var / b.n)
+         / ((a.var / a.n) * (a.var / a.n) / (a.n - 1)
+            + (b.var / b.n) * (b.var / b.n) / (b.n - 1)), 6) AS df,
+       CAST(CASE WHEN abs((a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n))
+                      > 1.959963984540054
+                 THEN 1 ELSE 0 END AS BIGINT) AS significant_95
+FROM m a JOIN m b ON a.event_type < b.event_type
+"""
+
+
+@register("agg_ttest", oracle=_TTEST_ORACLE, tags=("agg", "stats"))
+def agg_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test over every unordered
+    event-type pair: t statistic, Satterthwaite degrees of freedom, and a
+    95% two-sided verdict — the A/B mean-difference companion to
+    agg_wilson_ci's rate intervals.
+
+    Scale shape: ONE corpus collapse to (type, n, s1, s2) cells with
+    DECIMAL(18,9)-exact power sums (associative, partition-order-free);
+    the pair expansion is a self-join of the |types|-row stats table —
+    bounded by the domain, broadcast at any corpus size. Every double
+    divides exact operands; ROUND(9)/ROUND(6) absorb the sqrt/square
+    ulp."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,9)")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    # persisted: BOTH sides of the pair self-join read this |types|-row
+    # stats table — without it, the corpus collapse runs twice.
+    m = scoped_persist(
+        g.select(
+            "event_type",
+            "n",
+            (F.col("s1") / F.col("n")).alias("mean"),
+            (
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                / (F.col("n") - 1)
+            ).alias("var"),
+        )
+    )
+    a = m.alias("a")
+    b = m.alias("b")
+    va = F.col("a.var") / F.col("a.n")
+    vb = F.col("b.var") / F.col("b.n")
+    t = (F.col("a.mean") - F.col("b.mean")) / F.sqrt(va + vb)
+    df_ = (va + vb) * (va + vb) / (
+        va * va / (F.col("a.n") - 1) + vb * vb / (F.col("b.n") - 1)
+    )
+    return (
+        a.join(F.broadcast(b), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            F.col("a.mean").alias("mean_a"),
+            F.col("b.mean").alias("mean_b"),
+            F.round(t, 9).alias("t_stat"),
+            F.round(df_, 6).alias("df"),
+            F.when(F.abs(t) > 1.959963984540054, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("significant_95"),
+        )
     )

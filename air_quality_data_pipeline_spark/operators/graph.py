@@ -1276,3 +1276,176 @@ def graph_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering"),
         )
     )
+
+
+# --- graph_hits: hubs & authorities on the customer->supplier graph -----------
+
+# Kleinberg's HITS on the bipartite purchase graph: customers are hubs
+# (who buys broadly from the good suppliers), suppliers are authorities
+# (who is bought from by the strong hubs). Two full hub<->authority
+# rounds, unrolled in the oracle exactly like graph_pagerank's.
+#
+# Fixed-point discipline (pagerank's recipe, adapted to HITS's
+# normalization): scores are BIGINTs; after each matrix product the
+# vector is renormalized with  x div ((max(x) div SCALE) + 1)  — pure
+# integer ops, so both engines agree bit-for-bit, and (unlike the
+# textbook x*SCALE/max) the intermediate never multiplies a raw sum by
+# SCALE, keeping every value inside int64 through sf10000
+# (sum(w * score) <= SCALE * |lineitem|).
+_HITS_SCALE = 1_000_000
+
+_HITS_ORACLE = f"""
+WITH edges AS MATERIALIZED (
+  SELECT o.o_custkey AS cust, l.l_suppkey AS supp, COUNT(*) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey, l.l_suppkey
+),
+a1_raw AS (SELECT supp, CAST(SUM(w) AS BIGINT) AS x FROM edges GROUP BY supp),
+m1 AS (SELECT MAX(x) AS m FROM a1_raw),
+a1 AS (SELECT supp, x // (((SELECT m FROM m1) // {_HITS_SCALE}) + 1) AS a FROM a1_raw),
+h1_raw AS (
+  SELECT e.cust, CAST(SUM(e.w * a1.a) AS BIGINT) AS x
+  FROM edges e JOIN a1 ON a1.supp = e.supp GROUP BY e.cust
+),
+m2 AS (SELECT MAX(x) AS m FROM h1_raw),
+h1 AS (SELECT cust, x // (((SELECT m FROM m2) // {_HITS_SCALE}) + 1) AS h FROM h1_raw),
+a2_raw AS (
+  SELECT e.supp, CAST(SUM(e.w * h1.h) AS BIGINT) AS x
+  FROM edges e JOIN h1 ON h1.cust = e.cust GROUP BY e.supp
+),
+m3 AS (SELECT MAX(x) AS m FROM a2_raw),
+a2 AS (SELECT supp, x // (((SELECT m FROM m3) // {_HITS_SCALE}) + 1) AS a FROM a2_raw)
+SELECT a2.supp AS suppkey,
+       CAST(a1.a AS BIGINT) AS auth1_fixed,
+       CAST(a2.a AS BIGINT) AS auth2_fixed,
+       CAST(RANK() OVER (ORDER BY a2.a DESC, a2.supp ASC) AS BIGINT) AS auth_rank
+FROM a2 JOIN a1 ON a1.supp = a2.supp
+"""
+
+
+@register("graph_hits", oracle=_HITS_ORACLE, tags=("graph", "iterative"))
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled HITS rounds on the bipartite customer→supplier
+    purchase graph: supplier authority = Σ over buying customers of
+    (edge weight × customer hub), hub = the transpose product, each
+    renormalized in pure integer arithmetic so both engines agree
+    bit-for-bit (see module fixed-point note).
+
+    Scale shape: the corpus-sized work is ONE fact shuffle building the
+    (cust, supp, w) edge table — persisted because all three matrix
+    products reuse it; every product joins edges to a node-grain score
+    vector (BROADCAST — the node domain, not the data, bounds it) and
+    reduces map-side by the opposite endpoint. The rank window rides the
+    |suppliers|-row result."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    edges = scoped_persist(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+
+    def _norm(df: DataFrame, key: str, out: str) -> DataFrame:
+        m = df.agg(F.max("x").alias("m"))
+        return df.join(F.broadcast(m)).select(
+            key, F.expr(f"x div ((m div {_HITS_SCALE}) + 1)").alias(out)
+        )
+
+    a1 = _norm(
+        edges.groupBy("supp").agg(F.sum("w").cast("bigint").alias("x")), "supp", "a"
+    )
+    h1 = _norm(
+        edges.join(F.broadcast(a1), "supp")
+        .groupBy("cust")
+        .agg(F.sum(F.col("w") * F.col("a")).cast("bigint").alias("x")),
+        "cust",
+        "h",
+    )
+    a2 = _norm(
+        edges.join(F.broadcast(h1), "cust")
+        .groupBy("supp")
+        .agg(F.sum(F.col("w") * F.col("h")).cast("bigint").alias("x")),
+        "supp",
+        "a",
+    )
+    from pyspark.sql import Window
+
+    rank_w = Window.orderBy(F.desc("auth2_fixed"), F.asc("suppkey"))
+    return (
+        a2.select(F.col("supp").alias("suppkey"), F.col("a").alias("auth2_fixed"))
+        .join(a1.select(F.col("supp").alias("suppkey"), F.col("a").alias("auth1_fixed")), "suppkey")
+        .select(
+            "suppkey",
+            "auth1_fixed",
+            "auth2_fixed",
+            F.rank().over(rank_w).cast("bigint").alias("auth_rank"),
+        )
+    )
+
+
+# --- graph_degree_dist: log2-bucketed degree distribution ---------------------
+
+# The sanity check run BEFORE any expensive graph algorithm: is the degree
+# distribution heavy-tailed (scale-free) or flat? Which log2 band holds
+# the hubs that make triangle counting / clustering quadratic? Buckets
+# are derived WITHOUT libm: length(bin(deg)) == floor(log2(deg)) + 1 is
+# pure integer/string arithmetic in both engines, so there is no
+# power-of-two ulp cliff (ln(8)/ln(2) can round below 3).
+_DEGREE_DIST_ORACLE = """
+WITH pair_counts AS MATERIALIZED (
+  SELECT l1.l_suppkey AS src, l2.l_suppkey AS dst, COUNT(*) AS w
+  FROM lineitem l1
+  JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+  GROUP BY l1.l_suppkey, l2.l_suppkey
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM pair_counts
+  WHERE w > (SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*) FROM pair_counts)
+),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+n AS (SELECT COUNT(*) AS c FROM deg),
+hist AS (
+  SELECT CAST(length(bin(d)) AS BIGINT) AS bucket,
+         COUNT(*) AS n_nodes,
+         CAST(MIN(d) AS BIGINT) AS min_deg,
+         CAST(MAX(d) AS BIGINT) AS max_deg
+  FROM deg GROUP BY length(bin(d))
+)
+SELECT bucket, n_nodes, min_deg, max_deg,
+       CAST(n_nodes AS DOUBLE) / (SELECT c FROM n) AS node_share
+FROM hist
+"""
+
+
+@register("graph_degree_dist", oracle=_DEGREE_DIST_ORACLE, tags=("graph",))
+def graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree distribution of the co-purchase graph (bucket
+    b holds degrees in [2^(b-1), 2^b)): node counts, exact band min/max,
+    and share — the heavy-tail diagnostic run before committing to a
+    quadratic neighborhood algorithm.
+
+    Scale shape: reuses the memoized persisted edge build (pagerank/cc/
+    kcore twin); degrees are one map-side-combined aggregate at the node
+    grain; the histogram re-aggregates the |V|-row degree table into <=
+    log2(|V|) buckets. Bucketing is length(bin(d)) — integer exact, no
+    ln() power-of-two cliff. node_share divides two exact BIGINTs."""
+    apply_engine_conf(spark)
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    n = deg.agg(F.count(F.lit(1)).alias("c"))
+    hist = deg.groupBy(F.length(F.bin("d")).cast("bigint").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("d").cast("bigint").alias("min_deg"),
+        F.max("d").cast("bigint").alias("max_deg"),
+    )
+    return hist.join(F.broadcast(n)).select(
+        "bucket",
+        "n_nodes",
+        "min_deg",
+        "max_deg",
+        (F.col("n_nodes").cast("double") / F.col("c")).alias("node_share"),
+    )

@@ -1341,3 +1341,76 @@ def dq_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.max("cnt").cast("double") / p50.cast("double")).alias("skew_ratio"),
     )
+
+
+# --- dq_funcdep: functional-dependency audit -----------------------------------
+
+# The schema-inference / constraint-mining primitive (Deequ's hasUniqueness
+# cousin): for each candidate dependency A -> B, how many A-groups map to
+# MORE than one B value, and how bad is the worst offender? A holding FD
+# is a candidate primary key fragment / normalization opportunity; a
+# broken "should-hold" FD is a data bug. The panel mixes one FD that holds
+# by construction (l_orderkey -> month(shipdate)? no — orderkey->returnflag
+# varies) with ones that measurably break, so both verdict branches are
+# exercised at every SF.
+_FUNCDEP_ORACLE = """
+WITH pairs AS (
+  SELECT 'orderkey->suppkey' AS fd, CAST(l_orderkey AS VARCHAR) AS lhs,
+         CAST(l_suppkey AS VARCHAR) AS rhs FROM lineitem
+  UNION ALL
+  SELECT 'partkey->extendedprice', CAST(l_partkey AS VARCHAR),
+         CAST(l_extendedprice AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'orderkey->linestatus', CAST(l_orderkey AS VARCHAR),
+         l_linestatus FROM lineitem
+  UNION ALL
+  SELECT 'partkey,suppkey->partkey', CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR),
+         CAST(l_partkey AS VARCHAR) FROM lineitem
+),
+grp AS (
+  SELECT fd, lhs, COUNT(DISTINCT rhs) AS n_rhs
+  FROM pairs GROUP BY fd, lhs
+)
+SELECT fd,
+       COUNT(*) AS n_groups,
+       CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       CAST(MAX(n_rhs) AS BIGINT) AS worst_fanout,
+       CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS violation_rate,
+       CAST(CASE WHEN MAX(n_rhs) = 1 THEN 1 ELSE 0 END AS BIGINT) AS fd_holds
+FROM grp GROUP BY fd
+"""
+
+
+@register("dq_funcdep", oracle=_FUNCDEP_ORACLE, tags=("quality",))
+def dq_funcdep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit over a 4-candidate panel: per FD A -> B,
+    the number of A-groups, how many map to >1 B (violations), the worst
+    fan-out, and a holds/breaks verdict. One candidate
+    (partkey,suppkey -> partkey) holds axiomatically so both verdict
+    branches are data at every SF.
+
+    Scale shape: ONE fact scan fans each row to its 4 (fd, lhs, rhs)
+    triples via stack() (the dq_join_skew / agg_countmin_freq single-scan
+    lesson — never 4 unioned scans); the distinct + both aggregates then
+    run at the (fd, lhs) group grain, so exchanges carry keys and counts,
+    never rows; violation_rate divides two exact BIGINTs."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    pairs = li.selectExpr(
+        "stack(4, "
+        "'orderkey->suppkey', CAST(l_orderkey AS STRING), CAST(l_suppkey AS STRING), "
+        "'partkey->extendedprice', CAST(l_partkey AS STRING), CAST(l_extendedprice AS STRING), "
+        "'orderkey->linestatus', CAST(l_orderkey AS STRING), l_linestatus, "
+        "'partkey,suppkey->partkey', CAST(l_partkey AS STRING) || '|' || CAST(l_suppkey AS STRING), CAST(l_partkey AS STRING)"
+        ") AS (fd, lhs, rhs)"
+    )
+    grp = pairs.groupBy("fd", "lhs").agg(F.countDistinct("rhs").alias("n_rhs"))
+    viol = F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0)).cast("bigint")
+    return grp.groupBy("fd").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        viol.alias("n_violating"),
+        F.max("n_rhs").cast("bigint").alias("worst_fanout"),
+        (viol.cast("double") / F.count(F.lit(1)).cast("double")).alias("violation_rate"),
+        F.when(F.max("n_rhs") == 1, 1).otherwise(0).cast("bigint").alias("fd_holds"),
+    )

@@ -3839,3 +3839,232 @@ def llm_pad_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("padded_tokens").cast("double")
         ).alias("waste_ratio"),
     )
+
+
+# --- llm_readability: Flesch reading-ease audit per source ---------------------
+
+# The classic text-difficulty heuristic as a corpus-quality dimension next
+# to llm_quality_score (surface ratios) and llm_ngram_lm_score (statistical
+# fluency): Flesch reading ease from words/sentences/vowel-group syllables.
+# Curriculum ordering and audience filtering both key off it. All three
+# counts come from ASCII-class regexes (no lower(), so no unicode
+# case-folding divergence); the per-doc score is FLOOR-quantized to
+# micro-points BEFORE aggregation (the agg_entropy fixed-point recipe), so
+# the per-source mean is a division of exact BIGINTs in both engines.
+_READABILITY_ORACLE = """
+WITH d AS (
+  SELECT source,
+         GREATEST(1, CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)) AS w,
+         GREATEST(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS s,
+         CAST(len(regexp_extract_all(text, '[AEIOUYaeiouy]+')) AS BIGINT) AS y
+  FROM documents
+),
+scored AS (
+  SELECT source, w, s, y,
+         CAST(floor((206.835
+                     - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                     - 84.6 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE))) * 1000000.0)
+              AS BIGINT) AS flesch_micro
+  FROM d
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS total_words,
+       CAST(SUM(s) AS BIGINT) AS total_sentences,
+       CAST(SUM(y) AS BIGINT) AS total_syllables,
+       CAST(SUM(flesch_micro) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000.0)
+         AS avg_flesch
+FROM scored GROUP BY source
+"""
+
+
+@register("llm_readability", oracle=_READABILITY_ORACLE, tags=("llm", "text"))
+def llm_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source: words / sentences / vowel-group
+    syllables from ASCII-class regexes, per-doc score FLOOR-quantized to
+    micro-points, then a per-source mean of exact BIGINTs — the
+    text-difficulty axis for curriculum ordering and audience filters.
+
+    Scale shape: counting is ONE codegen projection (Java regex inside
+    whole-stage codegen — text never leaves the map side); the only
+    exchange is the partial/final aggregate on the bounded source grain.
+    The doubles feeding floor() are divisions of exact BIGINTs with
+    shared literal coefficients, identical in both engines."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.expr("size(regexp_extract_all(text, '[A-Za-z]+', 0))").cast("bigint"),
+        ).alias("w"),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.expr("size(regexp_extract_all(text, '[.!?]+', 0))").cast("bigint"),
+        ).alias("s"),
+        F.expr("size(regexp_extract_all(text, '[AEIOUYaeiouy]+', 0))")
+        .cast("bigint")
+        .alias("y"),
+    )
+    scored = d.withColumn(
+        "flesch_micro",
+        F.floor(
+            (
+                F.lit(206.835)
+                - F.lit(1.015) * (F.col("w").cast("double") / F.col("s").cast("double"))
+                - F.lit(84.6) * (F.col("y").cast("double") / F.col("w").cast("double"))
+            )
+            * F.lit(1000000.0)
+        ).cast("bigint"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("total_words"),
+        F.sum("s").alias("total_sentences"),
+        F.sum("y").alias("total_syllables"),
+        (
+            F.sum("flesch_micro").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1000000.0))
+        ).alias("avg_flesch"),
+    )
+
+
+# --- llm_jsd_drift: Jensen-Shannon divergence of each source vs the corpus ----
+
+# The text-level drift monitor next to dq_drift (numeric columns) and
+# llm_char_bigram_entropy (character level): how far is each source's
+# unigram distribution from the corpus mixture? JSD is symmetric, bounded
+# by ln 2, and defined even where a source is missing tokens — the metric
+# behind domain-shift alarms and mixture re-weighting. Fixed-point
+# discipline: every entropy term is FLOOR-quantized to micro-nats (the
+# agg_entropy recipe) so per-source sums are BIGINT and combine
+# order-free; the only doubles feeding ln() are divisions of exact
+# BIGINTs, identical in both engines.
+#
+# Grid-free identity: for tokens ABSENT from source s, the mixture term is
+# -(q/2)·ln(q/2), so  H_m(s) = Σ_{t∈s} tm  +  (A − Σ_{t∈s} tq_half)
+# where A sums tq_half over the WHOLE vocab — no |sources|×|vocab|
+# cross-join materializes at any scale.
+_JSD_ORACLE = """
+WITH tok AS (
+  SELECT source, UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+st AS (SELECT source, token, COUNT(*) AS c_st FROM tok GROUP BY source, token),
+src_tot AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS ts FROM st GROUP BY source),
+voc AS (SELECT token, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY token),
+tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS t FROM voc),
+vq AS (
+  SELECT token, c_t,
+         CAST(floor(-(CAST(c_t AS DOUBLE) / t) * ln(CAST(c_t AS DOUBLE) / t)
+                    * 1000000.0) AS BIGINT) AS tq,
+         CAST(floor(-((CAST(c_t AS DOUBLE) / t) / 2.0)
+                    * ln((CAST(c_t AS DOUBLE) / t) / 2.0) * 1000000.0) AS BIGINT)
+           AS tq_half
+  FROM voc CROSS JOIN tot
+),
+corpus AS (
+  SELECT CAST(SUM(tq) AS BIGINT) AS b, CAST(SUM(tq_half) AS BIGINT) AS a FROM vq
+),
+terms AS (
+  SELECT st.source,
+         CAST(floor(-(CAST(st.c_st AS DOUBLE) / s.ts)
+                    * ln(CAST(st.c_st AS DOUBLE) / s.ts) * 1000000.0) AS BIGINT)
+           AS tp,
+         CAST(floor(-((CAST(st.c_st AS DOUBLE) / s.ts
+                       + CAST(vq.c_t AS DOUBLE) / tot.t) / 2.0)
+                    * ln((CAST(st.c_st AS DOUBLE) / s.ts
+                          + CAST(vq.c_t AS DOUBLE) / tot.t) / 2.0)
+                    * 1000000.0) AS BIGINT) AS tm,
+         vq.tq_half
+  FROM st JOIN src_tot s USING (source) JOIN vq USING (token) CROSS JOIN tot
+),
+per_src AS (
+  SELECT source,
+         CAST(SUM(tm) AS BIGINT) AS sum_tm,
+         CAST(SUM(tp) AS BIGINT) AS h_p,
+         CAST(SUM(tq_half) AS BIGINT) AS sum_tqh
+  FROM terms GROUP BY source
+)
+SELECT p.source, s.ts AS n_tokens,
+       CAST(2 * (p.sum_tm + c.a - p.sum_tqh) - p.h_p - c.b AS DOUBLE)
+         / 2000000.0 AS jsd_nats,
+       CAST(2 * (p.sum_tm + c.a - p.sum_tqh) - p.h_p - c.b AS DOUBLE)
+         / 2000000.0 / 0.6931471805599453 AS jsd_norm
+FROM per_src p JOIN src_tot s USING (source) CROSS JOIN corpus c
+"""
+
+
+@register("llm_jsd_drift", oracle=_JSD_ORACLE, tags=("llm", "text", "quality"))
+def llm_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (nats + ln2-normalized) between each
+    source's unigram distribution and the corpus mixture — the
+    domain-shift alarm and mixture-reweighting input at the token level.
+
+    Scale shape: ONE tokenize pass collapses map-side into the persisted
+    (source, token) count table — the only corpus-sized exchange carries
+    (hash, count) cells at the bounded vocab grain; every derived table
+    (per-source totals, vocab marginal, corpus constants) re-aggregates
+    that cache. Tokens absent from a source never materialize: a
+    vocab-level constant plus a per-source correction replaces the
+    |sources|x|vocab| grid (see module note). All entropy terms are
+    FLOOR-micro-quantized BIGINTs; the two output divisions see exact
+    operands and a shared ln-2 literal."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    st = scoped_persist(
+        docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+    )
+    src_tot = st.groupBy("source").agg(F.sum("c_st").cast("bigint").alias("ts"))
+    voc = st.groupBy("token").agg(F.sum("c_st").cast("bigint").alias("c_t"))
+    tot = voc.agg(F.sum("c_t").cast("bigint").alias("t"))
+
+    def micro(expr: str) -> str:
+        return f"CAST(floor({expr} * 1000000.0) AS BIGINT)"
+
+    q = "CAST(c_t AS DOUBLE) / t"
+    vq = scoped_persist(
+        voc.join(F.broadcast(tot)).selectExpr(
+            "token",
+            "c_t",
+            "t",
+            f"{micro(f'-({q}) * ln({q})')} AS tq",
+            f"{micro(f'-(({q}) / 2.0) * ln(({q}) / 2.0)')} AS tq_half",
+        )
+    )
+    corpus = vq.agg(
+        F.sum("tq").cast("bigint").alias("b"), F.sum("tq_half").cast("bigint").alias("a")
+    )
+    p = "CAST(c_st AS DOUBLE) / ts"
+    m = f"({p} + CAST(c_t AS DOUBLE) / t)"
+    terms = (
+        st.join(F.broadcast(src_tot), "source")
+        .join(vq, "token")
+        .selectExpr(
+            "source",
+            f"{micro(f'-({p}) * ln({p})')} AS tp",
+            f"{micro(f'-({m} / 2.0) * ln({m} / 2.0)')} AS tm",
+            "tq_half",
+        )
+    )
+    per_src = terms.groupBy("source").agg(
+        F.sum("tm").cast("bigint").alias("sum_tm"),
+        F.sum("tp").cast("bigint").alias("h_p"),
+        F.sum("tq_half").cast("bigint").alias("sum_tqh"),
+    )
+    num = (
+        F.lit(2) * (F.col("sum_tm") + F.col("a") - F.col("sum_tqh"))
+        - F.col("h_p")
+        - F.col("b")
+    ).cast("double")
+    return (
+        per_src.join(F.broadcast(src_tot), "source")
+        .join(F.broadcast(corpus))
+        .select(
+            "source",
+            F.col("ts").alias("n_tokens"),
+            (num / 2000000.0).alias("jsd_nats"),
+            (num / 2000000.0 / 0.6931471805599453).alias("jsd_norm"),
+        )
+    )

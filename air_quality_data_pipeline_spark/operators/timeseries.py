@@ -1743,3 +1743,63 @@ def ts_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("next_x").alias("next_micro"),
         (F.col("x") - F.greatest("prev_x", "next_x")).alias("prominence_micro"),
     )
+
+
+# --- ts_markov_transitions: event-type transition matrix ----------------------
+
+# The first-order Markov view of user behavior: for every consecutive pair
+# of events within a user's timeline, count (prev_type -> next_type) and
+# the conditional P(next|prev). Session-path analytics (what follows a
+# "view"?), bot signatures (self-loops), and the input grain for
+# graph_reciprocity's directed graph. The per-user ordering ties on ts are
+# broken by event_id, so lag() is a total order in both engines.
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n_trans
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, n_trans,
+       CAST(n_trans AS DOUBLE)
+         / CAST(SUM(n_trans) OVER (PARTITION BY prev_type) AS DOUBLE) AS p_trans
+FROM pairs
+"""
+
+
+@register("ts_markov_transitions", oracle=_MARKOV_ORACLE, tags=("timeseries", "window"))
+def ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    counts and conditional probabilities for every (prev_type, next_type)
+    bigram, with (ts, event_id) total ordering inside each user.
+
+    Scale shape: ONE user-keyed exchange feeds the lag window (each
+    executor sorts only its own users), then the corpus collapses
+    map-side into the |types|² cell table; the row-total window rides
+    that bounded table, and p_trans divides two exact BIGINTs, so the
+    doubles are identical in both engines."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    tot = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        (F.col("n_trans").cast("double") / F.sum("n_trans").over(tot).cast("double")).alias(
+            "p_trans"
+        ),
+    )

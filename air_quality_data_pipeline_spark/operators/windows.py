@@ -838,3 +838,53 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("grp")
     )
+
+
+# --- win_skyline: 2-D Pareto frontier (skyline) via a price-grain window ------
+
+# The "best tradeoff" query a top-k can't answer: every part for which no
+# other part is at-least-as-cheap AND at-least-as-large with one strict
+# inequality (minimize p_retailprice, maximize p_size). The naive shape is
+# an all-pairs NOT EXISTS self-join (the oracle keeps that formulation as
+# ground truth); the engine shape is the classic sort-scan: collapse to
+# the price grain (max size per price), one running-max window over the
+# strictly-cheaper prefix, then a row survives iff its size beats every
+# strictly-cheaper part (prev_max) and ties the best at its own price
+# (grp_max — a same-price strictly-larger part dominates).
+_SKYLINE_ORACLE = """
+SELECT p_partkey, p_retailprice, p_size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+)
+"""
+
+
+@register("win_skyline", oracle=_SKYLINE_ORACLE, tags=("window", "analytics"))
+def win_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts (min price, max size): a part survives iff
+    nothing is at-least-as-cheap and at-least-as-large with one strict.
+
+    Scale shape: O(n log n) instead of the oracle's O(n²) NOT-EXISTS — one
+    map-side-combined collapse to the (price, grp_max) grain, ONE ordered
+    running-max window over that bounded table (the single-partition sort
+    is a |distinct prices|-row constant of the domain, not of row count;
+    at true 100 TB part cardinality the drop-in is a range-partitioned
+    prefix-max: per-range running max + a broadcast cummax of the |ranges|
+    partition maxima), then the verdict joins back to the fact on the
+    price key. Dominance check itself is row-local arithmetic."""
+    apply_engine_conf(spark)
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    per_price = p.groupBy("p_retailprice").agg(F.max("p_size").alias("grp_max"))
+    w = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+    per_price = per_price.withColumn("prev_max", F.max("grp_max").over(w))
+    return (
+        p.join(per_price, "p_retailprice")
+        .filter(
+            (F.col("prev_max").isNull() | (F.col("p_size") > F.col("prev_max")))
+            & (F.col("p_size") == F.col("grp_max"))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )

@@ -246,6 +246,22 @@ DEFERRED_FIRST_ROW: set[str] = {
     "f_geo_bearing",
     "agg_wilson_ci",
     "llm_pad_waste",
+    # session-4 batch I (membership sketch, pareto/markov/FD/readability
+    # analytics, HITS), same deferral — locally oracle-green at
+    # sf0.001/0.01 on landing, sf0.1/sf1 replayed before session close:
+    "agg_bloom_filter",
+    "win_skyline",
+    "ts_markov_transitions",
+    "dq_funcdep",
+    "llm_readability",
+    "graph_hits",
+    # session-4 batch J (Welch t-test, JSD drift, degree histogram,
+    # streaming top-k, perceptual image hash), same deferral:
+    "agg_ttest",
+    "llm_jsd_drift",
+    "graph_degree_dist",
+    "st_topk",
+    "mm_phash",
 }
 
 

@@ -479,3 +479,54 @@ def st_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
     )
     return run_available_now(agg, "complete", "st_approx_distinct")
+
+
+_ST_TOPK_ORACLE = """
+WITH counts AS (
+  SELECT (epoch_us(ts) // 86400000000) * 86400 AS win_start_sec,
+         event_type, COUNT(*) AS cnt
+  FROM events GROUP BY win_start_sec, event_type
+)
+SELECT win_start_sec, event_type, cnt, rnk FROM (
+  SELECT win_start_sec, event_type, cnt,
+         CAST(ROW_NUMBER() OVER (PARTITION BY win_start_sec
+                                 ORDER BY cnt DESC, event_type ASC) AS BIGINT) AS rnk
+  FROM counts
+) WHERE rnk <= 3
+"""
+
+
+@register("st_topk", oracle=_ST_TOPK_ORACLE, tags=("streaming",))
+def st_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trending-now: top-3 event types per tumbling 1-day window.
+    The stream maintains the (window, type) counts incrementally (complete
+    mode, AvailableNow); the rank-and-cut runs as BATCH post-processing on
+    the materialized sink table — the standard split, because rank is not
+    an incremental aggregate (a late event can reorder the board), so the
+    leaderboard is recomputed per micro-batch from the always-current
+    counts, exactly as a foreachBatch publisher would.
+
+    Scale shape: streaming state is one counter per (window, type) cell —
+    bounded by the time horizon × type domain, not the stream; the
+    post-sink rank window rides that bounded table. Epoch-aligned 1-day
+    windows reproduce exactly in DuckDB's integer floor-division."""
+    from pyspark.sql import Window
+
+    from .timewindow import _TS_SEC
+
+    sdf = read_events_stream(spark, sf_dir)
+    counts = sdf.groupBy(
+        F.window("ts", "1 day").alias("w"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    sunk = run_available_now(counts, "complete", "st_topk").select(
+        F.expr(_TS_SEC.format(col="w.start")).alias("win_start_sec"),
+        "event_type",
+        "cnt",
+    )
+    rank_w = Window.partitionBy("win_start_sec").orderBy(
+        F.desc("cnt"), F.asc("event_type")
+    )
+    return (
+        sunk.withColumn("rnk", F.row_number().over(rank_w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+    )

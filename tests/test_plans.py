@@ -1308,3 +1308,89 @@ def test_pad_waste_is_one_aggregate(spark, sf_dir):
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "EvalPython" not in plan
+
+
+def test_bloom_filter_single_scan_and_bounded_exchange(spark, sf_dir):
+    """agg_bloom_filter: the bit set comes from ONE lineitem scan fanned by
+    a generator (never k unioned scans); the exact anchor is the only other
+    scan and its panel predicate reaches the reader."""
+    plan = _executed_plan(spark, "agg_bloom_filter", sf_dir)
+    assert plan.count("Scan parquet") <= 2, plan
+    assert "Generate explode" in plan or "Generate posexplode" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skyline_avoids_quadratic_join(spark, sf_dir):
+    """win_skyline: the engine shape is sort-scan — NO nested-loop /
+    cartesian anywhere (the O(n²) NOT-EXISTS lives only in the oracle),
+    and the running max is a single window over the price grain."""
+    plan = _executed_plan(spark, "win_skyline", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") == 1, plan
+
+
+def test_markov_single_corpus_exchange(spark, sf_dir):
+    """ts_markov_transitions: the corpus crosses exactly ONE hash exchange
+    (user_id for the lag window); the bigram aggregate and total window
+    ride the bounded cell table."""
+    plan = _executed_plan(spark, "ts_markov_transitions", sf_dir)
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    assert "partial_count" in plan.lower() or "partial" in plan.lower(), plan
+
+
+def test_funcdep_one_scan(spark, sf_dir):
+    """dq_funcdep: stack() fans one lineitem scan to all 4 candidates —
+    exactly one scan in the whole plan."""
+    plan = _executed_plan(spark, "dq_funcdep", sf_dir)
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_readability_is_one_aggregate(spark, sf_dir):
+    """llm_readability: regex counting stays in the map-side projection;
+    the only exchange is the source-grain partial/final aggregate."""
+    plan = _executed_plan(spark, "llm_readability", sf_dir)
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_hits_reuses_edges_and_broadcasts_scores(spark, sf_dir):
+    """graph_hits: the persisted edge build is reused by all three matrix
+    products (InMemoryTableScan x3) and every score vector joins by
+    BROADCAST — the fact tables are scanned exactly once each."""
+    plan = _executed_plan(spark, "graph_hits", sf_dir)
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ttest_is_cell_bounded_with_broadcast_pairs(spark, sf_dir):
+    """agg_ttest: one corpus collapse to |types| stat cells; the pair
+    expansion broadcasts — no corpus-sized join side."""
+    plan = _executed_plan(spark, "agg_ttest", sf_dir)
+    assert "InMemoryTableScan" in plan, plan  # stats cells persisted, corpus read once
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_jsd_reuses_token_cells_no_grid(spark, sf_dir):
+    """llm_jsd_drift: the (source, token) cell table persists and is reused
+    (tokenize runs once); NO cartesian source×vocab grid anywhere."""
+    plan = _executed_plan(spark, "llm_jsd_drift", sf_dir)
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_degree_dist_reuses_memoized_edges(spark, sf_dir):
+    """graph_degree_dist: consumes the memoized persisted edge build, then
+    two domain-bounded aggregates."""
+    plan = _executed_plan(spark, "graph_degree_dist", sf_dir)
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_phash_single_python_crossing(spark, sf_dir):
+    """mm_phash: exactly one Arrow boundary (the mapInPandas decode+hash);
+    the family count is a plain window after it."""
+    plan = _executed_plan(spark, "mm_phash", sf_dir)
+    assert plan.count("MapInPandas") == 1, plan
+    assert "Window" in plan

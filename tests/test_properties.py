@@ -2114,3 +2114,255 @@ def test_geo_bearing_range_and_python(spark, sf_dir):
         deg = (math.degrees(math.atan2(y, x)) % 360.0 + 360.0) % 360.0
         assert 0.0 <= r.bearing_deg < 360.0
         assert abs(r.bearing_deg - deg) < 1e-5, k
+
+
+def test_bloom_filter_one_sidedness(spark, sf_dir):
+    """agg_bloom_filter: EVERY present key hits (no false negatives, the
+    Bloom guarantee); false_positive is exactly hit-and-absent; the panel
+    is the fixed 32 keys; absent keys truly are absent from lineitem."""
+    rows = SPECS["agg_bloom_filter"].builder(spark, sf_dir).collect()
+    assert len(rows) == 32
+    keys = {r.partkey for r in rows}
+    assert keys == set(range(1, 17)) | {1_000_000_000 + i for i in range(1, 17)}
+    present = {
+        r[0]
+        for r in table(spark, sf_dir, "lineitem")
+        .select("l_partkey")
+        .distinct()
+        .collect()
+    }
+    for r in rows:
+        assert r.exact_present == (1 if r.partkey in present else 0)
+        if r.exact_present == 1:
+            assert r.bloom_hit == 1, f"false negative on {r.partkey}"
+        assert r.false_positive == (1 if (r.bloom_hit and not r.exact_present) else 0)
+
+
+def test_skyline_is_pairwise_nondominated_and_complete(spark, sf_dir):
+    """win_skyline: survivors are pairwise non-dominated; every
+    non-survivor is dominated by at least one survivor (frontier
+    completeness — enough to re-derive the skyline from scratch)."""
+    sky = [
+        (r.p_partkey, r.p_retailprice, r.p_size)
+        for r in SPECS["win_skyline"].builder(spark, sf_dir).collect()
+    ]
+    assert sky
+    allp = [
+        (r.p_partkey, r.p_retailprice, r.p_size)
+        for r in table(spark, sf_dir, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    ]
+
+    def dominates(a, b):
+        return (
+            a[1] <= b[1]
+            and a[2] >= b[2]
+            and (a[1] < b[1] or a[2] > b[2])
+        )
+
+    for a in sky:
+        for b in sky:
+            assert not dominates(a, b), (a, b)
+    sky_keys = {k for k, _, _ in sky}
+    for p in allp:
+        if p[0] not in sky_keys:
+            assert any(dominates(s, p) for s in sky), f"{p} not dominated"
+
+
+def test_markov_rows_are_a_probability_matrix(spark, sf_dir):
+    """ts_markov_transitions: per prev_type the conditional probabilities
+    sum to 1; total transitions == n_events - n_users_with_events."""
+    rows = SPECS["ts_markov_transitions"].builder(spark, sf_dir).collect()
+    assert rows
+    by_prev: dict[str, float] = {}
+    total = 0
+    for r in rows:
+        by_prev[r.prev_type] = by_prev.get(r.prev_type, 0.0) + r.p_trans
+        total += r.n_trans
+        assert 0.0 < r.p_trans <= 1.0
+    for prev, s in by_prev.items():
+        assert abs(s - 1.0) < 1e-9, (prev, s)
+    ev = table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert total == n_events - n_users
+
+
+def test_funcdep_axioms(spark, sf_dir):
+    """dq_funcdep: the axiomatic candidate (partkey,suppkey -> partkey)
+    holds with fan-out 1; rates live in [0,1]; fd_holds <=> zero
+    violations <=> worst_fanout == 1."""
+    rows = {r.fd: r for r in SPECS["dq_funcdep"].builder(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "orderkey->suppkey",
+        "partkey->extendedprice",
+        "orderkey->linestatus",
+        "partkey,suppkey->partkey",
+    }
+    ax = rows["partkey,suppkey->partkey"]
+    assert ax.fd_holds == 1 and ax.worst_fanout == 1 and ax.n_violating == 0
+    for r in rows.values():
+        assert 0.0 <= r.violation_rate <= 1.0
+        assert (r.fd_holds == 1) == (r.n_violating == 0) == (r.worst_fanout == 1)
+        assert abs(r.violation_rate - r.n_violating / r.n_groups) < 1e-15
+
+
+def test_readability_matches_python_recount(spark, sf_dir):
+    """llm_readability: totals and the micro-quantized mean reproduce a
+    Python re-implementation over the raw documents exactly."""
+    import math
+    import re as _re
+
+    rows = {r.source: r for r in SPECS["llm_readability"].builder(spark, sf_dir).collect()}
+    docs = table(spark, sf_dir, "documents").select("source", "text").collect()
+    agg: dict[str, list] = {}
+    for d in docs:
+        w = max(1, len(_re.findall(r"[A-Za-z]+", d.text)))
+        s = max(1, len(_re.findall(r"[.!?]+", d.text)))
+        y = len(_re.findall(r"[AEIOUYaeiouy]+", d.text))
+        micro = math.floor((206.835 - 1.015 * (w / s) - 84.6 * (y / w)) * 1_000_000.0)
+        a = agg.setdefault(d.source, [0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += w
+        a[2] += s
+        a[3] += y
+        a[4] += micro
+    assert set(rows) == set(agg)
+    for src, (n, w, s, y, micro) in agg.items():
+        r = rows[src]
+        assert (r.n_docs, r.total_words, r.total_sentences, r.total_syllables) == (
+            n,
+            w,
+            s,
+            y,
+        )
+        assert abs(r.avg_flesch - micro / (n * 1_000_000.0)) < 1e-12
+
+
+def test_hits_scores_bounded_and_rank_valid(spark, sf_dir):
+    """graph_hits: normalized scores live in [0, ~SCALE] (the max rounds
+    to <= SCALE after integer renormalization), one supplier per row,
+    rank is a valid dense-ish permutation starting at 1."""
+    rows = SPECS["graph_hits"].builder(spark, sf_dir).collect()
+    assert rows
+    n_supp = (
+        table(spark, sf_dir, "lineitem").select("l_suppkey").distinct().count()
+    )
+    assert len(rows) == n_supp
+    scale = 1_000_000
+    top = min(r.auth_rank for r in rows)
+    assert top == 1
+    for r in rows:
+        assert 0 <= r.auth1_fixed <= scale
+        assert 0 <= r.auth2_fixed <= scale
+        assert 1 <= r.auth_rank <= n_supp
+    # rank 1 is held by (one of) the max-auth2 suppliers
+    max_a2 = max(r.auth2_fixed for r in rows)
+    rank1 = [r for r in rows if r.auth_rank == 1]
+    assert all(r.auth2_fixed == max_a2 for r in rank1)
+
+
+def test_ttest_matches_scipy_free_python(spark, sf_dir):
+    """agg_ttest: Welch t and Satterthwaite df reproduce a plain-Python
+    recomputation from the raw values; df within [min(n)-1, n_a+n_b-2]."""
+    import math
+
+    rows = SPECS["agg_ttest"].builder(spark, sf_dir).collect()
+    assert len(rows) == 10  # C(5,2) unordered type pairs
+    vals: dict[str, list[float]] = {}
+    for r in table(spark, sf_dir, "events").select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    for r in rows:
+        a, b = vals[r.type_a], vals[r.type_b]
+        na, nb = len(a), len(b)
+        ma, mb = sum(a) / na, sum(b) / nb
+        va = sum((x - ma) ** 2 for x in a) / (na - 1)
+        vb = sum((x - mb) ** 2 for x in b) / (nb - 1)
+        t = (ma - mb) / math.sqrt(va / na + vb / nb)
+        df = (va / na + vb / nb) ** 2 / (
+            (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+        )
+        assert (r.n_a, r.n_b) == (na, nb)
+        # python float sums differ from decimal-exact sums only in the ulps
+        assert abs(r.t_stat - t) < 1e-5, (r, t)
+        assert abs(r.df - df) < 1e-2
+        assert min(na, nb) - 1 <= r.df <= na + nb - 2
+        assert r.significant_95 == (1 if abs(r.t_stat) > 1.959963984540054 else 0)
+
+
+def test_jsd_drift_bounds_and_zero_self(spark, sf_dir):
+    """llm_jsd_drift: JSD lives in [0, ln2] up to micro-quantization slack;
+    token totals reconcile with a direct recount."""
+    rows = SPECS["llm_jsd_drift"].builder(spark, sf_dir).collect()
+    assert rows
+    ln2 = 0.6931471805599453
+    direct = {
+        r.source: r.t
+        for r in table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.expr("size(split(text, ' '))")).alias("t"))
+        .collect()
+    }
+    for r in rows:
+        assert r.n_tokens == direct[r.source]
+        # floor-quantization can push the sum a hair out of [0, ln2]
+        assert -0.01 <= r.jsd_nats <= ln2 + 0.01, r
+        assert abs(r.jsd_norm - r.jsd_nats / ln2) < 1e-12
+
+
+def test_degree_dist_reconciles_with_degrees(spark, sf_dir):
+    """graph_degree_dist: buckets tile [2^(b-1), 2^b); counts and shares
+    sum to the node total; band min/max inside the band."""
+    rows = SPECS["graph_degree_dist"].builder(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.n_nodes for r in rows)
+    assert abs(sum(r.node_share for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        lo, hi = 2 ** (r.bucket - 1), 2**r.bucket - 1
+        assert lo <= r.min_deg <= r.max_deg <= hi, r
+    assert total > 0
+
+
+def test_st_topk_is_the_batch_leaderboard(spark, sf_dir):
+    """st_topk: the streamed leaderboard equals the batch recomputation
+    (per window: top-3 by count desc, type asc; ranks 1..3 contiguous)."""
+    rows = SPECS["st_topk"].builder(spark, sf_dir).collect()
+    assert rows
+    from collections import defaultdict
+
+    per_win = defaultdict(list)
+    for r in rows:
+        per_win[r.win_start_sec].append(r)
+    batch = defaultdict(dict)
+    for r in (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.expr("(epoch_us(ts) div 86400000000) * 86400").alias("w"),
+            "event_type",
+        )
+        .count()
+        .collect()
+    ):
+        batch[r.w][r.event_type] = r["count"]
+    for w, rs in per_win.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        expect = sorted(batch[w].items(), key=lambda kv: (-kv[1], kv[0]))[: len(rs)]
+        assert [(r.event_type, r.cnt) for r in rs] == expect
+
+
+def test_phash_deterministic_and_family_consistent(spark, sf_dir):
+    """mm_phash: hashes fit in 16 bits, repeat runs agree (deterministic
+    decode), and family_size counts docs per hash exactly."""
+    rows = SPECS["mm_phash"].builder(spark, sf_dir).collect()
+    again = SPECS["mm_phash"].builder(spark, sf_dir).collect()
+    assert sorted((r.doc_id, r.phash) for r in rows) == sorted(
+        (r.doc_id, r.phash) for r in again
+    )
+    from collections import Counter
+
+    fam = Counter(r.phash for r in rows)
+    for r in rows:
+        assert 0 <= r.phash < 2**16
+        assert r.family_size == fam[r.phash]
