@@ -1722,3 +1722,83 @@ def agg_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("significant_95"),
         )
     )
+
+
+# --- agg_geomean: geometric + harmonic means -----------------------------------
+
+# The multiplicative-average family arithmetic mean misrepresents (growth
+# rates, price ratios, rate-of-work averages): per-group geometric and
+# harmonic means of l_extendedprice, with the arithmetic mean alongside so
+# the AM >= GM >= HM ordering is itself data. Fixed-point discipline:
+# ln(x) FLOOR-quantized to micro-units and 1/x to pico-units per ROW, so
+# both accumulations are order-free BIGINT sums (the agg_entropy recipe);
+# the closing exp/divisions see exact operands, ROUND(6) for the libm ulp.
+_GEOMEAN_ORACLE = """
+WITH t AS (
+  SELECT l_returnflag,
+         CAST(floor(ln(l_extendedprice) * 1000000.0) AS BIGINT) AS lg,
+         CAST(floor(1000000000000.0 / l_extendedprice) AS BIGINT) AS inv
+  FROM lineitem
+),
+g AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(lg) AS BIGINT) AS s_lg,
+         CAST(SUM(inv) AS BIGINT) AS s_inv
+  FROM t GROUP BY l_returnflag
+),
+am AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+           AS arith_mean
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT g.l_returnflag, g.n,
+       am.arith_mean,
+       ROUND(exp(CAST(g.s_lg AS DOUBLE) / (CAST(g.n AS DOUBLE) * 1000000.0)), 6)
+         AS geo_mean,
+       ROUND(CAST(g.n AS DOUBLE) * 1000000000000.0 / CAST(g.s_inv AS DOUBLE), 6)
+         AS harm_mean
+FROM g JOIN am USING (l_returnflag)
+"""
+
+
+@register("agg_geomean", oracle=_GEOMEAN_ORACLE, tags=("agg", "stats"))
+def agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric and harmonic means per return flag (with the arithmetic
+    mean for the AM >= GM >= HM bracket) — the multiplicative/rate
+    averages a plain mean gets wrong.
+
+    Scale shape: ONE map-side-combined collapse; the exchange carries
+    (n, Σfloor(ln·1e6), Σfloor(1e12/x)) BIGINT cells per (task, group) —
+    the per-row quantization makes both sums associative, so the result
+    is partition-order-free (a raw double SUM of ln terms would not be).
+    Closing exp/divisions see exact operands; ROUND(6) absorbs the
+    ulp."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    t = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.floor(F.log("l_extendedprice") * 1000000.0).cast("bigint").alias("lg"),
+        F.floor(F.lit(1000000000000.0) / F.col("l_extendedprice"))
+        .cast("bigint")
+        .alias("inv"),
+    )
+    g = t.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lg").cast("bigint").alias("s_lg"),
+        F.sum("inv").cast("bigint").alias("s_inv"),
+        exact_sum(F.col("l_extendedprice")).alias("s_x"),
+    )
+    n_d = F.col("n").cast("double")
+    return g.select(
+        "l_returnflag",
+        "n",
+        (F.col("s_x") / F.col("n")).alias("arith_mean"),
+        F.round(F.exp(F.col("s_lg").cast("double") / (n_d * 1000000.0)), 6).alias(
+            "geo_mean"
+        ),
+        F.round(n_d * 1000000000000.0 / F.col("s_inv").cast("double"), 6).alias(
+            "harm_mean"
+        ),
+    )

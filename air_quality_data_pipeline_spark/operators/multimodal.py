@@ -644,3 +644,84 @@ def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.select(
         "doc_id", "phash", F.count(F.lit(1)).over(fam).cast("bigint").alias("family_size")
     )
+
+
+# --- mm_scene_cut: scene-boundary detection over sampled frames ----------------
+
+_SCENE_THRESH = 96  # luma jump that counts as a hard cut
+
+_SCENE_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id,
+         greatest(CAST(strlen(text) AS BIGINT) // 100, 1) AS n_frames
+  FROM documents
+),
+frames AS (
+  SELECT m.doc_id, t.i,
+         CAST(('0x' || substring(md5(m.doc_id || ':' || t.i), 1, 8)) AS BIGINT) % 256
+           AS luma
+  FROM m, UNNEST(range(0, m.n_frames)) AS t(i)
+),
+deltas AS (
+  SELECT doc_id, i, luma,
+         abs(luma - LAG(luma) OVER (PARTITION BY doc_id ORDER BY i)) AS delta
+  FROM frames
+)
+SELECT doc_id,
+       COUNT(*) AS n_frames,
+       CAST(SUM(CASE WHEN delta > {_SCENE_THRESH} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cuts,
+       CAST(coalesce(MIN(CASE WHEN delta > {_SCENE_THRESH} THEN i END), -1) AS BIGINT)
+         AS first_cut_frame
+FROM deltas GROUP BY doc_id
+"""
+
+
+@register("mm_scene_cut", oracle=_SCENE_ORACLE, tags=("llm", "multimodal"))
+def mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-boundary detection over the video→frames fan-out: sample one
+    frame per 100 payload bytes (the mm_frame_sample contract), extract a
+    per-frame luma (deterministic md5 fake — a real frame-difference
+    detector swaps into the same shape), and count hard cuts where the
+    inter-frame jump exceeds the threshold, with the first cut position.
+
+    Scale shape: the frame fan-out is a pipelined generator (no shuffle);
+    the lag window pays ONE doc-keyed exchange — the same exchange any
+    per-video sequence op needs — and the corpus then collapses map-side
+    back to the doc grain. All integer arithmetic, bit-exact in DuckDB."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        F.greatest(
+            F.expr("CAST(length(text) AS BIGINT) div 100"), F.lit(1).cast("bigint")
+        ).alias("n_frames"),
+    )
+    frames = m.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("i"),
+    ).select(
+        "doc_id",
+        "i",
+        (
+            F.expr(
+                "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', "
+                "CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            )
+            % 256
+        ).alias("luma"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    deltas = frames.select(
+        "doc_id", "i", F.abs(F.col("luma") - F.lag("luma").over(w)).alias("delta")
+    )
+    cut = F.when(F.col("delta") > _SCENE_THRESH, 1).otherwise(0)
+    return deltas.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(cut).cast("bigint").alias("n_cuts"),
+        F.coalesce(
+            F.min(F.when(F.col("delta") > _SCENE_THRESH, F.col("i"))), F.lit(-1)
+        )
+        .cast("bigint")
+        .alias("first_cut_frame"),
+    )

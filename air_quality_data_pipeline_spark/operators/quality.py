@@ -1414,3 +1414,61 @@ def dq_funcdep(spark: SparkSession, sf_dir: str) -> DataFrame:
         (viol.cast("double") / F.count(F.lit(1)).cast("double")).alias("violation_rate"),
         F.when(F.max("n_rhs") == 1, 1).otherwise(0).cast("bigint").alias("fd_holds"),
     )
+
+
+# --- dq_temporal: cross-table temporal-consistency audit -----------------------
+
+# The event-ordering rule single-table dq_rules can't see: a lineitem must
+# not ship BEFORE its order was placed. Lag is an exact integer day count
+# (both engines subtract DATEs), so rates, extrema, and the interpolated
+# median are all cross-engine exact (percentile == quantile_cont, pinned
+# by agg_quantiles).
+_TEMPORAL_ORACLE = """
+WITH lag AS (
+  SELECT o.o_orderpriority,
+         datediff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))
+           AS day_lag
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CASE WHEN day_lag < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       CAST(SUM(CASE WHEN day_lag < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS violation_rate,
+       CAST(MIN(day_lag) AS BIGINT) AS min_lag_days,
+       CAST(MAX(day_lag) AS BIGINT) AS max_lag_days,
+       quantile_cont(day_lag, 0.5) AS median_lag_days
+FROM lag GROUP BY o_orderpriority
+"""
+
+
+@register("dq_temporal", oracle=_TEMPORAL_ORACLE, tags=("quality",))
+def dq_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table temporal-consistency audit: per order priority, how many
+    lineitems ship BEFORE their order date (impossible-order violations),
+    plus the lag distribution (min/median/max days) — the referential
+    cousin of dq_rules' single-table assertions.
+
+    Scale shape: ONE fact-fact equi-join on the natural key (both sides
+    shuffle once on l_orderkey/o_orderkey; AQE handles skew), then the
+    corpus collapses map-side to the |priorities|-grain cell table. The
+    lag is an exact BIGINT day difference of DATEs, so every statistic —
+    including the interpolated median — is bit-identical cross-engine."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    od = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag = li.join(od, li.l_orderkey == od.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("day_lag"),
+    )
+    viol = F.sum(F.when(F.col("day_lag") < 0, 1).otherwise(0)).cast("bigint")
+    return lag.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        viol.alias("n_violations"),
+        (viol.cast("double") / F.count(F.lit(1))).alias("violation_rate"),
+        F.min("day_lag").cast("bigint").alias("min_lag_days"),
+        F.max("day_lag").cast("bigint").alias("max_lag_days"),
+        F.expr("percentile(day_lag, 0.5D)").alias("median_lag_days"),
+    )

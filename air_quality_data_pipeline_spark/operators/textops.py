@@ -4068,3 +4068,150 @@ def llm_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (num / 2000000.0 / 0.6931471805599453).alias("jsd_norm"),
         )
     )
+
+
+# --- llm_bleu: BLEU-2 with clipping and brevity penalty -------------------------
+
+# The precision-side eval twin of llm_rouge_n's recall: modified n-gram
+# precision (candidate counts CLIPPED at the reference's count — the part
+# plain overlap gets wrong on repeated grams) for n=1,2, geometric-mean
+# combined under a brevity penalty. Same fixed panel as rouge (refs
+# doc_id<10, candidates 10..59) so the two metrics are directly
+# comparable. Clipped sums and lengths are exact BIGINTs; exp/ln see
+# exact-ratio doubles; ROUND(9) absorbs the libm ulp.
+_BLEU_REFS = 10
+_BLEU_CANDS = 60
+
+
+def _bleu_grams_duck(n: int, lo: str, hi: str, side: str) -> str:
+    toks = tokens_duckdb("text")
+    gram = f"unnest({shingles_duckdb('toks', n)})" if n > 1 else "unnest(toks)"
+    return f"""
+  SELECT doc_id AS {side}_id, g AS gram, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, {gram} AS g FROM
+        (SELECT doc_id, {toks} AS toks FROM documents
+         WHERE doc_id >= {lo} AND doc_id < {hi}))
+  GROUP BY doc_id, g"""
+
+
+_BLEU_ORACLE = f"""
+WITH r1 AS ({_bleu_grams_duck(1, "0", str(_BLEU_REFS), "ref")}),
+c1 AS ({_bleu_grams_duck(1, str(_BLEU_REFS), str(_BLEU_CANDS), "cand")}),
+r2 AS ({_bleu_grams_duck(2, "0", str(_BLEU_REFS), "ref")}),
+c2 AS ({_bleu_grams_duck(2, str(_BLEU_REFS), str(_BLEU_CANDS), "cand")}),
+len_r AS (SELECT ref_id, CAST(SUM(c) AS BIGINT) AS r_len FROM r1 GROUP BY ref_id),
+len_c AS (SELECT cand_id, CAST(SUM(c) AS BIGINT) AS c_len FROM c1 GROUP BY cand_id),
+tot_c2 AS (SELECT cand_id, CAST(SUM(c) AS BIGINT) AS t2 FROM c2 GROUP BY cand_id),
+clip1 AS (
+  SELECT r1.ref_id, c1.cand_id, CAST(SUM(least(c1.c, r1.c)) AS BIGINT) AS m1
+  FROM c1 JOIN r1 USING (gram) GROUP BY r1.ref_id, c1.cand_id
+),
+clip2 AS (
+  SELECT r2.ref_id, c2.cand_id, CAST(SUM(least(c2.c, r2.c)) AS BIGINT) AS m2
+  FROM c2 JOIN r2 USING (gram) GROUP BY r2.ref_id, c2.cand_id
+),
+pairs AS (
+  SELECT lr.ref_id, lc.cand_id, lr.r_len, lc.c_len, tc.t2,
+         coalesce(c1m.m1, 0) AS m1, coalesce(c2m.m2, 0) AS m2
+  FROM len_r lr CROSS JOIN len_c lc
+  JOIN tot_c2 tc ON tc.cand_id = lc.cand_id
+  LEFT JOIN clip1 c1m ON c1m.ref_id = lr.ref_id AND c1m.cand_id = lc.cand_id
+  LEFT JOIN clip2 c2m ON c2m.ref_id = lr.ref_id AND c2m.cand_id = lc.cand_id
+)
+SELECT ref_id, cand_id, m1, m2, c_len, r_len,
+       ROUND(CASE WHEN m1 = 0 OR m2 = 0 THEN 0.0 ELSE
+         (CASE WHEN c_len < r_len
+               THEN exp(1.0 - CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE))
+               ELSE 1.0 END)
+         * exp((ln(CAST(m1 AS DOUBLE) / CAST(c_len AS DOUBLE))
+                + ln(CAST(m2 AS DOUBLE) / CAST(t2 AS DOUBLE))) / 2.0)
+       END, 9) AS bleu2
+FROM pairs
+"""
+
+
+@register("llm_bleu", oracle=_BLEU_ORACLE, tags=("llm", "text"))
+def llm_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-2 (clipped modified 1/2-gram precision, geometric mean, brevity
+    penalty) between the fixed 10-doc reference panel and 50 candidates —
+    the precision-side eval metric next to llm_rouge_n's recall, with the
+    clipping that plain overlap gets wrong on repeated grams.
+
+    Scale shape: gram counting collapses each side map-side to (doc, gram,
+    count) cells; the clip joins carry grams only between the PANEL-sized
+    sides (refs broadcast — the panel is a constant, so eval cost is
+    O(candidates), not O(corpus²)); the final pair grid is panel×panel.
+    Clipped sums/lengths are exact BIGINTs; exp/ln see exact-ratio
+    doubles; ROUND(9) absorbs the libm ulp."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+
+    def grams(lo: int, hi: int, n: int, side: str) -> DataFrame:
+        base = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).selectExpr(
+            f"doc_id AS {side}_id", f"{tokens_spark('text')} AS toks"
+        )
+        g = (
+            base.selectExpr(f"{side}_id", f"explode({shingles_spark('toks', n)}) AS gram")
+            if n > 1
+            else base.selectExpr(f"{side}_id", "explode(toks) AS gram")
+        )
+        return g.groupBy(f"{side}_id", "gram").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+
+    r1 = grams(0, _BLEU_REFS, 1, "ref")
+    c1 = scoped_persist(grams(_BLEU_REFS, _BLEU_CANDS, 1, "cand"))
+    r2 = grams(0, _BLEU_REFS, 2, "ref")
+    c2 = scoped_persist(grams(_BLEU_REFS, _BLEU_CANDS, 2, "cand"))
+    len_r = r1.groupBy("ref_id").agg(F.sum("c").cast("bigint").alias("r_len"))
+    len_c = c1.groupBy("cand_id").agg(F.sum("c").cast("bigint").alias("c_len"))
+    tot_c2 = c2.groupBy("cand_id").agg(F.sum("c").cast("bigint").alias("t2"))
+    clip1 = (
+        c1.join(F.broadcast(r1.withColumnRenamed("c", "rc")), "gram")
+        .groupBy("ref_id", "cand_id")
+        .agg(F.sum(F.least("c", "rc")).cast("bigint").alias("m1"))
+    )
+    clip2 = (
+        c2.join(F.broadcast(r2.withColumnRenamed("c", "rc")), "gram")
+        .groupBy("ref_id", "cand_id")
+        .agg(F.sum(F.least("c", "rc")).cast("bigint").alias("m2"))
+    )
+    pairs = (
+        F.broadcast(len_r)
+        .crossJoin(len_c)
+        .join(tot_c2, "cand_id")
+        .join(clip1, ["ref_id", "cand_id"], "left")
+        .join(clip2, ["ref_id", "cand_id"], "left")
+        .select(
+            "ref_id",
+            "cand_id",
+            F.coalesce("m1", F.lit(0)).cast("bigint").alias("m1"),
+            F.coalesce("m2", F.lit(0)).cast("bigint").alias("m2"),
+            "c_len",
+            "r_len",
+            "t2",
+        )
+    )
+    c_len = F.col("c_len").cast("double")
+    bp = F.when(
+        F.col("c_len") < F.col("r_len"),
+        F.exp(F.lit(1.0) - F.col("r_len").cast("double") / c_len),
+    ).otherwise(F.lit(1.0))
+    core = F.exp(
+        (
+            F.log(F.col("m1").cast("double") / c_len)
+            + F.log(F.col("m2").cast("double") / F.col("t2").cast("double"))
+        )
+        / 2.0
+    )
+    return pairs.select(
+        "ref_id",
+        "cand_id",
+        "m1",
+        "m2",
+        "c_len",
+        "r_len",
+        F.round(
+            F.when((F.col("m1") == 0) | (F.col("m2") == 0), 0.0).otherwise(bp * core), 9
+        ).alias("bleu2"),
+    )

@@ -1803,3 +1803,171 @@ def ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_trans"
         ),
     )
+
+
+# --- ts_interarrival: inter-event cadence profile ------------------------------
+
+# The cadence statistic behind rate limiting, bot detection (machine-gun
+# gaps), and capacity planning: per-user inter-arrival gaps, profiled at
+# the event-type grain of the LATER event. Gaps are exact BIGINT epoch-
+# second differences, so mean (exact-operand division) and interpolated
+# percentiles (percentile == quantile_cont, pinned by agg_quantiles) are
+# bit-identical cross-engine.
+_INTERARRIVAL_ORACLE = """
+WITH seq AS (
+  SELECT event_type,
+         epoch_us(ts) // 1000000
+           - LAG(epoch_us(ts) // 1000000)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_gaps,
+       CAST(SUM(gap_s) AS BIGINT) AS total_gap_s,
+       CAST(SUM(gap_s) AS DOUBLE) / COUNT(*) AS mean_gap_s,
+       quantile_cont(gap_s, 0.5) AS p50_gap_s,
+       quantile_cont(gap_s, 0.95) AS p95_gap_s,
+       CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+FROM seq WHERE gap_s IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register("ts_interarrival", oracle=_INTERARRIVAL_ORACLE, tags=("timeseries", "window"))
+def ts_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival cadence profile: per-user gaps between consecutive
+    events ((ts, event_id) total order), aggregated per type of the later
+    event — n, total, mean, p50/p95 (interpolated exact), max seconds.
+
+    Scale shape: the ts_markov_transitions envelope — ONE user-keyed
+    exchange for the lag window, then a map-side-combined collapse to the
+    |types|-grain cell table (the exact percentile is the honest small-
+    domain choice; approx_percentile is the 100 TB drop-in). Gaps are
+    exact BIGINT second differences."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 1000000"
+    )
+    seq = ev.select(
+        "event_type", (sec - F.lag(sec).over(w)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_s").cast("bigint").alias("total_gap_s"),
+        (F.sum("gap_s").cast("double") / F.count(F.lit(1))).alias("mean_gap_s"),
+        F.expr("percentile(gap_s, 0.5D)").alias("p50_gap_s"),
+        F.expr("percentile(gap_s, 0.95D)").alias("p95_gap_s"),
+        F.max("gap_s").cast("bigint").alias("max_gap_s"),
+    )
+
+
+# --- ts_cov_matrix: pairwise covariance/correlation of daily type activity -----
+
+# The multivariate companion to agg_corr's single pair: the full
+# covariance + correlation matrix of per-day event-type counts — do
+# purchases co-move with views day over day? Which signals are redundant?
+# The matrix grain is |types|², the inputs exact BIGINT day-counts, so
+# every moment is an integer power sum and the only doubles are closing
+# divisions of exact operands (ROUND(9) for the sqrt ulp).
+_COV_ORACLE = """
+WITH cells AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY day, event_type
+),
+days AS (SELECT DISTINCT day FROM cells),
+grid AS (
+  SELECT d.day, t.event_type, coalesce(c.c, 0) AS c
+  FROM days d CROSS JOIN (SELECT DISTINCT event_type FROM cells) t
+  LEFT JOIN cells c ON c.day = d.day AND c.event_type = t.event_type
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS n_days,
+         CAST(SUM(a.c) AS BIGINT) AS sa, CAST(SUM(b.c) AS BIGINT) AS sb,
+         CAST(SUM(a.c * b.c) AS BIGINT) AS sab,
+         CAST(SUM(a.c * a.c) AS BIGINT) AS saa,
+         CAST(SUM(b.c * b.c) AS BIGINT) AS sbb
+  FROM grid a JOIN grid b ON a.day = b.day AND a.event_type <= b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT type_a, type_b, n_days,
+       (CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * sb / n_days) / n_days AS cov,
+       ROUND((CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * sb / n_days)
+             / sqrt((CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / n_days)
+                    * (CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / n_days)), 9)
+         AS corr
+FROM pairs
+"""
+
+
+@register("ts_cov_matrix", oracle=_COV_ORACLE, tags=("timeseries", "stats"))
+def ts_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance + correlation matrix of per-day event-type counts (upper
+    triangle incl. diagonal) — the co-movement / signal-redundancy view
+    one pairwise agg_corr can't give.
+
+    Scale shape: the corpus collapses map-side into the (day, type) cell
+    table — bounded by horizon × domain — and is PERSISTED; the dense
+    day grid (absent cells = 0, required for honest covariance) and the
+    pair self-join both run on that bounded table (broadcast at any
+    corpus size). Counts are exact BIGINTs, so all five power sums are
+    integer-exact; the closing divisions see exact operands, ROUND(9)
+    on corr for the sqrt ulp."""
+    apply_engine_conf(spark)
+    from ..session import scoped_persist
+
+    ev = table(spark, sf_dir, "events")
+    day = F.expr(
+        "CAST(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) "
+        "div 86400000000 AS BIGINT)"
+    )
+    cells = scoped_persist(
+        ev.groupBy(day.alias("day"), F.col("event_type")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+    )
+    days = cells.select("day").distinct()
+    types = cells.select("event_type").distinct()
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(cells, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    a = grid.alias("a")
+    b = grid.alias("b")
+    pairs = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") <= F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("a.c").cast("bigint").alias("sa"),
+            F.sum("b.c").cast("bigint").alias("sb"),
+            F.sum(F.col("a.c") * F.col("b.c")).cast("bigint").alias("sab"),
+            F.sum(F.col("a.c") * F.col("a.c")).cast("bigint").alias("saa"),
+            F.sum(F.col("b.c") * F.col("b.c")).cast("bigint").alias("sbb"),
+        )
+    )
+    n = F.col("n_days").cast("double")
+    cov = (F.col("sab").cast("double") - F.col("sa").cast("double") * F.col("sb") / n) / n
+    va = F.col("saa").cast("double") - F.col("sa").cast("double") * F.col("sa") / n
+    vb = F.col("sbb").cast("double") - F.col("sb").cast("double") * F.col("sb") / n
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "n_days",
+        cov.alias("cov"),
+        F.round(
+            (F.col("sab").cast("double") - F.col("sa").cast("double") * F.col("sb") / n)
+            / F.sqrt(va * vb),
+            9,
+        ).alias("corr"),
+    )

@@ -262,6 +262,14 @@ DEFERRED_FIRST_ROW: set[str] = {
     "graph_degree_dist",
     "st_topk",
     "mm_phash",
+    # session-4 batch K (cross-table temporal audit, cadence profile,
+    # scene cuts, BLEU-2, multiplicative means), same deferral:
+    "dq_temporal",
+    "ts_interarrival",
+    "mm_scene_cut",
+    "llm_bleu",
+    "agg_geomean",
+    "ts_cov_matrix",
 }
 
 

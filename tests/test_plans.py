@@ -1394,3 +1394,51 @@ def test_phash_single_python_crossing(spark, sf_dir):
     plan = _executed_plan(spark, "mm_phash", sf_dir)
     assert plan.count("MapInPandas") == 1, plan
     assert "Window" in plan
+
+
+def test_temporal_single_join_then_cells(spark, sf_dir):
+    """dq_temporal: one equi-join (no nested loop), then the priority-grain
+    aggregate with a map-side partial."""
+    plan = _executed_plan(spark, "dq_temporal", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial" in plan.lower(), plan
+
+
+def test_interarrival_single_corpus_exchange(spark, sf_dir):
+    """ts_interarrival: the corpus crosses exactly ONE user-keyed hash
+    exchange (the lag window)."""
+    plan = _executed_plan(spark, "ts_interarrival", sf_dir)
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_scene_cut_generator_then_one_doc_exchange(spark, sf_dir):
+    """mm_scene_cut: frame fan-out is a pipelined generator; the lag window
+    pays one doc-keyed exchange."""
+    plan = _executed_plan(spark, "mm_scene_cut", sf_dir)
+    assert "Generate explode" in plan, plan
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1, plan
+
+
+def test_bleu_broadcasts_reference_panel(spark, sf_dir):
+    """llm_bleu: the clip joins broadcast the constant reference panel —
+    candidate grams never shuffle for the panel match."""
+    plan = _executed_plan(spark, "llm_bleu", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_geomean_one_aggregate(spark, sf_dir):
+    """agg_geomean: one scan, one map-side-combined aggregate; ln/1-over-x
+    quantization stays in the projection."""
+    plan = _executed_plan(spark, "agg_geomean", sf_dir)
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_cov_matrix_cells_persisted_and_broadcast(spark, sf_dir):
+    """ts_cov_matrix: one corpus collapse into persisted cells; grid and
+    pair join are broadcast on the bounded table."""
+    plan = _executed_plan(spark, "ts_cov_matrix", sf_dir)
+    assert "InMemoryTableScan" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -2366,3 +2366,118 @@ def test_phash_deterministic_and_family_consistent(spark, sf_dir):
     for r in rows:
         assert 0 <= r.phash < 2**16
         assert r.family_size == fam[r.phash]
+
+
+def test_temporal_audit_reconciles(spark, sf_dir):
+    """dq_temporal: item totals reconcile with lineitem row count; lag
+    bracket min <= median <= max; rate == violations / items."""
+    rows = SPECS["dq_temporal"].builder(spark, sf_dir).collect()
+    assert rows
+    n_li = table(spark, sf_dir, "lineitem").count()
+    assert sum(r.n_items for r in rows) == n_li
+    for r in rows:
+        assert r.min_lag_days <= r.median_lag_days <= r.max_lag_days
+        assert abs(r.violation_rate - r.n_violations / r.n_items) < 1e-15
+        assert 0 <= r.n_violations <= r.n_items
+
+
+def test_interarrival_totals_reconcile(spark, sf_dir):
+    """ts_interarrival: gap counts sum to n_events - n_users; all gaps are
+    non-negative (the ordering is total); p50 <= p95 <= max."""
+    rows = SPECS["ts_interarrival"].builder(spark, sf_dir).collect()
+    assert rows
+    ev = table(spark, sf_dir, "events")
+    assert sum(r.n_gaps for r in rows) == ev.count() - ev.select("user_id").distinct().count()
+    for r in rows:
+        assert 0 <= r.p50_gap_s <= r.p95_gap_s <= r.max_gap_s
+        assert abs(r.mean_gap_s - r.total_gap_s / r.n_gaps) < 1e-12
+
+
+def test_scene_cut_counts_bounded_by_frames(spark, sf_dir):
+    """mm_scene_cut: 0 <= n_cuts < n_frames; first_cut_frame is a real
+    frame index (or -1 exactly when n_cuts == 0); frame counts match
+    mm_frame_sample's fan-out."""
+    rows = SPECS["mm_scene_cut"].builder(spark, sf_dir).collect()
+    frames = {}
+    for r in SPECS["mm_frame_sample"].builder(spark, sf_dir).collect():
+        frames[r.doc_id] = frames.get(r.doc_id, 0) + 1
+    assert {r.doc_id for r in rows} == set(frames)
+    for r in rows:
+        assert r.n_frames == frames[r.doc_id]
+        assert 0 <= r.n_cuts < max(r.n_frames, 1) + 1
+        if r.n_cuts == 0:
+            assert r.first_cut_frame == -1
+        else:
+            assert 1 <= r.first_cut_frame < r.n_frames
+
+
+def test_bleu_bounds_and_self_identity(spark, sf_dir):
+    """llm_bleu: scores live in [0, 1]; zero bigram overlap forces 0;
+    m1 <= c_len (clipping can never exceed candidate mass)."""
+    rows = SPECS["llm_bleu"].builder(spark, sf_dir).collect()
+    assert len(rows) == 500  # 10 refs x 50 candidates
+    for r in rows:
+        assert 0.0 <= r.bleu2 <= 1.0, r
+        assert r.m1 <= r.c_len
+        if r.m2 == 0 or r.m1 == 0:
+            assert r.bleu2 == 0.0
+
+
+def test_geomean_am_gm_hm_bracket(spark, sf_dir):
+    """agg_geomean: AM >= GM >= HM for every group (strictly positive,
+    non-constant values), and GM matches a Python recount within the
+    micro-quantization slack."""
+    import math
+
+    rows = SPECS["agg_geomean"].builder(spark, sf_dir).collect()
+    assert rows
+    vals: dict[str, list[float]] = {}
+    for r in (
+        table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .collect()
+    ):
+        vals.setdefault(r.l_returnflag, []).append(r.l_extendedprice)
+    for r in rows:
+        assert r.arith_mean >= r.geo_mean >= r.harm_mean > 0, r
+        xs = vals[r.l_returnflag]
+        gm = math.exp(sum(math.log(x) for x in xs) / len(xs))
+        assert abs(r.geo_mean - gm) / gm < 1e-4
+
+
+def test_cov_matrix_is_psd_ish_and_matches_numpy(spark, sf_dir):
+    """ts_cov_matrix: diagonal = variances >= 0, |corr| <= 1, corr == 1 on
+    the diagonal (non-constant series), and values match numpy's
+    population covariance on the reconstructed grid."""
+    import numpy as np
+
+    rows = SPECS["ts_cov_matrix"].builder(spark, sf_dir).collect()
+    assert len(rows) == 15  # C(5,2) + 5 diagonal
+    # reconstruct the dense grid
+    ev = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.expr(
+                "CAST(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                " div 86400000000 AS BIGINT)"
+            ).alias("day"),
+            "event_type",
+        )
+        .count()
+        .collect()
+    )
+    days = sorted({r.day for r in ev})
+    types = sorted({r.event_type for r in ev})
+    cell = {(r.day, r.event_type): r["count"] for r in ev}
+    mat = np.array(
+        [[cell.get((d, t), 0) for d in days] for t in types], dtype=np.float64
+    )
+    cov = np.cov(mat, bias=True)
+    for r in rows:
+        i, j = types.index(r.type_a), types.index(r.type_b)
+        assert r.n_days == len(days)
+        assert abs(r.cov - cov[i, j]) < 1e-6 * max(1.0, abs(cov[i, j]))
+        assert abs(r.corr) <= 1.0 + 1e-12
+        if r.type_a == r.type_b:
+            assert r.cov >= 0
+            assert abs(r.corr - 1.0) < 1e-9
