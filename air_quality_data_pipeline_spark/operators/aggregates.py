@@ -1496,7 +1496,7 @@ def agg_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The membership twin of agg_countmin_freq's frequency sketch: build a
 # k=3 x m=262144-bit Bloom filter over l_partkey, probe a fixed 32-key
 # panel (16 keys present at every SF, 16 drawn from 1e9+ so they stay
-# absent through sf10000), and join back exact membership so the
+# absent through sf1000), and join back exact membership so the
 # one-sided guarantee (present keys ALWAYS hit; misses only ever happen
 # on absent keys) is itself a hash-checked column. Hashes are the
 # engine-portable md5 fold (the agg_countmin_freq recipe), so the whole
@@ -1562,7 +1562,7 @@ FROM hits h LEFT JOIN exact e USING (partkey)
 def agg_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership with an exact anchor: set the k=3 bit
     positions of every l_partkey in an m=262144-bit filter, probe a fixed
-    32-key panel (16 present at every SF, 16 absent through sf10000), and
+    32-key panel (16 present at every SF, 16 absent through sf1000), and
     join back exact membership so the driver hash-checks the one-sided
     guarantee itself (present => hit; false positives only on absents).
 

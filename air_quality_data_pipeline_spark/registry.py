@@ -208,8 +208,12 @@ DRIVER_WINDOW = DRIVER_PRIORITY[:50]
 #
 # Session-3 addendum: every session-3 operator (batches A–H below) joins
 # the same deferral — all are locally oracle-green at sf0.001/0.01/0.1
-# AND at sf1 (10× driver scale), and the deferral set now exactly lists
-# the round-8 window's first 24 candidates.
+# AND at sf1 (10× driver scale).
+#
+# Session-4 addendum: batches I–K join too (same four-SF replay evidence,
+# BASELINE.md session-4 addendum). The deferral set now holds 41 names —
+# they fill the round-8 window's first 41 slots in this listing order,
+# leaving 9 slots for the stalest greens (block (d)).
 DEFERRED_FIRST_ROW: set[str] = {
     "llm_char_entropy",
     "llm_dataset_interleave",

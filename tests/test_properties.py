@@ -2338,7 +2338,10 @@ def test_st_topk_is_the_batch_leaderboard(spark, sf_dir):
     for r in (
         table(spark, sf_dir, "events")
         .groupBy(
-            F.expr("(epoch_us(ts) div 86400000000) * 86400").alias("w"),
+            F.expr(
+                "(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                " div 86400000000) * 86400"
+            ).alias("w"),
             "event_type",
         )
         .count()
