@@ -617,6 +617,11 @@ def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = []
             for p in pdf["payload"]:
+                if p is None:
+                    # NULL payload: every cell is NULL, so no bit can clear
+                    # the mean test — the oracle's CASE yields phash 0.
+                    out.append(0)
+                    continue
                 text = bytes(p).decode("utf-8")
                 v = [
                     int(

@@ -104,6 +104,12 @@ ADV_PANEL = [
     "llm_sft_format",
     "llm_doc_chunk",
     "llm_dataset_diff",
+    # session-4 document-path operators:
+    "llm_readability",   # greatest(1, NULL-count) floors; NULL-flesch rows drop identically
+    "llm_jsd_drift",     # NULL text tokenizes to no rows in both engines
+    "llm_bleu",          # NULL-text reference vanishes from the panel identically
+    "mm_phash",          # NULL payload => phash 0 (defined, matching the oracle CASE)
+    "mm_scene_cut",      # greatest(NULL, 1) => 1 frame in both engines
 ]
 
 
@@ -244,6 +250,12 @@ ADV_EVENTS_PANEL = [
     "agg_entropy",
     "dq_volume_anomaly",
     "graph_reciprocity",
+    # session-4 events-path operators:
+    "ts_markov_transitions",  # lag tie-break on (ts, event_id)
+    "ts_interarrival",        # all-tied user => zero gaps, identically
+    "ts_cov_matrix",          # degenerate day cells, zero/negative values
+    "agg_ttest",              # zero-variance groups => Inf/NaN must agree
+    "st_topk",                # leaderboard ties broken by type, not arrival
 ]
 
 
