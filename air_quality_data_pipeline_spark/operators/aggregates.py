@@ -1650,7 +1650,8 @@ m AS (
   FROM g
 )
 SELECT a.event_type AS type_a, b.event_type AS type_b,
-       a.n AS n_a, b.n AS n_b, a.mean AS mean_a, b.mean AS mean_b,
+       a.n AS n_a, b.n AS n_b,
+       ROUND(a.mean, 9) AS mean_a, ROUND(b.mean, 9) AS mean_b,
        ROUND((a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n), 9) AS t_stat,
        ROUND(
          (a.var / a.n + b.var / b.n) * (a.var / a.n + b.var / b.n)
@@ -1712,8 +1713,10 @@ def agg_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.event_type").alias("type_b"),
             F.col("a.n").alias("n_a"),
             F.col("b.n").alias("n_b"),
-            F.col("a.mean").alias("mean_a"),
-            F.col("b.mean").alias("mean_b"),
+            # ROUND(9): decimal-sum double conversion can differ by one ulp
+            # past 2^53 (the agg_geomean sf10 finding — same sum shape here)
+            F.round(F.col("a.mean"), 9).alias("mean_a"),
+            F.round(F.col("b.mean"), 9).alias("mean_b"),
             F.round(t, 9).alias("t_stat"),
             F.round(df_, 6).alias("df"),
             F.when(F.abs(t) > 1.959963984540054, 1)
@@ -1748,8 +1751,8 @@ g AS (
 ),
 am AS (
   SELECT l_returnflag,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
-           AS arith_mean
+         ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*), 6) AS arith_mean
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT g.l_returnflag, g.n,
@@ -1794,7 +1797,11 @@ def agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "l_returnflag",
         "n",
-        (F.col("s_x") / F.col("n")).alias("arith_mean"),
+        # ROUND(6): past 2^53 the exact decimal sum's double conversion can
+        # differ by one ulp between DuckDB's int128 path and Java's
+        # BigDecimal (the agg_weighted_avg sf1 finding) — first bites
+        # agg_geomean at sf10, caught by the session-4 sf10 replay.
+        F.round(F.col("s_x") / F.col("n"), 6).alias("arith_mean"),
         F.round(F.exp(F.col("s_lg").cast("double") / (n_d * 1000000.0)), 6).alias(
             "geo_mean"
         ),

@@ -1971,3 +1971,79 @@ def ts_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("corr"),
     )
+
+
+# --- ts_decay_score: exponential time-decay (recency-weighted) score -----------
+
+# The recency weighting every ranking/engagement pipeline applies before
+# aggregating history: each event contributes value · 2^(-age_days/7)
+# (7-day half-life), anchored to the corpus max day so the score is a
+# pure function of the data. The per-row product is FLOOR-quantized to
+# micro-units BEFORE summation (a raw double sum of decay terms is
+# partition-order-dependent); ages are exact BIGINT day differences, so
+# pow() sees identical doubles in both engines.
+_DECAY_ORACLE = """
+WITH anchor AS (
+  SELECT MAX(epoch_us(ts) // 86400000000) AS max_day FROM events
+),
+t AS (
+  SELECT event_type,
+         CAST(floor(value * pow(0.5,
+             CAST(a.max_day - (epoch_us(ts) // 86400000000) AS DOUBLE) / 7.0)
+             * 1000000.0) AS BIGINT) AS term,
+         CAST(value AS DECIMAL(18, 9)) AS v
+  FROM events CROSS JOIN anchor a
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(term) AS DOUBLE) / 1000000.0 AS decay_score,
+       ROUND(CAST(SUM(v) AS DOUBLE), 6) AS raw_sum,
+       ROUND((CAST(SUM(term) AS DOUBLE) / 1000000.0) / CAST(SUM(v) AS DOUBLE), 9)
+         AS freshness_ratio
+FROM t GROUP BY event_type
+"""
+
+
+@register("ts_decay_score", oracle=_DECAY_ORACLE, tags=("timeseries", "agg"))
+def ts_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement score per event type: each event
+    contributes value · 2^(-age_days / 7) (7-day half-life against the
+    corpus max day), next to the raw sum and their ratio — how "fresh"
+    each signal is, the weighting feed-ranking and churn models apply.
+
+    Scale shape: the anchor is a one-row broadcast; the decay projection
+    and FLOOR-micro quantization run in codegen per row, so the single
+    exchange carries (type, n, Σterm, Σv) cells — order-free BIGINT /
+    DECIMAL sums (a raw double decay sum would be partition-order-
+    dependent). pow() sees exact-int-ratio doubles, identical cross-
+    engine."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    day = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        " div 86400000000"
+    )
+    anchor = ev.agg(F.max(day).alias("max_day"))
+    t = ev.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        F.floor(
+            F.col("value")
+            * F.pow(F.lit(0.5), (F.col("max_day") - day).cast("double") / 7.0)
+            * 1000000.0
+        )
+        .cast("bigint")
+        .alias("term"),
+        F.col("value").cast("decimal(18,9)").alias("v"),
+    )
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum("term").cast("double") / 1000000.0).alias("decay_score"),
+        # ROUND(6)/ROUND(9): the exact decimal sum's double conversion can
+        # differ by one ulp past 2^53 (the agg_geomean sf10 finding).
+        F.round(F.sum("v").cast("double"), 6).alias("raw_sum"),
+        F.round(
+            (F.sum("term").cast("double") / 1000000.0)
+            / F.sum("v").cast("double"),
+            9,
+        ).alias("freshness_ratio"),
+    )

@@ -274,6 +274,7 @@ DEFERRED_FIRST_ROW: set[str] = {
     "llm_bleu",
     "agg_geomean",
     "ts_cov_matrix",
+    "ts_decay_score",
 }
 
 

@@ -256,6 +256,7 @@ ADV_EVENTS_PANEL = [
     "ts_cov_matrix",          # degenerate day cells, zero/negative values
     "agg_ttest",              # zero-variance groups => Inf/NaN must agree
     "st_topk",                # leaderboard ties broken by type, not arrival
+    "ts_decay_score",         # zero/negative values; raw_sum 0 => Inf must agree
 ]
 
 

@@ -1442,3 +1442,11 @@ def test_cov_matrix_cells_persisted_and_broadcast(spark, sf_dir):
     plan = _executed_plan(spark, "ts_cov_matrix", sf_dir)
     assert "InMemoryTableScan" in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_decay_score_one_exchange(spark, sf_dir):
+    """ts_decay_score: anchor broadcast + codegen decay projection; the
+    corpus crosses exactly one hash exchange (the type-grain aggregate)."""
+    plan = _executed_plan(spark, "ts_decay_score", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan

@@ -2484,3 +2484,29 @@ def test_cov_matrix_is_psd_ish_and_matches_numpy(spark, sf_dir):
         if r.type_a == r.type_b:
             assert r.cov >= 0
             assert abs(r.corr - 1.0) < 1e-9
+
+
+def test_decay_score_bounded_by_raw_and_python(spark, sf_dir):
+    """ts_decay_score: with positive values, decay_score <= raw_sum
+    (weights <= 1) and freshness in (0, 1]; a Python recount of the
+    micro-quantized sum reproduces the score exactly."""
+    import math
+
+    rows = {r.event_type: r for r in SPECS["ts_decay_score"].builder(spark, sf_dir).collect()}
+    ev = table(spark, sf_dir, "events").select("event_type", "value", "ts").collect()
+    max_day = max(r.ts.timestamp() // 86400 for r in ev)
+    agg: dict[str, list] = {}
+    for r in ev:
+        age = max_day - r.ts.timestamp() // 86400
+        term = math.floor(r.value * math.pow(0.5, age / 7.0) * 1_000_000.0)
+        a = agg.setdefault(r.event_type, [0, 0])
+        a[0] += 1
+        a[1] += term
+    assert set(rows) == set(agg)
+    for t, (n, s) in agg.items():
+        r = rows[t]
+        assert r.n_events == n
+        assert abs(r.decay_score - s / 1_000_000.0) < 1e-9
+        if r.raw_sum > 0:
+            assert r.decay_score <= r.raw_sum + 1e-9
+            assert 0.0 < r.freshness_ratio <= 1.0 + 1e-12
