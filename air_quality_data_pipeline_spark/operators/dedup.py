@@ -68,6 +68,14 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- llm_minhash_dedup --------------------------------------------------------
 
 _MH_SPARK_ARR = "array(" + ", ".join(minhash_signature_spark_sql("sh_hashes", 8)) + ")"
+# int-array variant: sh_hashes carried as array<int> (shingle hashes are
+# < POLY_MOD = 1e6, so INT holds them exactly); the universal-hash product
+# a*h needs int64, so h is widened back per element. Halves the verify
+# joins' shuffle/spill bytes — the profiled sf30 bottleneck.
+_MH_SPARK_ARR_INT = "array(" + ", ".join(
+    s.replace("* h +", "* cast(h as bigint) +")
+    for s in minhash_signature_spark_sql("sh_hashes", 8)
+) + ")"
 _MH_DUCK_ARR = "[" + ", ".join(minhash_signature_duckdb("sh_hashes", 8)) + "]"
 
 _MINHASH_ORACLE = f"""
@@ -134,8 +142,18 @@ def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = corpus.select(
         "doc_id", F.expr(token_hashes_spark_sql(tokens_spark("text"))).alias("th")
     )
+    # sh_hashes as array<int>: shingle hashes are < POLY_MOD = 1e6, so INT
+    # holds them exactly — the verify joins below exchange these arrays,
+    # and the narrower element type halves their shuffle-write and
+    # sort-spill bytes (profiled at sf10: the array exchange + its
+    # sort-merge spill, 5.98 G write / 11.7 G disk spill, is what ran
+    # sf30 out of local disk — not the persist at 0.41 G, not the band
+    # bucket exchange at 1.05 G; scripts/profile_minhash.py).
     shingled = hashed.select(
-        "doc_id", F.array_distinct(F.expr(shingle_hashes_spark_sql("th"))).alias("sh_hashes")
+        "doc_id",
+        F.array_distinct(F.expr(shingle_hashes_spark_sql("th")))
+        .cast("array<int>")
+        .alias("sh_hashes"),
     )
     # Persist the signature base: it feeds three subtrees (bands, shingle
     # explode, set sizes) and the barrier stops Catalyst from pushing inferred
@@ -143,7 +161,7 @@ def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # At cluster scale this is the "materialize signatures once" step every
     # LSH dedup pipeline has.
     shingled = scoped_persist(shingled)
-    sigs = shingled.select("doc_id", "sh_hashes", F.expr(_MH_SPARK_ARR).alias("sig"))
+    sigs = shingled.select("doc_id", "sh_hashes", F.expr(_MH_SPARK_ARR_INT).alias("sig"))
     bands = sigs.select(
         "doc_id", F.posexplode("sig").alias("band0", "mh")
     ).select("doc_id", (F.col("band0") + 1).alias("band"), "mh")

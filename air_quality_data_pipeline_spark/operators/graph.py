@@ -847,8 +847,13 @@ edges AS MATERIALIZED (
   WHERE w > (SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*) FROM pair_counts)
 ),
 wt AS MATERIALIZED (
+  -- deg-1 nodes: ln(1)=0 would divide by zero (ANSI Spark throws, DuckDB
+  -- yields inf) — but a degree-1 node can never be a COMMON neighbor of
+  -- an edge's endpoints, so its weight is never consumed; define it 0.
   SELECT src AS node,
-         CAST(floor(1000000.0 / ln(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS t
+         CASE WHEN COUNT(*) < 2 THEN 0
+              ELSE CAST(floor(1000000.0 / ln(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)
+         END AS t
   FROM edges GROUP BY src
 ),
 fwd AS MATERIALIZED (
@@ -902,11 +907,15 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     module comment)."""
     apply_engine_conf(spark)
     edges = _copurchase_edges(spark, sf_dir)
+    # deg-1 guard mirrors the oracle: ln(1)=0 would raise DIVIDE_BY_ZERO
+    # under ANSI; a degree-1 node is never a common neighbor, so 0 is safe
     wt = edges.groupBy(F.col("src").alias("node")).agg(
-        F.floor(
-            F.lit(float(_AA_SCALE)) / F.log(F.count(F.lit(1)).cast("double"))
+        F.when(F.count(F.lit(1)) < 2, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.floor(
+                F.lit(float(_AA_SCALE)) / F.log(F.count(F.lit(1)).cast("double"))
+            ).cast("bigint")
         )
-        .cast("bigint")
         .alias("t")
     )
     fwd = (

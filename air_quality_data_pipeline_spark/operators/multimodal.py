@@ -696,10 +696,15 @@ def mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to the doc grain. All integer arithmetic, bit-exact in DuckDB."""
     apply_engine_conf(spark)
     docs = table(spark, sf_dir, "documents")
+    # octet_length, not length: DuckDB strlen counts BYTES while Spark's
+    # length() on a string counts characters — a >=100-byte multibyte doc
+    # would land the two engines in different div-100 buckets otherwise
+    # (and diverge from mm_frame_sample, which measures the utf-8 payload).
     m = docs.select(
         "doc_id",
         F.greatest(
-            F.expr("CAST(length(text) AS BIGINT) div 100"), F.lit(1).cast("bigint")
+            F.expr("CAST(octet_length(text) AS BIGINT) div 100"),
+            F.lit(1).cast("bigint"),
         ).alias("n_frames"),
     )
     frames = m.select(

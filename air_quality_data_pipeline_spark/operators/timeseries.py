@@ -1980,17 +1980,46 @@ def ts_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (7-day half-life), anchored to the corpus max day so the score is a
 # pure function of the data. The per-row product is FLOOR-quantized to
 # micro-units BEFORE summation (a raw double sum of decay terms is
-# partition-order-dependent); ages are exact BIGINT day differences, so
-# pow() sees identical doubles in both engines.
-_DECAY_ORACLE = """
+# partition-order-dependent).
+#
+# Cross-engine exactness (ADVICE r7): pow() with a fractional exponent is
+# libm-dependent (Java Math.pow permits 1-ulp error vs glibc's correctly
+# rounded pow), so a product within an ulp of an integer flips floor() by
+# one micro-unit. The weight is instead DEFINED as frac[age % 7] / 2^(age
+# div 7): frac is a 7-entry table of shortest-roundtrip double literals
+# (both engines parse decimal literals correctly rounded, so they see
+# identical doubles), and division by an exact power of two plus the two
+# multiplies are IEEE correctly-rounded basic ops — bit-exact everywhere,
+# no libm in the expression. Ages past 62 half-life weeks (q > 62, where
+# 2^q leaves BIGINT) are defined as weight 0 in both engines.
+_DECAY_FRAC = (
+    "1.0",
+    "0.9057236642639067",
+    "0.820335356007638",
+    "0.7429971445684742",
+    "0.6729500963161781",
+    "0.6095068271022377",
+    "0.5520447568369062",
+)
+_DECAY_FRAC_CASE = "CASE CAST(({age}) % 7 AS INTEGER) " + " ".join(
+    f"WHEN {r} THEN {lit}" for r, lit in enumerate(_DECAY_FRAC)
+) + " END"
+
+_DECAY_ORACLE = f"""
 WITH anchor AS (
   SELECT MAX(epoch_us(ts) // 86400000000) AS max_day FROM events
 ),
 t AS (
   SELECT event_type,
-         CAST(floor(value * pow(0.5,
-             CAST(a.max_day - (epoch_us(ts) // 86400000000) AS DOUBLE) / 7.0)
-             * 1000000.0) AS BIGINT) AS term,
+         CASE WHEN a.max_day - (epoch_us(ts) // 86400000000) > 7 * 62 THEN 0
+              ELSE CAST(floor(
+                value
+                * {_DECAY_FRAC_CASE.format(age="a.max_day - (epoch_us(ts) // 86400000000)")}
+                * 1000000.0
+                / CAST(CAST(1 AS BIGINT) << CAST(
+                    (a.max_day - (epoch_us(ts) // 86400000000)) // 7 AS INTEGER)
+                  AS DOUBLE)) AS BIGINT)
+         END AS term,
          CAST(value AS DECIMAL(18, 9)) AS v
   FROM events CROSS JOIN anchor a
 )
@@ -2015,24 +2044,28 @@ def ts_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     and FLOOR-micro quantization run in codegen per row, so the single
     exchange carries (type, n, Σterm, Σv) cells — order-free BIGINT /
     DECIMAL sums (a raw double decay sum would be partition-order-
-    dependent). pow() sees exact-int-ratio doubles, identical cross-
-    engine."""
+    dependent). The weight avoids libm entirely — frac[age%7] literal
+    table / exact 2^(age div 7) shift, all IEEE correctly-rounded basic
+    ops — so the quantized terms are bit-exact cross-engine (ADVICE r7;
+    see _DECAY_ORACLE comment)."""
     apply_engine_conf(spark)
     ev = table(spark, sf_dir, "events")
-    day = F.expr(
+    day_sql = (
         "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
         " div 86400000000"
     )
-    anchor = ev.agg(F.max(day).alias("max_day"))
+    anchor = ev.agg(F.max(F.expr(day_sql)).alias("max_day"))
+    age_sql = f"max_day - ({day_sql})"
+    frac_case = _DECAY_FRAC_CASE.format(age=age_sql).replace("INTEGER", "INT")
+    term_sql = (
+        f"CASE WHEN {age_sql} > 7 * 62 THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST(floor(value * {frac_case} * 1000000.0 "
+        f"/ CAST(shiftleft(CAST(1 AS BIGINT), "
+        f"CAST(({age_sql}) div 7 AS INT)) AS DOUBLE)) AS BIGINT) END"
+    )
     t = ev.crossJoin(F.broadcast(anchor)).select(
         "event_type",
-        F.floor(
-            F.col("value")
-            * F.pow(F.lit(0.5), (F.col("max_day") - day).cast("double") / 7.0)
-            * 1000000.0
-        )
-        .cast("bigint")
-        .alias("term"),
+        F.expr(term_sql).alias("term"),
         F.col("value").cast("decimal(18,9)").alias("v"),
     )
     return t.groupBy("event_type").agg(

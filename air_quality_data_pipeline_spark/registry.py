@@ -71,78 +71,70 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # registry are ignored (lets the list name queries before they land);
 # everything not listed keeps module order after the priority block.
 #
-# Round-7 window, in need-order (VERDICT r6 item 3):
-# (a) the 9 queries with NO driver row after six rounds — the 4 round-6
-#     DEFERRED_FIRST_ROW entries plus the 5 late-round-6 additions (incl.
-#     agg_countmin_freq, whose oracle was broken until this round, and
-#     llm_text_normalize, which shipped outside the accounting — both now
-#     pay their debt with first rows).
-# (b) queries whose CODE or ORACLE changed this round — re-sample:
-#     agg_countmin_freq (oracle rewritten UNION-ALL + single-scan
-#     posexplode build) is already in (a); llm_dataset_diff (presence
-#     columns moved off the md5 digest, ADVICE r6 low) and agg_approx_topk
-#     (exactness precondition now asserted, ADVICE r6 low; already in (a)).
-# (c) new round-7 operators land here, each displacing one (d) filler.
-#     Session 2 grew this block to 40 — (a)+(b)+(c) now fill all 50
-#     slots, so NO (d) filler rides this round's window.
-# (d) stalest greens (last driver sample round 1), kept for ordering the
-#     registry tail and as the round-8 filler pool once the round-7
-#     first-row debt clears.
+# Round-8 window, in need-order (VERDICT r7 item 1: "rotate the ENTIRE
+# DEFERRED_FIRST_ROW set into the round-8 window"):
+# (a) the 42 queries with NO driver row — every DEFERRED_FIRST_ROW name,
+#     in the deferral-set listing order (session-2 pairs, then session-3
+#     batches A–H, then session-4 batches I–K). Two of them (mm_scene_cut
+#     byte-length contract, ts_decay_score libm-free weight — both ADVICE
+#     r7 fixes) also changed this round, so their first rows double as
+#     changed-code re-samples.
+# (b) queries whose CODE or ORACLE changed this round and already have a
+#     green row: none so far (round-8 advice fixes all landed inside the
+#     deferred set). New round-8 operators insert HERE, each displacing
+#     one (c) filler — at most 8 new operators this round keeps the
+#     window whole with zero new deferral debt.
+# (c) filler: stalest greens (last driver sample round 1), module order —
+#     8 ride this round's window (slots 43-50).
+# (d) remaining round-1 greens, kept for ordering the registry tail and
+#     as the next filler pool.
 DRIVER_PRIORITY = [
-    # (a) never-sampled first rows
-    "dq_reconciliation",
-    "llm_hard_negatives",
-    "join_interval_overlap",
-    "agg_approx_topk",
-    "ts_autocorr",
-    "dq_benford",
-    "llm_pref_pairs",
-    "agg_countmin_freq",
-    "llm_text_normalize",
-    # (b) changed this round (advice fixes) — re-sample
-    "llm_dataset_diff",
-    # (c) new round-7 operators (inserted as each lands)
-    "graph_cc",
-    "llm_dup_spans",
-    "join_asof_nearest",
-    "win_cumulative_distinct",
-    "win_attribution",
-    "snk_manifest",
-    "llm_bm25_score",
-    "ts_sliding_corr",
-    "ts_period_over_period",
-    "graph_jaccard",
-    "dq_ks_test",
-    "agg_entropy",
-    "dq_uniqueness",
-    "graph_2hop",
-    "graph_kcore",
-    "llm_sentence_split",
-    "llm_zipf_fit",
-    "ts_forecast_baseline",
-    "llm_cdc_chunk",
-    "llm_mmr_diversify",
-    "agg_weighted_median",
-    "agg_sketch_overlap",
-    "dq_outlier_iqr",
-    "graph_bfs",
-    "join_nearest",
-    "llm_vocab_coverage",
-    "llm_rouge_n",
-    "llm_span_mask",
-    "llm_sample_weighted",
-    "graph_adamic_adar",
-    "win_gaps_islands",
-    "dq_kanon",
-    "llm_ngram_containment",
-    "llm_tok_fertility",
-    "mm_dedup_binary",
-    "ts_twa",
-    "ts_theilsen",
-    "f_ip_cidr",
-    "llm_sft_format",
-    "agg_gini",
-    # (d) filler: stalest greens (last sampled r1), module order
+    # (a) the 42 never-sampled first rows (== DEFERRED_FIRST_ROW)
+    "llm_char_entropy",
+    "llm_dataset_interleave",
+    "dq_volume_anomaly",
+    "llm_winsorize",
+    "llm_markup_strip",
+    "llm_url_extract",
+    "llm_char_bigram_entropy",
+    "ts_changepoint",
+    "ts_drawdown",
+    "graph_reciprocity",
+    "agg_concentration",
+    "dq_join_skew",
+    "llm_token_budget",
+    "ts_peak_detect",
+    "f_codec",
+    "llm_template_detect",
+    "llm_blocklist_filter",
+    "graph_modularity",
+    "llm_url_canonicalize",
+    "mm_patch_grid",
+    "graph_clustering_coef",
+    "f_geo_bearing",
+    "agg_wilson_ci",
+    "llm_pad_waste",
+    "agg_bloom_filter",
+    "win_skyline",
+    "ts_markov_transitions",
+    "dq_funcdep",
+    "llm_readability",
+    "graph_hits",
+    "agg_ttest",
+    "llm_jsd_drift",
+    "graph_degree_dist",
+    "st_topk",
+    "mm_phash",
+    "dq_temporal",
+    "ts_interarrival",
+    "mm_scene_cut",
+    "llm_bleu",
+    "agg_geomean",
+    "ts_cov_matrix",
+    "ts_decay_score",
+    # (b) changed-with-green-row re-samples / new round-8 operators
+    # (inserted as each lands, displacing one (c) filler)
+    # (c) filler: stalest greens (last sampled r1), module order
     "flagship",
     "flt_isin",
     "flt_notnull",
@@ -193,89 +185,19 @@ DRIVER_PRIORITY = [
 # order the remainder of the registry.
 DRIVER_WINDOW = DRIVER_PRIORITY[:50]
 
-# Round 7 moves ALL nine never-sampled queries into the window (slots 1-9),
-# emptying the deferral set. New operators registered this round must go
-# into block (c) of DRIVER_PRIORITY in the same commit — the round-6
-# lesson: a @register without window accounting ships a red suite.
+# Round 8 rotates ALL 42 never-sampled queries into the window (slots
+# 1-42, VERDICT r7 item 1), emptying the deferral set. New operators
+# registered this round must go into block (b) of DRIVER_PRIORITY in the
+# same commit — the round-6 lesson: a @register without window accounting
+# ships a red suite. With 8 filler slots free, at most 8 new operators
+# can land this round without re-opening the deferral set; any beyond
+# that must be added HERE with justification (and will fail
+# test_priority_window_covers_unsampled_queries if forgotten).
 #
-# Session-2 addendum: block (c) grew to 40 round-7 operators, filling all
-# 50 slots with first-row candidates. The two operators registered AFTER
-# the window filled are deliberately deferred to lead the round-8 window
-# (both locally oracle-green at sf0.001/0.01/0.1): llm_char_entropy and
-# llm_dataset_interleave. st_approx_distinct is rows-only by design
-# (HLL++ registers aren't DuckDB-reproducible; value anchor =
-# within-5%-of-exact property test) and is exempt per the rows-only rule.
-#
-# Session-3 addendum: every session-3 operator (batches A–H below) joins
-# the same deferral — all are locally oracle-green at sf0.001/0.01/0.1
-# AND at sf1 (10× driver scale).
-#
-# Session-4 addendum: batches I–K join too (same four-SF replay evidence,
-# BASELINE.md session-4 addendum). The deferral set now holds 41 names —
-# they fill the round-8 window's first 41 slots in this listing order,
-# leaving 9 slots for the stalest greens (block (d)).
-DEFERRED_FIRST_ROW: set[str] = {
-    "llm_char_entropy",
-    "llm_dataset_interleave",
-    # final session-2 pair, same deferral (locally green at sf0.001/0.01/0.1):
-    "dq_volume_anomaly",
-    "llm_winsorize",
-    # session-3 batch A (web-corpus text ops), same deferral — the round-7
-    # window shipped full; all three are locally oracle-green and queued
-    # for round-8 first rows:
-    "llm_markup_strip",
-    "llm_url_extract",
-    "llm_char_bigram_entropy",
-    # session-3 batch B (cell-bounded series statistics), same deferral:
-    "ts_changepoint",
-    "ts_drawdown",
-    # session-3 batch C (graph/market-structure/skew diagnostics):
-    "graph_reciprocity",
-    "agg_concentration",
-    "dq_join_skew",
-    # session-3 batch D (allocation, peak alerts, codec kit):
-    "llm_token_budget",
-    "ts_peak_detect",
-    "f_codec",
-    # session-3 batch E (boilerplate discovery, safety gate, communities):
-    "llm_template_detect",
-    "llm_blocklist_filter",
-    "graph_modularity",
-    # session-3 batch F (crawl-frontier dedup, vision patch addressing):
-    "llm_url_canonicalize",
-    "mm_patch_grid",
-    # session-3 batch G (neighborhood density):
-    "graph_clustering_coef",
-    # session-3 batch H (geo bearing, Wilson CI, pad-waste audit):
-    "f_geo_bearing",
-    "agg_wilson_ci",
-    "llm_pad_waste",
-    # session-4 batch I (membership sketch, pareto/markov/FD/readability
-    # analytics, HITS), same deferral — locally oracle-green at
-    # sf0.001/0.01 on landing, sf0.1/sf1 replayed before session close:
-    "agg_bloom_filter",
-    "win_skyline",
-    "ts_markov_transitions",
-    "dq_funcdep",
-    "llm_readability",
-    "graph_hits",
-    # session-4 batch J (Welch t-test, JSD drift, degree histogram,
-    # streaming top-k, perceptual image hash), same deferral:
-    "agg_ttest",
-    "llm_jsd_drift",
-    "graph_degree_dist",
-    "st_topk",
-    "mm_phash",
-    # session-4 batch K (cross-table temporal audit, cadence profile,
-    # scene cuts, BLEU-2, multiplicative means), same deferral:
-    "dq_temporal",
-    "ts_interarrival",
-    "mm_scene_cut",
-    "llm_bleu",
-    "agg_geomean",
-    "ts_cov_matrix",
-    "ts_decay_score",
-}
+# st_approx_distinct is rows-only by design (HLL++ registers aren't
+# DuckDB-reproducible; value anchor = within-5%-of-exact property test)
+# and is exempt per the rows-only rule.
+DEFERRED_FIRST_ROW: set[str] = set()
 
 
 def load_all_queries() -> dict[str, QuerySpec]:

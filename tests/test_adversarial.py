@@ -41,6 +41,13 @@ _ADV_TEXTS = [
     "# real header\n**already bold** [pre](http://pre.example/x) body",
     "a*b[c](d)\\e ^$.|?+ literal metachars",
     "plain control document for baseline behavior",
+    # Multibyte doc whose char count and byte count land in DIFFERENT
+    # div-100 frame buckets even after the greatest(.,1) floor (ADVICE
+    # r7): 70 three-byte CJK chars = 70 chars / 210 bytes, so a
+    # char-counting engine computes greatest(70//100,1)=1 frame while the
+    # byte-counting contract yields 210//100=2 frames. Exercises the
+    # mm_scene_cut / mm_frame_sample char-vs-byte boundary.
+    "漢" * 70,
 ]
 
 
@@ -358,3 +365,160 @@ def test_adversarial_degenerate_vectors(spark, adv_emb_dir, name):
     assert spec.oracle is not None
     problems = check_query(spec.builder(spark, adv_emb_dir), spec.oracle, adv_emb_dir)
     assert not problems, f"{name} diverges on degenerate vectors: {problems[:3]}"
+
+
+# --- adversarial graph: hostile co-purchase topologies (VERDICT r7 item 5) ----
+
+# The sf fixtures' co-purchase graph is a dense random blob — it never
+# exercises a star hub with triangle-free spokes (clustering-coef / adamic-
+# adar zero denominators), an unreachable component (BFS infinity rows),
+# a supplier alone in its orders (never enters the edge relation), row
+# multiplicity inside one order (pair weights from duplicate lines), or a
+# mean-threshold that eliminates nodes entirely. Each order below is a
+# (orderkey, [suppkeys]) basket; pair weight = co-occurrence count.
+#
+# Mixed fixture pair-weight audit: star 10 directed entries w=2, triangle
+# 6 entries w=3, noise 8 entries w=1, dup-pair 2 entries w=2 — mean =
+# 50/26 ≈ 1.92, so w>mean keeps star+triangle+dup-pair and kills the
+# noise pairs (nodes 40-47 vanish AFTER contributing to the mean).
+
+_GRAPH_ORDERS_MIXED = (
+    # star: hub 1 — spokes 2..6, each pair in two orders (w=2)
+    [(201, [1, 2]), (202, [1, 2]), (203, [1, 3]), (204, [1, 3]),
+     (205, [1, 4]), (206, [1, 4]), (207, [1, 5]), (208, [1, 5]),
+     (209, [1, 6]), (210, [1, 6])]
+    # triangle 10-11-12 in three shared orders (w=3)
+    + [(301, [10, 11, 12]), (302, [10, 11, 12]), (303, [10, 11, 12])]
+    # noise pairs (w=1): thresholded OUT, but they drag the mean below 2
+    + [(401, [40, 41]), (402, [42, 43]), (403, [44, 45]), (404, [46, 47])]
+    # isolated supplier: an order with a single supplier -> no pairs
+    + [(500, [20])]
+    # duplicate-row multiplicity: supplier 30 listed twice in one order
+    + [(600, [30, 30, 31])]
+)
+
+# Uniform fixture: every pair weight 1 -> mean = 1 -> w > mean empty for
+# ALL pairs. The edge set (and thus every graph result) must be empty in
+# BOTH engines — this is where division-by-zero / empty-aggregate
+# semantics (|V| = 0, COUNT(*) = 0 denominators) diverge first.
+_GRAPH_ORDERS_UNIFORM = [(701, [50, 51]), (702, [52, 53]), (703, [54, 55])]
+
+
+def _write_graph_fixture(dst: str, baskets) -> str:
+    src = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    os.makedirs(dst, exist_ok=True)
+    for name in TABLE_NAMES:
+        if name in ("lineitem", "supplier"):
+            continue
+        shutil.copyfile(
+            os.path.join(src, f"{name}.parquet"),
+            os.path.join(dst, f"{name}.parquet"),
+        )
+    import datetime
+
+    li = {k: [] for k in (
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate",
+    )}
+    for okey, supps in baskets:
+        for ln, s in enumerate(supps, start=1):
+            li["l_orderkey"].append(okey)
+            li["l_partkey"].append(s % 7)
+            li["l_suppkey"].append(s)
+            li["l_linenumber"].append(ln)
+            li["l_quantity"].append(float(1 + s % 5))
+            li["l_extendedprice"].append(100.0 + okey)
+            li["l_discount"].append(0.05)
+            li["l_tax"].append(0.02)
+            li["l_returnflag"].append("N")
+            li["l_linestatus"].append("O")
+            li["l_shipdate"].append(
+                datetime.datetime(2024, 1, 1 + okey % 28)
+            )
+    li_schema = pa.schema(
+        [
+            ("l_orderkey", pa.int64()),
+            ("l_partkey", pa.int64()),
+            ("l_suppkey", pa.int64()),
+            ("l_linenumber", pa.int32()),
+            ("l_quantity", pa.float64()),
+            ("l_extendedprice", pa.float64()),
+            ("l_discount", pa.float64()),
+            ("l_tax", pa.float64()),
+            ("l_returnflag", pa.string()),
+            ("l_linestatus", pa.string()),
+            ("l_shipdate", pa.timestamp("us")),
+        ]
+    )
+    pq.write_table(pa.table(li, schema=li_schema), os.path.join(dst, "lineitem.parquet"))
+    # supplier rows for every node id (graph_modularity joins s_nationkey;
+    # % 3 communities split the triangle across two communities)
+    supps = sorted({s for _, basket in baskets for s in basket})
+    sup_schema = pa.schema(
+        [
+            ("s_suppkey", pa.int64()),
+            ("s_name", pa.string()),
+            ("s_nationkey", pa.int32()),
+            ("s_acctbal", pa.float64()),
+        ]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": supps,
+                "s_name": [f"adv supplier {s}" for s in supps],
+                "s_nationkey": [s % 3 for s in supps],
+                "s_acctbal": [100.0 * s for s in supps],
+            },
+            schema=sup_schema,
+        ),
+        os.path.join(dst, "supplier.parquet"),
+    )
+    return dst
+
+
+@pytest.fixture(scope="module")
+def adv_graph_dir(spark):
+    return _write_graph_fixture("/tmp/adv_graph_fixture", _GRAPH_ORDERS_MIXED)
+
+
+@pytest.fixture(scope="module")
+def adv_graph_empty_dir(spark):
+    return _write_graph_fixture("/tmp/adv_graph_empty_fixture", _GRAPH_ORDERS_UNIFORM)
+
+
+# Every oracle-checked operator on the lineitem co-purchase graph
+# (graph_reciprocity rides the events panel — its graph is event-derived).
+ADV_GRAPH_PANEL = [
+    "graph_pagerank",
+    "graph_triangles",
+    "graph_cc",
+    "graph_jaccard",
+    "graph_2hop",
+    "graph_kcore",
+    "graph_bfs",
+    "graph_adamic_adar",
+    "graph_modularity",
+    "graph_clustering_coef",
+    "graph_hits",
+    "graph_degree_dist",
+]
+
+
+@pytest.mark.parametrize("name", ADV_GRAPH_PANEL)
+def test_adversarial_graph_topologies(spark, adv_graph_dir, name):
+    spec = SPECS[name]
+    assert spec.oracle is not None
+    problems = check_query(spec.builder(spark, adv_graph_dir), spec.oracle, adv_graph_dir)
+    assert not problems, f"{name} diverges on hostile topology: {problems[:3]}"
+
+
+@pytest.mark.parametrize("name", ADV_GRAPH_PANEL)
+def test_adversarial_graph_empty_edges(spark, adv_graph_empty_dir, name):
+    spec = SPECS[name]
+    assert spec.oracle is not None
+    problems = check_query(
+        spec.builder(spark, adv_graph_empty_dir), spec.oracle, adv_graph_empty_dir
+    )
+    assert not problems, f"{name} diverges on the empty edge set: {problems[:3]}"

@@ -2170,6 +2170,36 @@ def test_skyline_is_pairwise_nondominated_and_complete(spark, sf_dir):
             assert any(dominates(s, p) for s in sky), f"{p} not dominated"
 
 
+def test_skyline_distributed_prefix_equals_single_window(spark, sf_dir):
+    """win_skyline's range-partitioned two-level prefix-max (VERDICT r7
+    item 2) must return exactly the rows of the straightforward
+    single-partition running-max form it replaced — the classic
+    parallel-scan equivalence, pinned so a future range-boundary or
+    partition-id regression can't ship silently."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    got = {
+        (r.p_partkey, r.p_retailprice, r.p_size)
+        for r in SPECS["win_skyline"].builder(spark, sf_dir).collect()
+    }
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    per_price = p.groupBy("p_retailprice").agg(F.max("p_size").alias("grp_max"))
+    w = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+    per_price = per_price.withColumn("prev_max", F.max("grp_max").over(w))
+    ref = {
+        (r.p_partkey, r.p_retailprice, r.p_size)
+        for r in p.join(per_price, "p_retailprice")
+        .filter(
+            (F.col("prev_max").isNull() | (F.col("p_size") > F.col("prev_max")))
+            & (F.col("p_size") == F.col("grp_max"))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    }
+    assert got == ref
+
+
 def test_markov_rows_are_a_probability_matrix(spark, sf_dir):
     """ts_markov_transitions: per prev_type the conditional probabilities
     sum to 1; total transitions == n_events - n_users_with_events."""
