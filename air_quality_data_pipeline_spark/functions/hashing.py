@@ -83,12 +83,21 @@ def token_hashes_duckdb(tokens_col: str) -> str:
     )
 
 
-def shingle_hashes_spark_sql(token_hashes_col: str, n: int = 3) -> str:
+# Wider shingle space for the dedup-scale path: a 1e6-value space
+# SATURATES once the corpus holds millions of documents (pigeonhole) and
+# MinHash minima concentrate onto the globally-smallest mapped values —
+# measured at 3M docs as multi-hundred-MB LSH buckets (collect_list heap
+# OOM). 2^31 − 1 keeps shingles inside INT (array<int> wire format) while
+# the composition h·131 + t stays far inside int64.
+SHINGLE_MOD_WIDE = 2_147_483_647
+
+
+def shingle_hashes_spark_sql(token_hashes_col: str, n: int = 3, mod: int = POLY_MOD) -> str:
     """Spark SQL: array<bigint> token hashes → array<bigint> n-gram shingle
     hashes by polynomial composition — integer ops only, no per-char work."""
     terms = f"element_at({token_hashes_col}, i)"
     for j in range(1, n):
-        terms = f"({terms} * {POLY_BASE} + element_at({token_hashes_col}, i + {j})) % {POLY_MOD}"
+        terms = f"({terms} * {POLY_BASE} + element_at({token_hashes_col}, i + {j})) % {mod}"
     return (
         f"CASE WHEN size({token_hashes_col}) >= {n} THEN "
         f"transform(sequence(1, size({token_hashes_col}) - {n - 1}), i -> {terms}) "
@@ -96,10 +105,10 @@ def shingle_hashes_spark_sql(token_hashes_col: str, n: int = 3) -> str:
     )
 
 
-def shingle_hashes_duckdb(token_hashes_col: str, n: int = 3) -> str:
+def shingle_hashes_duckdb(token_hashes_col: str, n: int = 3, mod: int = POLY_MOD) -> str:
     terms = f"{token_hashes_col}[i]"
     for j in range(1, n):
-        terms = f"({terms} * {POLY_BASE} + {token_hashes_col}[i + {j}]) % {POLY_MOD}"
+        terms = f"({terms} * {POLY_BASE} + {token_hashes_col}[i + {j}]) % {mod}"
     return (
         f"list_transform(range(1, greatest(len({token_hashes_col}) - {n - 1}, 0) + 1), "
         f"i -> {terms})"

@@ -24,6 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.hashing import (
+    SHINGLE_MOD_WIDE,
     minhash_signature_duckdb,
     minhash_signature_spark_sql,
     shingle_hashes_duckdb,
@@ -69,9 +70,13 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MH_SPARK_ARR = "array(" + ", ".join(minhash_signature_spark_sql("sh_hashes", 8)) + ")"
 # int-array variant: sh_hashes carried as array<int> (shingle hashes are
-# < POLY_MOD = 1e6, so INT holds them exactly); the universal-hash product
-# a*h needs int64, so h is widened back per element. Halves the verify
-# joins' shuffle/spill bytes — the profiled sf30 bottleneck.
+# < SHINGLE_MOD_WIDE = 2^31−1, so INT holds them exactly); the
+# universal-hash product a*h needs int64, so h is widened back per
+# element. Halves the verify joins' shuffle/spill bytes — the profiled
+# sf30 bottleneck. The WIDE shingle modulus matters as much as the wire
+# format: with the default 1e6 space, 3M documents saturate the hash
+# universe and MinHash minima concentrate — measured as multi-hundred-MB
+# LSH buckets (collect_list heap OOM at sf30).
 _MH_SPARK_ARR_INT = "array(" + ", ".join(
     s.replace("* h +", "* cast(h as bigint) +")
     for s in minhash_signature_spark_sql("sh_hashes", 8)
@@ -89,7 +94,7 @@ hashed AS (
   SELECT doc_id, {token_hashes_duckdb(tokens_duckdb('text'))} AS th FROM corpus
 ),
 shingled AS (
-  SELECT doc_id, list_distinct({shingle_hashes_duckdb('th')}) AS sh_hashes FROM hashed
+  SELECT doc_id, list_distinct({shingle_hashes_duckdb('th', mod=SHINGLE_MOD_WIDE)}) AS sh_hashes FROM hashed
 ),
 sigs AS (
   SELECT doc_id, sh_hashes, {_MH_DUCK_ARR} AS sig FROM shingled
@@ -151,7 +156,9 @@ def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket exchange at 1.05 G; scripts/profile_minhash.py).
     shingled = hashed.select(
         "doc_id",
-        F.array_distinct(F.expr(shingle_hashes_spark_sql("th")))
+        F.array_distinct(
+            F.expr(shingle_hashes_spark_sql("th", mod=SHINGLE_MOD_WIDE))
+        )
         .cast("array<int>")
         .alias("sh_hashes"),
     )
@@ -197,8 +204,19 @@ def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # super-linear object and LSH keeps them sparse by construction.
     sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh_hashes").alias("sh_a"))
     sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh_hashes").alias("sh_b"))
+    # First verify join: SHUFFLE_HASH with the 16-byte candidate pairs as
+    # the build side, so the sa array stream is never sorted (while cand
+    # fits a broadcast AQE still upgrades it; the hint governs the
+    # fallback). The SECOND join must NOT build a hash map — both its
+    # sides carry arrays, and building from either exhausts task memory
+    # (measured at sf30: cannotAcquireMemoryToBuildLongHashedRelation);
+    # its sort-merge spills the array rows to disk gracefully, and with
+    # the WIDE shingle modulus keeping candidates linear that spill is a
+    # few GB, not the saturated-space explosion that killed round 7's
+    # sf30 run.
     verified = (
-        cand.join(sa, "doc_a")
+        cand.hint("shuffle_hash")
+        .join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
             "doc_a",
@@ -592,7 +610,7 @@ hashed AS (
   SELECT doc_id, {token_hashes_duckdb(tokens_duckdb('text'))} AS th FROM corpus
 ),
 shingled AS (
-  SELECT doc_id, list_distinct({shingle_hashes_duckdb('th')}) AS sh_hashes FROM hashed
+  SELECT doc_id, list_distinct({shingle_hashes_duckdb('th', mod=SHINGLE_MOD_WIDE)}) AS sh_hashes FROM hashed
 )"""
 
 _DEDUP_AUDIT_ORACLE = f"""
@@ -652,7 +670,12 @@ def llm_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = scoped_persist(
         hashed.select(
             "doc_id",
-            F.array_distinct(F.expr(shingle_hashes_spark_sql("th"))).alias("sh_hashes"),
+            # same WIDE shingle space as the pipeline under audit — the
+            # audit must measure the production hash family, not a
+            # narrower one (see llm_minhash_dedup)
+            F.array_distinct(
+                F.expr(shingle_hashes_spark_sql("th", mod=SHINGLE_MOD_WIDE))
+            ).alias("sh_hashes"),
         )
     )
     sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh_hashes").alias("sh_a"))
@@ -934,4 +957,159 @@ def llm_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         dirs.join(sz, "doc_a")
         .select("doc_a", "doc_b", "n_inter", "n_a", cont.alias("containment"))
         .filter(F.col("containment") >= _CONTAIN_MIN)
+    )
+
+
+# --- llm_simhash_neardup: banded-Hamming LSH pairing over wide SimHash --------
+
+# llm_simhash produces FINGERPRINTS; this op closes the loop and finds the
+# PAIRS — the production simhash dedup (Manku/Jain/Sarma, WWW'07): a wide
+# fingerprint split into b bands such that any pair within Hamming
+# distance d < b must agree exactly on at least one band (pigeonhole), so
+# candidates come from band-equality buckets and only candidates pay the
+# exact Hamming check. The 24-bit llm_simhash fingerprint is too narrow
+# to band at scale (64-value bands -> quadratic buckets), so this op
+# widens the per-token hash to 60 bits (15 md5 hex digits, sign-safe in
+# BIGINT) and bands 4 x 15 bits: Hamming <= 3 pairs are GUARANTEED to
+# collide in >= 1 of the 4 bands.
+_SH2_BITS = 60
+_SH2_BANDS = 4
+_SH2_BAND_BITS = 15
+_SH2_HAMMING_MAX = 3
+
+# empty tokens are dropped BEFORE hashing: Spark's split('', ' ') yields
+# [''] while DuckDB's string_split yields [] (adversarial-fixture finding
+# on the empty-string twin of a single-token doc), and a whitespace
+# tokenizer should not emit empty tokens in either engine anyway
+_sh2_tok_spark = (
+    "transform(filter({toks}, t -> t <> ''), "
+    "t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+)
+_sh2_tok_duck = (
+    "list_transform(list_filter({toks}, t -> t <> ''), "
+    "t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT))"
+)
+_sh2_sum_cols_spark = ", ".join(
+    f"SUM(CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(_SH2_BITS)
+)
+_sh2_sum_cols_duck = ", ".join(
+    f"SUM(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(_SH2_BITS)
+)
+_sh2_fold = " + ".join(
+    f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SH2_BITS)
+)
+_SH2_BAND_MASK = (1 << _SH2_BAND_BITS) - 1
+
+_SIMHASH_NEARDUP_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, {drop_last_token_duckdb('text')} AS text
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, UNNEST({_sh2_tok_duck.format(toks=tokens_duckdb('text'))}) AS h
+  FROM corpus
+),
+fp AS (
+  SELECT doc_id, CAST({_sh2_fold} AS BIGINT) AS f
+  FROM (SELECT doc_id, {_sh2_sum_cols_duck} FROM tok GROUP BY doc_id)
+),
+bands AS (
+  SELECT doc_id, f, t.i AS band,
+         (f >> (t.i * {_SH2_BAND_BITS})) & {_SH2_BAND_MASK} AS bv
+  FROM fp, UNNEST(range(0, {_SH2_BANDS})) AS t(i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.f AS f_a, b.f AS f_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(f_a, f_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(f_a, f_b)) <= {_SH2_HAMMING_MAX}
+"""
+
+
+@register("llm_simhash_neardup", oracle=_SIMHASH_NEARDUP_ORACLE, tags=("llm", "dedup"))
+def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate PAIRS via banded-Hamming LSH — the production
+    simhash dedup loop (llm_simhash stops at fingerprints): 60-bit
+    fingerprint, 4 bands x 15 bits, so any pair within Hamming <= 3 shares
+    at least one exact band (pigeonhole recall guarantee); candidates come
+    from ONE groupBy(band, bv) bucket exchange carrying (doc_id, fp) only
+    — the llm_minhash_dedup pairing shape — and just the candidates pay
+    bit_count(xor) verification.
+
+    Scale shape: fingerprints are per-row votes (linear, no shuffle until
+    the 16-byte band rows); 15-bit bands keep buckets near-singleton at
+    fixture scale, and the documented production widening (64-bit fp,
+    4 x 16 bands) is the same plan with different constants. Near-dups
+    synthesized as drop-last-token twins, as in llm_minhash_dedup."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.expr(drop_last_token_spark("text")).alias("text"),
+        )
+    )
+    corpus = rebalance_for_map(corpus, spark)
+    tok = corpus.select(
+        "doc_id",
+        F.explode(F.expr(_sh2_tok_spark.format(toks=tokens_spark("text")))).alias("h"),
+    )
+    bits = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(_SH2_BITS)
+        ]
+    )
+    fold = None
+    for j in range(_SH2_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fold = term if fold is None else fold + term
+    fp = bits.select("doc_id", fold.cast("long").alias("f"))
+    bands = fp.select(
+        "doc_id",
+        "f",
+        F.explode(F.sequence(F.lit(0), F.lit(_SH2_BANDS - 1))).alias("band"),
+    ).select(
+        "doc_id",
+        "f",
+        "band",
+        F.expr(
+            f"shiftright(f, cast(band * {_SH2_BAND_BITS} as int))"
+            f" & {_SH2_BAND_MASK}"
+        ).alias("bv"),
+    )
+    buckets = (
+        bands.groupBy("band", "bv")
+        .agg(F.collect_list(F.struct("doc_id", "f")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(ids, a -> transform(ids, b -> "
+                    "named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id, "
+                    "'f_a', a.f, 'f_b', b.f)))), p -> p.doc_a < p.doc_b)"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b", "p.f_a", "p.f_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("f_a ^ f_b")).cast("bigint")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _SH2_HAMMING_MAX)
     )

@@ -1458,3 +1458,108 @@ def graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_deg",
         (F.col("n_nodes").cast("double") / F.col("c")).alias("node_share"),
     )
+
+
+# --- graph_label_prop: community detection by majority-label propagation ------
+
+# Complements the family's propagation trio (pagerank = weighted rank,
+# cc = reachability, label-prop = COMMUNITIES): each round, every node
+# adopts the label most frequent among its neighbors, ties broken by the
+# SMALLEST label — the synchronous LPA of Raghavan et al. (2007), made
+# fully deterministic (classic LPA breaks ties randomly; a random tie
+# would be engine-unreproducible). The argmax-with-tie-break is encoded
+# as one integer MIN: key = (10^9 - cnt) * 10^9 + lbl — higher count
+# sorts first, then smaller label — so each round is count + MIN
+# aggregates, commutative and bit-exact on any partitioning.
+_LP_ITERS = 2
+_LP_ENC = 1_000_000_000
+
+
+def _label_prop_oracle() -> str:
+    labs = ["lab0"]
+    iters = []
+    for k in range(_LP_ITERS):
+        prev, cur = labs[-1], f"lab{k + 1}"
+        iters.append(f"""
+{cur} AS MATERIALIZED (
+  SELECT node,
+         MIN(({_LP_ENC} - cnt) * {_LP_ENC} + lbl) % {_LP_ENC} AS lbl
+  FROM (
+    SELECT e.dst AS node, l.lbl, COUNT(*) AS cnt
+    FROM edges e JOIN {prev} l ON l.node = e.src
+    GROUP BY e.dst, l.lbl
+  )
+  GROUP BY node
+)""")
+        labs.append(cur)
+    return f"""
+WITH pair_counts AS MATERIALIZED (
+  SELECT l1.l_suppkey AS src, l2.l_suppkey AS dst, COUNT(*) AS w
+  FROM lineitem l1
+  JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+  GROUP BY l1.l_suppkey, l2.l_suppkey
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM pair_counts
+  WHERE w > (SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*) FROM pair_counts)
+),
+lab0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, src AS lbl FROM edges
+),{",".join(iters)},
+sizes AS (
+  SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS community_size
+  FROM {labs[-1]} GROUP BY lbl
+)
+SELECT CAST(l.node AS BIGINT) AS suppkey, CAST(l.lbl AS BIGINT) AS community,
+       s.community_size
+FROM {labs[-1]} l JOIN sizes s ON s.community = l.lbl
+ORDER BY suppkey
+"""
+
+
+@register("graph_label_prop", oracle=_label_prop_oracle(), tags=("graph", "iterative"))
+def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (LPA communities) on
+    the supplier co-purchase graph: each round every node adopts its
+    neighbors' MAJORITY label, smallest-label tie-break — the random
+    tie-break of textbook LPA replaced by an integer encoding
+    ((10^9 - cnt)·10^9 + lbl, one MIN) so the fixed point is bit-exact
+    in DuckDB and on any cluster partitioning.
+
+    Scale shape: per round ONE broadcast join of the |V|-row label table
+    onto the never-reshuffled edge set, a (node, lbl) count aggregate
+    (map-side combinable), and a MIN over the encoded key — the graph_cc
+    loop with count-weighted labels; the same swap to a co-partitioned
+    shuffle join applies when |V| outgrows a broadcast. _LP_ITERS is a
+    driver loop over plans, never over data."""
+    apply_engine_conf(spark)
+    edges = _copurchase_edges(spark, sf_dir)
+    lab = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_LP_ITERS):
+        votes = (
+            edges.join(F.broadcast(lab), edges.src == lab.node)
+            .select(F.col("dst").alias("node"), "lbl")
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        lab = votes.groupBy("node").agg(
+            (
+                F.min((F.lit(_LP_ENC) - F.col("cnt")) * _LP_ENC + F.col("lbl"))
+                % _LP_ENC
+            ).alias("lbl")
+        )
+    sizes = lab.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    return (
+        lab.join(F.broadcast(sizes), lab.lbl == sizes.community)
+        .select(
+            F.col("node").cast("bigint").alias("suppkey"),
+            F.col("lbl").cast("bigint").alias("community"),
+            "community_size",
+        )
+        .orderBy("suppkey")
+    )

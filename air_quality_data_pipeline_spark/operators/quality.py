@@ -31,7 +31,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..registry import register
-from ..session import apply_engine_conf
+from ..session import apply_engine_conf, scoped_persist
 from ..tables import table
 
 # --- dq_profile ---------------------------------------------------------------
@@ -1471,4 +1471,114 @@ def dq_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("day_lag").cast("bigint").alias("min_lag_days"),
         F.max("day_lag").cast("bigint").alias("max_lag_days"),
         F.expr("percentile(day_lag, 0.5D)").alias("median_lag_days"),
+    )
+
+
+# --- dq_chi2: chi-squared independence test over a contingency table ----------
+
+# Completes the statistical-audit trio (dq_ks_test = distribution shift,
+# agg_ttest = mean shift, dq_chi2 = CATEGORICAL independence): is a
+# document's language independent of its source? The classic Pearson
+# chi-squared over the lang x source contingency table — the screening
+# test for sampling skew ("does one crawl source over-represent a
+# language?") every corpus audit runs. Per-cell expected counts
+# row_total * col_total / N are exact-integer products divided once
+# (IEEE correctly-rounded, deterministic in both engines); per-cell
+# contributions are FLOOR-quantized to micro-units so the global
+# statistic is an order-free BIGINT sum.
+_CHI2_ORACLE = """
+WITH obs AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY lang, source
+),
+rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS row_tot FROM obs GROUP BY lang),
+ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS col_tot FROM obs GROUP BY source),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS total FROM obs),
+cells AS (
+  SELECT obs.lang, obs.source, obs.o,
+         CAST(rt.row_tot * ct.col_tot AS DOUBLE) / n.total AS e
+  FROM obs JOIN rt ON rt.lang = obs.lang
+           JOIN ct ON ct.source = obs.source
+           CROSS JOIN n
+),
+contrib AS (
+  SELECT lang, source, o,
+         ROUND(e, 6) AS expected,
+         CAST(floor((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+              * 1000000.0) AS BIGINT) AS contrib_micro
+  FROM cells
+),
+dims AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) - 1 AS r1,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) - 1 AS c1
+),
+tot AS (SELECT CAST(SUM(contrib_micro) AS BIGINT) AS chi2_micro FROM contrib)
+SELECT c.lang, c.source, c.o AS observed, c.expected, c.contrib_micro,
+       t.chi2_micro AS chi2_micro_total, d.r1 * d.c1 AS dof
+FROM contrib c CROSS JOIN tot t CROSS JOIN dims d
+"""
+
+
+@register("dq_chi2", oracle=_CHI2_ORACLE, tags=("quality", "stats"))
+def dq_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared independence audit of the lang x source
+    contingency table — the categorical-skew screen (dq_ks_test and
+    agg_ttest cover the numeric analogs). Cells carry observed/expected/
+    contribution; the global statistic and degrees of freedom ride every
+    row for a self-contained report.
+
+    Scale shape: ONE count aggregate over the corpus builds the |langs x
+    sources| cell table (map-side combinable); everything after — row and
+    column margins, expected counts, micro-quantized contributions, the
+    order-free BIGINT chi-squared sum — is arithmetic on that tiny table
+    with broadcast joins. The corpus is scanned exactly once."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    # persist the |langs x sources| cell table: margins, total, dof and the
+    # final join all derive from it, and without the barrier Catalyst
+    # re-expands the corpus aggregate per consumer — observed as ~10
+    # parquet scans of documents in the executed plan (plan-gated to 1)
+    obs = scoped_persist(
+        docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    )
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("row_tot"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("col_tot"))
+    n = obs.agg(F.sum("o").alias("total"))
+    cells = (
+        obs.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            "o",
+            ((F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("total")).alias("e"),
+        )
+    )
+    od = F.col("o").cast("double")
+    contrib = cells.select(
+        "lang",
+        "source",
+        "o",
+        F.round("e", 6).alias("expected"),
+        F.floor((od - F.col("e")) * (od - F.col("e")) / F.col("e") * 1000000.0)
+        .cast("bigint")
+        .alias("contrib_micro"),
+    )
+    tot = contrib.agg(F.sum("contrib_micro").cast("bigint").alias("chi2_micro"))
+    dims = rt.agg((F.count(F.lit(1)) - 1).alias("r1")).crossJoin(
+        ct.agg((F.count(F.lit(1)) - 1).alias("c1"))
+    )
+    return (
+        contrib.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "lang",
+            "source",
+            F.col("o").alias("observed"),
+            "expected",
+            "contrib_micro",
+            F.col("chi2_micro").alias("chi2_micro_total"),
+            (F.col("r1") * F.col("c1")).cast("bigint").alias("dof"),
+        )
     )

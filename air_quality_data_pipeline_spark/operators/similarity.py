@@ -1139,3 +1139,141 @@ def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sel = sel.unionByName(nxt)
     return sel.select("qid", "pick", "vec_id", F.col("qsim").alias("qsim_micro"))
+
+
+# --- llm_emb_covariance: covariance/correlation matrix of embedding dims ------
+
+# The whitening / PCA-prep statistic: pairwise covariance of the first
+# _COV_DIMS embedding coordinates over the whole corpus. Per-row products
+# are FLOOR-quantized to nano-units before summation (the _QUANT
+# discipline: float sums are partition-order-dependent, quantized BIGINT
+# sums are exact and commutative), so the moment matrix is bit-identical
+# on any partitioning and in DuckDB. sqrt in the correlation is IEEE
+# correctly-rounded — exact cross-engine (unlike pow/exp, sqrt is a
+# required-exact operation).
+_COV_DIMS = 16
+_COV_Q = 1_000_000_000.0
+
+_EMB_COV_ORACLE = f"""
+WITH v AS (
+  SELECT list_transform(embedding[1:{_COV_DIMS}], x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+d AS (
+  SELECT i AS dim,
+         CAST(SUM(CAST(floor(vec[i] * {_COV_Q}) AS BIGINT)) AS BIGINT) AS sx,
+         CAST(SUM(CAST(floor(vec[i] * vec[i] * {_COV_Q}) AS BIGINT)) AS BIGINT) AS sxx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM v, UNNEST(range(1, {_COV_DIMS} + 1)) AS t(i)
+  GROUP BY i
+),
+p AS (
+  SELECT t.i AS dim_i, u.j AS dim_j,
+         CAST(SUM(CAST(floor(vec[t.i] * vec[u.j] * {_COV_Q}) AS BIGINT)) AS BIGINT)
+           AS sxy
+  FROM v, UNNEST(range(1, {_COV_DIMS} + 1)) AS t(i),
+       UNNEST(range(1, {_COV_DIMS} + 1)) AS u(j)
+  WHERE u.j >= t.i
+  GROUP BY t.i, u.j
+),
+m AS (
+  SELECT p.dim_i, p.dim_j, di.n AS n_vecs,
+         CAST(p.sxy AS DOUBLE) / (di.n * {_COV_Q})
+           - (CAST(di.sx AS DOUBLE) / (di.n * {_COV_Q}))
+             * (CAST(dj.sx AS DOUBLE) / (dj.n * {_COV_Q})) AS cov,
+         CAST(di.sxx AS DOUBLE) / (di.n * {_COV_Q})
+           - (CAST(di.sx AS DOUBLE) / (di.n * {_COV_Q}))
+             * (CAST(di.sx AS DOUBLE) / (di.n * {_COV_Q})) AS var_i,
+         CAST(dj.sxx AS DOUBLE) / (dj.n * {_COV_Q})
+           - (CAST(dj.sx AS DOUBLE) / (dj.n * {_COV_Q}))
+             * (CAST(dj.sx AS DOUBLE) / (dj.n * {_COV_Q})) AS var_j
+  FROM p JOIN d di ON di.dim = p.dim_i JOIN d dj ON dj.dim = p.dim_j
+)
+SELECT dim_i, dim_j, n_vecs, cov,
+       CASE WHEN var_i > 0 AND var_j > 0
+            THEN cov / sqrt(var_i * var_j) END AS corr
+FROM m
+"""
+
+
+@register("llm_emb_covariance", oracle=_EMB_COV_ORACLE, tags=("llm", "similarity", "stats"))
+def llm_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance + correlation matrix of the first 16 embedding dims over
+    the corpus — the moment matrix feeding whitening, PCA projection, and
+    encoder drift audits. Nano-quantized BIGINT moment sums (order-free,
+    map-side combinable), final arithmetic IEEE-deterministic.
+
+    Scale shape: NO self-join — each vector emits its 136 upper-triangle
+    products map-side (a per-row generate), so the only exchange carries
+    (i, j, partial-sum) cells: ~136 rows per map task regardless of
+    corpus size, the llm_emb_centroid reduce shape. Output is the
+    dims^2/2-row matrix, constant in the data."""
+    apply_engine_conf(spark)
+    v = table(spark, sf_dir, "embeddings").select(
+        F.expr(
+            f"transform(slice(embedding, 1, {_COV_DIMS}), x -> cast(x as double))"
+        ).alias("vec")
+    )
+    # ONE generate emits both the single-dim moment entries (dim_j = 0
+    # marker) and the 136 upper-triangle products — the corpus is scanned
+    # once (plan-gated), and the single exchange carries (i, j, partial
+    # sum) cells only
+    entries = v.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, {_COV_DIMS}), i -> "
+                f"concat(array(named_struct("
+                f"'dim_i', i, 'dim_j', 0, "
+                f"'q', cast(floor(element_at(vec, i) * {_COV_Q}) as bigint))), "
+                f"transform(sequence(i, {_COV_DIMS}), j -> named_struct("
+                f"'dim_i', i, 'dim_j', j, "
+                f"'q', cast(floor(element_at(vec, i) * element_at(vec, j) "
+                f"* {_COV_Q}) as bigint))))))"
+            )
+        ).alias("p")
+    ).select("p.dim_i", "p.dim_j", "p.q")
+    cells = scoped_persist(
+        entries.groupBy("dim_i", "dim_j").agg(
+            F.sum("q").alias("sxy"), F.count(F.lit(1)).alias("n")
+        )
+    )
+    d = cells.filter(F.col("dim_j") == 0).select(
+        F.col("dim_i").alias("dim"),
+        F.col("sxy").alias("sx"),
+        F.col("n"),
+    )
+    dxx = cells.filter(F.col("dim_i") == F.col("dim_j")).select(
+        F.col("dim_i").alias("dim"), F.col("sxy").alias("sxx")
+    )
+    d = d.join(dxx, "dim")
+    p = cells.filter(F.col("dim_j") > 0).select("dim_i", "dim_j", "sxy")
+    di = d.select(
+        F.col("dim").alias("dim_i"),
+        F.col("sx").alias("sx_i"),
+        F.col("sxx").alias("sxx_i"),
+        F.col("n").alias("n_i"),
+    )
+    dj = d.select(
+        F.col("dim").alias("dim_j"),
+        F.col("sx").alias("sx_j"),
+        F.col("sxx").alias("sxx_j"),
+    )
+    nq = F.col("n_i") * _COV_Q
+    mean_i = F.col("sx_i").cast("double") / nq
+    mean_j = F.col("sx_j").cast("double") / nq
+    cov = F.col("sxy").cast("double") / nq - mean_i * mean_j
+    var_i = F.col("sxx_i").cast("double") / nq - mean_i * mean_i
+    var_j = F.col("sxx_j").cast("double") / nq - mean_j * mean_j
+    return (
+        p.join(F.broadcast(di), "dim_i")
+        .join(F.broadcast(dj), "dim_j")
+        .select(
+            "dim_i",
+            "dim_j",
+            F.col("n_i").alias("n_vecs"),
+            cov.alias("cov"),
+            F.when((var_i > 0) & (var_j > 0), cov / F.sqrt(var_i * var_j)).alias(
+                "corr"
+            ),
+        )
+    )

@@ -2080,3 +2080,101 @@ def ts_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("freshness_ratio"),
     )
+
+
+# --- ts_holt: Holt double exponential smoothing (level + trend) ---------------
+
+# ts_forecast_baseline carries naive/seasonal-naive/drift;
+# ts_ewma smooths level only. Holt's linear-trend method is the next rung
+# every capacity-planning pipeline climbs: level and trend recursions
+# l_t = a·x_t + (1-a)(l_{t-1} + b_{t-1}), b_t = g(l_t - l_{t-1}) +
+# (1-g)b_{t-1} with a = g = 1/2, so both updates are ARITHMETIC RIGHT
+# SHIFTS on micro-quantized BIGINTs: (x + l + b) >> 1 and
+# (b + (l_new - l)) >> 1. Shift semantics on negatives are floor in both
+# engines (Java >> and DuckDB >> are arithmetic), so the whole recursion
+# is integer-exact cross-engine — no libm, no float accumulation. The
+# per-type recursion folds a CELL-BOUNDED day array (|days|, not |rows|).
+# Oracle note: DuckDB 1.0.0's list_reduce mis-evaluates struct-typed
+# accumulators past 2 elements (verified with a 3-element probe whose
+# pairwise replay gives a different answer), so the oracle expresses the
+# identical recursion as a RECURSIVE CTE over the day index instead —
+# the Spark side's aggregate() fold is a true left fold and needs no
+# workaround.
+_HOLT_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(floor(SUM(CAST(value AS DECIMAL(18, 9))) * 1000000) AS BIGINT) AS v
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+idx AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS k
+  FROM daily
+),
+nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM idx GROUP BY event_type),
+rec AS (
+  SELECT event_type, k, v AS l, CAST(0 AS BIGINT) AS t
+  FROM idx WHERE k = 1
+  UNION ALL
+  SELECT i.event_type, i.k,
+         (i.v + r.l + r.t) >> 1 AS l,
+         (r.t + (((i.v + r.l + r.t) >> 1) - r.l)) >> 1 AS t
+  FROM rec r JOIN idx i ON i.event_type = r.event_type AND i.k = r.k + 1
+)
+SELECT r.event_type, nd.n_days,
+       r.l AS level_micro, r.t AS trend_micro,
+       r.l + r.t AS forecast_next_micro,
+       CAST(r.l + r.t AS DOUBLE) / 1000000.0 AS forecast_next
+FROM rec r JOIN nd ON nd.event_type = r.event_type AND nd.n_days = r.k
+"""
+
+
+@register("ts_holt", oracle=_HOLT_ORACLE, tags=("timeseries", "forecast"))
+def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing of the daily total per event
+    type: level + trend recursion with alpha = gamma = 1/2, one-step-ahead
+    forecast = level + trend. The half-weights make every update an
+    arithmetic shift over micro-quantized BIGINTs — the recursion is
+    integer-exact on both engines (see oracle comment).
+
+    Scale shape: ONE map-side-combinable aggregate collapses the stream to
+    the (type, day) grain; the sequential fold then runs over a
+    cell-bounded array (days per type — a constant of the calendar, not
+    the corpus), per type in parallel. This is the batch analog of a
+    stateful streaming smoother: sequential in time, embarrassingly
+    parallel across keys."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.floor(F.sum(F.col("value").cast("decimal(18,9)")) * 1000000)
+        .cast("bigint")
+        .alias("v")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.array_sort(F.collect_list(F.struct("day", "v"))).alias("dv"),
+    )
+    fold = (
+        "aggregate(slice(vs, 2, greatest(size(vs) - 1, 0)), "
+        "named_struct('l', element_at(vs, 1), 't', cast(0 as bigint)), "
+        "(acc, x) -> named_struct("
+        "'l', shiftright(x + acc.l + acc.t, 1), "
+        "'t', shiftright(acc.t + (shiftright(x + acc.l + acc.t, 1) - acc.l), 1)))"
+    )
+    fitted = series.select(
+        "event_type",
+        "n_days",
+        F.expr(fold.replace("vs", "transform(dv, p -> p.v)")).alias("st"),
+    )
+    return fitted.select(
+        "event_type",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("st.l").alias("level_micro"),
+        F.col("st.t").alias("trend_micro"),
+        (F.col("st.l") + F.col("st.t")).alias("forecast_next_micro"),
+        ((F.col("st.l") + F.col("st.t")).cast("double") / 1000000.0).alias(
+            "forecast_next"
+        ),
+    )

@@ -132,8 +132,12 @@ DRIVER_PRIORITY = [
     "agg_geomean",
     "ts_cov_matrix",
     "ts_decay_score",
-    # (b) changed-with-green-row re-samples / new round-8 operators
-    # (inserted as each lands, displacing one (c) filler)
+    # (b) new round-8 operators (each displaced one (c) filler)
+    "llm_simhash_neardup",
+    "graph_label_prop",
+    "dq_chi2",
+    "llm_emb_covariance",
+    "ts_holt",
     # (c) filler: stalest greens (last sampled r1), module order
     "flagship",
     "flt_isin",

@@ -50,6 +50,8 @@ HEADLINE = [
 # item 10 — the headline set alone would miss a regression here; the
 # scaling studies only run per-round). Timed with the same protocol,
 # reported as a separate "heavy" line inside the same JSON object.
+# Regression anchor (BASELINE.md round-8 note): heavy_total_wall 8.2 s
+# median at sf0.1 on this host, envelope 7.3-9.2 s, 2x gate = 16.4 s.
 HEAVY = [
     "graph_triangles",
     "join_fuzzy",

@@ -117,6 +117,9 @@ ADV_PANEL = [
     "llm_bleu",          # NULL-text reference vanishes from the panel identically
     "mm_phash",          # NULL payload => phash 0 (defined, matching the oracle CASE)
     "mm_scene_cut",      # greatest(NULL, 1) => 1 frame in both engines
+    # round-8 document-path operators:
+    "llm_simhash_neardup",  # NULL/empty docs produce no token votes identically
+    "dq_chi2",              # NULL-text rows still carry (lang, source) cells
 ]
 
 
@@ -264,6 +267,7 @@ ADV_EVENTS_PANEL = [
     "agg_ttest",              # zero-variance groups => Inf/NaN must agree
     "st_topk",                # leaderboard ties broken by type, not arrival
     "ts_decay_score",         # zero/negative values; raw_sum 0 => Inf must agree
+    "ts_holt",                # shift recursion on negative daily sums (floor both engines)
 ]
 
 
@@ -345,6 +349,7 @@ def adv_emb_dir(spark):
 
 
 ADV_EMB_PANEL = [
+    "llm_emb_covariance",
     "llm_sim_search",
     "llm_emb_neardup",
     "llm_emb_centroid",
@@ -491,6 +496,7 @@ def adv_graph_empty_dir(spark):
 # Every oracle-checked operator on the lineitem co-purchase graph
 # (graph_reciprocity rides the events panel — its graph is event-derived).
 ADV_GRAPH_PANEL = [
+    "graph_label_prop",
     "graph_pagerank",
     "graph_triangles",
     "graph_cc",

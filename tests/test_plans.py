@@ -1460,3 +1460,59 @@ def test_decay_score_one_exchange(spark, sf_dir):
     plan = _executed_plan(spark, "ts_decay_score", sf_dir)
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+# --- round-8 operators --------------------------------------------------------
+
+
+def test_simhash_neardup_band_bucket_shape(spark, sf_dir):
+    """llm_simhash_neardup: candidates come from the ONE groupBy(band, bv)
+    bucket exchange (the minhash pairing shape) — never a band self-join
+    (two exchanges) and never anything quadratic."""
+    plan = _executed_plan(spark, "llm_simhash_neardup", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
+        f"banded candidates must come from the bucket groupBy, not a self-join:\n{plan}"
+    )
+    assert "Generate" in plan
+
+
+def test_label_prop_broadcast_loop(spark, sf_dir):
+    """graph_label_prop: per round the |V|-row label table broadcasts onto
+    the never-reshuffled edge set (the graph_cc loop discipline)."""
+    plan = _executed_plan(spark, "graph_label_prop", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_chi2_single_corpus_collapse(spark, sf_dir):
+    """dq_chi2: the corpus collapses ONCE into the persisted cell table;
+    margins/total/dof are broadcast arithmetic on it (without the persist
+    barrier Catalyst re-expands the corpus aggregate per consumer —
+    observed as ~10 parquet scans)."""
+    plan = _executed_plan(spark, "dq_chi2", sf_dir)
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_emb_covariance_single_generate(spark, sf_dir):
+    """llm_emb_covariance: one generate emits singles + pairs (single
+    corpus scan into the persisted cell table); the matrix assembly joins
+    broadcast on the bounded cells."""
+    plan = _executed_plan(spark, "llm_emb_covariance", sf_dir)
+    assert "InMemoryTableScan" in plan, plan
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, (
+        f"matrix assembly must broadcast the 16-row dim stats:\n{plan}"
+    )
+
+
+def test_holt_two_exchange_no_join(spark, sf_dir):
+    """ts_holt: daily collapse + type collapse = exactly two hash
+    exchanges; the fold is a projection — no window, no join anywhere."""
+    plan = _executed_plan(spark, "ts_holt", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
