@@ -1563,3 +1563,50 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("suppkey")
     )
+
+
+# --- graph_cc_shuffle: min-label CC in the shuffle-join form -------------------
+
+
+@register("graph_cc_shuffle", oracle=_cc_oracle(), tags=("graph", "iterative"))
+def graph_cc_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_cc's documented 100 TB graduation, implemented: the SAME
+    min-label propagation algebra (identical oracle, identical output),
+    but the per-round label join is a CO-PARTITIONED SHUFFLE join (merge
+    hint) instead of a broadcast — the form that works when |V| outgrows
+    what a broadcast can carry. Because the label table and the edge set
+    shuffle on the same key (src/node) every round, consecutive rounds
+    reuse the exchange layout; the MIN aggregates stay map-side
+    combinable. Plan-gated: NO broadcast anywhere on the label loop —
+    the gate proves the declared plan, not the optimizer's small-data
+    shortcut. Integer MIN labels keep the fixed point bit-exact on any
+    partitioning (see graph_cc)."""
+    apply_engine_conf(spark)
+    edges = _copurchase_edges(spark, sf_dir)
+    lab = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_CC_ITERS):
+        neigh_min = (
+            edges.join(lab.hint("merge"), edges.src == lab.node)
+            .select(F.col("dst").alias("node"), "lbl")
+            .groupBy("node")
+            .agg(F.min("lbl").alias("minl"))
+        )
+        lab = (
+            lab.alias("l")
+            .join(neigh_min.alias("m").hint("merge"), "node", "left")
+            .select("node", F.least(F.col("lbl"), F.coalesce("minl", "lbl")).alias("lbl"))
+        )
+    sizes = lab.groupBy(F.col("lbl").alias("comp")).agg(
+        F.count(F.lit(1)).alias("comp_size")
+    )
+    return (
+        lab.join(sizes.hint("merge"), lab.lbl == sizes.comp)
+        .select(
+            F.col("node").cast("bigint").alias("suppkey"),
+            F.col("lbl").cast("bigint").alias("comp"),
+            "comp_size",
+        )
+        .orderBy("suppkey")
+    )

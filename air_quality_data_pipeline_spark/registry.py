@@ -138,6 +138,7 @@ DRIVER_PRIORITY = [
     "dq_chi2",
     "llm_emb_covariance",
     "ts_holt",
+    "graph_cc_shuffle",
     # (c) filler: stalest greens (last sampled r1), module order
     "flagship",
     "flt_isin",

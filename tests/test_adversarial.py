@@ -496,6 +496,7 @@ def adv_graph_empty_dir(spark):
 # Every oracle-checked operator on the lineitem co-purchase graph
 # (graph_reciprocity rides the events panel — its graph is event-derived).
 ADV_GRAPH_PANEL = [
+    "graph_cc_shuffle",
     "graph_label_prop",
     "graph_pagerank",
     "graph_triangles",

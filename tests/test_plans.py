@@ -1516,3 +1516,20 @@ def test_holt_two_exchange_no_join(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_cc_shuffle_label_loop_never_broadcasts(spark, sf_dir):
+    """graph_cc_shuffle: the whole point is the co-partitioned shuffle
+    form of the label loop — no broadcast join may touch the label/size
+    keys (node/comp); the edge build's own broadcast of the 1-row mean
+    is unrelated and allowed."""
+    plan = _executed_plan(spark, "graph_cc_shuffle", sf_dir)
+    bad = [
+        line
+        for line in plan.splitlines()
+        if "BroadcastHashJoin" in line and ("node#" in line or "comp#" in line)
+    ]
+    assert not bad, f"label loop broadcast where shuffle was declared:\n{bad[:3]}"
+    assert any(
+        "SortMergeJoin" in line and "node#" in line for line in plan.splitlines()
+    ), plan

@@ -2710,3 +2710,18 @@ def test_holt_fold_matches_reference_recursion(spark, sf_dir):
         assert (row.level_micro, row.trend_micro) == (l, t), et
         assert row.forecast_next_micro == l + t
         assert row.n_days == len(vs)
+
+
+def test_cc_shuffle_equals_broadcast_cc(spark, sf_dir):
+    """graph_cc_shuffle must return exactly graph_cc's rows — same
+    algebra, different physical plan; any divergence means the shuffle
+    form changed semantics, not just shape."""
+    a = {
+        (r.suppkey, r.comp, r.comp_size)
+        for r in SPECS["graph_cc"].builder(spark, sf_dir).collect()
+    }
+    b = {
+        (r.suppkey, r.comp, r.comp_size)
+        for r in SPECS["graph_cc_shuffle"].builder(spark, sf_dir).collect()
+    }
+    assert a == b
