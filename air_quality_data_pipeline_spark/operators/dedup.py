@@ -94,7 +94,12 @@ hashed AS (
   SELECT doc_id, {token_hashes_duckdb(tokens_duckdb('text'))} AS th FROM corpus
 ),
 shingled AS (
+  -- shingle-less docs (< 3 tokens) are excluded: they have no content to
+  -- match, their all-NULL signatures would bucket together under Spark's
+  -- NULL-grouping groupBy (DuckDB's join semantics drop them), and the
+  -- empty-vs-empty Jaccard is 0/0 (ANSI Spark job-kill on hostile rows)
   SELECT doc_id, list_distinct({shingle_hashes_duckdb('th', mod=SHINGLE_MOD_WIDE)}) AS sh_hashes FROM hashed
+  WHERE len({shingle_hashes_duckdb('th', mod=SHINGLE_MOD_WIDE)}) > 0
 ),
 sigs AS (
   SELECT doc_id, sh_hashes, {_MH_DUCK_ARR} AS sig FROM shingled
@@ -147,8 +152,9 @@ def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = corpus.select(
         "doc_id", F.expr(token_hashes_spark_sql(tokens_spark("text"))).alias("th")
     )
-    # sh_hashes as array<int>: shingle hashes are < POLY_MOD = 1e6, so INT
-    # holds them exactly — the verify joins below exchange these arrays,
+    # sh_hashes as array<int>: shingle hashes are < SHINGLE_MOD_WIDE =
+    # 2^31−1, so INT holds them exactly (and the wide space is load-bearing
+    # — see the _MH_SPARK_ARR_INT note). The verify joins exchange these,
     # and the narrower element type halves their shuffle-write and
     # sort-spill bytes (profiled at sf10: the array exchange + its
     # sort-merge spill, 5.98 G write / 11.7 G disk spill, is what ran
@@ -161,7 +167,7 @@ def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("array<int>")
         .alias("sh_hashes"),
-    )
+    ).filter(F.size("sh_hashes") > 0)  # see oracle comment: NULL-sig buckets / 0-0 jaccard
     # Persist the signature base: it feeds three subtrees (bands, shingle
     # explode, set sizes) and the barrier stops Catalyst from pushing inferred
     # not-null filters below it — which would inline the hash chain per use.
@@ -611,6 +617,7 @@ hashed AS (
 ),
 shingled AS (
   SELECT doc_id, list_distinct({shingle_hashes_duckdb('th', mod=SHINGLE_MOD_WIDE)}) AS sh_hashes FROM hashed
+  WHERE len({shingle_hashes_duckdb('th', mod=SHINGLE_MOD_WIDE)}) > 0
 )"""
 
 _DEDUP_AUDIT_ORACLE = f"""
@@ -676,7 +683,7 @@ def llm_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(
                 F.expr(shingle_hashes_spark_sql("th", mod=SHINGLE_MOD_WIDE))
             ).alias("sh_hashes"),
-        )
+        ).filter(F.size("sh_hashes") > 0)
     )
     sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh_hashes").alias("sh_a"))
     sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh_hashes").alias("sh_b"))
@@ -1112,4 +1119,145 @@ def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= _SH2_HAMMING_MAX)
+    )
+
+
+# --- llm_cross_dedup: LSH decontamination across two corpora -------------------
+
+# llm_decontaminate answers "which training docs CONTAIN eval n-grams";
+# this is the fuzzy-document complement: which training docs are NEAR
+# DUPLICATES of an eval document (paraphrased or truncated contamination
+# that exact n-gram containment under-counts). Same MinHash/LSH machinery
+# as llm_minhash_dedup (wide shingle modulus, array<int> wire format),
+# with the two corpora tagged by side and the in-bucket pair expansion
+# emitting ONLY cross-side pairs — within-train near-dups (the dedup
+# problem, not the contamination problem) never materialize, which at
+# 100 TB is most of the candidate volume.
+_XDEDUP_EVAL_DOCS = 50  # synthesized eval panel: truncated twins of these
+
+_CROSS_DEDUP_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text, 0 AS side FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, {drop_last_token_duckdb('text')} AS text,
+         1 AS side
+  FROM documents WHERE doc_id < {_XDEDUP_EVAL_DOCS}
+),
+hashed AS (
+  SELECT doc_id, side, {token_hashes_duckdb(tokens_duckdb('text'))} AS th FROM corpus
+),
+shingled AS (
+  SELECT doc_id, side,
+         list_distinct({shingle_hashes_duckdb('th', mod=SHINGLE_MOD_WIDE)}) AS sh
+  FROM hashed
+  WHERE len({shingle_hashes_duckdb('th', mod=SHINGLE_MOD_WIDE)}) > 0
+),
+sigs AS (SELECT doc_id, side, sh, {_MH_DUCK_ARR.replace("sh_hashes", "sh")} AS sig FROM shingled),
+bands AS (
+  SELECT doc_id, side, i AS band, sig[i] AS mh
+  FROM sigs, UNNEST(range(1, 9)) AS t(i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS train_doc, b.doc_id AS eval_doc
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.mh = b.mh AND a.side = 0 AND b.side = 1
+),
+verified AS (
+  SELECT c.train_doc, c.eval_doc,
+         len(list_intersect(sa.sh, sb.sh)) AS n_inter,
+         len(sa.sh) AS n_a, len(sb.sh) AS n_b
+  FROM cand c
+  JOIN shingled sa ON sa.doc_id = c.train_doc
+  JOIN shingled sb ON sb.doc_id = c.eval_doc
+)
+SELECT train_doc, eval_doc,
+       CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
+FROM verified
+WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.6
+"""
+
+
+@register("llm_cross_dedup", oracle=_CROSS_DEDUP_ORACLE, tags=("llm", "dedup"))
+def llm_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus fuzzy decontamination: MinHash/LSH near-duplicate
+    pairs between the training corpus and an eval panel (synthesized as
+    truncated twins of the first docs), reporting (train_doc, eval_doc,
+    jaccard >= 0.6). The contamination llm_decontaminate's exact n-gram
+    containment under-counts — paraphrase/truncation — surfaces here.
+
+    Scale shape: identical exchanges to llm_minhash_dedup (wide-modulus
+    array<int> shingles, ONE groupBy(band, mh) bucket exchange,
+    SHUFFLE_HASH verify build from the 16-byte pairs), but the in-bucket
+    expansion emits ONLY train x eval pairs — within-train candidates,
+    the bulk of bucket volume at corpus scale, never exist. The eval
+    side is tiny and could broadcast; the plan keeps the symmetric form
+    so the same query serves eval panels of any size."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text", F.lit(0).alias("side")).unionByName(
+        docs.filter(F.col("doc_id") < _XDEDUP_EVAL_DOCS).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.expr(drop_last_token_spark("text")).alias("text"),
+            F.lit(1).alias("side"),
+        )
+    )
+    corpus = rebalance_for_map(corpus, spark)
+    hashed = corpus.select(
+        "doc_id", "side",
+        F.expr(token_hashes_spark_sql(tokens_spark("text"))).alias("th"),
+    )
+    shingled = scoped_persist(
+        hashed.select(
+            "doc_id",
+            "side",
+            F.array_distinct(
+                F.expr(shingle_hashes_spark_sql("th", mod=SHINGLE_MOD_WIDE))
+            )
+            .cast("array<int>")
+            .alias("sh"),
+        ).filter(F.size("sh") > 0)
+    )
+    sigs = shingled.select(
+        "doc_id", "side", F.expr(_MH_SPARK_ARR_INT.replace("sh_hashes", "sh")).alias("sig")
+    )
+    bands = sigs.select(
+        "doc_id", "side", F.posexplode("sig").alias("band0", "mh")
+    ).select("doc_id", "side", (F.col("band0") + 1).alias("band"), "mh")
+    buckets = (
+        bands.groupBy("band", "mh")
+        .agg(F.collect_list(F.struct("doc_id", "side")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(ids, a -> transform(ids, b -> "
+                    "named_struct('train_doc', a.doc_id, 'eval_doc', b.doc_id, "
+                    "'sa', a.side, 'sb', b.side)))), "
+                    "p -> p.sa = 0 AND p.sb = 1)"
+                )
+            ).alias("p")
+        )
+        .select("p.train_doc", "p.eval_doc")
+        .distinct()
+    )
+    sa = shingled.select(F.col("doc_id").alias("train_doc"), F.col("sh").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("eval_doc"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.hint("shuffle_hash")
+        .join(sa, "train_doc")
+        .join(sb, "eval_doc")
+        .select(
+            "train_doc",
+            "eval_doc",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_inter"),
+            F.size("sh_a").cast("long").alias("n_a"),
+            F.size("sh_b").cast("long").alias("n_b"),
+        )
+    )
+    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        verified.select("train_doc", "eval_doc", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.6)
     )

@@ -139,6 +139,7 @@ DRIVER_PRIORITY = [
     "llm_emb_covariance",
     "ts_holt",
     "graph_cc_shuffle",
+    "llm_cross_dedup",
     # (c) filler: stalest greens (last sampled r1), module order
     "flagship",
     "flt_isin",

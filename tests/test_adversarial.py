@@ -119,6 +119,9 @@ ADV_PANEL = [
     "mm_scene_cut",      # greatest(NULL, 1) => 1 frame in both engines
     # round-8 document-path operators:
     "llm_simhash_neardup",  # NULL/empty docs produce no token votes identically
+    "llm_cross_dedup",      # NULL/empty eval twins vanish identically
+    "llm_minhash_dedup",    # shingle-less docs excluded (NULL-sig buckets)
+    "llm_dedup_audit",      # same exclusion in the exact-truth panel
     "dq_chi2",              # NULL-text rows still carry (lang, source) cells
 ]
 

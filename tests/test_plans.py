@@ -1533,3 +1533,13 @@ def test_cc_shuffle_label_loop_never_broadcasts(spark, sf_dir):
     assert any(
         "SortMergeJoin" in line and "node#" in line for line in plan.splitlines()
     ), plan
+
+
+def test_cross_dedup_bucket_shape_and_no_within_side_pairs(spark, sf_dir):
+    """llm_cross_dedup: same bucket-exchange candidate shape as minhash
+    (no band self-join, no cartesian); the verify joins must never
+    sort-merge the candidate build side (SHUFFLE_HASH build from pairs)."""
+    plan = _executed_plan(spark, "llm_cross_dedup", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan

@@ -2725,3 +2725,23 @@ def test_cc_shuffle_equals_broadcast_cc(spark, sf_dir):
         for r in SPECS["graph_cc_shuffle"].builder(spark, sf_dir).collect()
     }
     assert a == b
+
+
+def test_cross_dedup_is_exactly_the_cross_side_slice(spark, sf_dir):
+    """llm_cross_dedup must (a) find every planted twin of an eval-panel
+    doc, and (b) emit ONLY train x eval pairs — no within-corpus pair may
+    leak through the side filter."""
+    rows = SPECS["llm_cross_dedup"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.train_doc < 1000000, "train side leaked an eval id"
+        assert r.eval_doc >= 1000000, "eval side leaked a train id"
+    found = {(r.train_doc, r.eval_doc) for r in rows}
+    # every planted twin (doc d, its truncated copy d+1e6) for d < 50
+    # whose jaccard clears the gate in llm_minhash_dedup must be here too
+    mh = {
+        (r.doc_a, r.doc_b)
+        for r in SPECS["llm_minhash_dedup"].builder(spark, sf_dir).collect()
+        if r.doc_a < 50 and r.doc_b == r.doc_a + 1000000
+    }
+    assert mh <= found, f"missed planted contamination: {sorted(mh - found)[:5]}"
