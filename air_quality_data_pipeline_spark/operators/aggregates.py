@@ -1809,3 +1809,354 @@ def agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "harm_mean"
         ),
     )
+
+
+# --- agg_spearman: tie-aware Spearman rank correlation -------------------------
+
+# The rank-based sibling of agg_corr (Pearson): monotone association that
+# is robust to outliers and nonlinearity — the screen every feature-audit
+# runs before trusting a Pearson r. Tie-aware average ranks, carried as
+# 2x-scaled INTEGERS (avg rank of a tie block is a multiple of 1/2, so
+# r2 = 2*cum_count - block + 1 is exact in BIGINT), make Spearman = Pearson
+# on integers: every moment is an exact DECIMAL(38,0) sum (order-free,
+# map-side combinable), and the closing ratio sees exact operands —
+# ROUND(9) absorbs the int128/BigDecimal double-conversion ulp. Bound:
+# n*S_xy <= 4*n^4 stays inside DECIMAL(38) through ~6e8 rows per group
+# (sf100), documented here rather than discovered at scale.
+_SPEARMAN_ORACLE = """
+WITH li AS (
+  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty,
+         l_extendedprice AS price
+  FROM lineitem
+),
+cells AS (
+  SELECT flag, qty, price, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM li GROUP BY flag, qty, price
+),
+qc AS (SELECT flag, qty, CAST(SUM(cnt) AS BIGINT) AS c FROM cells GROUP BY flag, qty),
+qr AS (
+  SELECT flag, qty,
+         2 * SUM(c) OVER (PARTITION BY flag ORDER BY qty
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - c + 1 AS rx
+  FROM qc
+),
+pc AS (SELECT flag, price, CAST(SUM(cnt) AS BIGINT) AS c FROM cells GROUP BY flag, price),
+pr AS (
+  SELECT flag, price,
+         2 * SUM(c) OVER (PARTITION BY flag ORDER BY price
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - c + 1 AS ry
+  FROM pc
+),
+j AS (
+  SELECT cells.flag, cells.cnt, qr.rx, pr.ry
+  FROM cells
+  JOIN qr ON qr.flag = cells.flag AND qr.qty = cells.qty
+  JOIN pr ON pr.flag = cells.flag AND pr.price = cells.price
+),
+m AS (
+  SELECT flag, CAST(SUM(cnt) AS BIGINT) AS n,
+         SUM(CAST(cnt AS HUGEINT) * rx) AS sx,
+         SUM(CAST(cnt AS HUGEINT) * ry) AS sy,
+         SUM(CAST(cnt AS HUGEINT) * rx * ry) AS sxy,
+         SUM(CAST(cnt AS HUGEINT) * rx * rx) AS sxx,
+         SUM(CAST(cnt AS HUGEINT) * ry * ry) AS syy
+  FROM j GROUP BY flag
+)
+SELECT flag AS l_returnflag, n,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)), 9)
+            ELSE NULL END AS rho
+FROM m
+"""
+
+
+@register("agg_spearman", oracle=_SPEARMAN_ORACLE, tags=("agg", "stats"))
+def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware Spearman rank correlation between quantity and extended
+    price per return flag — the monotone-association screen beside
+    agg_corr's Pearson. Average ranks ride as 2x-scaled integers so every
+    moment is an exact DECIMAL(38,0) sum and the statistic is bit-stable
+    under any partitioning.
+
+    Scale shape: ONE corpus collapse to the (flag, qty, price) value-pair
+    grain; ranks come from prefix sums over the per-VARIABLE value grains
+    (|distinct qty| and |distinct price| rows — domain-bounded, never the
+    fact table; at extreme price cardinality the win_skyline
+    range-partitioned prefix-sum is the drop-in), joined back onto the
+    cell table, and one moment aggregate closes. The fact table is
+    scanned exactly once."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    # persist the pair-grain collapse: it feeds both rank derivations and
+    # the moment join — without the barrier each consumer re-scans lineitem
+    cells = scoped_persist(
+        li.groupBy("flag", "qty", "price").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = Window.partitionBy("flag").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    qc = cells.groupBy("flag", "qty").agg(F.sum("cnt").cast("bigint").alias("c"))
+    qr = qc.select(
+        "flag", "qty",
+        (2 * F.sum("c").over(cum.orderBy("qty")) - F.col("c") + 1).alias("rx"),
+    )
+    pc = cells.groupBy("flag", "price").agg(F.sum("cnt").cast("bigint").alias("c"))
+    pr = pc.select(
+        "flag", "price",
+        (2 * F.sum("c").over(cum.orderBy("price")) - F.col("c") + 1).alias("ry"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    j = cells.join(F.broadcast(qr), ["flag", "qty"]).join(pr, ["flag", "price"])
+    m = j.groupBy("flag").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(d("cnt") * d("rx")).alias("sx"),
+        F.sum(d("cnt") * d("ry")).alias("sy"),
+        F.sum(d("cnt") * d("rx") * d("ry")).alias("sxy"),
+        F.sum(d("cnt") * d("rx") * d("rx")).alias("sxx"),
+        F.sum(d("cnt") * d("ry") * d("ry")).alias("syy"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    vx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        F.col("flag").alias("l_returnflag"),
+        "n",
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(
+                num.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double")), 9
+            ),
+        ).alias("rho"),
+    )
+
+
+# --- agg_mannwhitney: rank-sum two-sample test ---------------------------------
+
+# The nonparametric partner of agg_ttest: does quantity differ between
+# returned ('R') and accepted ('A') line items WITHOUT assuming
+# normality? Mann-Whitney U from tie-aware average ranks over the
+# combined sample. The 2x-rank trick keeps U exact in BIGINT (U2 = 2U);
+# the tie term T = sum(c^3 - c) and the normal-approximation sigma use
+# exact integer operands, so z is deterministic to the closing ROUND(9).
+# The whole test collapses to the |distinct qty| value grain (<= 50
+# cells) in ONE map-side-combinable pass.
+_MANNWHITNEY_ORACLE = """
+WITH li AS (
+  SELECT CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS flag
+  FROM lineitem WHERE l_returnflag IN ('A', 'R')
+),
+vc AS (
+  SELECT qty, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(COUNT(*) FILTER (flag = 'A') AS BIGINT) AS ca
+  FROM li GROUP BY qty
+),
+r AS (
+  SELECT qty, c, ca,
+         2 * SUM(c) OVER (ORDER BY qty
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - c + 1 AS r2
+  FROM vc
+),
+s AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+         CAST(SUM(c - ca) AS BIGINT) AS n_b,
+         SUM(CAST(ca AS HUGEINT) * r2) AS r2_a,
+         SUM(CAST(c AS HUGEINT) * c * c - c) AS ties
+  FROM r
+),
+u AS (
+  SELECT n_a, n_b, r2_a, ties, n_a + n_b AS nt,
+         CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2
+  FROM s
+)
+SELECT n_a, n_b,
+       CAST(u2 AS DOUBLE) / 2.0 AS u_a,
+       ROUND(CAST(r2_a AS DOUBLE) / (2.0 * n_a), 9) AS mean_rank_a,
+       ROUND(CAST(u2 - n_a * n_b AS DOUBLE)
+             / (2.0 * sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+                 * ((nt + 1) - CAST(ties AS DOUBLE) / (CAST(nt AS DOUBLE) * (nt - 1))))),
+             9) AS z_stat,
+       CAST(CASE WHEN abs(CAST(u2 - n_a * n_b AS DOUBLE)
+             / (2.0 * sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+                 * ((nt + 1) - CAST(ties AS DOUBLE) / (CAST(nt AS DOUBLE) * (nt - 1))))))
+                 > 1.959963984540054 THEN 1 ELSE 0 END AS BIGINT) AS significant_95
+FROM u
+"""
+
+
+@register("agg_mannwhitney", oracle=_MANNWHITNEY_ORACLE, tags=("agg", "stats"))
+def agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test: is quantity stochastically larger for
+    returned than accepted line items? The distribution-free partner of
+    agg_ttest (which assumes normal-ish means). Tie-corrected normal
+    approximation; 2x-scaled average ranks keep U and the tie term exact
+    in integers, so z is deterministic to the closing ROUND(9).
+
+    Scale shape: the corpus collapses to the |distinct qty| value grain
+    (<= 50 cells) in ONE map-side-combinable pass with conditional
+    counts; ranking and the closing statistic are arithmetic on that
+    dimension-bounded cell table. Nothing downstream of the first
+    aggregate sees a fact-table row."""
+    apply_engine_conf(spark)
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag").isin("A", "R"))
+        .select(
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            F.col("l_returnflag").alias("flag"),
+        )
+    )
+    vc = li.groupBy("qty").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum(F.when(F.col("flag") == "A", 1).otherwise(0)).cast("bigint").alias("ca"),
+    )
+    cum = Window.orderBy("qty").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = vc.select(
+        "qty", "c", "ca",
+        (2 * F.sum("c").over(cum) - F.col("c") + 1).alias("r2"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = r.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum(F.col("c") - F.col("ca")).cast("bigint").alias("n_b"),
+        F.sum(d("ca") * d("r2")).alias("r2_a"),
+        F.sum(d("c") * d("c") * d("c") - d("c")).alias("ties"),
+    )
+    u = s.select(
+        "n_a", "n_b", "r2_a", "ties",
+        (F.col("n_a") + F.col("n_b")).alias("nt"),
+        (F.col("r2_a") - (d("n_a") * (d("n_a") + 1))).cast("bigint").alias("u2"),
+    )
+    ntd = F.col("nt").cast("double")
+    sigma2x4 = (
+        F.col("n_a").cast("double") * F.col("n_b") / 12.0
+        * ((F.col("nt") + 1) - F.col("ties").cast("double") / (ntd * (ntd - 1)))
+    )
+    z = (F.col("u2") - F.col("n_a") * F.col("n_b")).cast("double") / (
+        2.0 * F.sqrt(sigma2x4)
+    )
+    return u.select(
+        "n_a",
+        "n_b",
+        (F.col("u2").cast("double") / 2.0).alias("u_a"),
+        F.round(F.col("r2_a").cast("double") / (2.0 * F.col("n_a")), 9).alias(
+            "mean_rank_a"
+        ),
+        F.round(z, 9).alias("z_stat"),
+        F.when(F.abs(z) > 1.959963984540054, 1).otherwise(0).cast("bigint").alias(
+            "significant_95"
+        ),
+    )
+
+
+# --- agg_anova: one-way ANOVA F across event types -----------------------------
+
+# Completes the k-group rung of the stats family (agg_ttest compares 2
+# means, dq_chi2 2 categoricals): does mean event value differ ACROSS the
+# k event types? Exactness recipe: values floor-quantized to micro
+# BIGINTs; group means taken as FLOOR-DIV integers (exact in both
+# engines), and both sums of squares computed ABOUT those integer means —
+# Sum((x - m_g)^2) and Sum(n_g*(m_g - m)^2) are then order-free exact
+# DECIMAL(38,0) sums, differing from the textbook x-bar forms by < 1e-6
+# absolute (documented, identical in both engines). The closing F sees
+# exact operands; ROUND absorbs the decimal->double ulp. NOTE: decimal
+# `div` in Spark routes through LONG (overflows silently for 38-digit
+# operands — prototyped), so every floor-div here divides BIGINT-range
+# values only.
+_ANOVA_ORACLE = """
+WITH ev AS (
+  SELECT event_type, CAST(floor(value * 1000000.0) AS BIGINT) AS v FROM events
+),
+g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s1
+  FROM ev GROUP BY event_type
+),
+gm AS (SELECT event_type, n, s1, s1 // n AS m FROM g),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(s1) AS BIGINT) AS st,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM g
+),
+grand AS (SELECT nt, k, st // nt AS m0 FROM tot),
+ssw AS (
+  SELECT SUM(CAST((ev.v - gm.m) * (ev.v - gm.m) AS HUGEINT)) AS ssw_q
+  FROM ev JOIN gm ON gm.event_type = ev.event_type
+),
+ssb AS (
+  SELECT SUM(CAST(gm.n AS HUGEINT) * (gm.m - grand.m0) * (gm.m - grand.m0)) AS ssb_q
+  FROM gm CROSS JOIN grand
+)
+SELECT grand.k, grand.nt AS n,
+       ROUND(CAST(ssb.ssb_q AS DOUBLE) / 1e12, 3) AS ssb,
+       ROUND(CAST(ssw.ssw_q AS DOUBLE) / 1e12, 3) AS ssw,
+       ROUND((CAST(ssb.ssb_q AS DOUBLE) / (grand.k - 1))
+             / (CAST(ssw.ssw_q AS DOUBLE) / (grand.nt - grand.k)), 6) AS f_stat,
+       CAST(CASE WHEN (CAST(ssb.ssb_q AS DOUBLE) / (grand.k - 1))
+                      / (CAST(ssw.ssw_q AS DOUBLE) / (grand.nt - grand.k))
+                 > 2.372 THEN 1 ELSE 0 END AS BIGINT) AS significant_95
+FROM ssb CROSS JOIN ssw CROSS JOIN grand
+"""
+
+
+@register("agg_anova", oracle=_ANOVA_ORACLE, tags=("agg", "stats"))
+def agg_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across the k event types: between/within sums of
+    squares and the F statistic (95% verdict against the F(4, inf)
+    critical value 2.372 — k is 5 by the fixture's event-type domain,
+    documented beside agg_ttest's 1.96 literal). Sums of squares are
+    exact integer accumulations about floor-div group means (see module
+    comment) — deterministic under any partitioning.
+
+    Scale shape: two passes over the fact — ONE collapse to (type, n,
+    sum) cells, then the deviation pass with the k-row mean table
+    broadcast back onto the scan; both aggregates are map-side
+    combinable and the exchanges carry cells, not rows."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 1000000.0).cast("bigint").alias("v")
+    )
+    g = scoped_persist(
+        ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("s1"),
+        )
+    )
+    gm = g.select("event_type", "n", "s1", F.expr("s1 div n").alias("m"))
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("s1").cast("bigint").alias("st"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    grand = tot.select("nt", "k", F.expr("st div nt").alias("m0"))
+    dev = F.col("v") - F.col("m")
+    ssw = (
+        ev.join(F.broadcast(gm), "event_type")
+        .agg(F.sum((dev * dev).cast("decimal(38,0)")).alias("ssw_q"))
+    )
+    dd = F.col("m") - F.col("m0")
+    ssb = gm.crossJoin(F.broadcast(grand)).agg(
+        F.sum(F.col("n").cast("decimal(38,0)") * dd * dd).alias("ssb_q")
+    )
+    f_num = F.col("ssb_q").cast("double") / (F.col("k") - 1)
+    f_den = F.col("ssw_q").cast("double") / (F.col("nt") - F.col("k"))
+    return (
+        ssb.crossJoin(ssw)
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "k",
+            F.col("nt").alias("n"),
+            F.round(F.col("ssb_q").cast("double") / 1e12, 3).alias("ssb"),
+            F.round(F.col("ssw_q").cast("double") / 1e12, 3).alias("ssw"),
+            F.round(f_num / f_den, 6).alias("f_stat"),
+            F.when(f_num / f_den > 2.372, 1).otherwise(0).cast("bigint").alias(
+                "significant_95"
+            ),
+        )
+    )

@@ -1261,3 +1261,63 @@ def llm_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         verified.select("train_doc", "eval_doc", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.6)
     )
+
+
+# --- llm_prefix_dedup: boilerplate prefix clustering ---------------------------
+
+# Web corpora are full of template families that exact dedup misses: the
+# same banner/header/license preamble followed by different bodies. The
+# standard screen (used alongside llm_template_detect's shape signatures)
+# clusters documents on the HASH of their first-k-token prefix — catches
+# shared boilerplate openings without paying near-dup machinery. k = 8
+# tokens; documents shorter than k have no full prefix and are excluded
+# (a 3-token doc "matching" an 8-token prefix family is noise, and the
+# guard also keeps NULL/short hostile rows out — the llm_minhash_dedup
+# lesson).
+_PREFIX_DEDUP_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS prefix
+  FROM documents
+  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 8
+)
+SELECT md5(prefix) AS prefix_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_doc,
+       MIN(prefix) AS prefix
+FROM p GROUP BY md5(prefix)
+HAVING COUNT(*) > 1
+"""
+
+
+@register("llm_prefix_dedup", oracle=_PREFIX_DEDUP_ORACLE, tags=("llm", "dedup"))
+def llm_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-prefix clusters: documents sharing their first 8
+    tokens, grouped on the md5 of the prefix — the template-opening
+    screen between llm_exact_dedup (whole doc) and llm_line_dedup (per
+    line). Clusters report size, canonical member, and the prefix text
+    (identical within a cluster, so MIN is free).
+
+    Scale shape: the groupBy key is a 32-byte digest, so the exchange
+    carries (digest, doc_id, 8-token prefix) — never the document; the
+    aggregate combines map-side and the HAVING prunes singleton groups
+    before any row leaves the final aggregation."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    p = (
+        docs.filter(F.col("text").isNotNull())
+        .filter(F.size(F.split("text", " ")) >= 8)
+        .select(
+            "doc_id",
+            F.array_join(F.slice(F.split("text", " "), 1, 8), " ").alias("prefix"),
+        )
+    )
+    return (
+        p.groupBy(F.md5("prefix").alias("prefix_hash"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("canonical_doc"),
+            F.min("prefix").alias("prefix"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -1610,3 +1610,103 @@ def graph_cc_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("suppkey")
     )
+
+
+# --- graph_assortativity: degree-degree correlation ----------------------------
+
+# One number that says whether hubs attach to hubs (assortative, r > 0 —
+# social-style graphs) or hubs attach to leaves (disassortative, r < 0 —
+# hub-and-spoke supply networks): the Pearson correlation of the degrees
+# at the two ends of every edge (Newman 2002, eq. 4 — computed over the
+# directed symmetric edge list, the standard undirected formulation).
+# Degrees are small integers, so every moment is an exact DECIMAL(38,0)
+# sum — order-free, map-side combinable — and the closing ratio sees
+# exact operands; ROUND(9) absorbs the int128/BigDecimal double ulp.
+_ASSORTATIVITY_ORACLE = """
+WITH pair_counts AS MATERIALIZED (
+  SELECT l1.l_suppkey AS src, l2.l_suppkey AS dst, COUNT(*) AS w
+  FROM lineitem l1
+  JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+  GROUP BY l1.l_suppkey, l2.l_suppkey
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM pair_counts
+  WHERE w > (SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*) FROM pair_counts)
+),
+deg AS MATERIALIZED (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS ne,
+         SUM(CAST(da.d AS HUGEINT)) AS sx,
+         SUM(CAST(db.d AS HUGEINT)) AS sy,
+         SUM(CAST(da.d AS HUGEINT) * db.d) AS sxy,
+         SUM(CAST(da.d AS HUGEINT) * da.d) AS sxx,
+         SUM(CAST(db.d AS HUGEINT) * db.d) AS syy
+  FROM edges e
+  JOIN deg da ON da.node = e.src
+  JOIN deg db ON db.node = e.dst
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       ne // 2 AS n_edges,
+       ROUND(CAST(sx AS DOUBLE) / ne, 6) AS mean_edge_deg,
+       CASE WHEN (ne * sxx - sx * sx) > 0 AND (ne * syy - sy * sy) > 0
+            THEN ROUND(CAST(ne * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(ne * sxx - sx * sx AS DOUBLE)
+                              * CAST(ne * syy - sy * sy AS DOUBLE)), 9)
+            ELSE NULL END AS assortativity
+FROM m
+"""
+
+
+@register("graph_assortativity", oracle=_ASSORTATIVITY_ORACLE, tags=("graph",))
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: Pearson correlation
+    of endpoint degrees over the symmetric edge list — positive means
+    hubs trade with hubs, negative means hub-and-spoke. The one-row
+    structural summary beside graph_degree_dist's histogram.
+
+    Scale shape: REUSES the memoized persisted edge set shared by all
+    graph operators; the |V|-row degree table joins onto the two edge
+    endpoints (broadcast — degrees are a projection of the edge list,
+    orders of magnitude below the fact table), and ONE map-side-combined
+    aggregate collapses everything to a single moment row. Exact integer
+    moments: deterministic under any partitioning (see oracle
+    comment)."""
+    apply_engine_conf(spark)
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    da = deg.select(F.col("node").alias("src"), F.col("d").alias("dx"))
+    db = deg.select(F.col("node").alias("dst"), F.col("d").alias("dy"))
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = (
+        edges.join(F.broadcast(da), "src")
+        .join(F.broadcast(db), "dst")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("ne"),
+            F.sum(d("dx")).alias("sx"),
+            F.sum(d("dy")).alias("sy"),
+            F.sum(d("dx") * d("dy")).alias("sxy"),
+            F.sum(d("dx") * d("dx")).alias("sxx"),
+            F.sum(d("dy") * d("dy")).alias("syy"),
+        )
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    ned = F.col("ne").cast("decimal(38,0)")
+    vx = ned * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = ned * F.col("syy") - F.col("sy") * F.col("sy")
+    num = ned * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.crossJoin(F.broadcast(n_nodes)).select(
+        "n_nodes",
+        F.expr("ne div 2").alias("n_edges"),
+        F.round(F.col("sx").cast("double") / F.col("ne"), 6).alias("mean_edge_deg"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(
+                num.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double")), 9
+            ),
+        ).alias("assortativity"),
+    )

@@ -735,3 +735,96 @@ def mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("first_cut_frame"),
     )
+
+
+# --- mm_aspect_bucket: aspect-ratio bucketing for batch packing ----------------
+
+# Training on variable-shape media requires grouping samples into
+# fixed-aspect batches (SDXL-style bucketed batching: every batch is one
+# resolution, so no crop/pad waste). The bucket decision is a pure
+# METADATA operation — in production it consumes mm_decode's (width,
+# height) columns without ever touching payload bytes; here the dims
+# derive from the same md5 fake as mm_decode's decoder so both engines
+# agree bit-for-bit. Nearest-ratio assignment is exact integer
+# arithmetic: |w/h - a/b| compared via |w*b - a*h| * (144/b) (144 = LCM
+# of the bucket denominators clears fractions), ties broken by fixed
+# bucket priority, zero-dim rows quarantined to 'degenerate' — no
+# doubles anywhere, so assignment can never flip on an ulp.
+_ASPECT_BUCKETS = [("1:1", 1, 1), ("4:3", 4, 3), ("3:4", 3, 4), ("16:9", 16, 9), ("9:16", 9, 16)]
+
+
+def _aspect_case(score):
+    names = [n for n, _, _ in _ASPECT_BUCKETS]
+    clauses = []
+    for i, n in enumerate(names):
+        later = [f"s{j}" for j in range(len(names)) if j > i]
+        cond = " AND ".join(f"s{i} <= {o}" for o in later) or "TRUE"
+        clauses.append(f"WHEN {cond} THEN '{n}'")
+    return "CASE " + " ".join(clauses) + " END"
+
+
+_ASPECT_SCORES_DUCK = ", ".join(
+    f"abs(w * {b} - {a} * h) * {144 // b} AS s{i}"
+    for i, (_, a, b) in enumerate(_ASPECT_BUCKETS)
+)
+_ASPECT_SCORES_SPARK = _ASPECT_SCORES_DUCK  # identical integer SQL
+
+_ASPECT_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+         CAST(('0x' || substring(md5(text), 1, 4)) AS BIGINT) % 1920 AS w,
+         CAST(('0x' || substring(md5(text), 5, 4)) AS BIGINT) % 1080 AS h
+  FROM documents
+),
+s AS (SELECT doc_id, kind, w, h, {_ASPECT_SCORES_DUCK} FROM m),
+b AS (
+  SELECT kind,
+         CASE WHEN w = 0 OR h = 0 THEN 'degenerate'
+              ELSE {_aspect_case('s')} END AS bucket,
+         CASE WHEN h = 0 THEN NULL ELSE w * 1000 // h END AS aspect_milli
+  FROM s
+)
+SELECT kind, bucket, CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(MIN(aspect_milli) AS BIGINT) AS min_aspect_milli,
+       CAST(MAX(aspect_milli) AS BIGINT) AS max_aspect_milli
+FROM b GROUP BY kind, bucket
+"""
+
+
+@register("mm_aspect_bucket", oracle=_ASPECT_ORACLE, tags=("llm", "multimodal"))
+def mm_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucket assignment for fixed-shape batch packing:
+    every media row lands in its nearest of five canonical ratios (1:1,
+    4:3, 3:4, 16:9, 9:16) by exact integer cross-multiplication, with
+    zero-dimension rows quarantined to 'degenerate' (the fixture
+    contains a real w = 0 row). Reports per-(kind, bucket) counts and
+    the aspect range actually observed in each bucket.
+
+    Scale shape: a pure metadata projection (no payload bytes, no
+    Python) feeding ONE map-side-combinable aggregate over the
+    |kinds x buckets| cell grain — the exchange carries about a dozen
+    rows per map task at any corpus size."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("kind"),
+        (F.expr("cast(conv(substring(md5(text), 1, 4), 16, 10) as bigint)") % 1920).alias("w"),
+        (F.expr("cast(conv(substring(md5(text), 5, 4), 16, 10) as bigint)") % 1080).alias("h"),
+    )
+    s = m.selectExpr("doc_id", "kind", "w", "h", *_ASPECT_SCORES_SPARK.split(", "))
+    b = s.select(
+        "kind",
+        F.expr(
+            f"CASE WHEN w = 0 OR h = 0 THEN 'degenerate' ELSE {_aspect_case('s')} END"
+        ).alias("bucket"),
+        F.expr("CASE WHEN h = 0 THEN NULL ELSE (w * 1000) div h END").alias(
+            "aspect_milli"
+        ),
+    )
+    return b.groupBy("kind", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_media"),
+        F.min("aspect_milli").cast("bigint").alias("min_aspect_milli"),
+        F.max("aspect_milli").cast("bigint").alias("max_aspect_milli"),
+    )

@@ -1277,3 +1277,133 @@ def llm_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- llm_emb_outliers: centroid-distance outlier screen ------------------------
+
+# The embedding-space data-quality gate every curation pipeline runs
+# before training on a new corpus slice: vectors far from the corpus
+# centroid are mislabeled, corrupted, or off-distribution. Exactness
+# recipe (the agg_anova two-pass design lifted to vectors): coordinates
+# floor-quantized to 1e-8 BIGINTs, per-dim centroid taken as FLOOR-DIV
+# integers, squared distance accumulated as exact DECIMAL(38,0) (|x| <=
+# ~0.6, 64 dims -> dist2q <= ~1e18, inside BIGINT), then micro-floored;
+# the z-score moments over those micro integers are exact, and the
+# OUTLIER verdict is cross-multiplied into pure integers —
+# (n*d - s1)^2 > 4*(n*s2 - s1^2) <=> |z| > 2 — so the flag can never
+# flip on a double ulp.
+_EMB_OUTLIERS_ORACLE = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100000000.0)
+                                              AS BIGINT)) AS q
+  FROM embeddings
+),
+e AS (SELECT vec_id, i AS dim, q[i] AS qx FROM v, UNNEST(range(1, 65)) AS t(i)),
+c AS (
+  SELECT dim, CAST(SUM(qx) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM e GROUP BY dim
+),
+m AS (
+  SELECT dim,
+         CASE WHEN s >= 0 THEN s // n ELSE -((-s + n - 1) // n) END AS md
+  FROM c
+),
+d2 AS (
+  SELECT e.vec_id,
+         CAST(SUM(CAST((e.qx - m.md) * (e.qx - m.md) AS HUGEINT)) AS BIGINT) AS d2q
+  FROM e JOIN m ON m.dim = e.dim GROUP BY e.vec_id
+),
+dm AS (SELECT vec_id, d2q // 10000000000 AS d2m FROM d2),
+mo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(d2m) AS BIGINT) AS s1,
+         SUM(CAST(d2m AS HUGEINT) * d2m) AS s2
+  FROM dm
+)
+SELECT dm.vec_id,
+       CAST(dm.d2m AS DOUBLE) / 1000000.0 AS dist2,
+       ROUND((CAST(mo.n AS DOUBLE) * dm.d2m - mo.s1)
+             / sqrt(CAST(mo.n * mo.s2 - CAST(mo.s1 AS HUGEINT) * mo.s1 AS DOUBLE)),
+             6) AS z_score,
+       CAST(CASE WHEN CAST(mo.n * dm.d2m - mo.s1 AS HUGEINT)
+                      * (mo.n * dm.d2m - mo.s1)
+                      > 4 * (mo.n * mo.s2 - CAST(mo.s1 AS HUGEINT) * mo.s1)
+                 THEN 1 ELSE 0 END AS BIGINT) AS outlier
+FROM dm CROSS JOIN mo
+"""
+
+
+@register("llm_emb_outliers", oracle=_EMB_OUTLIERS_ORACLE, tags=("llm", "similarity", "quality"))
+def llm_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-distance outlier screen over the embedding corpus:
+    squared distance to the global centroid, corpus z-score, and an
+    integer-exact |z| > 2 outlier flag — the vector-space companion to
+    dq_outlier_iqr. All arithmetic below the closing report is exact
+    integers (see module comment), so flags are bit-stable under any
+    partitioning.
+
+    Scale shape: pass 1 collapses the corpus to 64 per-dim (sum, count)
+    cells — map-side combinable, the llm_emb_centroid exchange; the
+    64-element centroid array is then BROADCAST back and pass 2 computes
+    every distance in a zip_with/aggregate fold with ZERO exchange; pass
+    3 is one global (n, s1, s2) moment collapse broadcast back onto the
+    per-row frame. Three passes, each exchanging cells, never vectors."""
+    apply_engine_conf(spark)
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(floor(cast(x as double) * 100000000.0) as bigint))"
+        ).alias("q"),
+    )
+    e = v.select("vec_id", F.posexplode("q").alias("pos", "qx")).select(
+        "vec_id", (F.col("pos") + 1).alias("dim"), "qx"
+    )
+    c = e.groupBy("dim").agg(
+        F.sum("qx").cast("bigint").alias("s"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    # floor-div centroid (negative-safe: Spark/DuckDB integer div truncates
+    # toward zero, so negative sums are floored explicitly on both sides)
+    m = c.select(
+        "dim",
+        F.expr(
+            "CASE WHEN s >= 0 THEN s div n ELSE -((-s + n - 1) div n) END"
+        ).alias("md"),
+    )
+    carr = m.agg(
+        F.expr("transform(array_sort(collect_list(struct(dim, md))), p -> p.md)").alias(
+            "cent"
+        )
+    )
+    d2 = (
+        v.crossJoin(F.broadcast(carr))
+        .select(
+            "vec_id",
+            F.expr(
+                "cast(aggregate(zip_with(q, cent, (x, m) -> cast((x - m) * (x - m) as decimal(38,0))), "
+                "cast(0 as decimal(38,0)), (a, e) -> a + e) as bigint)"
+            ).alias("d2q"),
+        )
+    )
+    dm = scoped_persist(
+        d2.select("vec_id", F.expr("d2q div 10000000000").alias("d2m"))
+    )
+    mo = dm.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d2m").cast("bigint").alias("s1"),
+        F.sum(F.col("d2m").cast("decimal(38,0)") * F.col("d2m")).alias("s2"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    s1d = F.col("s1").cast("decimal(38,0)")
+    varnum = nd * F.col("s2") - s1d * s1d  # n^2 * variance (exact)
+    znum = nd * F.col("d2m") - s1d  # n * (d - mean) (exact)
+    return dm.crossJoin(F.broadcast(mo)).select(
+        "vec_id",
+        (F.col("d2m").cast("double") / 1000000.0).alias("dist2"),
+        F.round(znum.cast("double") / F.sqrt(varnum.cast("double")), 6).alias(
+            "z_score"
+        ),
+        F.when(znum * znum > 4 * varnum, 1).otherwise(0).cast("bigint").alias(
+            "outlier"
+        ),
+    )

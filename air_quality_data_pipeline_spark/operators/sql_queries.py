@@ -1149,3 +1149,45 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     _views(spark, sf_dir, "lineitem")
     return spark.sql(_SQL_GROUP_BY_ALL)
+
+
+# --- sample_bottomk: exact-size deterministic sample ---------------------------
+
+# sample_hash gives a reproducible ~10% FRACTION; audits and fixture
+# builders usually need an exact-SIZE subset ("give me exactly 1000
+# auditable rows") that is stable across engines, runs, and
+# partitionings. Bottom-k by content hash is the standard answer: order
+# by md5(key) and keep the k smallest — a uniform random sample under
+# the hash's mixing, reproducible anywhere md5 exists.
+_BOTTOMK_K = 1000
+
+_SAMPLE_BOTTOMK_ORACLE = f"""
+SELECT o_orderkey, o_totalprice, md5(CAST(o_orderkey AS VARCHAR)) AS h
+FROM orders
+ORDER BY h, o_orderkey
+LIMIT {_BOTTOMK_K}
+"""
+
+
+@register("sample_bottomk", oracle=_SAMPLE_BOTTOMK_ORACLE, tags=("sample",))
+def sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size deterministic sample: the k = 1000 rows with the
+    smallest md5(key) — reproducible across engines and partitionings
+    (sample_hash's exact-count sibling; the hash column rides along so
+    the selection is self-auditing).
+
+    Scale shape: Spark plans ORDER BY + LIMIT as TakeOrderedAndProject —
+    per-partition k-row heaps merged once on a single k-row exchange; no
+    global sort at any scale (plan-gated). This is how a 100 TB table
+    yields an exact-1000-row audit panel for the cost of one scan."""
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.md5(F.col("o_orderkey").cast("string")).alias("h"),
+        )
+        .orderBy("h", "o_orderkey")
+        .limit(_BOTTOMK_K)
+    )

@@ -2178,3 +2178,201 @@ def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_next"
         ),
     )
+
+
+# --- ts_bollinger: rolling volatility bands over the daily series --------------
+
+# The volatility-band monitor on top of the daily grain every ops
+# dashboard draws: 7-day rolling mean +/- 2 population sigma per event
+# type, with a breach flag. Exactness recipe: daily totals are the
+# micro-quantized BIGINTs of ts_holt; the 7-row window sums s1 = sum(v)
+# and s2 = sum(v^2) are exact DECIMAL(38,0) accumulations, and the
+# BREACH decision is made entirely in integers — |v - s1/7| > 2*sigma
+# is multiplied through by 49 into (7v - s1)^2 > 4*(7*s2 - s1^2), so
+# the flag can never flip on a double ulp (the ts_seasonal 3-sigma-gate
+# recipe). Only the *reported* band edges are doubles, ROUND(6) from
+# exact operands.
+_BOLLINGER_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(floor(SUM(CAST(value AS DECIMAL(18, 9))) * 1000000) AS BIGINT) AS v
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+w AS (
+  SELECT event_type, day, v,
+         SUM(CAST(v AS HUGEINT)) OVER w7 AS s1,
+         SUM(CAST(v AS HUGEINT) * v) OVER w7 AS s2,
+         COUNT(*) OVER w7 AS cnt
+  FROM daily
+  WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, CAST(day AS VARCHAR) AS day, v AS v_micro,
+       ROUND(CAST(s1 AS DOUBLE) / 7e6, 6) AS mean_7d,
+       ROUND((CAST(s1 AS DOUBLE) + 2 * sqrt(CAST(7 * s2 - s1 * s1 AS DOUBLE))) / 7e6, 6)
+         AS upper_band,
+       ROUND((CAST(s1 AS DOUBLE) - 2 * sqrt(CAST(7 * s2 - s1 * s1 AS DOUBLE))) / 7e6, 6)
+         AS lower_band,
+       CAST(CASE WHEN CAST(7 * v - s1 AS HUGEINT) * (7 * v - s1)
+                      > 4 * (7 * s2 - s1 * s1)
+                 THEN 1 ELSE 0 END AS BIGINT) AS breach
+FROM w WHERE cnt = 7
+"""
+
+
+@register("ts_bollinger", oracle=_BOLLINGER_ORACLE, tags=("timeseries", "anomaly"))
+def ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over the per-type daily series: 7-day rolling mean
+    +/- 2 population sigma, plus an integer-exact breach flag — the
+    rolling companion to ts_seasonal's per-slot 3-sigma gate. Band edges
+    are doubles from exact integer window sums; the breach comparison is
+    multiplied through by 49 so it never touches a double (see module
+    comment).
+
+    Scale shape: ONE map-side collapse to the (type, day) grain, then a
+    7-ROW window per type over the day-grain table — cell-bounded by the
+    calendar, not the corpus; partitions parallelize across types and the
+    frame is O(1) per row."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.floor(F.sum(F.col("value").cast("decimal(18,9)")) * 1000000)
+        .cast("bigint")
+        .alias("v")
+    )
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    w = daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.sum(d("v")).over(w7).alias("s1"),
+        F.sum(d("v") * F.col("v")).over(w7).alias("s2"),
+        F.count(F.lit(1)).over(w7).alias("cnt"),
+    ).filter(F.col("cnt") == 7)
+    delta = 7 * F.col("s2") - F.col("s1") * F.col("s1")  # 49 * window variance
+    dev7 = 7 * d("v") - F.col("s1")  # 7 * (v - mean)
+    return w.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.col("v").alias("v_micro"),
+        F.round(F.col("s1").cast("double") / 7e6, 6).alias("mean_7d"),
+        F.round(
+            (F.col("s1").cast("double") + 2 * F.sqrt(delta.cast("double"))) / 7e6, 6
+        ).alias("upper_band"),
+        F.round(
+            (F.col("s1").cast("double") - 2 * F.sqrt(delta.cast("double"))) / 7e6, 6
+        ).alias("lower_band"),
+        F.when(dev7 * dev7 > 4 * delta, 1).otherwise(0).cast("bigint").alias("breach"),
+    )
+
+
+# --- ts_rsi: relative strength index over the daily series ---------------------
+
+# Momentum-regime classification of the daily totals: 14-day SMA-based
+# RSI per event type. Gains and losses are BIGINT differences of the
+# micro-quantized daily totals, the 14-row window sums are exact, and the
+# overbought/oversold verdicts are cross-multiplied into pure integer
+# comparisons (RSI > 70 <=> 3*gain_sum > 7*loss_sum), so the regime
+# label can never flip on a double ulp. Only the reported RSI value is a
+# double, ROUND(6) from exact operands; the zero-movement window
+# (gain_sum = loss_sum = 0) is pinned to the 50.0 convention in both
+# engines.
+_RSI_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(floor(SUM(CAST(value AS DECIMAL(18, 9))) * 1000000) AS BIGINT) AS v
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+d AS (
+  SELECT event_type, day,
+         v - lag(v) OVER (PARTITION BY event_type ORDER BY day) AS delta
+  FROM daily
+),
+gl AS (
+  SELECT event_type, day,
+         greatest(delta, 0) AS gain, greatest(-delta, 0) AS loss
+  FROM d WHERE delta IS NOT NULL
+),
+w AS (
+  SELECT event_type, day,
+         SUM(CAST(gain AS HUGEINT)) OVER w14 AS sg,
+         SUM(CAST(loss AS HUGEINT)) OVER w14 AS sl,
+         COUNT(*) OVER w14 AS cnt
+  FROM gl
+  WINDOW w14 AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, CAST(day AS VARCHAR) AS day,
+       CASE WHEN sg + sl = 0 THEN 50.0
+            ELSE ROUND(100.0 * CAST(sg AS DOUBLE) / CAST(sg + sl AS DOUBLE), 6)
+       END AS rsi_14,
+       CASE WHEN 3 * sg > 7 * sl THEN 'overbought'
+            WHEN 7 * sg < 3 * sl THEN 'oversold'
+            ELSE 'neutral' END AS signal
+FROM w WHERE cnt = 14
+"""
+
+
+@register("ts_rsi", oracle=_RSI_ORACLE, tags=("timeseries", "forecast"))
+def ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day SMA relative strength index of the daily total per event
+    type, with integer-exact overbought (RSI > 70) / oversold (RSI < 30)
+    regime labels — the momentum companion to ts_ewma (level) and ts_holt
+    (trend). Cross-multiplied comparisons keep the label decision in
+    BIGINTs (see module comment).
+
+    Scale shape: ONE map-side collapse to the (type, day) grain, a lag
+    and a 14-ROW window over the cell-bounded day table — O(1) frame per
+    row, parallel across types, nothing downstream of the first
+    aggregate sees a fact-table row."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.floor(F.sum(F.col("value").cast("decimal(18,9)")) * 1000000)
+        .cast("bigint")
+        .alias("v")
+    )
+    wlag = Window.partitionBy("event_type").orderBy("day")
+    d = daily.select(
+        "event_type", "day", (F.col("v") - F.lag("v").over(wlag)).alias("delta")
+    ).filter(F.col("delta").isNotNull())
+    gl = d.select(
+        "event_type",
+        "day",
+        F.greatest("delta", F.lit(0)).alias("gain"),
+        F.greatest(-F.col("delta"), F.lit(0)).alias("loss"),
+    )
+    w14 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-13, Window.currentRow)
+    )
+    w = gl.select(
+        "event_type",
+        "day",
+        F.sum(F.col("gain").cast("decimal(38,0)")).over(w14).alias("sg"),
+        F.sum(F.col("loss").cast("decimal(38,0)")).over(w14).alias("sl"),
+        F.count(F.lit(1)).over(w14).alias("cnt"),
+    ).filter(F.col("cnt") == 14)
+    return w.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.when(F.col("sg") + F.col("sl") == 0, F.lit(50.0))
+        .otherwise(
+            F.round(
+                100.0 * F.col("sg").cast("double")
+                / (F.col("sg") + F.col("sl")).cast("double"),
+                6,
+            )
+        )
+        .alias("rsi_14"),
+        F.when(3 * F.col("sg") > 7 * F.col("sl"), "overbought")
+        .when(7 * F.col("sg") < 3 * F.col("sl"), "oversold")
+        .otherwise("neutral")
+        .alias("signal"),
+    )

@@ -353,23 +353,73 @@ GROUP BY quartile
 """
 
 
+# number of balance ranges for the distributed row-position scan; at 100 TB
+# this is the shuffle-partition count, locally a small constant so every
+# range still exercises both the local and cross-range paths
+_NTILE_RANGES = 8
+_NTILE_K = 4
+
+
 @register("win_ntile", oracle=_NTILE_ORACLE, tags=("window",))
 def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth quartiles via ntile(4) over a TOTAL order (balance, then
-    unique custkey as tie-break — without it ntile is nondeterministic),
-    then a per-quartile profile. The unpartitioned window is the one
-    operator here that genuinely serializes (a global sort into a single
-    ordered pass); that is inherent to exact equi-depth bucketing. The
-    scale path when exactness isn't required is approx_percentile bounds +
-    a stateless bin lookup (agg_quantiles / agg_histogram); this operator
-    is the exact small-dimension counterpart — run it on dimension tables,
-    not facts. Decimal-exact sums keep the profile engine-identical."""
+    """Equi-depth quartiles over a TOTAL order (balance, then unique
+    custkey as tie-break — without it ntile is nondeterministic), then a
+    per-quartile profile. Decimal-exact sums keep the profile
+    engine-identical.
+
+    Scale shape: exact equi-depth bucketing needs every row's GLOBAL
+    position, but not a single-partition sort — the position is computed
+    with the win_skyline two-level parallel scan (the round-8 drop-in for
+    the last honestly-serial window in the repo): repartitionByRange on
+    (balance, custkey) (RangePartitioner keeps partition ids ascending in
+    sort order), per-range row_number via a rid-PARTITIONED window
+    (parallel across ranges), then a prefix sum of the |ranges|-row
+    per-range counts — a window over a config constant, not the data —
+    broadcast back as each range's global offset. The tile index is then
+    pure row-local arithmetic from (position, N): ntile semantics give the
+    first N mod k tiles one extra row, reproduced exactly (property-pinned
+    row-identical to the single-window ntile form). No single-partition
+    window ever sees the row grain."""
     apply_engine_conf(spark)
-    cust = table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
-    q = cust.select(
-        "c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranged = cust.repartitionByRange(
+        _NTILE_RANGES, "c_acctbal", "c_custkey"
+    ).withColumn("rid", F.spark_partition_id())
+    w_local = Window.partitionBy("rid").orderBy("c_acctbal", "c_custkey")
+    ranged = ranged.withColumn("rn", F.row_number().over(w_local))
+    counts = ranged.groupBy("rid").agg(F.count(F.lit(1)).alias("c"))
+    w_rid = Window.orderBy("rid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "rid",
+        F.coalesce(F.sum("c").over(w_rid), F.lit(0)).alias("off"),
     )
+    n_tot = counts.agg(F.sum("c").cast("bigint").alias("n_tot"))
+    pos = (
+        ranged.join(F.broadcast(offs), "rid")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            (F.col("off") + F.col("rn")).alias("p"),
+            "n_tot",
+        )
+    )
+    # ntile(k): the first (N mod k) tiles hold base+1 rows, the rest base
+    base = F.expr(f"n_tot div {_NTILE_K}")
+    rem = F.col("n_tot") % _NTILE_K
+    big_rows = rem * (base + 1)  # rows covered by the oversized tiles
+    tile = (
+        F.when(F.col("p") <= big_rows, F.expr(f"(p - 1) div (n_tot div {_NTILE_K} + 1) + 1"))
+        .otherwise(
+            rem
+            + F.expr(
+                f"(p - (n_tot % {_NTILE_K}) * (n_tot div {_NTILE_K} + 1) - 1) "
+                f"div (n_tot div {_NTILE_K}) + 1"
+            )
+        )
+        .cast("int")
+    )
+    q = pos.select("c_custkey", "c_acctbal", tile.alias("quartile"))
     return q.groupBy("quartile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.min("c_acctbal").alias("lo"),

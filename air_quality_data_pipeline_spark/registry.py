@@ -132,7 +132,9 @@ DRIVER_PRIORITY = [
     "agg_geomean",
     "ts_cov_matrix",
     "ts_decay_score",
-    # (b) new round-8 operators (each displaced one (c) filler)
+    # (b) new round-8 operators (each displaced one (c) filler; all 8
+    # slots now used — agg_spearman takes the last one, so the window is
+    # exactly blocks (a) + (b) and no filler rides this round)
     "llm_simhash_neardup",
     "graph_label_prop",
     "dq_chi2",
@@ -140,6 +142,7 @@ DRIVER_PRIORITY = [
     "ts_holt",
     "graph_cc_shuffle",
     "llm_cross_dedup",
+    "agg_spearman",
     # (c) filler: stalest greens (last sampled r1), module order
     "flagship",
     "flt_isin",
@@ -192,18 +195,35 @@ DRIVER_PRIORITY = [
 DRIVER_WINDOW = DRIVER_PRIORITY[:50]
 
 # Round 8 rotates ALL 42 never-sampled queries into the window (slots
-# 1-42, VERDICT r7 item 1), emptying the deferral set. New operators
-# registered this round must go into block (b) of DRIVER_PRIORITY in the
-# same commit — the round-6 lesson: a @register without window accounting
-# ships a red suite. With 8 filler slots free, at most 8 new operators
-# can land this round without re-opening the deferral set; any beyond
-# that must be added HERE with justification (and will fail
-# test_priority_window_covers_unsampled_queries if forgotten).
+# 1-42, VERDICT r7 item 1), emptying the 42-name round-7 deferral set.
+# New operators registered this round must go into block (b) of
+# DRIVER_PRIORITY in the same commit — the round-6 lesson: a @register
+# without window accounting ships a red suite. The 8 filler slots all
+# went to new round-8 operators; the 9 batch-2 operators below exceed
+# the window and are DEFERRED to the round-9 window front — each is
+# four-SF oracle-green locally (tests/test_oracle.py replays them every
+# run), so the deferral postpones only the driver row, not verification.
 #
 # st_approx_distinct is rows-only by design (HLL++ registers aren't
 # DuckDB-reproducible; value anchor = within-5%-of-exact property test)
 # and is exempt per the rows-only rule.
-DEFERRED_FIRST_ROW: set[str] = set()
+# Round-9 window planning note: besides the deferral set below, win_ntile's
+# CODE changed late in round 8 (the distributed two-level position scan
+# replaced the single-partition ntile window; same oracle, green driver
+# rows r06 predate the change) — rotate it into the round-9 window as a
+# changed-code re-sample.
+DEFERRED_FIRST_ROW: set[str] = {
+    # round-8 batch 2 (stats/ts/graph/llm/mm breadth), in add order
+    "agg_mannwhitney",
+    "agg_anova",
+    "ts_bollinger",
+    "ts_rsi",
+    "graph_assortativity",
+    "llm_emb_outliers",
+    "llm_prefix_dedup",
+    "mm_aspect_bucket",
+    "sample_bottomk",
+}
 
 
 def load_all_queries() -> dict[str, QuerySpec]:

@@ -123,6 +123,9 @@ ADV_PANEL = [
     "llm_minhash_dedup",    # shingle-less docs excluded (NULL-sig buckets)
     "llm_dedup_audit",      # same exclusion in the exact-truth panel
     "dq_chi2",              # NULL-text rows still carry (lang, source) cells
+    # round-8 batch-2 document-path operators:
+    "llm_prefix_dedup",     # NULL/short docs excluded by the >= 8-token guard
+    "mm_aspect_bucket",     # md5(unicode text): utf-8 byte hashing must agree
 ]
 
 
@@ -157,9 +160,11 @@ def _adv_events_rows():
         rows.append((eid, _TS_BASE + 3_600_000_000, 1, types[i % 5],
                      float(i % 7) - 2.0, '{"k": %d}' % i))
         eid += 1
-    # user 2: pairwise-duplicate timestamps over 6 days (daily cells stay
-    # non-degenerate for changepoint/peak/volume ops)
-    for d in range(6):
+    # user 2: pairwise-duplicate timestamps over 16 days (daily cells stay
+    # non-degenerate for changepoint/peak/volume ops; 16 days so the
+    # 7-day bollinger and 14-delta RSI windows actually fill — with
+    # negative and zero daily sums in the early days)
+    for d in range(16):
         for j in range(10):
             ts = _TS_BASE + d * 86_400_000_000 + (j // 2) * 1_000_000
             rows.append((eid, ts, 2, types[j % 5], 0.0 if j == 0 else j * 1.5,
@@ -271,6 +276,10 @@ ADV_EVENTS_PANEL = [
     "st_topk",                # leaderboard ties broken by type, not arrival
     "ts_decay_score",         # zero/negative values; raw_sum 0 => Inf must agree
     "ts_holt",                # shift recursion on negative daily sums (floor both engines)
+    # round-8 batch-2 events-path operators:
+    "ts_bollinger",           # negative/zero daily sums through the integer breach gate
+    "ts_rsi",                 # all-loss windows (sg = 0) and the 50.0 flat convention
+    "agg_anova",              # truncation-div means on NEGATIVE group sums must agree
 ]
 
 

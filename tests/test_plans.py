@@ -1543,3 +1543,67 @@ def test_cross_dedup_bucket_shape_and_no_within_side_pairs(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Generate" in plan
+
+
+def test_sample_bottomk_is_take_ordered(spark, sf_dir):
+    # exact-k sampling must plan as per-partition heaps + one k-row merge,
+    # never a global sort of the full table
+    plan = _executed_plan(spark, "sample_bottomk", sf_dir)
+    assert "TakeOrderedAndProject" in plan, (
+        f"bottom-k sample must not be a global sort:\n{plan}"
+    )
+
+
+def test_aspect_bucket_no_python_single_aggregate(spark, sf_dir):
+    # pure metadata op: no Arrow/Python boundary, and exactly one
+    # hash-aggregate exchange (the |kinds x buckets| cell collapse)
+    plan = _executed_plan(spark, "mm_aspect_bucket", sf_dir)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, (
+        f"aspect bucketing must stay JVM-side:\n{plan}"
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, (
+        f"aspect bucketing should shuffle once, on the cell grain:\n{plan}"
+    )
+
+
+def test_spearman_ranks_reuse_pair_grain_cache(spark, sf_dir):
+    # ranks must derive from the persisted pair-grain collapse, not from
+    # re-scans of lineitem per variable (the dq_chi2 barrier discipline).
+    # The printed tree repeats the cached subtree per consumer, so the
+    # gate is: every appearance of the fact scan sits INSIDE the
+    # InMemoryRelation definition, and all three consumers (two rank
+    # grains + the moment join) read InMemoryTableScan.
+    plan = _executed_plan(spark, "agg_spearman", sf_dir)
+    n_imts = len(re.findall(r"InMemoryTableScan", plan))
+    assert n_imts >= 3, f"expected 3 cached consumers, saw {n_imts}:\n{plan}"
+    for m in re.finditer(r"^( *)[+:]- FileScan parquet", plan, re.M):
+        # a FileScan at shallow indent would be an uncached fact re-scan;
+        # cached ones are nested under InMemoryRelation (indent >= 20)
+        assert len(m.group(1)) >= 20, f"uncached lineitem scan:\n{plan}"
+
+
+def test_emb_outliers_distance_pass_has_no_exchange_below_moments(spark, sf_dir):
+    # the centroid (64 cells) and the moment row must be the ONLY
+    # aggregation exchanges; distances are a broadcast-fed map pass, and
+    # no exchange may carry the quantized vector arrays
+    plan = _executed_plan(spark, "llm_emb_outliers", sf_dir)
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "q#" not in m.group(1), (
+            f"an exchange partitions on/carries the vector array:\n{plan}"
+        )
+
+
+def test_ntile_row_grain_window_is_range_partitioned(spark, sf_dir):
+    """win_ntile (round-8 drop-in): the row-grain row_number must ride a
+    rid-PARTITIONED window over a range exchange — never a
+    single-partition ntile over the full table; the only unpartitioned
+    window rides the |ranges|-row counts table."""
+    plan = _executed_plan(spark, "win_ntile", sf_dir)
+    assert "Exchange rangepartitioning(c_acctbal" in plan, plan
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        if "c_acctbal" in spec:
+            assert spec.strip().startswith("rid"), (
+                f"row-grain window lacks rid partitioning: {spec}\n{plan}"
+            )

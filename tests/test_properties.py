@@ -2745,3 +2745,36 @@ def test_cross_dedup_is_exactly_the_cross_side_slice(spark, sf_dir):
         if r.doc_a < 50 and r.doc_b == r.doc_a + 1000000
     }
     assert mh <= found, f"missed planted contamination: {sorted(mh - found)[:5]}"
+
+
+def test_ntile_distributed_positions_equal_single_window(spark, sf_dir):
+    """win_ntile's two-level parallel-scan tile assignment (round-8
+    drop-in) must reproduce the single-window ntile(4) semantics row for
+    row — including the first-(N mod k)-tiles-get-one-extra rule — pinned
+    so a range-boundary or offset regression can't ship silently."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    got = {
+        (r.quartile, r.n_customers, r.lo, r.hi, r.sum_bal)
+        for r in SPECS["win_ntile"].builder(spark, sf_dir).collect()
+    }
+    cust = table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    from air_quality_data_pipeline_spark.functions.exact import exact_sum
+
+    ref = {
+        (r.quartile, r.n_customers, r.lo, r.hi, r.sum_bal)
+        for r in cust.select(
+            "c_acctbal", F.ntile(4).over(w).alias("quartile")
+        )
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_acctbal").alias("lo"),
+            F.max("c_acctbal").alias("hi"),
+            exact_sum(F.col("c_acctbal")).alias("sum_bal"),
+        )
+        .collect()
+    }
+    assert got == ref
