@@ -4215,3 +4215,109 @@ def llm_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("m1") == 0) | (F.col("m2") == 0), 0.0).otherwise(bp * core), 9
         ).alias("bleu2"),
     )
+
+
+# --- llm_rater_kappa: inter-rater agreement between two quality gates ----------
+
+# When two independent quality raters (heuristic filters, model
+# classifiers, human annotators) label the same corpus, raw percent
+# agreement overstates consensus — both raters saying "keep" to almost
+# everything agrees by accident. Cohen's kappa corrects for
+# chance-expected agreement and is the standard report in every
+# annotation/eval pipeline. Raters here are two deterministic
+# integer-arithmetic gates over each document (the llm_quality_score
+# lexical gate and an independent length/char gate), so the 2x2
+# confusion table is exact, and kappa's closing ratio
+# (N*(n11+n00) - (a1*b1 + a0*b0)) / (N^2 - (a1*b1 + a0*b0)) sees exact
+# BIGINT operands — ROUND(9) only for the final division.
+_RATER_KAPPA_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq,
+         strlen(text) AS n_chars
+  FROM documents WHERE text IS NOT NULL
+),
+r AS (
+  SELECT doc_id,
+         CASE WHEN n_tok >= 20 AND n_uniq * 10 >= 3 * n_tok THEN 1 ELSE 0 END AS ra,
+         CASE WHEN n_chars >= 100 AND (n_chars - n_tok + 1) <= 8 * n_tok
+              THEN 1 ELSE 0 END AS rb
+  FROM m
+),
+c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(ra * rb) AS BIGINT) AS n11,
+         CAST(SUM(ra * (1 - rb)) AS BIGINT) AS n10,
+         CAST(SUM((1 - ra) * rb) AS BIGINT) AS n01,
+         CAST(SUM((1 - ra) * (1 - rb)) AS BIGINT) AS n00
+  FROM r
+)
+SELECT n, n11, n10, n01, n00,
+       ROUND(CAST(n11 + n00 AS DOUBLE) / n, 9) AS p_observed,
+       ROUND(CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE)
+             / (CAST(n AS DOUBLE) * n), 9) AS p_expected,
+       ROUND(CAST(n * (n11 + n00)
+                  - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+             / (CAST(n AS HUGEINT) * n
+                - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))), 9)
+         AS kappa
+FROM c
+"""
+
+
+@register("llm_rater_kappa", oracle=_RATER_KAPPA_ORACLE, tags=("llm", "text", "stats"))
+def llm_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent document-quality raters (the
+    lexical keep gate and a length/char-shape gate): the chance-corrected
+    agreement report every annotation and auto-labeling pipeline tracks.
+    Both raters are exact integer gates, so the 2x2 confusion table and
+    kappa's numerator/denominator are exact BIGINT arithmetic — one
+    ROUND(9) division at the end.
+
+    Scale shape: ONE map-side-combinable pass collapses the corpus to
+    five counters; everything after is scalar arithmetic on a single
+    row. Adding a third rater (a model score column) changes the
+    conditional sums, not the plan."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split(F.col("text"), " ")
+    m = docs.select(
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    ra = F.when(
+        (F.col("n_tok") >= 20) & (F.col("n_uniq") * 10 >= 3 * F.col("n_tok")), 1
+    ).otherwise(0)
+    rb = F.when(
+        (F.col("n_chars") >= 100)
+        & ((F.col("n_chars") - F.col("n_tok") + 1) <= 8 * F.col("n_tok")),
+        1,
+    ).otherwise(0)
+    r = m.select(ra.alias("ra"), rb.alias("rb"))
+    c = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("ra") * F.col("rb")).cast("bigint").alias("n11"),
+        F.sum(F.col("ra") * (1 - F.col("rb"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("ra")) * F.col("rb")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("ra")) * (1 - F.col("rb"))).cast("bigint").alias("n00"),
+    )
+    a1b1 = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+    a0b0 = (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    chance = a1b1 + a0b0
+    nd = F.col("n").cast("decimal(38,0)")
+    return c.select(
+        "n", "n11", "n10", "n01", "n00",
+        F.round((F.col("n11") + F.col("n00")).cast("double") / F.col("n"), 9).alias(
+            "p_observed"
+        ),
+        F.round(
+            chance.cast("double") / (F.col("n").cast("double") * F.col("n")), 9
+        ).alias("p_expected"),
+        F.round(
+            (F.col("n") * (F.col("n11") + F.col("n00")) - chance).cast("double")
+            / (nd * nd - chance).cast("double"),
+            9,
+        ).alias("kappa"),
+    )

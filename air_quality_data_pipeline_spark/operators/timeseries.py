@@ -2376,3 +2376,106 @@ def ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("neutral")
         .alias("signal"),
     )
+
+
+# --- ts_leadlag: lagged cross-correlation between two daily series -------------
+
+# "Do views LEAD purchases, and by how many days?" — the lead-lag scan
+# every growth/attribution analysis runs: Pearson correlation between the
+# global daily view series and the purchase series shifted by each lag in
+# [-3, +3]. Micro-quantized BIGINT daily totals make all six moments per
+# lag exact DECIMAL(38,0) sums; the closing correlation sees exact
+# operands (ROUND(9) for the int128/BigDecimal double ulp). Day pairs
+# that fall off either series end drop via the inner join, so each lag's
+# n_days is part of the answer, not an artifact.
+_LEADLAG_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'view'
+              THEN CAST(floor(value * 1000000.0) AS BIGINT) END), 0) AS BIGINT) AS xq,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+              THEN CAST(floor(value * 1000000.0) AS BIGINT) END), 0) AS BIGINT) AS yq
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+lagged AS (
+  SELECT t.l AS lag, a.xq, b.yq
+  FROM daily a
+  CROSS JOIN UNNEST(range(-3, 4)) AS t(l)
+  JOIN daily b ON b.day = a.day + CAST(t.l AS INTEGER)
+),
+m AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+         SUM(CAST(xq AS HUGEINT)) AS sx, SUM(CAST(yq AS HUGEINT)) AS sy,
+         SUM(CAST(xq AS HUGEINT) * yq) AS sxy,
+         SUM(CAST(xq AS HUGEINT) * xq) AS sx2,
+         SUM(CAST(yq AS HUGEINT) * yq) AS sy2
+  FROM lagged GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n_days,
+       CASE WHEN (n_days * sx2 - sx * sx) > 0 AND (n_days * sy2 - sy * sy) > 0
+            THEN ROUND(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n_days * sx2 - sx * sx AS DOUBLE)
+                              * CAST(n_days * sy2 - sy * sy AS DOUBLE)), 9)
+            ELSE NULL END AS corr_xy
+FROM m
+"""
+
+
+@register("ts_leadlag", oracle=_LEADLAG_ORACLE, tags=("timeseries", "stats"))
+def ts_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation: Pearson correlation between the daily
+    view series and the purchase series shifted by each lag in [-3, +3]
+    — positive peak at a positive lag means views lead purchases by that
+    many days. The cross-series companion to ts_sliding_corr (same-day,
+    per-user) and ts_autocorr (self-lag). Exact integer moments per lag
+    (see oracle comment).
+
+    Scale shape: ONE map-side collapse to the |days|-row daily grain; the
+    7x lag explode and self-join operate on that cell-bounded table
+    (calendar-sized, not corpus-sized), and the per-lag moment aggregate
+    outputs 7 rows. Nothing downstream of the first aggregate sees a
+    fact-table row."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    q = lambda t: F.sum(  # noqa: E731
+        F.when(
+            F.col("event_type") == t,
+            F.floor(F.col("value") * 1000000.0).cast("bigint"),
+        )
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.coalesce(q("view"), F.lit(0)).cast("bigint").alias("xq"),
+        F.coalesce(q("purchase"), F.lit(0)).cast("bigint").alias("yq"),
+    )
+    daily = scoped_persist(daily)
+    a = daily.select("day", "xq").crossJoin(
+        F.broadcast(spark.range(-3, 4).select(F.col("id").cast("int").alias("lag")))
+    )
+    b = daily.select(F.col("day").alias("bday"), "yq")
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = (
+        a.join(b, F.expr("date_add(day, lag)") == F.col("bday"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum(d("xq")).alias("sx"),
+            F.sum(d("yq")).alias("sy"),
+            F.sum(d("xq") * d("yq")).alias("sxy"),
+            F.sum(d("xq") * d("xq")).alias("sx2"),
+            F.sum(d("yq") * d("yq")).alias("sy2"),
+        )
+    )
+    nd = F.col("n_days").cast("decimal(38,0)")
+    vx = nd * F.col("sx2") - F.col("sx") * F.col("sx")
+    vy = nd * F.col("sy2") - F.col("sy") * F.col("sy")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        "n_days",
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(
+                num.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double")), 9
+            ),
+        ).alias("corr_xy"),
+    )

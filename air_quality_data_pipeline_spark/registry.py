@@ -223,6 +223,9 @@ DEFERRED_FIRST_ROW: set[str] = {
     "llm_prefix_dedup",
     "mm_aspect_bucket",
     "sample_bottomk",
+    # round-8 batch 3
+    "ts_leadlag",
+    "llm_rater_kappa",
 }
 
 
