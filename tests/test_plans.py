@@ -1607,3 +1607,35 @@ def test_ntile_row_grain_window_is_range_partitioned(spark, sf_dir):
             assert spec.strip().startswith("rid"), (
                 f"row-grain window lacks rid partitioning: {spec}\n{plan}"
             )
+
+
+def test_rater_kappa_single_pass_no_python(spark, sf_dir):
+    # kappa is ONE map-side-combinable collapse to five counters: no
+    # Python boundary and no hash exchange anywhere (the only exchange is
+    # the SinglePartition merge of partial counter rows)
+    plan = _executed_plan(spark, "llm_rater_kappa", sf_dir)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, (
+        f"kappa gates must stay JVM-side:\n{plan}"
+    )
+    assert "Exchange hashpartitioning" not in plan, (
+        f"kappa should collapse map-side, one SinglePartition merge only:\n{plan}"
+    )
+
+
+def test_leadlag_joins_only_the_cached_daily_grain(spark, sf_dir):
+    # the fact table must collapse to the persisted daily grain ONCE; the
+    # 7-row lag table broadcasts (BNLJ is the deliberate 7x explode), the
+    # self-join runs day-grain vs day-grain (both InMemoryTableScan), and
+    # no hash exchange carries a fact-grain column
+    plan = _executed_plan(spark, "ts_leadlag", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan, (
+        f"lag explode should be a broadcast of the 7-row range:\n{plan}"
+    )
+    assert len(re.findall(r"InMemoryTableScan", plan)) >= 2, (
+        f"both join sides must read the cached daily collapse:\n{plan}"
+    )
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        cols = m.group(1)
+        assert "event_id" not in cols and "user_id" not in cols, (
+            f"an exchange partitions on a fact-grain column: {cols}\n{plan}"
+        )

@@ -2778,3 +2778,60 @@ def test_ntile_distributed_positions_equal_single_window(spark, sf_dir):
         .collect()
     }
     assert got == ref
+
+
+def test_rater_kappa_identities(spark, sf_dir):
+    """The confusion table must tile the corpus and kappa must equal the
+    textbook (po - pe) / (1 - pe) recomputed in exact Python arithmetic
+    from the four counts — pinning the cross-multiplied closing form."""
+    row = SPECS["llm_rater_kappa"].builder(spark, sf_dir).collect()[0]
+    n, n11, n10, n01, n00 = row.n, row.n11, row.n10, row.n01, row.n00
+    assert n11 + n10 + n01 + n00 == n
+    chance = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    kappa_ref = round((n * (n11 + n00) - chance) / (n * n - chance), 9)
+    assert row.kappa == kappa_ref
+    assert abs(row.p_observed - round((n11 + n00) / n, 9)) == 0
+
+
+def test_leadlag_matches_numpy_per_lag(spark, sf_dir):
+    """Each lag's correlation must equal a from-scratch recomputation:
+    rebuild the quantized daily series in pandas, shift, and apply the
+    same exact-integer moment algebra — an independent second
+    implementation, not a replay of the operator's SQL."""
+    import duckdb
+
+    got = {r.lag: (r.n_days, r.corr_xy)
+           for r in SPECS["ts_leadlag"].builder(spark, sf_dir).collect()}
+    daily = duckdb.sql(
+        f"""
+        SELECT CAST(ts AS DATE) AS day,
+          COALESCE(SUM(CASE WHEN event_type = 'view'
+            THEN CAST(floor(value * 1000000.0) AS BIGINT) END), 0) AS xq,
+          COALESCE(SUM(CASE WHEN event_type = 'purchase'
+            THEN CAST(floor(value * 1000000.0) AS BIGINT) END), 0) AS yq
+        FROM '{sf_dir}/events.parquet' GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    by_day = {d: (int(x), int(y)) for d, x, y in daily}
+    import datetime as dt
+
+    for lag in range(-3, 4):
+        pairs = [
+            (x, by_day[d + dt.timedelta(days=lag)][1])
+            for d, (x, _) in by_day.items()
+            if d + dt.timedelta(days=lag) in by_day
+        ]
+        n = len(pairs)
+        sx = sum(p[0] for p in pairs); sy = sum(p[1] for p in pairs)
+        sxy = sum(p[0] * p[1] for p in pairs)
+        sx2 = sum(p[0] ** 2 for p in pairs); sy2 = sum(p[1] ** 2 for p in pairs)
+        vx, vy = n * sx2 - sx * sx, n * sy2 - sy * sy
+        ref = (
+            round((n * sxy - sx * sy) / (vx * vy) ** 0.5, 9)
+            if vx > 0 and vy > 0 else None
+        )
+        assert got[lag][0] == n, f"lag {lag}: n_days {got[lag][0]} != {n}"
+        if ref is None:
+            assert got[lag][1] is None
+        else:
+            assert abs(got[lag][1] - ref) <= 1e-9, f"lag {lag}: {got[lag][1]} vs {ref}"
