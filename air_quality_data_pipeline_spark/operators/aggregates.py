@@ -2160,3 +2160,104 @@ def agg_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- agg_kendall_tau: tie-aware Kendall rank correlation -----------------------
+
+# Rank-correlation sibling of agg_spearman: does a brand that MOVES more
+# units also BILL more? Kendall's tau-b over the 25-brand grain — the
+# pair-counting form (concordant minus discordant over all brand pairs,
+# tie-corrected) is the robust ordinal-association report when the grain
+# is small and ties are real. The fact table collapses ONCE to exact
+# per-brand integer totals (quantity and price both micro/cent-quantized
+# BIGINT sums); the pair enumeration is a self-join of that 25-row cell
+# table (300 pairs), so every comparison sees exact integers and the
+# only double is tau-b's closing sqrt division, ROUND(9)ed.
+_KENDALL_ORACLE = """
+WITH cell AS (
+  SELECT p.p_brand AS brand,
+         SUM(CAST(floor(l.l_quantity * 100.0) AS BIGINT)) AS x,
+         SUM(CAST(floor(l.l_extendedprice * 100.0) AS BIGINT)) AS y
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_brand
+),
+pairs AS (
+  SELECT CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END AS conc,
+         CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END AS disc,
+         CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tie_x,
+         CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS tie_y
+  FROM cell a JOIN cell b ON a.brand < b.brand
+),
+m AS (
+  SELECT CAST((SELECT COUNT(*) FROM cell) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n0,
+         CAST(SUM(conc) AS BIGINT) AS c,
+         CAST(SUM(disc) AS BIGINT) AS d,
+         CAST(SUM(tie_x) AS BIGINT) AS tx,
+         CAST(SUM(tie_y) AS BIGINT) AS ty
+  FROM pairs
+)
+SELECT n, n0, c, d, tx, ty,
+       ROUND(CAST(c - d AS DOUBLE)
+             / sqrt(CAST((n0 - tx) AS DOUBLE) * CAST((n0 - ty) AS DOUBLE)), 9)
+         AS tau_b
+FROM m
+"""
+
+
+@register("agg_kendall_tau", oracle=_KENDALL_ORACLE, tags=("agg", "stats"))
+def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between per-brand unit volume and billed revenue:
+    the tie-aware pair-counting rank correlation (concordant - discordant
+    over sqrt of tie-corrected pair counts). Completes the rank-statistics
+    family next to agg_spearman (rank moments) and agg_mannwhitney (rank
+    sums).
+
+    Scale shape: ONE fact collapse to the 25-row brand grain (map-side
+    combinable exact integer sums; the part join shuffles fact rows only
+    until that aggregate); the O(grain^2) pair self-join runs on 25 rows
+    — 300 pairs — and is grain-bounded, never corpus-bounded, the same
+    bounded-panel discipline as llm_rouge_n. The closing row is scalar
+    arithmetic."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_quantity") * 100.0).cast("bigint").alias("xq"),
+        F.floor(F.col("l_extendedprice") * 100.0).cast("bigint").alias("yq"),
+    )
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cell = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.sum("xq").alias("x"), F.sum("yq").alias("y"))
+    )
+    cell = scoped_persist(cell)
+    a, b = cell.alias("a"), cell.alias("b")
+    ax, bx = F.col("a.x"), F.col("b.x")
+    ay, by = F.col("a.y"), F.col("b.y")
+    prod = (ax - bx) * (ay - by)
+    pairs = a.join(F.broadcast(b), F.col("a.brand") < F.col("b.brand")).select(
+        F.when(prod > 0, 1).otherwise(0).alias("conc"),
+        F.when(prod < 0, 1).otherwise(0).alias("disc"),
+        F.when(ax == bx, 1).otherwise(0).alias("tie_x"),
+        F.when(ay == by, 1).otherwise(0).alias("tie_y"),
+    )
+    n_cell = cell.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        F.sum("conc").cast("bigint").alias("c"),
+        F.sum("disc").cast("bigint").alias("d"),
+        F.sum("tie_x").cast("bigint").alias("tx"),
+        F.sum("tie_y").cast("bigint").alias("ty"),
+    ).crossJoin(F.broadcast(n_cell))
+    return m.select(
+        "n", "n0", "c", "d", "tx", "ty",
+        F.round(
+            (F.col("c") - F.col("d")).cast("double")
+            / F.sqrt(
+                (F.col("n0") - F.col("tx")).cast("double")
+                * (F.col("n0") - F.col("ty")).cast("double")
+            ),
+            9,
+        ).alias("tau_b"),
+    )

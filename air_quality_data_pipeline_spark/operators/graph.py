@@ -1710,3 +1710,202 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("assortativity"),
     )
+
+
+# --- graph_harmonic: 3-bounded harmonic centrality ------------------------------
+
+# Harmonic centrality H(u) = sum over v != u of 1/d(u,v), truncated at
+# distance 3 — the standard scalable stand-in for closeness on graphs
+# where full APSP is off the table: three sparse frontier joins instead
+# of a shortest-path solver. Distance classes are computed exactly by
+# set subtraction (exactly-2 = reachable-in-2 minus neighbors minus
+# self; exactly-3 = one step from the exactly-2 frontier minus
+# everything nearer), so H is pure integer arithmetic in micro-units:
+# n1/1 + n2/2 + n3/3 -> n1*1000000 + n2*500000 + n3*333333.
+_HARMONIC_ORACLE = """
+WITH pair_counts AS MATERIALIZED (
+  SELECT l1.l_suppkey AS src, l2.l_suppkey AS dst, COUNT(*) AS w
+  FROM lineitem l1
+  JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+  GROUP BY l1.l_suppkey, l2.l_suppkey
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM pair_counts
+  WHERE w > (SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*) FROM pair_counts)
+),
+d1 AS MATERIALIZED (SELECT DISTINCT src AS a, dst AS b FROM edges),
+d2 AS MATERIALIZED (
+  SELECT DISTINCT x.a, e.dst AS b
+  FROM d1 x JOIN edges e ON e.src = x.b AND e.dst <> x.a
+  EXCEPT SELECT a, b FROM d1
+),
+d3 AS MATERIALIZED (
+  SELECT DISTINCT x.a, e.dst AS b
+  FROM d2 x JOIN edges e ON e.src = x.b AND e.dst <> x.a
+  EXCEPT (SELECT a, b FROM d1 UNION ALL SELECT a, b FROM d2)
+),
+n AS (
+  SELECT a,
+         SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS n2,
+         SUM(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS n3
+  FROM (
+    SELECT a, 1 AS d FROM d1
+    UNION ALL SELECT a, 2 FROM d2
+    UNION ALL SELECT a, 3 FROM d3
+  )
+  GROUP BY a
+)
+SELECT CAST(a AS BIGINT) AS suppkey,
+       CAST(n1 AS BIGINT) AS n_dist1,
+       CAST(n2 AS BIGINT) AS n_dist2,
+       CAST(n3 AS BIGINT) AS n_dist3,
+       CAST(n1 * 1000000 + n2 * 500000 + n3 * 333333 AS BIGINT)
+         AS harmonic_micro
+FROM n
+"""
+
+
+@register("graph_harmonic", oracle=_HARMONIC_ORACLE, tags=("graph",))
+def graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-bounded harmonic centrality over the co-purchase graph: per
+    node, how many peers sit at distance exactly 1, 2 and 3, combined as
+    sum(1/d) in exact micro-units — the scalable closeness stand-in
+    (full closeness needs APSP; bounded harmonic needs k sparse joins
+    and is the form production graph stacks ship).
+
+    Scale shape: the memoized edge set feeds three frontier equi-joins
+    with DISTINCT collapses between them — every exchange carries
+    (node, node) int pairs on the reachable-pair grain, never fact rows.
+    Fan-out is bounded by the k-hop neighborhood size; on hub-heavy
+    graphs the frontier tables are the cost driver and the truncation
+    depth (3) is the knob. Distance classes by set subtraction =
+    left_anti joins, so no per-node BFS state exists anywhere."""
+    apply_engine_conf(spark)
+    edges = _copurchase_edges(spark, sf_dir)
+    d1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).distinct()
+    d1 = scoped_persist(d1)
+    step = (
+        d1.alias("x")
+        .join(edges.alias("e"), F.col("e.src") == F.col("x.b"))
+        .filter(F.col("e.dst") != F.col("x.a"))
+        .select(F.col("x.a").alias("a"), F.col("e.dst").alias("b"))
+        .distinct()
+    )
+    d2 = step.join(d1, ["a", "b"], "left_anti")
+    d2 = scoped_persist(d2)
+    step3 = (
+        d2.alias("x")
+        .join(edges.alias("e"), F.col("e.src") == F.col("x.b"))
+        .filter(F.col("e.dst") != F.col("x.a"))
+        .select(F.col("x.a").alias("a"), F.col("e.dst").alias("b"))
+        .distinct()
+    )
+    d3 = step3.join(d1.unionAll(d2), ["a", "b"], "left_anti")
+    alld = (
+        d1.select("a", F.lit(1).alias("d"))
+        .unionAll(d2.select("a", F.lit(2).alias("d")))
+        .unionAll(d3.select("a", F.lit(3).alias("d")))
+    )
+    n = alld.groupBy("a").agg(
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("d") == 2, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("d") == 3, 1).otherwise(0)).alias("n3"),
+    )
+    return n.select(
+        F.col("a").cast("bigint").alias("suppkey"),
+        F.col("n1").cast("bigint").alias("n_dist1"),
+        F.col("n2").cast("bigint").alias("n_dist2"),
+        F.col("n3").cast("bigint").alias("n_dist3"),
+        (F.col("n1") * 1000000 + F.col("n2") * 500000 + F.col("n3") * 333333)
+        .cast("bigint")
+        .alias("harmonic_micro"),
+    )
+
+
+# --- graph_pref_attach: preferential-attachment link prediction -----------------
+
+# The third classical link-prediction feature next to graph_jaccard
+# (normalized overlap) and graph_adamic_adar (hub-discounted overlap):
+# score CANDIDATE pairs — non-adjacent node pairs sharing at least one
+# neighbor (the open-wedge endpoints) — by deg(u) * deg(v), the
+# preferential-attachment product. Pure integer counts end to end.
+_PREF_ATTACH_ORACLE = """
+WITH pair_counts AS MATERIALIZED (
+  SELECT l1.l_suppkey AS src, l2.l_suppkey AS dst, COUNT(*) AS w
+  FROM lineitem l1
+  JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+  GROUP BY l1.l_suppkey, l2.l_suppkey
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM pair_counts
+  WHERE w > (SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*) FROM pair_counts)
+),
+deg AS MATERIALIZED (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src
+),
+wedge AS (
+  SELECT e1.dst AS u, e2.dst AS v, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM edges e1 JOIN edges e2
+    ON e2.src = e1.src AND e1.dst < e2.dst
+  GROUP BY e1.dst, e2.dst
+),
+cand AS (
+  SELECT w.u, w.v, w.n_common
+  FROM wedge w
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = w.u AND e.dst = w.v)
+)
+SELECT c.u, c.v, c.n_common, du.d * dv.d AS pa_score
+FROM cand c
+JOIN deg du ON du.node = c.u
+JOIN deg dv ON dv.node = c.v
+"""
+
+
+@register("graph_pref_attach", oracle=_PREF_ATTACH_ORACLE, tags=("graph",))
+def graph_pref_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preferential-attachment link prediction: every non-adjacent node
+    pair sharing at least one neighbor (open-wedge endpoints), scored by
+    the degree product deg(u) * deg(v) alongside its common-neighbor
+    count — the classical PA feature completing the link-prediction trio
+    with graph_jaccard and graph_adamic_adar. All-integer arithmetic.
+
+    Scale shape: wedges come from ONE self-equi-join of the memoized
+    edge set on the shared center (fan-out bounded by center degree,
+    u < v halves it), collapse immediately to the (u, v) candidate
+    grain, then an anti-join against edges removes closed pairs and two
+    |V|-grain degree joins attach the score — every exchange carries
+    int pairs/counters. Hub centers dominate wedge count; the LOW->HIGH
+    orientation trick from graph_triangles applies if a hub cap is ever
+    needed."""
+    apply_engine_conf(spark)
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    wedge = (
+        e1.join(
+            e2,
+            (F.col("e2.src") == F.col("e1.src"))
+            & (F.col("e1.dst") < F.col("e2.dst")),
+        )
+        .groupBy(F.col("e1.dst").alias("u"), F.col("e2.dst").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    cand = wedge.join(
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    return (
+        cand.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u", "v", "n_common", (F.col("du") * F.col("dv")).alias("pa_score")
+        )
+    )

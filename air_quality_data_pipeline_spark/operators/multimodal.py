@@ -828,3 +828,135 @@ def mm_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("aspect_milli").cast("bigint").alias("min_aspect_milli"),
         F.max("aspect_milli").cast("bigint").alias("max_aspect_milli"),
     )
+
+
+# --- mm_audio_vad: energy-threshold voice-activity detection -------------------
+
+# The canonical first pass of every speech pipeline: frame the signal,
+# compare each frame's energy to an adaptive threshold, report the
+# speech ratio and how many contiguous speech SEGMENTS exist (the
+# utterance count). Frames are mm_audio_frames' 32-byte/16-hop grid with
+# integer byte-sum energies; the threshold is per-media adaptive —
+# a frame is speech iff energy * n_frames > total_energy (strictly
+# above the media's mean frame energy), a pure integer cross-multiply
+# that can never flip on a double ulp. Segment starts are counted with
+# one lag() over the per-media frame sequence.
+_VAD_FRAME_LEN = 32
+_VAD_HOP = 16
+
+_AUDIO_VAD_ORACLE = f"""
+WITH audio AS (
+  -- NULL text == NULL payload: no signal, no frames, no output row
+  -- (the mm_phash NULL-payload lesson, excluded identically both sides)
+  SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS n
+  FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL
+),
+frames AS (
+  SELECT a.doc_id, t.i AS frame_idx,
+         CAST(list_reduce(list_prepend(0,
+                list_transform(range(1, strlen(substr(a.text, t.i * {_VAD_HOP} + 1,
+                                                      {_VAD_FRAME_LEN})) + 1),
+                               j -> ascii(substr(substr(a.text, t.i * {_VAD_HOP} + 1,
+                                                        {_VAD_FRAME_LEN}), j, 1)))),
+              (s, x) -> s + x) AS BIGINT) AS energy
+  FROM audio a,
+       UNNEST(range(0, greatest((a.n - {_VAD_FRAME_LEN}) // {_VAD_HOP} + 1, 1)))
+         AS t(i)
+),
+flagged AS (
+  SELECT doc_id, frame_idx, energy,
+         CASE WHEN energy * COUNT(*) OVER (PARTITION BY doc_id)
+                   > SUM(energy) OVER (PARTITION BY doc_id)
+              THEN 1 ELSE 0 END AS speech
+  FROM frames
+),
+runs AS (
+  SELECT doc_id, speech,
+         CASE WHEN speech = 1 AND COALESCE(lag(speech) OVER (
+                PARTITION BY doc_id ORDER BY frame_idx), 0) = 0
+              THEN 1 ELSE 0 END AS seg_start
+  FROM flagged
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(speech) AS BIGINT) AS n_speech,
+       CAST(SUM(seg_start) AS BIGINT) AS n_segments,
+       ROUND(CAST(SUM(speech) AS DOUBLE) / COUNT(*), 9) AS speech_ratio
+FROM runs
+GROUP BY doc_id
+"""
+
+
+@register("mm_audio_vad", oracle=_AUDIO_VAD_ORACLE, tags=("llm", "multimodal"))
+def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold voice-activity detection over audio payloads:
+    per media, the fraction of 32-byte frames whose energy strictly
+    exceeds the media's mean frame energy (integer cross-multiplied
+    verdict) and the number of contiguous speech segments — the
+    utterance-count / silence-trim statistic a speech data pipeline
+    computes before any model sees audio. Framing reuses the
+    mm_audio_frames contract (deterministic byte energies standing in
+    for RMS until real codecs exist, module note); the oracle recomputes
+    the whole chain in SQL, value-hash-checking the Arrow path.
+
+    Scale shape: payload bytes cross into Python ONCE (mapInPandas over
+    the binary column, emitting only (doc_id, frame_idx, energy) ints);
+    the VAD windows ride per-media partitions of the frame table —
+    bounded by payload/hop per media, shuffled as 3-int rows. The
+    per-media threshold means no global exchange exists at all."""
+    apply_engine_conf(spark)
+    audio = (
+        _media(spark, sf_dir)
+        .filter((F.col("kind") == "audio") & F.col("payload").isNotNull())
+        .select("doc_id", "payload")
+    )
+
+    def energy_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "energy": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                n_frames = max((n - _VAD_FRAME_LEN) // _VAD_HOP + 1, 1)
+                for i in range(n_frames):
+                    fr = b[i * _VAD_HOP : i * _VAD_HOP + _VAD_FRAME_LEN]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["energy"].append(sum(fr))
+            yield pd.DataFrame(out)
+
+    frames = audio.mapInPandas(
+        energy_batches, schema="doc_id long, frame_idx long, energy long"
+    )
+    wp = Window.partitionBy("doc_id")
+    ws = Window.partitionBy("doc_id").orderBy("frame_idx")
+    flagged = frames.select(
+        "doc_id", "frame_idx",
+        F.when(
+            F.col("energy") * F.count(F.lit(1)).over(wp)
+            > F.sum("energy").over(wp),
+            1,
+        )
+        .otherwise(0)
+        .alias("speech"),
+    )
+    runs = flagged.select(
+        "doc_id", "speech",
+        F.when(
+            (F.col("speech") == 1)
+            & (F.coalesce(F.lag("speech").over(ws), F.lit(0)) == 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("seg_start"),
+    )
+    return runs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum("speech").cast("bigint").alias("n_speech"),
+        F.sum("seg_start").cast("bigint").alias("n_segments"),
+        F.round(F.sum("speech").cast("double") / F.count(F.lit(1)), 9).alias(
+            "speech_ratio"
+        ),
+    )

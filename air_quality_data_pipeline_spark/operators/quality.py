@@ -1582,3 +1582,177 @@ def dq_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("r1") * F.col("c1")).cast("bigint").alias("dof"),
         )
     )
+
+
+# --- dq_psi: population stability index between time halves --------------------
+
+# THE model-monitoring drift score: PSI = sum over bins of
+# (p_cur - p_base) * ln(p_cur / p_base), computed here between the first
+# and second half of the event history over 10 equal-width value bins.
+# Everything that can be integer IS integer: the half split compares
+# exact epoch-day numbers against their midpoint, bin edges come from an
+# integer division of the micro-quantized value span (no double edge
+# drift), and each bin's ln() is applied to IDENTICAL doubles in both
+# engines (a ratio of exact BIGINT counts) with the per-bin term
+# FLOOR-quantized to micro-units before any cross-bin arithmetic — the
+# agg_entropy libm recipe. Bins empty on either side contribute NULL
+# term (the standard "undefined without smoothing" convention) and are
+# reported, not silently dropped.
+_PSI_BINS = 10
+
+_PSI_ORACLE = f"""
+WITH span AS (
+  SELECT MIN(epoch_us(ts) // 86400000000) AS d_lo,
+         MAX(epoch_us(ts) // 86400000000) AS d_hi,
+         MIN(CAST(floor(value * 1000000.0) AS BIGINT)) AS v_lo,
+         MAX(CAST(floor(value * 1000000.0) AS BIGINT)) AS v_hi
+  FROM events
+),
+binned AS (
+  SELECT least((CAST(floor(e.value * 1000000.0) AS BIGINT) - s.v_lo)
+               // ((s.v_hi - s.v_lo) // {_PSI_BINS} + 1), {_PSI_BINS} - 1) AS bin,
+         CASE WHEN (epoch_us(e.ts) // 86400000000) * 2 < s.d_lo + s.d_hi
+              THEN 1 ELSE 0 END AS is_base
+  FROM events e CROSS JOIN span s
+),
+cells AS (
+  SELECT bin,
+         CAST(SUM(is_base) AS BIGINT) AS n_base,
+         CAST(SUM(1 - is_base) AS BIGINT) AS n_cur
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc FROM cells
+)
+SELECT c.bin, c.n_base, c.n_cur,
+       CASE WHEN c.n_base > 0 AND c.n_cur > 0 THEN
+         CAST(floor(
+           (CAST(c.n_cur AS DOUBLE) / t.tc - CAST(c.n_base AS DOUBLE) / t.tb)
+           * ln((CAST(c.n_cur AS DOUBLE) / t.tc)
+                / (CAST(c.n_base AS DOUBLE) / t.tb)) * 1000000.0
+         ) AS BIGINT)
+       END AS term_micro
+FROM cells c CROSS JOIN tot t
+"""
+
+
+@register("dq_psi", oracle=_PSI_ORACLE, tags=("quality", "drift"))
+def dq_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between the first and second half of
+    the event history, 10 equal-width bins over the micro-quantized value
+    range — the drift family's fourth lens next to dq_drift (z-shift),
+    dq_ks_test (max CDF gap) and dq_chi2 (independence). Per-bin PSI
+    terms are floor-quantized micro-nats (see oracle comment), so the
+    property-test total is an order-free exact integer sum.
+
+    Scale shape: one 4-counter broadcast anchor, then ONE map-side
+    collapse of the fact table to the 10-bin x 2-half cell grain —
+    nothing downstream of the first aggregate sees an event row, and the
+    closing join is |bins| vs a 1-row broadcast."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    day = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        " div 86400000000"
+    )
+    vq = F.floor(F.col("value") * 1000000.0).cast("bigint")
+    span = ev.agg(
+        F.min(day).alias("d_lo"),
+        F.max(day).alias("d_hi"),
+        F.min(vq).alias("v_lo"),
+        F.max(vq).alias("v_hi"),
+    )
+    width = F.expr(f"(v_hi - v_lo) div {_PSI_BINS} + 1")
+    binned = ev.crossJoin(F.broadcast(span)).select(
+        F.least(
+            F.expr(
+                f"(cast(floor(value * 1000000.0) as bigint) - v_lo) "
+                f"div ((v_hi - v_lo) div {_PSI_BINS} + 1)"
+            ),
+            F.lit(_PSI_BINS - 1),
+        ).alias("bin"),
+        F.when(day * 2 < F.col("d_lo") + F.col("d_hi"), 1).otherwise(0).alias(
+            "is_base"
+        ),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum("is_base").cast("bigint").alias("n_base"),
+        F.sum(1 - F.col("is_base")).cast("bigint").alias("n_cur"),
+    )
+    tot = cells.agg(F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc"))
+    p_cur = F.col("n_cur").cast("double") / F.col("tc")
+    p_base = F.col("n_base").cast("double") / F.col("tb")
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "bin", "n_base", "n_cur",
+        F.when(
+            (F.col("n_base") > 0) & (F.col("n_cur") > 0),
+            F.floor((p_cur - p_base) * F.log(p_cur / p_base) * 1000000.0).cast(
+                "bigint"
+            ),
+        ).alias("term_micro"),
+    )
+
+
+# --- dq_sequence_gaps: key-continuity audit via range-partitioned scan ---------
+
+# "Which orderkeys never shipped a line?" — the ID-continuity audit every
+# ingest pipeline runs against a supposedly-dense key space. The naive
+# form is lead(key) over a GLOBAL sort (single-partition at 100 TB); this
+# is the two-level range scan instead: keys collapse map-side into
+# fixed-width key ranges (width 1000), each range reports min/max/count,
+# within-range missing keys fall out of arithmetic ((hi - lo + 1) - n),
+# and only the |ranges|-row table rides an unpartitioned lead() window —
+# the same dimension-grain-window discipline as win_ntile's counts table.
+_GAP_RANGE = 1000
+
+_SEQ_GAPS_ORACLE = f"""
+WITH keys AS (
+  SELECT DISTINCT l_orderkey AS k FROM lineitem
+),
+ranges AS (
+  SELECT k // {_GAP_RANGE} AS range_id,
+         MIN(k) AS lo, MAX(k) AS hi, CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM keys GROUP BY k // {_GAP_RANGE}
+)
+SELECT CAST(range_id AS BIGINT) AS range_id, lo, hi, n_keys,
+       (hi - lo + 1) - n_keys AS missing_within,
+       COALESCE(lead(lo) OVER (ORDER BY range_id) - hi - 1, 0) AS missing_to_next
+FROM ranges
+"""
+
+
+@register("dq_sequence_gaps", oracle=_SEQ_GAPS_ORACLE, tags=("quality",))
+def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-continuity audit over the distinct l_orderkey space: per
+    fixed-width key range, how many keys inside the observed span are
+    missing, and how many fall in the gap to the next range — orders that
+    never shipped a line surface here (257 at sf0.01). Exact integer
+    arithmetic end to end.
+
+    Scale shape: the fact table collapses to distinct keys (map-side
+    partial dedup), then to the |keyspace / 1000| range grain in the same
+    exchange cascade; the ONLY window rides that dimension-sized range
+    table. No global sort of keys ever exists — within-range missing
+    counts come from min/max/count arithmetic, not adjacency."""
+    apply_engine_conf(spark)
+    keys = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("k"))
+        .distinct()
+    )
+    ranges = keys.groupBy(
+        F.expr(f"k div {_GAP_RANGE}").alias("range_id")
+    ).agg(
+        F.min("k").alias("lo"),
+        F.max("k").alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    w = Window.orderBy("range_id")
+    return ranges.select(
+        F.col("range_id").cast("bigint").alias("range_id"),
+        "lo", "hi", "n_keys",
+        (F.col("hi") - F.col("lo") + 1 - F.col("n_keys")).alias("missing_within"),
+        F.coalesce(
+            F.lead("lo").over(w) - F.col("hi") - 1, F.lit(0).cast("bigint")
+        ).alias("missing_to_next"),
+    )

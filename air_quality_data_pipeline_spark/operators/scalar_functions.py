@@ -848,3 +848,46 @@ def f_geo_bearing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.round((deg % 360.0 + 360.0) % 360.0, 6).alias("bearing_deg"),
     )
+
+
+# --- f_edit_distance: Levenshtein distance + normalized similarity -------------
+
+# The string-distance primitive behind fuzzy matching and dedup
+# explainability, exposed as a row-level function demo: Levenshtein
+# distance between each part's name and its type label, with the
+# normalized similarity 1 - d / max(len) — both engines implement the
+# identical Wagner-Fischer DP over ASCII, and the similarity is a
+# ROUND(9) ratio of exact integers. join_fuzzy is the JOIN consumer of
+# this same primitive; this entry pins the function itself.
+_EDIT_DIST_ORACLE = """
+SELECT p_partkey,
+       CAST(levenshtein(p_name, p_type) AS INT) AS edit_dist,
+       CAST(greatest(strlen(p_name), strlen(p_type)) AS INT) AS max_len,
+       ROUND(1.0 - CAST(levenshtein(p_name, p_type) AS DOUBLE)
+                   / greatest(strlen(p_name), strlen(p_type)), 9) AS similarity
+FROM part
+"""
+
+
+@register("f_edit_distance", oracle=_EDIT_DIST_ORACLE, tags=("function",))
+def f_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance and length-normalized similarity
+    between p_name and p_type for every part — the scalar primitive
+    behind join_fuzzy, pinned as its own oracle-checked entry (both
+    engines run the same Wagner-Fischer DP on ASCII inputs; the only
+    double is the ROUND(9) similarity ratio).
+
+    Scale shape: pure per-row codegen projection — zero exchanges, zero
+    Python; cost is the O(len^2) DP per row, which divides perfectly by
+    executor count. The threshold-banded variant used by join_fuzzy is
+    the knob if len grows."""
+    apply_engine_conf(spark)
+    pt = table(spark, sf_dir, "part")
+    d = F.levenshtein(F.col("p_name"), F.col("p_type"))
+    mx = F.greatest(F.length("p_name"), F.length("p_type"))
+    return pt.select(
+        "p_partkey",
+        d.cast("int").alias("edit_dist"),
+        mx.cast("int").alias("max_len"),
+        F.round(F.lit(1.0) - d.cast("double") / mx, 9).alias("similarity"),
+    )

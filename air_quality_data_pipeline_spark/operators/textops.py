@@ -4321,3 +4321,285 @@ def llm_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("kappa"),
     )
+
+
+# --- llm_lexical_diversity: TTR + Gini-Simpson per document ---------------------
+
+# The lexical-diversity pair every corpus-quality report carries: the
+# type-token ratio (vocab breadth) and the Gini-Simpson index
+# 1 - sum(c_i*(c_i-1)) / (N*(N-1)) (repeat concentration — the
+# probability two sampled tokens differ). Both are ratios of exact
+# BIGINTs: per-(doc, token) counts come from ONE explode + cell-grain
+# aggregate, the quadratic term sums c*(c-1) per doc, and the only
+# doubles are the two closing ROUND(9) divisions. Single-token docs pin
+# simpson to NULL (undefined) rather than an arbitrary 0/1.
+_LEXDIV_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+  FROM documents WHERE text IS NOT NULL AND text <> ''
+),
+cells AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY doc_id, t
+),
+d AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(c * (c - 1)) AS BIGINT) AS rep2
+  FROM cells GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_types,
+       ROUND(CAST(n_types AS DOUBLE) / n_tokens, 9) AS ttr,
+       CASE WHEN n_tokens > 1
+            THEN ROUND(1.0 - CAST(rep2 AS DOUBLE) / (n_tokens * (n_tokens - 1)), 9)
+       END AS gini_simpson
+FROM d
+"""
+
+
+@register("llm_lexical_diversity", oracle=_LEXDIV_ORACLE, tags=("llm", "text"))
+def llm_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity: type-token ratio and the
+    Gini-Simpson index (probability two sampled tokens differ) — the
+    repetition/diversity gate pair next to llm_quality_score's stopword
+    lens and llm_rep_filter's span lens. Exact integer counts; two
+    ROUND(9) closing divisions.
+
+    Scale shape: ONE explode to the (doc, token) cell grain with
+    map-side partial counting (the exchange carries cells, bounded by
+    per-doc vocabulary, not raw token instances), then a doc-grain
+    aggregate. Works unchanged when a single document's token stream is
+    larger than executor memory — no in-row array fold is attempted."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    )
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    cells = tok.groupBy("doc_id", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    d = cells.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint").alias("rep2"),
+    )
+    nt = F.col("n_tokens")
+    return d.select(
+        "doc_id", "n_tokens", "n_types",
+        F.round(F.col("n_types").cast("double") / nt, 9).alias("ttr"),
+        F.when(
+            nt > 1,
+            F.round(
+                F.lit(1.0) - F.col("rep2").cast("double") / (nt * (nt - 1)), 9
+            ),
+        ).alias("gini_simpson"),
+    )
+
+
+# --- llm_term_lift: per-source distinctive vocabulary ---------------------------
+
+# "What words make this source different?" — the domain-signature report
+# behind corpus cards and mixture debugging: for each source, the top 5
+# terms by lift = (share of term within source) / (share in corpus),
+# among terms with >= 5 in-source occurrences. The lift ratio is a
+# division of exact BIGINT cross-products ((c_st * N) vs (N_s * c_t)),
+# so ranking never sees a float: the window orders by the exact integer
+# pair and lift is ROUND(9)ed only for display.
+_TERM_LIFT_TOPK = 5
+_TERM_LIFT_MIN = 5
+
+_TERM_LIFT_ORACLE = f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS t
+  FROM documents WHERE text IS NOT NULL
+),
+st AS (
+  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c_st
+  FROM tok GROUP BY source, t
+),
+s AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM st GROUP BY source),
+ct AS (SELECT t, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY t),
+n AS (SELECT CAST(SUM(c_st) AS BIGINT) AS n FROM st),
+scored AS (
+  SELECT st.source, st.t, st.c_st, ct.c_t,
+         ROUND(CAST(st.c_st * n.n AS DOUBLE) / (s.n_s * ct.c_t), 9) AS lift,
+         row_number() OVER (
+           PARTITION BY st.source
+           ORDER BY CAST(st.c_st AS HUGEINT) * n.n * 1000000
+                    // (CAST(s.n_s AS HUGEINT) * ct.c_t) DESC, st.t
+         ) AS rk
+  FROM st JOIN s USING (source) JOIN ct USING (t) CROSS JOIN n
+  WHERE st.c_st >= {_TERM_LIFT_MIN}
+)
+SELECT source, t AS term, c_st AS n_in_source, c_t AS n_in_corpus, lift
+FROM scored WHERE rk <= {_TERM_LIFT_TOPK}
+"""
+
+
+@register("llm_term_lift", oracle=_TERM_LIFT_ORACLE, tags=("llm", "text"))
+def llm_term_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinctive terms per source by lift (in-source share over
+    corpus share, min 5 occurrences) — the domain-signature view of the
+    corpus mixture, complementing llm_tfidf (per-doc weights) and
+    llm_pmi_collocations (pairwise association). Ranking rides an exact
+    integer key (micro-scaled cross-product division), so rank order can
+    never flip on a double ulp.
+
+    Scale shape: tokens collapse map-side to the (source, term) cell
+    grain; source totals (|sources| rows) and the corpus total (1 row)
+    broadcast back; the per-term corpus count joins on the term grain;
+    the ONLY window rides the filtered candidate cells partitioned by
+    source. No token instance crosses more than the first exchange."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    st = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_st")
+    )
+    st = scoped_persist(st)
+    s = st.groupBy("source").agg(F.sum("c_st").cast("bigint").alias("n_s"))
+    ct = st.groupBy("t").agg(F.sum("c_st").cast("bigint").alias("c_t"))
+    n = st.agg(F.sum("c_st").cast("bigint").alias("n"))
+    cand = (
+        st.filter(F.col("c_st") >= _TERM_LIFT_MIN)
+        .join(F.broadcast(s), "source")
+        .join(ct, "t")
+        .crossJoin(F.broadcast(n))
+    )
+    # truncating integer division on both sides (DuckDB // vs Spark div):
+    # the micro-scaled exact rank key; div's LONG result range holds
+    # because the QUOTIENT is micro-lift (< 1e9 micro even at extreme
+    # vocabulary skew) — the agg_spearman BIGINT-range discipline
+    key = F.expr(
+        "CAST(c_st AS DECIMAL(38,0)) * n * 1000000"
+        " div (CAST(n_s AS DECIMAL(38,0)) * c_t)"
+    )
+    w = Window.partitionBy("source").orderBy(key.desc(), F.col("t"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TERM_LIFT_TOPK)
+        .select(
+            "source",
+            F.col("t").alias("term"),
+            F.col("c_st").alias("n_in_source"),
+            F.col("c_t").alias("n_in_corpus"),
+            F.round(
+                (F.col("c_st") * F.col("n")).cast("double")
+                / (F.col("n_s") * F.col("c_t")),
+                9,
+            ).alias("lift"),
+        )
+    )
+
+
+# --- llm_chrf: character-bigram chrF2 on the bounded evaluation panel ----------
+
+# chrF (Popovic 2015) is the character-n-gram F-score used as a
+# language-agnostic generation/translation metric; this is the bigram
+# rung with the standard beta = 2 recall weighting and the standard
+# whitespace strip. Unlike llm_rouge_n's distinct-overlap recall, chrF
+# uses CLIPPED COUNTS: overlap = sum over grams of min(count_ref,
+# count_cand) — so the per-(doc, gram) count tables join on the gram and
+# the F-score collapses to the exact integer identity
+# chrF2 = 5*overlap / (4*n_ref + n_cand) (derived from
+# (1+b^2)PR/(b^2 P + R) with P = ov/n_cand, R = ov/n_ref), ROUND(9).
+_CHRF_REFS = 10
+_CHRF_CANDS = 60  # doc_id in [10, 60)
+
+_CHRF_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, replace(text, ' ', '') AS s
+  FROM documents WHERE doc_id < {_CHRF_CANDS} AND text IS NOT NULL
+),
+grams AS (
+  -- length(), not strlen(): grams are CHARACTER bigrams and DuckDB
+  -- substr() is char-addressed while strlen() counts BYTES — on
+  -- multibyte docs the byte bound would fabricate trailing grams
+  SELECT doc_id, substr(s, t.i, 2) AS g, CAST(COUNT(*) AS BIGINT) AS c
+  FROM docs, UNNEST(range(1, greatest(length(s), 1))) AS t(i)
+  WHERE length(s) >= 2
+  GROUP BY doc_id, substr(s, t.i, 2)
+),
+tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM grams GROUP BY doc_id),
+ov AS (
+  SELECT r.doc_id AS ref_id, c.doc_id AS cand_id,
+         CAST(SUM(least(r.c, c.c)) AS BIGINT) AS overlap
+  FROM grams r JOIN grams c
+    ON c.g = r.g AND r.doc_id < {_CHRF_REFS} AND c.doc_id >= {_CHRF_REFS}
+  GROUP BY r.doc_id, c.doc_id
+)
+SELECT ov.ref_id, ov.cand_id, ov.overlap,
+       tr.n AS n_ref_grams, tc.n AS n_cand_grams,
+       ROUND(CAST(5 * ov.overlap AS DOUBLE) / (4 * tr.n + tc.n), 9) AS chrf2
+FROM ov
+JOIN tot tr ON tr.doc_id = ov.ref_id
+JOIN tot tc ON tc.doc_id = ov.cand_id
+"""
+
+
+@register("llm_chrf", oracle=_CHRF_ORACLE, tags=("llm", "text"))
+def llm_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram chrF2 between each of 10 reference docs and 50
+    candidates (the llm_rouge_n panel): clipped-count overlap with the
+    beta=2 recall-weighted F collapsed to the exact integer identity
+    5*ov / (4*n_ref + n_cand) — one ROUND(9). Whitespace stripped per
+    the chrF convention, so the metric sees orthography, not layout.
+
+    Scale shape: per-(doc, gram) counts collapse map-side before the
+    gram-grain join (the exchange carries 2-char gram cells, bounded by
+    alphabet^2 per doc, not character instances); the panel discipline
+    keeps pair count at refs x cands — metric cost never scales with
+    corpus^2. Zero-overlap pairs carry no row in both engines."""
+    apply_engine_conf(spark)
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < _CHRF_CANDS) & F.col("text").isNotNull())
+        .select(
+            "doc_id", F.regexp_replace(F.col("text"), " ", "").alias("s")
+        )
+        .filter(F.length("s") >= 2)
+    )
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(1, length(s) - 1), i -> substring(s, i, 2))")
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    grams = scoped_persist(grams)
+    tot = grams.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n"))
+    r = grams.filter(F.col("doc_id") < _CHRF_REFS).select(
+        F.col("doc_id").alias("ref_id"), "g", F.col("c").alias("cr")
+    )
+    c = grams.filter(F.col("doc_id") >= _CHRF_REFS).select(
+        F.col("doc_id").alias("cand_id"), "g", F.col("c").alias("cc")
+    )
+    ov = (
+        r.join(c, "g")
+        .groupBy("ref_id", "cand_id")
+        .agg(F.sum(F.least("cr", "cc")).cast("bigint").alias("overlap"))
+    )
+    tr = tot.select(F.col("doc_id").alias("ref_id"), F.col("n").alias("n_ref_grams"))
+    tc = tot.select(
+        F.col("doc_id").alias("cand_id"), F.col("n").alias("n_cand_grams")
+    )
+    return (
+        ov.join(F.broadcast(tr), "ref_id")
+        .join(F.broadcast(tc), "cand_id")
+        .select(
+            "ref_id", "cand_id", "overlap", "n_ref_grams", "n_cand_grams",
+            F.round(
+                (5 * F.col("overlap")).cast("double")
+                / (4 * F.col("n_ref_grams") + F.col("n_cand_grams")),
+                9,
+            ).alias("chrf2"),
+        )
+    )

@@ -2479,3 +2479,64 @@ def ts_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("corr_xy"),
     )
+
+
+# --- ts_calendar_profile: day-of-week x hour seasonality heatmap ----------------
+
+# The seasonality fingerprint behind every traffic dashboard: for each
+# event type, how activity distributes over the 7x24 calendar cells, with
+# each cell's share of its type's total. Cross-engine day-of-week is the
+# one trap: Spark weekday() is Monday=0 while DuckDB isodow() is
+# Monday=1, so the Spark side ships weekday(ts)+1 and both engines see
+# ISO numbering. Counts and micro-sums are exact integers; the share is
+# one ROUND(9) division of two exact BIGINTs.
+_CAL_PROFILE_ORACLE = """
+WITH cells AS (
+  SELECT event_type,
+         CAST(isodow(ts) AS BIGINT) AS dow,
+         CAST(hour(ts) AS BIGINT) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS sum_value_micro
+  FROM events
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, dow, hr, n_events, sum_value_micro,
+       ROUND(CAST(n_events AS DOUBLE)
+             / SUM(n_events) OVER (PARTITION BY event_type), 9) AS share
+FROM cells
+"""
+
+
+@register("ts_calendar_profile", oracle=_CAL_PROFILE_ORACLE, tags=("timeseries",))
+def ts_calendar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar seasonality profile: per event type, the 7x24
+    day-of-week x hour activity heatmap with each cell's share of the
+    type's events — ISO day numbering in both engines (weekday()+1 ==
+    isodow(), see oracle comment).
+
+    Scale shape: ONE map-side collapse to the <= |types| x 168 cell
+    grain; the share window rides that dimension-sized cell table
+    partitioned by type. Nothing after the first aggregate sees an
+    event row."""
+    apply_engine_conf(spark)
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        (F.expr("weekday(ts)") + 1).cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hr"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 1000000.0).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_value_micro"),
+    )
+    w = Window.partitionBy("event_type")
+    return cells.select(
+        "event_type", "dow", "hr", "n_events", "sum_value_micro",
+        F.round(
+            F.col("n_events").cast("double") / F.sum("n_events").over(w), 9
+        ).alias("share"),
+    )

@@ -965,3 +965,82 @@ def win_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_retailprice", "p_size")
     )
+
+
+# --- win_hopping: overlapping hopping-window aggregation (batch form) -----------
+
+# The batch analog of st_slide: 2-hour windows hopping every 30 minutes,
+# so each event lands in exactly WIN/HOP = 4 windows. Streaming engines
+# get this from window(ts, '2 hours', '30 minutes'); the batch form IS
+# that operator's expansion — a 4-row broadcast explode assigning each
+# event to the 4 hop-aligned window starts covering it, then one hash
+# aggregate on the (type, window_start) cell grain. Window starts are
+# exact epoch-second integers (hop-aligned integer division), values
+# micro-quantized BIGINTs — no timestamp arithmetic survives past the
+# first projection.
+_HOP_S = 1800
+_HOP_PER_WIN = 4  # window = 4 hops = 2 hours
+
+_HOPPING_ORACLE = f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // 1000000 AS sec,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS vq
+  FROM events
+),
+x AS (
+  SELECT e.event_type,
+         (e.sec // {_HOP_S}) * {_HOP_S} - t.k * {_HOP_S} AS window_start,
+         e.vq
+  FROM e CROSS JOIN UNNEST(range(0, {_HOP_PER_WIN})) AS t(k)
+)
+SELECT event_type, CAST(window_start AS BIGINT) AS window_start,
+       CAST(window_start + {_HOP_S * _HOP_PER_WIN} AS BIGINT) AS window_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(vq) AS BIGINT) AS sum_value_micro
+FROM x
+GROUP BY event_type, window_start
+"""
+
+
+@register("win_hopping", oracle=_HOPPING_ORACLE, tags=("window", "timeseries"))
+def win_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregation (2-hour windows every 30 minutes) per
+    event type — the batch expansion of Structured Streaming's sliding
+    window: each event joins the 4 hop-aligned windows covering it, then
+    ONE hash aggregate on the (type, window_start) cell grain. Exact
+    integer window starts and micro-quantized sums.
+
+    Scale shape: the explode is a 4-row broadcast (BNLJ), a constant 4x
+    row multiplier applied map-side BEFORE the single cell-grain
+    exchange — at 100 TB the shuffle carries (type, start, partial
+    count/sum) cells, bounded by types x time-slots, not events."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    sec = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    e = ev.select(
+        "event_type",
+        sec.alias("sec"),
+        F.floor(F.col("value") * 1000000.0).cast("bigint").alias("vq"),
+    )
+    ks = spark.range(_HOP_PER_WIN).select(F.col("id").alias("k"))
+    x = e.crossJoin(F.broadcast(ks)).select(
+        "event_type",
+        (
+            F.expr(f"(sec div {_HOP_S}) * {_HOP_S}") - F.col("k") * _HOP_S
+        ).alias("window_start"),
+        "vq",
+    )
+    return x.groupBy("event_type", "window_start").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("vq").cast("bigint").alias("sum_value_micro"),
+    ).select(
+        "event_type",
+        F.col("window_start").cast("bigint").alias("window_start"),
+        (F.col("window_start") + _HOP_S * _HOP_PER_WIN).cast("bigint").alias(
+            "window_end"
+        ),
+        "n_events",
+        "sum_value_micro",
+    )

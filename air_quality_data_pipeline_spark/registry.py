@@ -226,6 +226,20 @@ DEFERRED_FIRST_ROW: set[str] = {
     # round-8 batch 3
     "ts_leadlag",
     "llm_rater_kappa",
+    # round-8 batch 4 (ordinal association, PSI drift, key continuity,
+    # hopping windows, calendar seasonality, bounded centrality, PA links)
+    "agg_kendall_tau",
+    "dq_psi",
+    "dq_sequence_gaps",
+    "win_hopping",
+    "ts_calendar_profile",
+    "graph_harmonic",
+    "graph_pref_attach",
+    "llm_lexical_diversity",
+    "llm_term_lift",
+    "llm_chrf",
+    "mm_audio_vad",
+    "f_edit_distance",
 }
 
 

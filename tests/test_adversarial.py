@@ -126,6 +126,11 @@ ADV_PANEL = [
     # round-8 batch-2 document-path operators:
     "llm_prefix_dedup",     # NULL/short docs excluded by the >= 8-token guard
     "mm_aspect_bucket",     # md5(unicode text): utf-8 byte hashing must agree
+    # round-8 batch-4 document-path operators:
+    "llm_lexical_diversity",  # NULL/empty excluded; single-token docs pin NULL simpson
+    "llm_term_lift",          # unicode terms through the exact truncating rank key
+    "llm_chrf",               # multibyte char bigrams: length() units must agree
+    "mm_audio_vad",           # NULL payload excluded identically (mm_phash lesson)
 ]
 
 
@@ -280,6 +285,10 @@ ADV_EVENTS_PANEL = [
     "ts_bollinger",           # negative/zero daily sums through the integer breach gate
     "ts_rsi",                 # all-loss windows (sg = 0) and the 50.0 flat convention
     "agg_anova",              # truncation-div means on NEGATIVE group sums must agree
+    # round-8 batch-4 events-path operators:
+    "win_hopping",            # collided timestamps: same 4 windows, count-only semantics
+    "ts_calendar_profile",    # ISO dow numbering under tied timestamps
+    "dq_psi",                 # negative micro-values through the integer bin edges
 ]
 
 
@@ -522,6 +531,9 @@ ADV_GRAPH_PANEL = [
     "graph_clustering_coef",
     "graph_hits",
     "graph_degree_dist",
+    # round-8 batch-4:
+    "graph_harmonic",         # chain topology exercises distance-3; empty set => no rows
+    "graph_pref_attach",      # star hub: all leaf pairs are open wedges
 ]
 
 

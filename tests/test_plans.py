@@ -1639,3 +1639,155 @@ def test_leadlag_joins_only_the_cached_daily_grain(spark, sf_dir):
         assert "event_id" not in cols and "user_id" not in cols, (
             f"an exchange partitions on a fact-grain column: {cols}\n{plan}"
         )
+
+
+def test_kendall_pairs_ride_the_cached_brand_grain(spark, sf_dir):
+    # the O(grain^2) pair join must consume the PERSISTED 25-row brand
+    # collapse on both sides (broadcast on one), never re-scan lineitem
+    # per side; no exchange may carry a fact-grain column
+    plan = _executed_plan(spark, "agg_kendall_tau", sf_dir)
+    assert len(re.findall(r"InMemoryTableScan", plan)) >= 2, (
+        f"pair join sides must read the cached brand grain:\n{plan}"
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "l_extendedprice" not in m.group(1) and "l_quantity" not in m.group(1)
+
+
+def test_psi_single_fact_collapse(spark, sf_dir):
+    # one 4-counter broadcast anchor + ONE collapse to the 10-bin cell
+    # grain: the only hash exchanges ride bin-grain rows, and no Python
+    plan = _executed_plan(spark, "dq_psi", sf_dir)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        cols = m.group(1)
+        assert "event_id" not in cols and "user_id" not in cols, (
+            f"an exchange partitions on a fact-grain column: {cols}\n{plan}"
+        )
+
+
+def test_sequence_gaps_window_rides_range_grain_only(spark, sf_dir):
+    # the unpartitioned lead() must ride the |ranges|-row table: every
+    # window spec orders by range_id, and the fact path collapses through
+    # hash aggregates (distinct + range grain), never a global sort of keys
+    plan = _executed_plan(spark, "dq_sequence_gaps", sf_dir)
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "range_id" in m.group(1), (
+            f"window must ride the range grain: {m.group(1)}\n{plan}"
+        )
+    assert "Exchange rangepartitioning(k" not in plan, (
+        f"no global sort of the key space may exist:\n{plan}"
+    )
+
+
+def test_hopping_explode_is_broadcast_single_cell_exchange(spark, sf_dir):
+    # the 4x window explode must be a broadcast (BNLJ), and the only hash
+    # exchange rides the (type, window_start) cell grain — no fact-grain
+    # partitioning, no Python
+    plan = _executed_plan(spark, "win_hopping", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan, (
+        f"hop explode should broadcast the 4-row range:\n{plan}"
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    hashes = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert all("window_start" in h or "event_type" in h for h in hashes), (
+        f"every hash exchange must ride the cell grain:\n{hashes}"
+    )
+
+
+def test_calendar_profile_single_collapse_window_on_cells(spark, sf_dir):
+    # ONE fact collapse to the 7x24 cell grain; the share window must be
+    # partitioned by event_type (no unpartitioned window anywhere)
+    plan = _executed_plan(spark, "ts_calendar_profile", sf_dir)
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "event_type" in m.group(1), (
+            f"share window must partition by type: {m.group(1)}\n{plan}"
+        )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2, (
+        f"expected cell-grain collapse + window exchange only:\n{plan}"
+    )
+
+
+def test_harmonic_frontiers_reuse_edges_no_cartesian(spark, sf_dir):
+    # the three frontier joins and both set subtractions must be
+    # equi-joins over the memoized edge cache — no cartesian anywhere,
+    # and the fact table must not be re-scanned per frontier
+    plan = _executed_plan(spark, "graph_harmonic", sf_dir)
+    assert "CartesianProduct" not in plan
+    # the only BNLJ allowed is the edge build's 1-row mean-threshold
+    # broadcast (shared with every graph operator)
+    for m in re.finditer(r"BroadcastNestedLoopJoin [^\n]*", plan):
+        assert "m#" in m.group(0), f"unexpected BNLJ: {m.group(0)}"
+    assert len(re.findall(r"InMemoryTableScan", plan)) >= 3, (
+        f"frontier joins must reuse cached edge/frontier tables:\n{plan}"
+    )
+
+
+def test_pref_attach_anti_join_on_pair_grain(spark, sf_dir):
+    # wedge -> candidate anti-join -> degree joins: all equi-joins on
+    # int pair/node grains; no cartesian, no Python
+    plan = _executed_plan(spark, "graph_pref_attach", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) .*LeftAnti", plan) or "LeftAnti" in plan, (
+        f"closed-pair removal must be an anti equi-join:\n{plan}"
+    )
+
+
+def test_lexical_diversity_cell_grain_exchanges_only(spark, sf_dir):
+    # the explode must collapse map-side to (doc, token) cells; no
+    # exchange may carry raw text, and no Python boundary exists
+    plan = _executed_plan(spark, "llm_lexical_diversity", sf_dir)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text#" not in m.group(1), (
+            f"an exchange partitions on raw text: {m.group(1)}\n{plan}"
+        )
+
+
+def test_term_lift_window_rides_candidate_cells(spark, sf_dir):
+    # source totals + corpus total broadcast back; the only window is
+    # partitioned by source over the filtered candidate cells
+    plan = _executed_plan(spark, "llm_term_lift", sf_dir)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "source" in m.group(1), (
+            f"rank window must partition by source: {m.group(1)}\n{plan}"
+        )
+    assert len(re.findall(r"InMemoryTableScan", plan)) >= 3, (
+        f"the (source, term) cell table must be cached and reused:\n{plan}"
+    )
+
+
+def test_chrf_joins_cached_gram_counts(spark, sf_dir):
+    # both join sides and the totals must read the persisted per-(doc,
+    # gram) count table; the panel totals broadcast
+    plan = _executed_plan(spark, "llm_chrf", sf_dir)
+    assert len(re.findall(r"InMemoryTableScan", plan)) >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_audio_vad_single_python_boundary_no_global_exchange(spark, sf_dir):
+    # payload bytes cross into Python exactly once; every exchange and
+    # window rides the per-media doc_id grain (the threshold is
+    # per-media adaptive — no global aggregate exists)
+    plan = _executed_plan(spark, "mm_audio_vad", sf_dir)
+    assert len(re.findall(r"ArrowEvalPython|MapInPandas", plan)) == 1, (
+        f"exactly one Arrow boundary allowed:\n{plan}"
+    )
+    assert "Exchange SinglePartition" not in plan, (
+        f"VAD must not globally aggregate:\n{plan}"
+    )
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "doc_id" in m.group(1), (
+            f"exchanges must ride the media grain: {m.group(1)}\n{plan}"
+        )
+
+
+def test_edit_distance_is_pure_projection(spark, sf_dir):
+    # zero exchanges, zero Python: a single codegen'd projection
+    plan = _executed_plan(spark, "f_edit_distance", sf_dir)
+    assert "Exchange" not in plan, f"scalar demo must not shuffle:\n{plan}"
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # "*(1)" is the WholeStageCodegen stage marker in the tree string
+    assert plan.lstrip().startswith("*(") or "WholeStageCodegen" in plan, plan

