@@ -2261,3 +2261,181 @@ def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("tau_b"),
     )
+
+
+# --- agg_theil: Theil T inequality index ---------------------------------------
+
+# The decomposable inequality measure next to agg_gini's rank form: per
+# nation, T = (1/n) * sum over suppliers of (x_i/mu) * ln(x_i/mu) on
+# supplier revenue. The agg_entropy libm recipe: x_i is an exact cent
+# BIGINT, mu = total/n is a division of exact BIGINTs (identical double
+# in both engines), each supplier's term is floor-quantized to integer
+# micro-nats BEFORE the cross-supplier sum (order-free on any
+# partitioning), and only the final /n division is a closing double.
+# Zero-revenue suppliers contribute 0 (the x*ln(x) -> 0 limit).
+_THEIL_ORACLE = """
+WITH rev AS (
+  SELECT s.s_nationkey AS nationkey, l.l_suppkey,
+         CAST(SUM(CAST(floor(l.l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS x
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY s.s_nationkey, l.l_suppkey
+),
+tot AS (
+  SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS total
+  FROM rev GROUP BY nationkey
+),
+terms AS (
+  SELECT r.nationkey, t.n, t.total,
+         CASE WHEN r.x = 0 THEN 0
+              ELSE CAST(floor(
+                (CAST(r.x AS DOUBLE) / (CAST(t.total AS DOUBLE) / t.n))
+                * ln(CAST(r.x AS DOUBLE) / (CAST(t.total AS DOUBLE) / t.n))
+                * 1000000.0) AS BIGINT)
+         END AS term_micro
+  FROM rev r JOIN tot t ON t.nationkey = r.nationkey
+)
+SELECT CAST(nationkey AS BIGINT) AS nationkey,
+       MAX(n) AS n_suppliers,
+       MAX(total) AS total_cents,
+       ROUND(CAST(SUM(term_micro) AS DOUBLE) / 1000000.0 / MAX(n), 9) AS theil_t
+FROM terms
+GROUP BY nationkey
+"""
+
+
+@register("agg_theil", oracle=_THEIL_ORACLE, tags=("agg", "stats"))
+def agg_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T index of supplier-revenue inequality per nation — the
+    log-based, subgroup-decomposable complement to agg_gini's rank-based
+    concentration. Exactness per the agg_entropy recipe (see oracle
+    comment): ln on identical doubles, floor-quantized micro-nat terms,
+    order-free integer sum.
+
+    Scale shape: fact collapses ONCE to the (nation, supplier) revenue
+    grain; the |nations|-row totals broadcast back onto that cell table;
+    one more cell-grain aggregate closes. Nothing after the first
+    collapse touches a lineitem row."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100.0).cast("bigint").alias("cents"),
+    )
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nationkey"), "l_suppkey")
+        .agg(F.sum("cents").cast("bigint").alias("x"))
+    )
+    rev = scoped_persist(rev)
+    tot = rev.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("total"),
+    )
+    mu = F.col("total").cast("double") / F.col("n")
+    ratio = F.col("x").cast("double") / mu
+    terms = rev.join(F.broadcast(tot), "nationkey").select(
+        "nationkey", "n", "total",
+        F.when(F.col("x") == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.floor(ratio * F.log(ratio) * 1000000.0).cast("bigint"))
+        .alias("term_micro"),
+    )
+    return terms.groupBy("nationkey").agg(
+        F.max("n").alias("n_suppliers"),
+        F.max("total").alias("total_cents"),
+        F.round(
+            F.sum("term_micro").cast("double") / 1000000.0 / F.max("n"), 9
+        ).alias("theil_t"),
+    ).select(
+        F.col("nationkey").cast("bigint").alias("nationkey"),
+        "n_suppliers", "total_cents", "theil_t",
+    )
+
+
+# --- agg_trimmed_mean: two-sided trimmed mean via value-grain ranks -------------
+
+# The robust location estimate between mean and median: drop the lowest
+# and highest 10% of observations (by count, two-sided) and average the
+# rest. The distributed form never sorts rows: quantities collapse to
+# the <= 50-cell VALUE grain per group, cumulative counts give each
+# value's rank interval [cum - c, cum), and the kept weight per value is
+# the exact integer interval intersection with [k, n - k) — partial
+# inclusion at the trim boundaries falls out of the clamp arithmetic.
+# All integers until one closing ROUND(9) division.
+_TRIM_PCT_NUM, _TRIM_PCT_DEN = 1, 10  # trim 10% each side
+
+_TRIMMED_MEAN_ORACLE = f"""
+WITH cells AS (
+  SELECT l_returnflag AS grp,
+         CAST(floor(l_quantity * 100.0) AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY l_returnflag, CAST(floor(l_quantity * 100.0) AS BIGINT)
+),
+ranked AS (
+  SELECT grp, v, c,
+         SUM(c) OVER (PARTITION BY grp ORDER BY v) AS cum,
+         SUM(c) OVER (PARTITION BY grp) AS n
+  FROM cells
+),
+kept AS (
+  SELECT grp, v, n,
+         greatest(least(cum, n - (n * {_TRIM_PCT_NUM}) // {_TRIM_PCT_DEN})
+                  - greatest(cum - c, (n * {_TRIM_PCT_NUM}) // {_TRIM_PCT_DEN}),
+                  0) AS keep_c
+  FROM ranked
+)
+SELECT grp AS l_returnflag,
+       CAST(MAX(n) AS BIGINT) AS n_rows,
+       CAST(SUM(keep_c) AS BIGINT) AS n_kept,
+       ROUND(CAST(SUM(v * keep_c) AS DOUBLE) / SUM(keep_c) / 100.0, 9)
+         AS trimmed_mean_qty
+FROM kept
+GROUP BY grp
+"""
+
+
+@register("agg_trimmed_mean", oracle=_TRIMMED_MEAN_ORACLE, tags=("agg", "stats"))
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% two-sided trimmed mean of l_quantity per return flag — the
+    outlier-robust location estimate, computed without ever sorting
+    rows: value-grain counts, exact rank intervals from a cumulative
+    window over the <= 50-cell grain, and integer interval-intersection
+    keep-weights (partial boundary inclusion included). One closing
+    ROUND(9) division.
+
+    Scale shape: ONE map-side collapse to the (flag, value) cell grain
+    (bounded by the value domain, not row count — the agg_spearman
+    grain discipline); every window rides that dimension-sized table.
+    A continuous-valued column would first bucket to micro-units,
+    bounding the grain at 10^6 cells per group."""
+    apply_engine_conf(spark)
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("grp"),
+        F.floor(F.col("l_quantity") * 100.0).cast("bigint").alias("v"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wc = Window.partitionBy("grp").orderBy("v")
+    wg = Window.partitionBy("grp")
+    ranked = cells.select(
+        "grp", "v", "c",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(wg).alias("n"),
+    )
+    k = F.expr(f"(n * {_TRIM_PCT_NUM}) div {_TRIM_PCT_DEN}")
+    keep = F.greatest(
+        F.least(F.col("cum"), F.col("n") - k) - F.greatest(F.col("cum") - F.col("c"), k),
+        F.lit(0).cast("bigint"),
+    )
+    kept = ranked.select("grp", "v", "n", keep.alias("keep_c"))
+    return kept.groupBy("grp").agg(
+        F.max("n").alias("n_rows"),
+        F.sum("keep_c").cast("bigint").alias("n_kept"),
+        F.round(
+            F.sum(F.col("v") * F.col("keep_c")).cast("double")
+            / F.sum("keep_c")
+            / 100.0,
+            9,
+        ).alias("trimmed_mean_qty"),
+    ).withColumnRenamed("grp", "l_returnflag")

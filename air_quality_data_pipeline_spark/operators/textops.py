@@ -4603,3 +4603,81 @@ def llm_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chrf2"),
         )
     )
+
+
+# --- llm_skipgram_cooccur: windowed co-occurrence counts ------------------------
+
+# The word2vec / GloVe input statistic: (center, context) pair counts
+# within a +/-2 token window — unlike llm_pmi_collocations' ADJACENT
+# bigrams, the skip window catches associations across a word gap. The
+# distributed shape avoids any positional self-join inequality: tokens
+# explode once to (doc, pos, token), a 4-row broadcast of the offsets
+# {-2,-1,+1,+2} projects each token onto its context POSITIONS, and one
+# equi-join on (doc, pos) resolves positions back to tokens — so the
+# join is hash-partitionable and off-the-end positions simply find no
+# match. Top 30 pairs by count (ties by pair) via ORDER BY + LIMIT,
+# which plans as TakeOrderedAndProject. Pure integer counts.
+_SKIPGRAM_WIN = 2
+_SKIPGRAM_TOP = 30
+_SKIPGRAM_MIN = 5
+
+_SKIPGRAM_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, t.i AS pos, ts[t.i] AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts
+        FROM documents WHERE text IS NOT NULL),
+       UNNEST(range(1, len(ts) + 1)) AS t(i)
+),
+ctx AS (
+  SELECT a.w AS center, b.w AS context, CAST(COUNT(*) AS BIGINT) AS n_cooccur
+  FROM tok a
+  CROSS JOIN UNNEST([-{_SKIPGRAM_WIN}, -1, 1, {_SKIPGRAM_WIN}]) AS o(off)
+  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + o.off
+  GROUP BY a.w, b.w
+)
+SELECT center, context, n_cooccur
+FROM ctx
+WHERE n_cooccur >= {_SKIPGRAM_MIN}
+ORDER BY n_cooccur DESC, center, context
+LIMIT {_SKIPGRAM_TOP}
+"""
+
+
+@register("llm_skipgram_cooccur", oracle=_SKIPGRAM_ORACLE, tags=("llm", "text"))
+def llm_skipgram_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 (center, context) token co-occurrence pairs within a +/-2
+    skip window — the word2vec/GloVe co-occurrence statistic,
+    complementing llm_pmi_collocations' adjacent-bigram association.
+    Exact integer counts; deterministic (count, center, context)
+    ordering.
+
+    Scale shape: ONE posexplode to (doc, pos, token); the window explode
+    is a 4-row broadcast making context addressing an EQUI-join on
+    (doc, pos) — hash-partitionable, no inequality/range join, no
+    per-doc array state; counts collapse map-side on the pair grain and
+    the top-k plans as TakeOrderedAndProject (per-partition heaps, one
+    30-row merge). At 100 TB the (doc, pos) join co-partitions both
+    sides in a single exchange pair."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "w"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    offs = spark.createDataFrame(
+        [(-_SKIPGRAM_WIN,), (-1,), (1,), (_SKIPGRAM_WIN,)], "off int"
+    )
+    a = tok.crossJoin(F.broadcast(offs)).select(
+        "doc_id", F.col("w").alias("center"), (F.col("pos") + F.col("off")).alias("tpos")
+    )
+    b = tok.select("doc_id", F.col("pos").alias("tpos"), F.col("w").alias("context"))
+    ctx = (
+        a.join(b, ["doc_id", "tpos"])
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cooccur"))
+    )
+    return (
+        ctx.filter(F.col("n_cooccur") >= _SKIPGRAM_MIN)
+        .orderBy(F.col("n_cooccur").desc(), "center", "context")
+        .limit(_SKIPGRAM_TOP)
+    )

@@ -2540,3 +2540,116 @@ def ts_calendar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").cast("double") / F.sum("n_events").over(w), 9
         ).alias("share"),
     )
+
+
+# --- ts_macd: dyadic MACD momentum indicator over the daily series -------------
+
+# MACD = fast EWMA minus slow EWMA, with a signal line smoothing the
+# MACD itself and a histogram of their gap — the trend-shift detector
+# paired with ts_rsi (levels) and ts_bollinger (volatility). This is the
+# DYADIC variant: decay factors 1/2 (fast), 3/4 (slow) and 1/2 (signal)
+# make every weight (1-a)^k an EXACT double literal (3^k/4^k, mantissa-
+# representable through k=11), so each weighted term is one correctly-
+# rounded IEEE multiply of identical operands and the numerator/
+# denominator chains are the SAME left-associative sums in both engines
+# — identical bits with zero libm, the ts_ewma recipe with a second
+# window layer for the signal lag. Truncated horizons: 8 taps fast, 12
+# taps slow, 4 taps signal (tail weights < 4%).
+_MACD_FAST_K = 8
+_MACD_SLOW_K = 12
+_MACD_SIG_K = 4
+
+
+def _macd_chain(lag_fn, base: float, k: int) -> tuple[str, str]:
+    # "e0" suffix: plain fractional literals parse as DECIMAL in both
+    # engines and their precision/coercion rules differ (Spark capped
+    # DECIMAL chains vs DuckDB widening) — scientific notation forces
+    # DOUBLE in both, so the chain is pure IEEE ops on identical bits
+    num = " + ".join(
+        f"coalesce({lag_fn(j)}, 0.0e0) * {base ** j!r}e0" for j in range(k)
+    )
+    den = " + ".join(
+        f"(CASE WHEN {lag_fn(j)} IS NOT NULL THEN {base ** j!r}e0 ELSE 0.0e0 END)"
+        for j in range(k)
+    )
+    return num, den
+
+
+_MACD_WIN = "OVER (PARTITION BY event_type ORDER BY day)"
+_MACD_FN, _MACD_FD = _macd_chain(lambda j: f"lag(vd, {j}) {_MACD_WIN}", 0.5, _MACD_FAST_K)
+_MACD_SN, _MACD_SD = _macd_chain(lambda j: f"lag(vd, {j}) {_MACD_WIN}", 0.75, _MACD_SLOW_K)
+_SIG_N, _SIG_D = _macd_chain(lambda j: f"lag(macd, {j}) {_MACD_WIN}", 0.5, _MACD_SIG_K)
+
+_MACD_CORE = f"""
+m AS (
+  SELECT event_type, day, vd,
+         ({_MACD_FN}) / ({_MACD_FD}) - ({_MACD_SN}) / ({_MACD_SD}) AS macd
+  FROM daily
+),
+s AS (
+  SELECT event_type, day, vd, macd,
+         ({_SIG_N}) / ({_SIG_D}) AS signal
+  FROM m
+)
+SELECT event_type, CAST(day AS VARCHAR) AS day, vd AS v_micro,
+       macd, signal, macd - signal AS histogram,
+       CAST(CASE WHEN macd > signal THEN 1 ELSE 0 END AS BIGINT) AS bullish
+FROM s
+"""
+
+_MACD_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(CAST(floor(SUM(CAST(value AS DECIMAL(18, 9))) * 1000000)
+              AS BIGINT) AS DOUBLE) AS vd
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+{_MACD_CORE}
+"""
+
+
+@register("ts_macd", oracle=_MACD_ORACLE, tags=("timeseries",))
+def ts_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyadic MACD over the per-type daily series: fast (decay 1/2) minus
+    slow (decay 3/4) truncated EWMAs, a signal line re-smoothing the MACD
+    (decay 1/2), the histogram, and an integer bullish flag — bit-exact
+    across engines because every weight is an exact dyadic/3^k-over-4^k
+    double literal and both engines evaluate the identical
+    left-associative chain (see header comment; no libm anywhere).
+
+    Scale shape: ONE map-side collapse to the |types| x |days| daily
+    grain; both window layers ride that calendar-bounded cell table
+    partitioned by type. The 8/12/4-tap truncation makes each row O(1)
+    regardless of history length — no recursive state, so the plan is
+    embarrassingly parallel across types and needs no stateful
+    streaming operator."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.floor(F.sum(F.col("value").cast("decimal(18,9)")) * 1000000)
+        .cast("bigint")
+        .cast("double")
+        .alias("vd")
+    )
+    m = daily.select(
+        "event_type", "day", "vd",
+        F.expr(
+            f"({_MACD_FN}) / ({_MACD_FD}) - ({_MACD_SN}) / ({_MACD_SD})"
+        ).alias("macd"),
+    )
+    s = m.select(
+        "event_type", "day", "vd", "macd",
+        F.expr(f"({_SIG_N}) / ({_SIG_D})").alias("signal"),
+    )
+    return s.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.col("vd").alias("v_micro"),
+        "macd", "signal",
+        (F.col("macd") - F.col("signal")).alias("histogram"),
+        F.when(F.col("macd") > F.col("signal"), 1).otherwise(0).cast("bigint").alias(
+            "bullish"
+        ),
+    )

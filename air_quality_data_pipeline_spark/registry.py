@@ -240,6 +240,10 @@ DEFERRED_FIRST_ROW: set[str] = {
     "llm_chrf",
     "mm_audio_vad",
     "f_edit_distance",
+    "ts_macd",
+    "agg_theil",
+    "agg_trimmed_mean",
+    "llm_skipgram_cooccur",
 }
 
 

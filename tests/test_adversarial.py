@@ -131,6 +131,7 @@ ADV_PANEL = [
     "llm_term_lift",          # unicode terms through the exact truncating rank key
     "llm_chrf",               # multibyte char bigrams: length() units must agree
     "mm_audio_vad",           # NULL payload excluded identically (mm_phash lesson)
+    "llm_skipgram_cooccur",   # unicode tokens through the (doc, pos) equi-join
 ]
 
 
@@ -289,6 +290,7 @@ ADV_EVENTS_PANEL = [
     "win_hopping",            # collided timestamps: same 4 windows, count-only semantics
     "ts_calendar_profile",    # ISO dow numbering under tied timestamps
     "dq_psi",                 # negative micro-values through the integer bin edges
+    "ts_macd",                # short/negative series: partial-window adaptive chains
 ]
 
 

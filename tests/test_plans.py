@@ -1791,3 +1791,47 @@ def test_edit_distance_is_pure_projection(spark, sf_dir):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     # "*(1)" is the WholeStageCodegen stage marker in the tree string
     assert plan.lstrip().startswith("*(") or "WholeStageCodegen" in plan, plan
+
+
+def test_macd_windows_ride_daily_grain(spark, sf_dir):
+    # ONE fact collapse; both lag-chain window layers partition by type
+    # over the daily cell table; zero Python, no unpartitioned window
+    plan = _executed_plan(spark, "ts_macd", sf_dir)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "event_type" in m.group(1), (
+            f"MACD window must partition by type: {m.group(1)}\n{plan}"
+        )
+
+
+def test_theil_broadcasts_nation_totals(spark, sf_dir):
+    # the |nations| totals must broadcast back onto the cached supplier
+    # cell table; no exchange carries a lineitem-grain column after the
+    # first collapse
+    plan = _executed_plan(spark, "agg_theil", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert len(re.findall(r"InMemoryTableScan", plan)) >= 2
+
+
+def test_trimmed_mean_windows_on_value_grain(spark, sf_dir):
+    # every window must partition by grp over the <= 50-cell value grain;
+    # no global sort of fact rows
+    plan = _executed_plan(spark, "agg_trimmed_mean", sf_dir)
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "grp" in m.group(1), (
+            f"window must ride the value grain: {m.group(1)}\n{plan}"
+        )
+    assert "Exchange rangepartitioning(l_quantity" not in plan
+
+
+def test_skipgram_equi_join_take_ordered(spark, sf_dir):
+    # context addressing must be an equi-join on (doc, pos) — never a
+    # range/cartesian join — and the top-k must be TakeOrderedAndProject
+    plan = _executed_plan(spark, "llm_skipgram_cooccur", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan, (
+        f"top-k must not be a global sort:\n{plan}"
+    )
+    assert "BroadcastNestedLoopJoin" in plan, (
+        f"the offset explode should broadcast 4 rows:\n{plan}"
+    )

@@ -3110,3 +3110,100 @@ def test_edit_distance_matches_python_dp(spark, sf_dir):
         a, b = names[r.p_partkey]
         assert r.edit_dist == lev(a, b)
         assert r.max_len == max(len(a), len(b))
+
+
+def test_macd_crossover_flag_consistent(spark, sf_dir):
+    """bullish must equal macd > signal row-for-row, and histogram must
+    equal their difference exactly (same-bits arithmetic)."""
+    rows = SPECS["ts_macd"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.bullish == (1 if r.macd > r.signal else 0)
+        assert r.histogram == r.macd - r.signal
+
+
+def test_theil_zero_for_uniform_and_nonnegative(spark, sf_dir):
+    """Theil T >= 0 up to quantization (each term floors by < 1e-6), and
+    recompute one nation from raw data in Python."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    rows = SPECS["agg_theil"].builder(spark, sf_dir).collect()
+    for r in rows:
+        # floor-quantized terms can undershoot by < 1e-6 each
+        assert r.theil_t >= -1e-6 * 2
+    rev = duckdb.sql(
+        f"""SELECT s.s_nationkey, l.l_suppkey,
+               SUM(CAST(floor(l.l_extendedprice * 100.0) AS BIGINT)) AS x
+            FROM '{sf_dir}/lineitem.parquet' l
+            JOIN '{sf_dir}/supplier.parquet' s ON s.s_suppkey = l.l_suppkey
+            GROUP BY 1, 2"""
+    ).fetchall()
+    by_nation = defaultdict(list)
+    for nk, _, x in rev:
+        by_nation[nk].append(int(x))
+    got = {r.nationkey: r for r in rows}
+    for nk, xs in by_nation.items():
+        n, tot = len(xs), sum(xs)
+        mu = tot / n
+        ref = (
+            sum(math.floor((x / mu) * math.log(x / mu) * 1e6) for x in xs if x)
+            / 1e6
+            / n
+        )
+        assert got[nk].n_suppliers == n and got[nk].total_cents == tot
+        assert abs(got[nk].theil_t - round(ref, 9)) <= 1e-9
+
+
+def test_trimmed_mean_matches_sorted_python(spark, sf_dir):
+    """The interval-intersection form must equal the naive sort-and-slice
+    trimmed mean computed in Python."""
+    from collections import defaultdict
+
+    import duckdb
+
+    rows = {r.l_returnflag: r for r in
+            SPECS["agg_trimmed_mean"].builder(spark, sf_dir).collect()}
+    data = duckdb.sql(
+        f"SELECT l_returnflag, CAST(floor(l_quantity * 100.0) AS BIGINT) "
+        f"FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchall()
+    groups = defaultdict(list)
+    for flag, v in data:
+        groups[flag].append(int(v))
+    for flag, vs in groups.items():
+        vs.sort()
+        k = len(vs) // 10
+        kept = vs[k : len(vs) - k]
+        r = rows[flag]
+        assert r.n_rows == len(vs) and r.n_kept == len(kept)
+        assert r.trimmed_mean_qty == round(sum(kept) / len(kept) / 100.0, 9)
+
+
+def test_skipgram_counts_match_python_window_scan(spark, sf_dir):
+    """Recompute the full co-occurrence table with a plain Python window
+    scan and verify the operator's top-30 slice (count, then pair order)."""
+    from collections import Counter
+
+    import duckdb
+
+    texts = duckdb.sql(
+        f"SELECT text FROM '{sf_dir}/documents.parquet' WHERE text IS NOT NULL"
+    ).fetchall()
+    c = Counter()
+    for (text,) in texts:
+        toks = text.split(" ")
+        for i, w in enumerate(toks):
+            for off in (-2, -1, 1, 2):
+                j = i + off
+                if 0 <= j < len(toks):
+                    c[(w, toks[j])] += 1
+    eligible = [(n, p) for p, n in c.items() if n >= 5]
+    ref = sorted(eligible, key=lambda t: (-t[0], t[1]))[:30]
+    got = [
+        (r.n_cooccur, (r.center, r.context))
+        for r in SPECS["llm_skipgram_cooccur"].builder(spark, sf_dir).collect()
+    ]
+    assert got == ref
