@@ -2439,3 +2439,291 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("trimmed_mean_qty"),
     ).withColumnRenamed("grp", "l_returnflag")
+
+# --- agg_cramers_v: effect size for categorical association --------------------
+
+# dq_chi2 answers "are the two categoricals dependent?"; Cramér's V answers
+# "HOW dependent?" on a 0..1 scale that is comparable across tables of any
+# shape — the number a corpus audit actually thresholds on ("source and
+# language are associated with V = 0.4, rebalance"). Same exact-integer
+# contingency discipline as dq_chi2 (per-cell contributions FLOOR-quantized
+# to micro-units, order-free BIGINT total); the closing
+# V = sqrt(chi2 / (n * min(r-1, c-1))) is sqrt-of-identical-double — and
+# IEEE 754 requires sqrt correctly rounded in BOTH engines (unlike pow/ln),
+# so no quantization step is needed after it, just the display ROUND(9).
+_CRAMERS_V_ORACLE = """
+WITH obs AS (
+  SELECT o_orderpriority AS pri, o_orderstatus AS st,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+),
+rt AS (SELECT pri, CAST(SUM(o) AS BIGINT) AS row_tot FROM obs GROUP BY pri),
+ct AS (SELECT st, CAST(SUM(o) AS BIGINT) AS col_tot FROM obs GROUP BY st),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS total FROM obs),
+contrib AS (
+  SELECT CAST(floor(
+           (CAST(obs.o AS DOUBLE) - CAST(rt.row_tot * ct.col_tot AS DOUBLE) / n.total)
+           * (CAST(obs.o AS DOUBLE) - CAST(rt.row_tot * ct.col_tot AS DOUBLE) / n.total)
+           / (CAST(rt.row_tot * ct.col_tot AS DOUBLE) / n.total)
+           * 1000000.0) AS BIGINT) AS contrib_micro
+  FROM obs JOIN rt ON rt.pri = obs.pri
+           JOIN ct ON ct.st = obs.st
+           CROSS JOIN n
+),
+dims AS (
+  SELECT least((SELECT CAST(COUNT(*) AS BIGINT) FROM rt) - 1,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) - 1) AS mindim
+)
+SELECT n.total AS n_rows,
+       (SELECT CAST(SUM(contrib_micro) AS BIGINT) FROM contrib) AS chi2_micro,
+       d.mindim,
+       ROUND(sqrt((CAST((SELECT SUM(contrib_micro) FROM contrib) AS DOUBLE) / 1000000.0)
+                  / (CAST(n.total AS DOUBLE) * d.mindim)), 9) AS cramers_v
+FROM n CROSS JOIN dims d
+"""
+
+
+@register("agg_cramers_v", oracle=_CRAMERS_V_ORACLE, tags=("agg", "stats"))
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength between order priority and order
+    status — the normalized 0..1 effect size on top of dq_chi2's raw
+    statistic (same exact-contingency recipe; see oracle comment for why
+    the closing sqrt needs no quantization: IEEE requires sqrt correctly
+    rounded, unlike ln/pow).
+
+    Scale shape: ONE map-side-combinable count collapse to the |priorities
+    x statuses| cell grain (15 cells at any SF); margins, the micro-
+    quantized order-free chi-squared sum, and the closing scalar all ride
+    broadcast joins over that constant-size table. One fact scan total."""
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    obs = scoped_persist(
+        orders.groupBy(
+            F.col("o_orderpriority").alias("pri"), F.col("o_orderstatus").alias("st")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    rt = obs.groupBy("pri").agg(F.sum("o").cast("bigint").alias("row_tot"))
+    ct = obs.groupBy("st").agg(F.sum("o").cast("bigint").alias("col_tot"))
+    n = obs.agg(F.sum("o").cast("bigint").alias("total"))
+    e = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("total")
+    od = F.col("o").cast("double")
+    contrib = (
+        obs.join(F.broadcast(rt), "pri")
+        .join(F.broadcast(ct), "st")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.floor((od - e) * (od - e) / e * 1000000.0)
+            .cast("bigint")
+            .alias("contrib_micro")
+        )
+    )
+    chi2 = contrib.agg(F.sum("contrib_micro").cast("bigint").alias("chi2_micro"))
+    dims = rt.agg((F.count(F.lit(1)) - 1).alias("r1")).crossJoin(
+        ct.agg((F.count(F.lit(1)) - 1).alias("c1"))
+    ).select(F.least("r1", "c1").cast("bigint").alias("mindim"))
+    return (
+        n.crossJoin(F.broadcast(chi2))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            F.col("total").alias("n_rows"),
+            "chi2_micro",
+            "mindim",
+            F.round(
+                F.sqrt(
+                    (F.col("chi2_micro").cast("double") / 1000000.0)
+                    / (F.col("total").cast("double") * F.col("mindim"))
+                ),
+                9,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+# --- agg_mutual_info: mutual information between two categoricals --------------
+
+# The information-theoretic companion to agg_cramers_v / dq_chi2: how many
+# nats does knowing the ISO weekday give about the event type (weekly usage
+# rhythm)? MI = sum_xy p(x,y) ln(p(x,y) / (p(x) p(y))). The exact cross-
+# engine recipe (agg_entropy / agg_theil): the log argument collapses to
+# the all-integer ratio (c * n) / (rx * cy) divided ONCE into an identical
+# double, ln rides identical doubles, and each cell's c * ln(arg) term is
+# FLOOR-quantized to micro-nats BEFORE the order-free BIGINT sum; only the
+# closing /n division is a display double. Weekday is shipped as Spark
+# weekday()+1 == DuckDB isodow() (the ts_calendar_profile parity trap).
+# BIGINT range: c * n <= n^2 — safe through ~3e9 events (9e18), beyond
+# which the ratio needs a pre-division rescale.
+_MUTUAL_INFO_ORACLE = """
+WITH obs AS (
+  SELECT event_type AS et, CAST(isodow(ts) AS BIGINT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, isodow(ts)
+),
+rt AS (SELECT et, CAST(SUM(c) AS BIGINT) AS rx FROM obs GROUP BY et),
+ct AS (SELECT dow, CAST(SUM(c) AS BIGINT) AS cy FROM obs GROUP BY dow),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM obs),
+terms AS (
+  SELECT obs.et, obs.dow, obs.c,
+         CAST(floor(CAST(obs.c AS DOUBLE)
+              * ln(CAST(obs.c * n.total AS DOUBLE) / CAST(rt.rx * ct.cy AS DOUBLE))
+              * 1000000.0) AS BIGINT) AS term_micro
+  FROM obs JOIN rt ON rt.et = obs.et
+           JOIN ct ON ct.dow = obs.dow
+           CROSS JOIN n
+)
+SELECT t.et AS event_type, t.dow, t.c AS joint_count, t.term_micro,
+       (SELECT CAST(SUM(term_micro) AS BIGINT) FROM terms) AS mi_micro_sum,
+       ROUND(CAST((SELECT SUM(term_micro) FROM terms) AS DOUBLE)
+             / 1000000.0 / n.total, 9) AS mutual_info_nats
+FROM terms t CROSS JOIN n
+"""
+
+
+@register("agg_mutual_info", oracle=_MUTUAL_INFO_ORACLE, tags=("agg", "stats"))
+def agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between event type and ISO weekday — the
+    weekly-rhythm dependence score beside agg_cramers_v's chi-square form.
+    Exactness per the agg_entropy recipe: all-integer log argument divided
+    once, ln on identical doubles, per-cell micro-nat floor quantization,
+    order-free BIGINT sum (see oracle comment for the BIGINT range bound).
+
+    Scale shape: ONE map-side collapse to the |types| x 7 cell grain;
+    margins and the total broadcast back onto that constant-size table;
+    the fact is scanned exactly once and no exchange after the collapse
+    carries event-grain rows."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    obs = scoped_persist(
+        ev.groupBy(
+            F.col("event_type").alias("et"),
+            (F.weekday("ts") + F.lit(1)).cast("bigint").alias("dow"),
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    rt = obs.groupBy("et").agg(F.sum("c").cast("bigint").alias("rx"))
+    ct = obs.groupBy("dow").agg(F.sum("c").cast("bigint").alias("cy"))
+    n = obs.agg(F.sum("c").cast("bigint").alias("total"))
+    arg = (F.col("c") * F.col("total")).cast("double") / (
+        F.col("rx") * F.col("cy")
+    ).cast("double")
+    terms = (
+        obs.join(F.broadcast(rt), "et")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "et",
+            "dow",
+            "c",
+            F.floor(F.col("c").cast("double") * F.log(arg) * 1000000.0)
+            .cast("bigint")
+            .alias("term_micro"),
+        )
+    )
+    terms = scoped_persist(terms)
+    tot = terms.agg(F.sum("term_micro").cast("bigint").alias("mi_micro_sum"))
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("et").alias("event_type"),
+            "dow",
+            F.col("c").alias("joint_count"),
+            "term_micro",
+            "mi_micro_sum",
+            F.round(
+                F.col("mi_micro_sum").cast("double") / 1000000.0 / F.col("total"), 9
+            ).alias("mutual_info_nats"),
+        )
+    )
+
+
+# --- agg_cohens_d: standardized mean difference between two cohorts ------------
+
+# agg_ttest answers "is the quantity shift between returned and delivered
+# lines statistically significant?"; Cohen's d answers "is it LARGE?" —
+# the standardized effect size (m1 - m2) / s_pooled that survives any
+# sample size. Moments are exact centi-unit BIGINTs (sum and sum-of-
+# squares; ss <= 25e6 * rows keeps BIGINT headroom to ~3e11 rows); means
+# and variances are identical-double arithmetic on those integers, and
+# sqrt (IEEE correctly-rounded everywhere) closes the pooled SD with no
+# quantization step. The centi scale cancels in d — no unit conversion.
+_COHENS_D_ORACLE = """
+WITH m AS (
+  SELECT l_linestatus AS grp, l_returnflag AS flag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(floor(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS s,
+         CAST(SUM(CAST(floor(l_quantity * 100.0) AS BIGINT)
+                  * CAST(floor(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS ss
+  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+  GROUP BY l_linestatus, l_returnflag
+),
+sides AS (
+  SELECT grp,
+         MAX(CASE WHEN flag = 'R' THEN n END) AS n1,
+         MAX(CASE WHEN flag = 'R' THEN s END) AS s1,
+         MAX(CASE WHEN flag = 'R' THEN ss END) AS ss1,
+         MAX(CASE WHEN flag = 'N' THEN n END) AS n2,
+         MAX(CASE WHEN flag = 'N' THEN s END) AS s2,
+         MAX(CASE WHEN flag = 'N' THEN ss END) AS ss2
+  FROM m GROUP BY grp
+)
+SELECT grp AS l_linestatus, n1, n2,
+       ROUND((CAST(s1 AS DOUBLE) / n1) / 100.0, 9) AS mean_returned,
+       ROUND((CAST(s2 AS DOUBLE) / n2) / 100.0, 9) AS mean_delivered,
+       ROUND(
+         (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+         / sqrt(((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+               + (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2))
+               / (n1 + n2 - 2)), 9) AS cohens_d
+FROM sides
+WHERE n1 IS NOT NULL AND n2 IS NOT NULL AND n1 + n2 > 2
+"""
+
+
+@register("agg_cohens_d", oracle=_COHENS_D_ORACLE, tags=("agg", "stats"))
+def agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d standardized effect size of l_quantity between returned
+    ('R') and delivered ('N') lines, per line status — the magnitude
+    companion to agg_ttest's significance test. Exact integer moments,
+    identical-double closing algebra, IEEE sqrt (see oracle comment for
+    the BIGINT sum-of-squares headroom bound).
+
+    Scale shape: ONE map-side-combinable moment collapse to the
+    |status x flag| grain (4 cells); the conditional pivot and the whole
+    effect-size formula run on that constant-size table. One fact scan,
+    one tiny exchange."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag").isin("R", "N"))
+    centi = F.floor(F.col("l_quantity") * 100.0).cast("bigint")
+    m = li.groupBy(
+        F.col("l_linestatus").alias("grp"), F.col("l_returnflag").alias("flag")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(centi).cast("bigint").alias("s"),
+        F.sum(centi * centi).cast("bigint").alias("ss"),
+    )
+    def side(col: str, flag: str, alias: str):
+        return F.max(F.when(F.col("flag") == flag, F.col(col))).alias(alias)
+
+    sides = m.groupBy("grp").agg(
+        side("n", "R", "n1"), side("s", "R", "s1"), side("ss", "R", "ss1"),
+        side("n", "N", "n2"), side("s", "N", "s2"), side("ss", "N", "ss2"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    m2 = F.col("s2").cast("double") / F.col("n2")
+    css1 = F.col("ss1").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n1")
+    css2 = F.col("ss2").cast("double") - F.col("s2").cast("double") * F.col("s2") / F.col("n2")
+    pooled = F.sqrt((css1 + css2) / (F.col("n1") + F.col("n2") - 2))
+    return (
+        sides.filter(
+            F.col("n1").isNotNull()
+            & F.col("n2").isNotNull()
+            & (F.col("n1") + F.col("n2") > 2)
+        )
+        .select(
+            F.col("grp").alias("l_linestatus"),
+            "n1",
+            "n2",
+            F.round(m1 / 100.0, 9).alias("mean_returned"),
+            F.round(m2 / 100.0, 9).alias("mean_delivered"),
+            F.round((m1 - m2) / pooled, 9).alias("cohens_d"),
+        )
+    )

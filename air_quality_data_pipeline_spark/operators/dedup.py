@@ -1321,3 +1321,203 @@ def llm_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+# --- llm_lsh_tune: MinHash-LSH band-configuration sensitivity audit ------------
+
+# The knob the minhash family keeps citing ("band width retune"), made an
+# oracle-checked number: for every ground-truth pair of the bounded exact
+# panel (the llm_ngram_jaccard subset), the probability that MinHash LSH
+# with 8 hashes CATCHES the pair under each way of splitting the
+# signature into bands — b=8 one-row bands (the family's production
+# config), b=4 two-row, b=2 four-row: p = 1 - (1 - s^r)^b. Every power
+# is an integer exponent expanded as NAMED square-and-multiply
+# intermediates (q2 = q*q, q4 = q2*q2 ...), so both engines run the same
+# correctly-rounded IEEE multiply tree — no libm pow whose 1-ulp license
+# could split the engines. The S-curve trade-off is visible per row:
+# wide bands catch high-similarity pairs only, one-row bands catch
+# everything including noise.
+_LSH_TUNE_ORACLE = f"""
+WITH sub AS (
+  SELECT doc_id, list_distinct({shingles_duckdb(tokens_duckdb('text'))}) AS sh
+  FROM documents WHERE doc_id < 100
+),
+e AS (SELECT doc_id, UNNEST(sh) AS s FROM sub),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, len(sh) AS n FROM sub),
+j AS (
+  SELECT doc_a, doc_b,
+         CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS s
+  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.05
+),
+p1 AS (SELECT doc_a, doc_b, s, 1.0e0 - s AS q, s * s AS x2 FROM j),
+p2 AS (SELECT *, q * q AS q2, 1.0e0 - x2 AS u, x2 * x2 AS x4 FROM p1),
+p3 AS (SELECT *, q2 * q2 AS q4, u * u AS u2, 1.0e0 - x4 AS v FROM p2),
+p4 AS (SELECT *, q4 * q4 AS q8, u2 * u2 AS u4, v * v AS v2 FROM p3)
+SELECT doc_a, doc_b, ROUND(s, 9) AS jaccard,
+       ROUND(1.0e0 - q8, 9) AS p_b8_r1,
+       ROUND(1.0e0 - u4, 9) AS p_b4_r2,
+       ROUND(1.0e0 - v2, 9) AS p_b2_r4
+FROM p4
+"""
+
+
+@register("llm_lsh_tune", oracle=_LSH_TUNE_ORACLE, tags=("llm", "dedup"))
+def llm_lsh_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-configuration audit: detection probability
+    1 - (1 - s^r)^b per ground-truth panel pair for the three ways of
+    splitting the 8-hash MinHash signature (8x1 / 4x2 / 2x4) — the
+    S-curve evidence behind the family's band-width knob, as an
+    oracle-checked report. All powers are named square-and-multiply
+    columns (see header comment; zero libm).
+
+    Scale shape: rides the SAME bounded exact panel as llm_ngram_jaccard
+    (doc_id < 100 — the ground-truth side is quadratic by nature and
+    deliberately capped); the probability algebra is per-row projection
+    work. Tuning at 100 TB = running this panel on a sampled slice, which
+    is exactly what the bound expresses."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sub = docs.select(
+        "doc_id",
+        F.array_distinct(F.expr(shingles_spark(tokens_spark("text")))).alias("sh"),
+    )
+    e = sub.select("doc_id", F.explode("sh").alias("s"))
+    e2 = e.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    inter = (
+        e.join(e2, (e.s == e2.s_b) & (e.doc_id < e2.doc_b))
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz = sub.select("doc_id", F.size("sh").alias("n"))
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    s = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    j = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", s.alias("s"))
+        .filter(F.col("s") >= 0.05)
+    )
+    p1 = j.select(
+        "doc_a", "doc_b", "s",
+        (F.lit(1.0) - F.col("s")).alias("q"),
+        (F.col("s") * F.col("s")).alias("x2"),
+    )
+    p2 = p1.select(
+        "*",
+        (F.col("q") * F.col("q")).alias("q2"),
+        (F.lit(1.0) - F.col("x2")).alias("u"),
+        (F.col("x2") * F.col("x2")).alias("x4"),
+    )
+    p3 = p2.select(
+        "*",
+        (F.col("q2") * F.col("q2")).alias("q4"),
+        (F.col("u") * F.col("u")).alias("u2"),
+        (F.lit(1.0) - F.col("x4")).alias("v"),
+    )
+    p4 = p3.select(
+        "*",
+        (F.col("q4") * F.col("q4")).alias("q8"),
+        (F.col("u2") * F.col("u2")).alias("u4"),
+        (F.col("v") * F.col("v")).alias("v2"),
+    )
+    return p4.select(
+        "doc_a", "doc_b",
+        F.round("s", 9).alias("jaccard"),
+        F.round(F.lit(1.0) - F.col("q8"), 9).alias("p_b8_r1"),
+        F.round(F.lit(1.0) - F.col("u4"), 9).alias("p_b4_r2"),
+        F.round(F.lit(1.0) - F.col("v2"), 9).alias("p_b2_r4"),
+    )
+
+# --- llm_minhash_est_err: signature-estimate error vs exact Jaccard ------------
+
+# Closes the minhash family's audit triangle: llm_dedup_audit pins
+# candidate RECALL, llm_lsh_tune pins the band S-curve, and this one pins
+# the ESTIMATOR itself — on the bounded ground-truth panel, compare the
+# 8-hash signature agreement fraction (the unbiased MinHash Jaccard
+# estimator, matching positions / k) against the exact shingle Jaccard.
+# Both engines build the IDENTICAL signatures (same md5-derived shingle
+# hashes, same universal-hash parameters), so agreement counts are pure
+# integers; est, exact and their error close as identical doubles. The
+# per-pair error is the number that justifies (or indicts) k = 8.
+_MH_EST_SPARK = "array(" + ", ".join(minhash_signature_spark_sql("sh", 8)) + ")"
+_MH_EST_DUCK = "[" + ", ".join(minhash_signature_duckdb("sh", 8)) + "]"
+
+_MINHASH_EST_ORACLE = f"""
+WITH sub AS (
+  SELECT doc_id,
+         list_distinct({shingle_hashes_duckdb(token_hashes_duckdb(tokens_duckdb('text')), mod=SHINGLE_MOD_WIDE)}) AS sh
+  FROM documents WHERE doc_id < 100
+),
+nonempty AS (SELECT * FROM sub WHERE len(sh) > 0),
+sigs AS (SELECT doc_id, sh, {_MH_EST_DUCK} AS sig FROM nonempty),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.sh, b.sh)) AS n_inter,
+         len(a.sh) AS n_a, len(b.sh) AS n_b,
+         len(list_filter(range(1, 9), i -> a.sig[i] = b.sig[i])) AS n_match
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(n_match AS BIGINT) AS sig_matches,
+       ROUND(CAST(n_match AS DOUBLE) / 8.0e0, 9) AS jaccard_est,
+       ROUND(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 9) AS jaccard_exact,
+       ROUND(CAST(n_match AS DOUBLE) / 8.0e0
+             - CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 9) AS est_error
+FROM pairs
+WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.05
+"""
+
+
+@register("llm_minhash_est_err", oracle=_MINHASH_EST_ORACLE, tags=("llm", "dedup"))
+def llm_minhash_est_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator audit: signature-agreement Jaccard estimate
+    (matches/8) vs exact shingle Jaccard per ground-truth panel pair,
+    with the signed error — the third leg of the dedup audit triangle
+    (llm_dedup_audit = recall, llm_lsh_tune = band S-curve, this =
+    estimator bias/variance at k=8). Identical integer signatures in
+    both engines; see header comment.
+
+    Scale shape: panel-bounded (ground truth is quadratic by nature);
+    signatures and shingle sets are computed once per doc on the <= 100
+    panel rows, the pair join carries 8-int signatures + hash sets.
+    Corpus-scale estimator audits run this on sampled panels."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sh_expr = shingle_hashes_spark_sql(
+        token_hashes_spark_sql(tokens_spark("text")), mod=SHINGLE_MOD_WIDE
+    )
+    sub = docs.select(
+        "doc_id", F.array_distinct(F.expr(sh_expr)).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sigs = sub.select("doc_id", "sh", F.expr(_MH_EST_SPARK).alias("sig"))
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("sig").alias("sig_a")
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("sig").alias("sig_b")
+    )
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b",
+        F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+        F.size("sh_a").alias("n_a"),
+        F.size("sh_b").alias("n_b"),
+        F.size(
+            F.expr("filter(sequence(1, 8), i -> element_at(sig_a, i) = element_at(sig_b, i))")
+        ).alias("n_match"),
+    )
+    exact = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    est = F.col("n_match").cast("double") / F.lit(8.0)
+    return pairs.filter(exact >= 0.05).select(
+        "doc_a", "doc_b",
+        F.col("n_match").cast("bigint").alias("sig_matches"),
+        F.round(est, 9).alias("jaccard_est"),
+        F.round(exact, 9).alias("jaccard_exact"),
+        F.round(est - exact, 9).alias("est_error"),
+    )

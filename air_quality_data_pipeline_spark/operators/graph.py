@@ -27,7 +27,7 @@ Design for scale:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..registry import register
 from ..session import apply_engine_conf, scoped_persist
@@ -1907,5 +1907,137 @@ def graph_pref_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dv, "v")
         .select(
             "u", "v", "n_common", (F.col("du") * F.col("dv")).alias("pa_score")
+        )
+    )
+
+# --- graph_richclub: rich-club connectivity coefficient ------------------------
+
+# Do the highest-degree suppliers trade disproportionately with EACH
+# OTHER? The rich-club coefficient phi(k) = E_k / (N_k * (N_k - 1))
+# (directed-pair normalization — our memoized edge set is symmetric)
+# sweeps a degree threshold k and compares the realized edge density
+# among nodes of degree > k to the complete-graph bound. Rising phi(k)
+# with k = an elite core (hub interconnection); flat = degree-neutral
+# mixing. Thresholds are the degree values at the 25/50/75/90th integer
+# rank positions of the degree distribution itself (row_number on the
+# |V|-grain table, ceil(pct*n/100) index — EXACT rank selection, no
+# interpolated percentile whose closing ulp could flip a floor), so the
+# sweep is scale-invariant with no magic constants at sf1000.
+_RICHCLUB_ORACLE = """
+WITH pair_counts AS MATERIALIZED (
+  SELECT l1.l_suppkey AS src, l2.l_suppkey AS dst, COUNT(*) AS w
+  FROM lineitem l1
+  JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+  GROUP BY l1.l_suppkey, l2.l_suppkey
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM pair_counts
+  WHERE w > (SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*) FROM pair_counts)
+),
+deg AS MATERIALIZED (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src
+),
+ranked AS (
+  SELECT d, ROW_NUMBER() OVER (ORDER BY d, node) AS rn,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n
+  FROM deg
+),
+ks2 AS (
+  SELECT DISTINCT r.d AS k
+  FROM ranked r
+  JOIN (SELECT UNNEST([25, 50, 75, 90]) AS pct) q
+    ON r.rn = CAST(ceil(q.pct * r.n / 100.0e0) AS BIGINT)
+),
+club AS (
+  SELECT k.k, CAST(COUNT(*) AS BIGINT) AS n_k
+  FROM ks2 k JOIN deg ON deg.d > k.k GROUP BY k.k
+),
+ek AS (
+  SELECT k.k, CAST(COUNT(*) AS BIGINT) AS e_k
+  FROM ks2 k
+  JOIN edges e ON TRUE
+  JOIN deg da ON da.node = e.src AND da.d > k.k
+  JOIN deg db ON db.node = e.dst AND db.d > k.k
+  GROUP BY k.k
+)
+SELECT c.k AS degree_threshold, c.n_k AS club_size,
+       COALESCE(ek.e_k, 0) AS club_edges,
+       CASE WHEN c.n_k < 2 THEN NULL
+            ELSE ROUND(CAST(COALESCE(ek.e_k, 0) AS DOUBLE)
+                       / (CAST(c.n_k AS DOUBLE) * (c.n_k - 1)), 9)
+       END AS phi
+FROM club c LEFT JOIN ek ON ek.k = c.k
+"""
+
+
+@register("graph_richclub", oracle=_RICHCLUB_ORACLE, tags=("graph",))
+def graph_richclub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient phi(k) of the co-purchase graph at the
+    degree distribution's own quartile/decile thresholds — realized edge
+    density among nodes of degree > k against the complete-graph bound
+    (directed-pair normalization; the memoized edge set is symmetric).
+    Self-normalizing thresholds keep the sweep meaningful at any SF.
+
+    Scale shape: REUSES the memoized persisted edge build shared by the
+    graph family; degrees collapse to the |V| grain, the <= 4-row
+    threshold panel BROADCASTS onto two degree-filtered semi-join passes
+    over the edge list, and every exchange carries int pairs. The
+    quantile is exact percentile on the |V|-row degree table — dimension
+    work, not fact work."""
+    apply_engine_conf(spark)
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = scoped_persist(
+        edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("d")
+        )
+    )
+    wr = Window.orderBy("d", "node")
+    ranked = deg.select(
+        "d",
+        F.row_number().over(wr).alias("rn"),
+    ).crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).cast("bigint").alias("n"))))
+    pcts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in (25, 50, 75, 90)])).alias("pct")
+    )
+    ks = (
+        ranked.join(
+            F.broadcast(pcts),
+            F.col("rn")
+            == F.ceil(F.col("pct") * F.col("n") / F.lit(100.0)).cast("bigint"),
+        )
+        .select(F.col("d").alias("k"))
+        .distinct()
+    )
+    # the <=4-row threshold panel must BROADCAST into both non-equi joins —
+    # an unhinted crossJoin plans as CartesianProduct (left-partitions x
+    # right-partitions tasks over the edge list; plan-gated out)
+    club = deg.join(F.broadcast(ks), deg.d > ks.k).groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_k")
+    )
+    da = deg.select(F.col("node").alias("src"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("dst"), F.col("d").alias("db"))
+    rich_edges = edges.join(da, "src").join(db, "dst")
+    ek = (
+        rich_edges.crossJoin(F.broadcast(ks))
+        .filter((F.col("da") > F.col("k")) & (F.col("db") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_k"))
+    )
+    return (
+        club.join(ek, "k", "left")
+        .select(
+            F.col("k").alias("degree_threshold"),
+            F.col("n_k").alias("club_size"),
+            F.coalesce("e_k", F.lit(0)).cast("bigint").alias("club_edges"),
+            F.when(F.col("n_k") < 2, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    F.coalesce("e_k", F.lit(0)).cast("double")
+                    / (F.col("n_k").cast("double") * (F.col("n_k") - 1)),
+                    9,
+                )
+            )
+            .alias("phi"),
         )
     )

@@ -960,3 +960,70 @@ def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "speech_ratio"
         ),
     )
+
+
+# --- mm_bitrate: payload bitrate audit over the audio frame grid ---------------
+
+# Storage/QA audit for a media lake: effective bitrate of every audio
+# payload on the mm_audio_frames 32/16 grid (20 ms per frame-hop =>
+# rate_bps = bytes * 8 * 50 / n_frames), bucketed to integer kbps and
+# rolled up per bucket — how one finds the batch of truncated or
+# over-padded uploads without decoding anything. All integer arithmetic:
+# byte counts (DuckDB strlen = bytes, Spark length(binary) = bytes — the
+# mm_scene_cut char/byte lesson), truncating division (// vs div, equal
+# on non-negatives), integer bucket keys; one closing ROUND(9) mean.
+_BITRATE_ORACLE = """
+WITH a AS (
+  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n
+  FROM documents WHERE doc_id % 2 = 1
+),
+r AS (
+  SELECT doc_id, n,
+         greatest((n - 32) // 16 + 1, 1) AS n_frames,
+         (n * 400) // greatest((n - 32) // 16 + 1, 1) AS rate_bps
+  FROM a
+)
+SELECT rate_bps // 1000 AS kbps_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(SUM(n) AS BIGINT) AS total_bytes,
+       ROUND(CAST(SUM(rate_bps) AS DOUBLE) / COUNT(*), 9) AS mean_rate_bps
+FROM r
+GROUP BY rate_bps // 1000
+"""
+
+
+@register("mm_bitrate", oracle=_BITRATE_ORACLE, tags=("llm", "multimodal"))
+def mm_bitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-bitrate audit of audio payloads on the 32/16 frame grid
+    (20 ms hops): integer bits-per-second per payload, bucketed to kbps,
+    rolled up per bucket with counts, total bytes, and mean rate — the
+    no-decode screen for truncated or padded uploads. Byte counts and
+    truncating division per the family parity rules (see header).
+
+    Scale shape: pure per-row integer projection on the payload length
+    (no Python, payload bytes never shuffle — only the length), then ONE
+    map-side-combinable collapse to the |buckets| grain. Scan once,
+    exchange buckets."""
+    apply_engine_conf(spark)
+    audio = _media(spark, sf_dir).filter(F.col("kind") == "audio").select(
+        "doc_id", F.length("payload").cast("bigint").alias("n")
+    )
+    n_frames = F.greatest(
+        F.expr("(n - 32) div 16") + 1, F.lit(1).cast("bigint")
+    )
+    r = audio.select(
+        "doc_id", "n",
+        n_frames.alias("n_frames"),
+        F.expr(
+            "(n * 400) div greatest((n - 32) div 16 + 1, 1)"
+        ).alias("rate_bps"),
+    )
+    return r.groupBy(
+        F.expr("rate_bps div 1000").alias("kbps_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_media"),
+        F.sum("n").cast("bigint").alias("total_bytes"),
+        F.round(F.sum("rate_bps").cast("double") / F.count(F.lit(1)), 9).alias(
+            "mean_rate_bps"
+        ),
+    )

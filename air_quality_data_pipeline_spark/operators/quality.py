@@ -1756,3 +1756,232 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("lo").over(w) - F.col("hi") - 1, F.lit(0).cast("bigint")
         ).alias("missing_to_next"),
     )
+
+# --- dq_value_shape: value-mask (pattern) profiling ----------------------------
+
+# The format-discovery profiler: map every value of the audited string
+# columns to its character-class MASK (uppercase->A, lowercase->a,
+# digit->9, everything else verbatim) and report the top 5 masks per
+# column with counts and share — how a data steward discovers that 0.1%
+# of part numbers carry a stray format without writing a single regex
+# rule (dq_rules checks KNOWN formats; this one finds the unknowns).
+# Cross-engine trap: DuckDB regexp_replace replaces the FIRST match
+# unless given the 'g' flag, Spark always replaces all — the oracle must
+# say 'g' explicitly. Tie-break on the mask string keeps the top-5 cut
+# deterministic.
+_VALUE_SHAPE_TOPK = 5
+
+_VALUE_SHAPE_ORACLE = f"""
+WITH vals AS (
+  SELECT 'p_brand' AS col, p_brand AS v FROM part
+  UNION ALL SELECT 'p_type', p_type FROM part
+  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+),
+masks AS (
+  SELECT col,
+         regexp_replace(regexp_replace(regexp_replace(v,
+           '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'), '[0-9]', '9', 'g') AS mask,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM vals GROUP BY 1, 2
+),
+tot AS (SELECT col, CAST(SUM(c) AS BIGINT) AS n FROM masks GROUP BY col),
+ranked AS (
+  SELECT m.col, m.mask, m.c, t.n,
+         ROW_NUMBER() OVER (PARTITION BY m.col ORDER BY m.c DESC, m.mask) AS rk
+  FROM masks m JOIN tot t ON t.col = m.col
+)
+SELECT col, mask, c AS n_values, CAST(rk AS BIGINT) AS rnk,
+       ROUND(CAST(c AS DOUBLE) / n, 9) AS share
+FROM ranked WHERE rk <= {_VALUE_SHAPE_TOPK}
+"""
+
+
+@register("dq_value_shape", oracle=_VALUE_SHAPE_ORACLE, tags=("quality",))
+def dq_value_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 character-class masks (A/a/9 with punctuation verbatim) per
+    audited string column, with counts and share — format DISCOVERY
+    (dq_rules validates known formats, this surfaces the unknown ones).
+    See oracle comment for the DuckDB 'g'-flag parity trap.
+
+    Scale shape: masks collapse map-side to the (col, mask) cell grain —
+    the exchange carries distinct masks, not rows; totals broadcast back
+    and the top-5 window rides the cell table partitioned by column. The
+    audited tables are scanned once each."""
+    apply_engine_conf(spark)
+    part = table(spark, sf_dir, "part")
+    orders = table(spark, sf_dir, "orders")
+    vals = (
+        part.select(F.lit("p_brand").alias("col"), F.col("p_brand").alias("v"))
+        .unionAll(part.select(F.lit("p_type"), F.col("p_type")))
+        .unionAll(orders.select(F.lit("o_orderpriority"), F.col("o_orderpriority")))
+    )
+    mask = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace("v", "[A-Z]", "A"), "[a-z]", "a"),
+        "[0-9]",
+        "9",
+    )
+    masks = vals.groupBy("col", mask.alias("mask")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = masks.groupBy("col").agg(F.sum("c").cast("bigint").alias("n"))
+    wk = Window.partitionBy("col").orderBy(F.desc("c"), F.asc("mask"))
+    ranked = masks.join(F.broadcast(tot), "col").select(
+        "col", "mask", "c", "n", F.row_number().over(wk).alias("rk")
+    )
+    return ranked.filter(F.col("rk") <= _VALUE_SHAPE_TOPK).select(
+        "col",
+        "mask",
+        F.col("c").alias("n_values"),
+        F.col("rk").cast("bigint").alias("rnk"),
+        F.round(F.col("c").cast("double") / F.col("n"), 9).alias("share"),
+    )
+
+
+# --- dq_cardinality_trend: day-over-day distinct-cardinality audit -------------
+
+# dq_volume_anomaly watches ROW counts; this watches DISTINCT-KEY counts
+# — the audit that catches an upstream dedup regression (volume steady,
+# cardinality halves) or an id-generation bug (volume steady, cardinality
+# doubles). Per day: exact distinct users, the day-over-day ratio, and an
+# integer-arithmetic breach flag (n*2 < prev or n > prev*2) so the alert
+# threshold never rides a double comparison.
+_CARDINALITY_TREND_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM events GROUP BY 1
+),
+trend AS (
+  SELECT day, n_events, n_users,
+         lag(n_users) OVER (ORDER BY day) AS prev_users
+  FROM daily
+)
+SELECT CAST(day AS VARCHAR) AS day, n_events, n_users, prev_users,
+       ROUND(CAST(n_users AS DOUBLE) / prev_users, 9) AS dod_ratio,
+       CAST(CASE WHEN prev_users IS NULL THEN 0
+                 WHEN n_users * 2 < prev_users OR n_users > prev_users * 2 THEN 1
+                 ELSE 0 END AS BIGINT) AS breach
+FROM trend
+"""
+
+
+@register("dq_cardinality_trend", oracle=_CARDINALITY_TREND_ORACLE, tags=("quality",))
+def dq_cardinality_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct-user cardinality with day-over-day ratio and an
+    integer halve/double breach flag — the dedup-regression /
+    id-explosion sentinel beside dq_volume_anomaly's row-count watch.
+    First day pins NULL ratio, breach 0.
+
+    Scale shape: the exact distinct runs as a two-level aggregate —
+    (day, user) cells collapse map-side, then the |days| grain counts
+    cells — so the exchange carries one row per active (day, user), never
+    raw events; the lag window rides the |days| calendar table in one
+    partition of bounded (calendar) size. At 100 TB swap the exact
+    distinct for agg_approx_distinct's HLL only if the (day, user) grain
+    itself outgrows the cluster — it is the smaller of the two tables by
+    construction."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    cells = ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+    daily = cells.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count_distinct(F.col("user_id")).cast("bigint").alias("n_users"),
+    )
+    wd = Window.orderBy("day")
+    trend = daily.select(
+        "day", "n_events", "n_users", F.lag("n_users").over(wd).alias("prev_users")
+    )
+    return trend.select(
+        F.col("day").cast("string").alias("day"),
+        "n_events",
+        "n_users",
+        "prev_users",
+        F.round(F.col("n_users").cast("double") / F.col("prev_users"), 9).alias(
+            "dod_ratio"
+        ),
+        F.when(F.col("prev_users").isNull(), 0)
+        .when(
+            (F.col("n_users") * 2 < F.col("prev_users"))
+            | (F.col("n_users") > F.col("prev_users") * 2),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("breach"),
+    )
+
+# --- dq_label_balance: class-balance audit of a training-label column ----------
+
+# The pre-training sanity check on any labeled table (here the
+# embeddings' cluster label): per-class counts and shares, the imbalance
+# ratio against the majority class, and the corpus-level Gini-Simpson
+# diversity 1 - sum(share²) — computed WITHOUT a double sum-of-squares
+# (order-dependent): sum(n_i²) is an exact BIGINT, so the diversity is
+# the single identical division 1 - S2/n². A class under 1/(10·k) of
+# uniform share gets an integer-arithmetic starved flag (n·10·k < n_tot
+# — never a double threshold, the dq_cardinality_trend discipline).
+_LABEL_BALANCE_ORACLE = """
+WITH c AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+  FROM embeddings GROUP BY label
+),
+t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+         CAST(MAX(n) AS BIGINT) AS n_max,
+         CAST(SUM(n * n) AS BIGINT) AS s2,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM c
+)
+SELECT c.label, c.n,
+       ROUND(CAST(c.n AS DOUBLE) / t.n_tot, 9) AS share,
+       ROUND(CAST(c.n AS DOUBLE) / t.n_max, 9) AS vs_majority,
+       CAST(CASE WHEN c.n * 10 * t.k < t.n_tot THEN 1 ELSE 0 END AS BIGINT)
+         AS starved,
+       t.k AS n_classes,
+       ROUND(1.0e0 - CAST(t.s2 AS DOUBLE)
+             / (CAST(t.n_tot AS DOUBLE) * t.n_tot), 9) AS gini_simpson
+FROM c CROSS JOIN t
+"""
+
+
+@register("dq_label_balance", oracle=_LABEL_BALANCE_ORACLE, tags=("quality",))
+def dq_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance audit of the embeddings' label column: per-class
+    count/share, ratio to the majority class, an integer-arithmetic
+    starved flag (< 10% of uniform share), and the corpus Gini-Simpson
+    diversity from the exact integer sum of squared counts (see header
+    for why no double sum-of-squares exists anywhere).
+
+    Scale shape: ONE map-side collapse to the |labels| grain; the
+    4-number corpus summary broadcasts back onto that dimension-sized
+    table. The label column is the only thing read (column pruning —
+    the 16-float vectors never leave the scan)."""
+    apply_engine_conf(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    c = scoped_persist(
+        emb.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    t = c.agg(
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.max("n").cast("bigint").alias("n_max"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("s2"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "label",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("n_tot"), 9).alias("share"),
+        F.round(F.col("n").cast("double") / F.col("n_max"), 9).alias("vs_majority"),
+        F.when(F.col("n") * 10 * F.col("k") < F.col("n_tot"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("starved"),
+        F.col("k").alias("n_classes"),
+        F.round(
+            F.lit(1.0)
+            - F.col("s2").cast("double")
+            / (F.col("n_tot").cast("double") * F.col("n_tot")),
+            9,
+        ).alias("gini_simpson"),
+    )

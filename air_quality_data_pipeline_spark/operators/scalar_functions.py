@@ -891,3 +891,55 @@ def f_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         mx.cast("int").alias("max_len"),
         F.round(F.lit(1.0) - d.cast("double") / mx, 9).alias("similarity"),
     )
+
+# --- f_time_bucket: arbitrary-width time bucketing ------------------------------
+
+# The hypertable primitive (TimescaleDB's time_bucket, ClickHouse's
+# toStartOfInterval): align every event to 5-minute and 6-hour bucket
+# starts. Both engines could disagree through their native
+# interval/date_trunc surfaces (origin conventions, DST rules), so the
+# contract is pinned in epoch arithmetic instead: truncating integer
+# division of epoch-µs by the width, rebuilt as TIMESTAMP_NTZ by adding
+# microseconds to the epoch — the tables.py nanosAsLong construction,
+# timezone-free by construction. Pure per-row codegen projection: zero
+# exchanges, zero Python (plan-gated like every 'function' entry).
+_BUCKET_5M_US = 5 * 60 * 1_000_000
+_BUCKET_6H_US = 6 * 3600 * 1_000_000
+
+_TIME_BUCKET_ORACLE = f"""
+SELECT event_id, ts,
+       make_timestamp((epoch_us(ts) // {_BUCKET_5M_US}) * {_BUCKET_5M_US})
+         AS bucket_5m,
+       make_timestamp((epoch_us(ts) // {_BUCKET_6H_US}) * {_BUCKET_6H_US})
+         AS bucket_6h,
+       CAST(epoch_us(ts) % {_BUCKET_5M_US} AS BIGINT) AS offset_in_5m_us
+FROM events
+"""
+
+
+@register("f_time_bucket", oracle=_TIME_BUCKET_ORACLE, tags=("function",))
+def f_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-width time bucketing (5-minute and 6-hour) with the
+    in-bucket offset — the hypertable alignment primitive, pinned in
+    truncating epoch-µs integer arithmetic rather than either engine's
+    interval surface (see header for why). The rebuilt bucket start is
+    TIMESTAMP_NTZ via epoch addition — no session-timezone dependence.
+
+    Scale shape: per-row whole-stage-codegen projection; zero exchanges,
+    zero Python. Downstream groupBy(bucket) is the usual map-side
+    combinable collapse (ts_vwap et al. show that shape)."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    eus = "unix_micros(cast(ts as timestamp))"
+    mk = "timestampadd(MICROSECOND, {us}, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    return ev.select(
+        "event_id",
+        "ts",
+        F.expr(
+            mk.format(us=f"({eus} div {_BUCKET_5M_US}) * {_BUCKET_5M_US}")
+        ).alias("bucket_5m"),
+        F.expr(
+            mk.format(us=f"({eus} div {_BUCKET_6H_US}) * {_BUCKET_6H_US}")
+        ).alias("bucket_6h"),
+        F.expr(f"cast({eus} % {_BUCKET_5M_US} as bigint)").alias("offset_in_5m_us"),
+    )

@@ -1191,3 +1191,55 @@ def sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("h", "o_orderkey")
         .limit(_BOTTOMK_K)
     )
+
+
+# --- sample_strat_k: exact-size per-stratum deterministic sample ---------------
+
+# Completes the sampling trio: sample_hash = reproducible fraction,
+# sample_bottomk = exact global size, this = exact size PER STRATUM —
+# "exactly 200 auditable orders per priority class", the shape every
+# eval-set builder and class-balanced audit needs. Bottom-k by content
+# hash within each stratum: row_number over (md5(key), key) per
+# priority, keep rank <= k. Deterministic on any partitioning and in any
+# engine with md5; the tie-break on the raw key closes the (vanishing)
+# hash-collision case.
+_STRAT_K = 200
+
+_SAMPLE_STRAT_K_ORACLE = f"""
+WITH ranked AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         md5(CAST(o_orderkey AS VARCHAR)) AS h,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey)
+           AS rk
+  FROM orders
+)
+SELECT o_orderkey, o_orderpriority, o_totalprice, h, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_STRAT_K}
+"""
+
+
+@register("sample_strat_k", oracle=_SAMPLE_STRAT_K_ORACLE, tags=("sample",))
+def sample_strat_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-stratum deterministic sample: the 200 bottom-hash
+    orders within each priority class — the class-balanced eval-set /
+    audit-panel builder (sample_hash samples a fraction, sample_bottomk a
+    global count). Stable across engines, runs, and partitionings; see
+    header comment for the tie-break contract.
+
+    Scale shape: ONE hash exchange on the stratum key, then a
+    rank-and-filter window whose partitions are strata — each partition
+    streams once and emits k rows; no global sort, no second pass. If a
+    single stratum outgrows a task at 100 TB, the win_ntile two-level
+    treatment (per-range bottom-k, then bottom-k of the k·|ranges|
+    union) drops in."""
+    apply_engine_conf(spark)
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    h = F.md5(F.col("o_orderkey").cast("string"))
+    w = Window.partitionBy("o_orderpriority").orderBy("h", "o_orderkey")
+    ranked = orders.select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", h.alias("h")
+    ).withColumn("rk", F.row_number().over(w).cast("bigint"))
+    return ranked.filter(F.col("rk") <= _STRAT_K)

@@ -4681,3 +4681,194 @@ def llm_skipgram_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_cooccur").desc(), "center", "context")
         .limit(_SKIPGRAM_TOP)
     )
+
+# --- llm_self_bleu: corpus diversity via self-BLEU-2 ---------------------------
+
+# Generation-diversity audit: each panel document scored as a CANDIDATE
+# against every OTHER panel document as reference — high self-BLEU means
+# the corpus repeats itself (mode collapse in synthetic data; boilerplate
+# in crawls). Clipped bigram precision per the BLEU recipe: clip each
+# candidate bigram count at the maximum count any OTHER document has for
+# that bigram. "Other" needs the top-2 trick — per gram keep (m1, its
+# multiplicity n1, runner-up m2); the max EXCLUDING doc d is m1 unless d
+# alone holds it (c_d = m1 AND n1 = 1), then m2 (0 if absent). Pure
+# integers until the one closing ROUND(9) division; no brevity penalty
+# (per-doc precision, not corpus BLEU — llm_bleu carries BP).
+_SELF_BLEU_PANEL = 60
+
+_SELF_BLEU_ORACLE = f"""
+WITH cnt AS (
+  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (
+    SELECT doc_id, UNNEST({shingles_duckdb(tokens_duckdb('text'), 2)}) AS g
+    FROM documents WHERE doc_id < {_SELF_BLEU_PANEL}
+  ) t GROUP BY doc_id, g
+),
+tops AS (
+  SELECT g, MAX(c) AS m1,
+         CAST(COUNT(*) FILTER (WHERE c = (SELECT MAX(c2.c) FROM cnt c2
+                                          WHERE c2.g = cnt.g)) AS BIGINT) AS n1,
+         MAX(CASE WHEN c < (SELECT MAX(c3.c) FROM cnt c3 WHERE c3.g = cnt.g)
+                  THEN c END) AS m2
+  FROM cnt GROUP BY g
+),
+clipped AS (
+  SELECT cnt.doc_id,
+         SUM(cnt.c) AS n_bigrams,
+         SUM(least(cnt.c,
+             CASE WHEN cnt.c = t.m1 AND t.n1 = 1 THEN COALESCE(t.m2, 0)
+                  ELSE t.m1 END)) AS n_clipped
+  FROM cnt JOIN tops t ON t.g = cnt.g
+  GROUP BY cnt.doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(n_clipped AS BIGINT) AS n_clipped,
+       ROUND(CAST(n_clipped AS DOUBLE) / n_bigrams, 9) AS self_bleu2
+FROM clipped WHERE n_bigrams > 0
+"""
+
+
+@register("llm_self_bleu", oracle=_SELF_BLEU_ORACLE, tags=("llm", "text"))
+def llm_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-BLEU-2 (clipped bigram precision vs all OTHER panel docs) per
+    document — the mode-collapse / boilerplate diversity audit for
+    generated corpora. Exclude-self clipping via the per-gram top-2
+    statistics (max, its multiplicity, runner-up; see header comment) —
+    integers end-to-end, one closing division.
+
+    Scale shape: panel-bounded like llm_bleu (references are quadratic by
+    nature); within the panel everything is (doc, gram) cell aggregates —
+    the per-gram top-2 collapse replaces the naive doc x doc x gram
+    reference join, so even a 10^5-doc panel exchanges gram cells, not
+    pairs. Corpus-scale use = sampled panels per source, the
+    llm_dataset_card pattern."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < _SELF_BLEU_PANEL)
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.expr(shingles_spark(tokens_spark("text"), 2))).alias("g"),
+    )
+    cnt = scoped_persist(
+        grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    # The top-2 statistics need the per-gram max alongside each cell; a
+    # second self-aggregate joined back keeps it window-free.
+    gmax = cnt.groupBy("g").agg(F.max("c").alias("m1"))
+    with_max = cnt.join(gmax, "g")
+    tops = with_max.groupBy("g").agg(
+        F.max("m1").alias("m1"),
+        F.sum(F.when(F.col("c") == F.col("m1"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.max(F.when(F.col("c") < F.col("m1"), F.col("c"))).alias("m2"),
+    )
+    clip = F.least(
+        F.col("c"),
+        F.when(
+            (F.col("c") == F.col("m1")) & (F.col("n1") == 1),
+            F.coalesce(F.col("m2"), F.lit(0)),
+        ).otherwise(F.col("m1")),
+    )
+    clipped = (
+        cnt.join(tops, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.sum(clip).cast("bigint").alias("n_clipped"),
+        )
+    )
+    return clipped.filter(F.col("n_bigrams") > 0).select(
+        "doc_id",
+        "n_bigrams",
+        "n_clipped",
+        F.round(F.col("n_clipped").cast("double") / F.col("n_bigrams"), 9).alias(
+            "self_bleu2"
+        ),
+    )
+
+# --- llm_langid_eval: confusion matrix for the language classifier -------------
+
+# Classifier QA for llm_lang_id, the way a data team actually consumes
+# it: the labeled-vs-predicted confusion matrix with per-label recall and
+# the global accuracy riding every row. Reuses the SAME stopword-profile
+# scorer and argmax-tiebreak CASE as llm_lang_id (one source of truth for
+# the classifier in each engine), so this entry pins that the EVALUATION
+# of the classifier — not just its raw output — is engine-portable.
+# Counts are integers; recall/accuracy are single divisions of identical
+# integer pairs, ROUND(9).
+_LANGID_EVAL_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {", ".join(f"{_score_duck(lg)} AS s_{lg}" for lg in _LANGS)}
+  FROM documents
+),
+pred AS (
+  SELECT labeled_lang,
+         {_argmax_case({lg: f"s_{lg}" for lg in _LANGS})} AS predicted_lang
+  FROM scored
+),
+conf AS (
+  SELECT labeled_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+),
+lt AS (SELECT labeled_lang, CAST(SUM(n) AS BIGINT) AS n_label FROM conf GROUP BY 1),
+acc AS (
+  SELECT CAST(SUM(CASE WHEN labeled_lang = predicted_lang THEN n ELSE 0 END) AS BIGINT)
+           AS n_correct,
+         CAST(SUM(n) AS BIGINT) AS n_total
+  FROM conf
+)
+SELECT c.labeled_lang, c.predicted_lang, c.n,
+       ROUND(CAST(c.n AS DOUBLE) / lt.n_label, 9) AS label_share,
+       ROUND(CAST(a.n_correct AS DOUBLE) / a.n_total, 9) AS overall_accuracy
+FROM conf c JOIN lt ON lt.labeled_lang = c.labeled_lang CROSS JOIN acc a
+"""
+
+
+@register("llm_langid_eval", oracle=_LANGID_EVAL_ORACLE, tags=("llm", "text"))
+def llm_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of llm_lang_id's stopword-profile classifier vs
+    the gold lang label: per-(labeled, predicted) counts, per-label
+    share (row-normalized recall on the diagonal), and the global
+    accuracy on every row. One source of truth: the scorer and argmax
+    CASE are the same module-level fragments llm_lang_id compiles.
+
+    Scale shape: per-row classification is codegen projection work; ONE
+    map-side collapse to the |langs|² confusion grain; margins and the
+    accuracy scalar broadcast back onto that constant-size table. The
+    corpus is scanned once."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.col("lang").alias("labeled_lang"),
+        *[F.expr(_score_spark(lg)).cast("long").alias(f"s_{lg}") for lg in _LANGS],
+    )
+    pred = scored.select(
+        "labeled_lang",
+        F.expr(_argmax_case({lg: f"s_{lg}" for lg in _LANGS})).alias("predicted_lang"),
+    )
+    conf = scoped_persist(
+        pred.groupBy("labeled_lang", "predicted_lang").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+    )
+    lt = conf.groupBy("labeled_lang").agg(F.sum("n").cast("bigint").alias("n_label"))
+    acc = conf.agg(
+        F.sum(
+            F.when(F.col("labeled_lang") == F.col("predicted_lang"), F.col("n")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_correct"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    return (
+        conf.join(F.broadcast(lt), "labeled_lang")
+        .crossJoin(F.broadcast(acc))
+        .select(
+            "labeled_lang", "predicted_lang", "n",
+            F.round(F.col("n").cast("double") / F.col("n_label"), 9).alias("label_share"),
+            F.round(F.col("n_correct").cast("double") / F.col("n_total"), 9).alias(
+                "overall_accuracy"
+            ),
+        )
+    )

@@ -2653,3 +2653,422 @@ def ts_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bullish"
         ),
     )
+
+# --- ts_vwap: volume-weighted average price per calendar bucket ----------------
+
+# The weighting rung the series family was missing: ts_twa weights by TIME
+# in state, ts_vwap weights by VOLUME traded — the execution-quality
+# benchmark unit price per ship month. l_extendedprice is already the
+# quantity-extended line total, so the volume-weighted mean UNIT price
+# collapses to the exact ratio sum(price) / sum(qty): both sums are exact
+# cent / centi-unit BIGINTs summed in DECIMAL(38,0) (associative, no 2^63
+# ceiling), and ONE closing division of the identical decimal-cast
+# doubles lands the price (cents per centi-unit = currency per unit). The
+# month key is integer year*100+month arithmetic — no date formatting
+# divergence.
+_VWAP_ORACLE = """
+WITH px AS (
+  SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ship_month,
+         CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS cents,
+         CAST(floor(l_quantity * 100.0) AS BIGINT) AS q
+  FROM lineitem
+)
+SELECT ship_month,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(q AS DECIMAL(38,0))) AS BIGINT) AS vol_centi,
+       ROUND(CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
+             / CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE), 9) AS vwap_unit_price
+FROM px
+GROUP BY ship_month
+"""
+
+
+@register("ts_vwap", oracle=_VWAP_ORACLE, tags=("timeseries",))
+def ts_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average unit price of shipped lines per calendar
+    month — sum(extended price) / sum(quantity), the execution-benchmark
+    complement to ts_twa's time weighting (l_extendedprice is already
+    quantity-extended, so the volume weighting is exactly this ratio).
+    Exact cent/centi-unit integers summed in DECIMAL(38,0) (see oracle
+    comment for why BIGINT sums would hit the 2^63 ceiling), one closing
+    identical-double division; the cent/centi scales cancel.
+
+    Scale shape: ONE map-side-combinable collapse straight from the fact
+    scan to the |months| calendar grain — the shuffle carries months, not
+    lines; decimal partials combine associatively on any partitioning."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0).cast("bigint")
+    centi = F.floor(F.col("l_quantity") * 100.0).cast("bigint")
+    px = li.select(
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+        .cast("bigint")
+        .alias("ship_month"),
+        cents.alias("cents"),
+        centi.alias("q"),
+    )
+    return px.groupBy("ship_month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.col("q").cast("decimal(38,0)")).cast("bigint").alias("vol_centi"),
+        F.round(
+            F.sum(F.col("cents").cast("decimal(38,0)")).cast("double")
+            / F.sum(F.col("q").cast("decimal(38,0)")).cast("double"),
+            9,
+        ).alias("vwap_unit_price"),
+    )
+
+
+# --- ts_stochastic: %K / %D stochastic oscillator over the daily series --------
+
+# Where-in-the-range momentum beside ts_rsi's up/down balance and
+# ts_macd's EWMA gap: %K = (v - min14) / (max14 - min14) positions today
+# inside the trailing 14-day envelope, %D smooths %K over 3 days. The
+# envelope extrema are window MIN/MAX over EXACT micro-unit integers
+# (always bit-equal); %K is one division of identical doubles; %D is the
+# identical left-associative 3-term chain — no libm anywhere, flat
+# envelopes (max == min) pin NULL rather than 0/0.
+_STOCH_WIN = 14
+_STOCH_SMOOTH = 3
+
+_STOCH_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(floor(SUM(CAST(value AS DECIMAL(18, 9))) * 1000000) AS BIGINT) AS vm
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+env AS (
+  SELECT event_type, day, vm,
+         MIN(vm) OVER w AS lo, MAX(vm) OVER w AS hi,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n_win
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {_STOCH_WIN - 1} PRECEDING AND CURRENT ROW)
+),
+k AS (
+  SELECT event_type, day, vm, lo, hi, n_win,
+         CASE WHEN hi = lo THEN NULL
+              ELSE CAST(vm - lo AS DOUBLE) / CAST(hi - lo AS DOUBLE)
+         END AS pct_k
+  FROM env
+)
+SELECT event_type, CAST(day AS VARCHAR) AS day, vm AS v_micro, lo AS env_lo,
+       hi AS env_hi, n_win, ROUND(pct_k, 9) AS pct_k,
+       ROUND((pct_k + lag(pct_k, 1) OVER d + lag(pct_k, 2) OVER d) / 3.0e0, 9)
+         AS pct_d
+FROM k
+WINDOW d AS (PARTITION BY event_type ORDER BY day)
+"""
+
+
+@register("ts_stochastic", oracle=_STOCH_ORACLE, tags=("timeseries",))
+def ts_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator over the per-type daily series: %K positions
+    each day inside its trailing 14-day min/max envelope, %D is the 3-day
+    smoothing. Integer window extrema, identical-double closing algebra,
+    NULL on flat envelopes; the 3-term %D chain is the same
+    left-associative sum in both engines (NULL-propagating until 3 %K
+    values exist — the warmup contract).
+
+    Scale shape: ONE map-side collapse to the |types| x |days|
+    calendar-bounded grain; both window layers partition by type over
+    that cell table — bounded rows per partition, no global sort, O(1)
+    state per row (rolling extrema over a 14-row frame)."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.floor(F.sum(F.col("value").cast("decimal(18,9)")) * 1000000)
+        .cast("bigint")
+        .alias("vm")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(_STOCH_WIN - 1), Window.currentRow)
+    )
+    env = daily.select(
+        "event_type", "day", "vm",
+        F.min("vm").over(w).alias("lo"),
+        F.max("vm").over(w).alias("hi"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_win"),
+    )
+    pct_k = F.when(
+        F.col("hi") == F.col("lo"), F.lit(None).cast("double")
+    ).otherwise(
+        (F.col("vm") - F.col("lo")).cast("double")
+        / (F.col("hi") - F.col("lo")).cast("double")
+    )
+    k = env.select("event_type", "day", "vm", "lo", "hi", "n_win", pct_k.alias("pct_k"))
+    d = Window.partitionBy("event_type").orderBy("day")
+    return k.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.col("vm").alias("v_micro"),
+        F.col("lo").alias("env_lo"),
+        F.col("hi").alias("env_hi"),
+        "n_win",
+        F.round("pct_k", 9).alias("pct_k"),
+        F.round(
+            (F.col("pct_k") + F.lag("pct_k", 1).over(d) + F.lag("pct_k", 2).over(d))
+            / F.lit(3.0),
+            9,
+        ).alias("pct_d"),
+    )
+
+
+# --- ts_burstiness: interarrival burstiness coefficient per user ---------------
+
+# ts_interarrival profiles the gap DISTRIBUTION; the burstiness
+# coefficient B = (sigma - mu) / (sigma + mu) (Goh & Barabási) collapses
+# each user's gap train to one number in [-1, 1): B -> -1 periodic,
+# B = 0 Poisson, B -> 1 bursty — the feature that separates bots
+# (periodic) from humans (bursty) at a glance. Gaps are exact integer
+# SECONDS (epoch-µs difference div 10^6 — truncating div agrees in both
+# engines on non-negatives); moments sum in DECIMAL(38,0) (gap² can reach
+# 1e15, a BIGINT sum caps at ~10^3 gaps/user — decimal removes the
+# ceiling); sigma = population sqrt on identical doubles (IEEE-exact).
+_BURSTINESS_MIN_EVENTS = 6
+
+_BURSTINESS_ORACLE = f"""
+WITH gaps AS (
+  SELECT user_id,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS gap_s
+  FROM events
+),
+m AS (
+  SELECT user_id, CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+         CAST(SUM(CAST(gap_s AS DECIMAL(38,0))) AS BIGINT) AS s,
+         CAST(SUM(CAST(gap_s * gap_s AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ss
+  FROM gaps WHERE gap_s IS NOT NULL
+  GROUP BY user_id HAVING COUNT(gap_s) >= {_BURSTINESS_MIN_EVENTS - 1}
+)
+SELECT user_id, n_gaps,
+       ROUND(CAST(s AS DOUBLE) / n_gaps, 9) AS mean_gap_s,
+       ROUND(sqrt(CAST(ss AS DOUBLE) / n_gaps
+                  - (CAST(s AS DOUBLE) / n_gaps) * (CAST(s AS DOUBLE) / n_gaps)), 9)
+         AS sd_gap_s,
+       CASE WHEN CAST(ss AS DOUBLE) / n_gaps
+                 - (CAST(s AS DOUBLE) / n_gaps) * (CAST(s AS DOUBLE) / n_gaps) = 0
+              AND s = 0 THEN NULL
+            ELSE ROUND(
+              (sqrt(CAST(ss AS DOUBLE) / n_gaps
+                    - (CAST(s AS DOUBLE) / n_gaps) * (CAST(s AS DOUBLE) / n_gaps))
+               - CAST(s AS DOUBLE) / n_gaps)
+              / (sqrt(CAST(ss AS DOUBLE) / n_gaps
+                      - (CAST(s AS DOUBLE) / n_gaps) * (CAST(s AS DOUBLE) / n_gaps))
+                 + CAST(s AS DOUBLE) / n_gaps), 9)
+       END AS burstiness
+FROM m
+"""
+
+
+@register("ts_burstiness", oracle=_BURSTINESS_ORACLE, tags=("timeseries",))
+def ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness B = (σ-μ)/(σ+μ) of each user's event
+    interarrival gaps (integer seconds, population σ) — the bot-vs-human
+    cadence fingerprint collapsing ts_interarrival's distribution to one
+    calibrated number. Users with all-zero gaps (every event in the same
+    second) pin NULL (0/0). Exactness: truncating integer-second gaps,
+    DECIMAL(38,0) moment sums, IEEE sqrt (see oracle comment).
+
+    Scale shape: the lag window partitions by user (hash-distributed, no
+    global sort); gap rows collapse map-side to |users| moment cells; all
+    closing algebra rides the user grain. Ties inside one timestamp order
+    by event_id, so the lag is deterministic on any partitioning."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    gaps = ev.select(
+        "user_id",
+        F.expr(
+            "(unix_micros(cast(ts as timestamp)) - "
+            "lag(unix_micros(cast(ts as timestamp))) over "
+            "(partition by user_id order by ts, event_id)) div 1000000"
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    m = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_s").cast("bigint").alias("n_gaps"),
+            F.sum(F.col("gap_s").cast("decimal(38,0)")).cast("bigint").alias("s"),
+            F.sum((F.col("gap_s") * F.col("gap_s")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("ss"),
+        )
+        .filter(F.col("n_gaps") >= _BURSTINESS_MIN_EVENTS - 1)
+    )
+    mu = F.col("s").cast("double") / F.col("n_gaps")
+    var = F.col("ss").cast("double") / F.col("n_gaps") - mu * mu
+    sd = F.sqrt(var)
+    return m.select(
+        "user_id",
+        "n_gaps",
+        F.round(mu, 9).alias("mean_gap_s"),
+        F.round(sd, 9).alias("sd_gap_s"),
+        F.when((var == 0) & (F.col("s") == 0), F.lit(None).cast("double"))
+        .otherwise(F.round((sd - mu) / (sd + mu), 9))
+        .alias("burstiness"),
+    )
+
+# --- ts_volatility: rolling SD of daily log returns ----------------------------
+
+# The realized-volatility rung the momentum family (rsi/macd/bollinger)
+# references but never computes: per-type daily log returns
+# r_t = ln(v_t / v_{t-1}) and their trailing 7-day sample SD. Cross-
+# engine exactness: the return is ln on ONE identical double (the ratio
+# of two exact micro-unit integers divided once), FLOOR-quantized to
+# integer micro-nats (the agg_entropy recipe) so the window moment sums
+# (n, s, ss) are exact integers on any partitioning; the closing
+# sqrt((ss - s²/n)/(n-1)) is identical-double algebra + IEEE sqrt.
+# Non-positive daily sums (possible: value is signed) pin NULL returns —
+# both engines drop them from the moments via the COUNT(r) window.
+_VOL_WIN = 7
+
+_VOLATILITY_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(floor(SUM(CAST(value AS DECIMAL(18, 9))) * 1000000) AS BIGINT) AS vm
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+ret AS (
+  SELECT event_type, day, vm,
+         CASE WHEN vm > 0 AND lag(vm) OVER w > 0
+              THEN CAST(floor(ln(CAST(vm AS DOUBLE)
+                                 / CAST(lag(vm) OVER w AS DOUBLE))
+                              * 1000000.0) AS BIGINT)
+         END AS r_micro
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+mom AS (
+  SELECT event_type, day, vm, r_micro,
+         CAST(COUNT(r_micro) OVER v AS BIGINT) AS n_ret,
+         CAST(SUM(r_micro) OVER v AS BIGINT) AS s,
+         CAST(SUM(r_micro * r_micro) OVER v AS BIGINT) AS ss
+  FROM ret
+  WINDOW v AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {_VOL_WIN - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, CAST(day AS VARCHAR) AS day, vm AS v_micro, r_micro, n_ret,
+       CASE WHEN n_ret >= 2 THEN
+         ROUND(sqrt((CAST(ss AS DOUBLE)
+                     - CAST(s AS DOUBLE) * s / n_ret) / (n_ret - 1)) / 1000000.0, 9)
+       END AS vol_7d
+FROM mom
+"""
+
+
+@register("ts_volatility", oracle=_VOLATILITY_ORACLE, tags=("timeseries",))
+def ts_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized volatility: trailing 7-day sample SD of per-type daily
+    log returns — the risk measure beside the momentum family. Returns
+    are micro-nat floor-quantized integers (ln on one identical double),
+    window moments are exact integer sums, the close is identical-double
+    algebra + IEEE sqrt; non-positive daily sums pin NULL returns and
+    drop from the moments in both engines (see header).
+
+    Scale shape: ONE map-side collapse to the |types| x |days| daily
+    grain; the lag and the rolling-moment windows both partition by type
+    over that calendar-bounded cell table — O(1) state per row, no
+    global sort, embarrassingly parallel across types."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.floor(F.sum(F.col("value").cast("decimal(18,9)")) * 1000000)
+        .cast("bigint")
+        .alias("vm")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("vm").over(w)
+    ret = daily.select(
+        "event_type", "day", "vm",
+        F.when(
+            (F.col("vm") > 0) & (prev > 0),
+            F.floor(
+                F.log(F.col("vm").cast("double") / prev.cast("double")) * 1000000.0
+            ).cast("bigint"),
+        ).alias("r_micro"),
+    )
+    v = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(_VOL_WIN - 1), Window.currentRow)
+    )
+    mom = ret.select(
+        "event_type", "day", "vm", "r_micro",
+        F.count("r_micro").over(v).cast("bigint").alias("n_ret"),
+        F.sum("r_micro").over(v).cast("bigint").alias("s"),
+        F.sum(F.col("r_micro") * F.col("r_micro")).over(v).cast("bigint").alias("ss"),
+    )
+    sd = F.sqrt(
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("n_ret")
+        )
+        / (F.col("n_ret") - 1)
+    )
+    return mom.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.col("vm").alias("v_micro"),
+        "r_micro",
+        "n_ret",
+        F.when(F.col("n_ret") >= 2, F.round(sd / 1000000.0, 9)).alias("vol_7d"),
+    )
+
+
+# --- ts_outages: gap-threshold outage intervals --------------------------------
+
+# The operational read of ts_interarrival/ts_burstiness: contiguous
+# silent intervals longer than a threshold, reported as (start, end,
+# duration) rows per event type — the monitoring primitive behind
+# "sensor X went dark for 9 hours" (the reference's freshness cron is
+# the degenerate one-sided version of this). Pure integer µs
+# arithmetic: gaps from unix_micros lag with the repo-wide (ts,
+# event_id) tie-break, truncating div to seconds, fixed 3600 s
+# threshold (documented; the count shrinks as density grows — that is
+# the semantics, not a scaling artifact).
+_OUTAGE_GAP_S = 3600
+
+_OUTAGES_ORACLE = f"""
+WITH g AS (
+  SELECT event_type, ts,
+         lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_ts,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER
+            (PARTITION BY event_type ORDER BY ts, event_id)) // 1000000 AS gap_s
+  FROM events
+)
+SELECT event_type, prev_ts AS outage_start, ts AS outage_end,
+       CAST(gap_s AS BIGINT) AS duration_s
+FROM g WHERE gap_s > {_OUTAGE_GAP_S}
+"""
+
+
+@register("ts_outages", oracle=_OUTAGES_ORACLE, tags=("timeseries",))
+def ts_outages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outage intervals: per-type silent gaps longer than 1 hour, as
+    (start, end, duration_s) rows — the monitoring primitive the
+    reference's freshness check approximates one-sidedly. Integer µs
+    gaps with the (ts, event_id) tie-break, truncating division.
+
+    Scale shape: one lag window hash-partitioned by type (bounded
+    partitions, no global sort), then a pure filter — the output is the
+    outage count, orders of magnitude below the event count. A per-
+    device variant swaps the partition key; nothing else changes."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    wt = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type", "ts",
+        F.lag("ts").over(wt).alias("prev_ts"),
+        F.expr(
+            "(unix_micros(cast(ts as timestamp)) - "
+            "lag(unix_micros(cast(ts as timestamp))) over "
+            "(partition by event_type order by ts, event_id)) div 1000000"
+        ).alias("gap_s"),
+    )
+    return g.filter(F.col("gap_s") > _OUTAGE_GAP_S).select(
+        "event_type",
+        F.col("prev_ts").alias("outage_start"),
+        F.col("ts").alias("outage_end"),
+        F.col("gap_s").cast("bigint").alias("duration_s"),
+    )

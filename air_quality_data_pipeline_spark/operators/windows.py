@@ -1044,3 +1044,71 @@ def win_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value_micro",
     )
+
+# --- win_rank_delta: period-over-period rank movement --------------------------
+
+# League-table analytics: each supplier's revenue RANK within a ship
+# month, and how many places it moved vs the previous month it appeared
+# in — the "biggest climbers / fallers" report (win_rank is a single
+# period; the delta needs two window layers on orthogonal partitions).
+# Ranking uses row_number over (revenue DESC, suppkey) — fully
+# deterministic under ties, unlike rank() whose gap behavior would still
+# be deterministic but leaves tie pairs order-ambiguous to readers.
+# Revenue is the exact cent BIGINT, so the sort key never hits a double.
+_RANK_DELTA_ORACLE = """
+WITH rev AS (
+  SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ship_month,
+         l_suppkey,
+         CAST(SUM(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+  SELECT ship_month, l_suppkey, cents,
+         CAST(ROW_NUMBER() OVER (PARTITION BY ship_month
+                                 ORDER BY cents DESC, l_suppkey) AS BIGINT) AS rnk
+  FROM rev
+)
+SELECT ship_month, l_suppkey, cents, rnk,
+       lag(rnk) OVER (PARTITION BY l_suppkey ORDER BY ship_month) AS prev_rank,
+       lag(rnk) OVER (PARTITION BY l_suppkey ORDER BY ship_month) - rnk
+         AS places_gained
+FROM ranked
+"""
+
+
+@register("win_rank_delta", oracle=_RANK_DELTA_ORACLE, tags=("window",))
+def win_rank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly supplier revenue rank and its month-over-month movement
+    (positive = climbed). Two window layers on ORTHOGONAL partitions —
+    rank within ship_month, lag within supplier — the league-table
+    pattern win_rank (single period) can't express. Deterministic under
+    revenue ties via the (cents DESC, suppkey) row_number key; first
+    month per supplier pins NULL movement.
+
+    Scale shape: ONE fact collapse to the (month, supplier) cent grain;
+    both windows ride that cell table with bounded partitions (suppliers
+    per month / months per supplier) — two cell-grain exchanges, no
+    global sort, nothing after the collapse touches a lineitem row."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+        .cast("bigint")
+        .alias("ship_month"),
+        "l_suppkey",
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100.0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    wm = Window.partitionBy("ship_month").orderBy(F.desc("cents"), F.asc("l_suppkey"))
+    ranked = rev.select(
+        "ship_month", "l_suppkey", "cents",
+        F.row_number().over(wm).cast("bigint").alias("rnk"),
+    )
+    ws = Window.partitionBy("l_suppkey").orderBy("ship_month")
+    return ranked.select(
+        "ship_month", "l_suppkey", "cents", "rnk",
+        F.lag("rnk").over(ws).alias("prev_rank"),
+        (F.lag("rnk").over(ws) - F.col("rnk")).alias("places_gained"),
+    )

@@ -211,7 +211,9 @@ DRIVER_WINDOW = DRIVER_PRIORITY[:50]
 # CODE changed late in round 8 (the distributed two-level position scan
 # replaced the single-partition ntile window; same oracle, green driver
 # rows r06 predate the change) — rotate it into the round-9 window as a
-# changed-code re-sample.
+# changed-code re-sample. Round-9 window budget = len(DEFERRED_FIRST_ROW)
+# first rows + that 1 re-sample; derive counts with len() when planning,
+# not from comment literals (the round-7 off-by-one lesson).
 DEFERRED_FIRST_ROW: set[str] = {
     # round-8 batch 2 (stats/ts/graph/llm/mm breadth), in add order
     "agg_mannwhitney",
@@ -244,6 +246,31 @@ DEFERRED_FIRST_ROW: set[str] = {
     "agg_theil",
     "agg_trimmed_mean",
     "llm_skipgram_cooccur",
+    # round-8 batch 5 (association effect sizes, oscillator/burstiness
+    # series, rich-club, rank movement, mask profiling, cardinality
+    # audit, LSH tuning, self-BLEU, bitrate)
+    "agg_cramers_v",
+    "agg_mutual_info",
+    "agg_cohens_d",
+    "ts_vwap",
+    "ts_stochastic",
+    "ts_burstiness",
+    "graph_richclub",
+    "win_rank_delta",
+    "dq_value_shape",
+    "dq_cardinality_trend",
+    "llm_lsh_tune",
+    "llm_self_bleu",
+    "mm_bitrate",
+    # round-8 batch 6 (sampling, volatility/outage series, classifier
+    # eval, estimator audit, time bucketing, label balance)
+    "sample_strat_k",
+    "ts_volatility",
+    "ts_outages",
+    "llm_langid_eval",
+    "llm_minhash_est_err",
+    "f_time_bucket",
+    "dq_label_balance",
 }
 
 

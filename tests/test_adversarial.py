@@ -132,6 +132,13 @@ ADV_PANEL = [
     "llm_chrf",               # multibyte char bigrams: length() units must agree
     "mm_audio_vad",           # NULL payload excluded identically (mm_phash lesson)
     "llm_skipgram_cooccur",   # unicode tokens through the (doc, pos) equi-join
+    # round-8 batch-5 document-path operators:
+    "llm_lsh_tune",           # hostile panel pairs through the S-curve algebra
+    "llm_self_bleu",          # NULL/1-token docs drop (no bigrams) identically
+    "mm_bitrate",             # NULL payload => NULL length row drops from the grid
+    # round-8 batch-6 document-path operators:
+    "llm_langid_eval",        # NULL text scores 0 on every profile -> tiebreak row
+    "llm_minhash_est_err",    # shingle-less hostile docs excluded identically
 ]
 
 
@@ -291,6 +298,15 @@ ADV_EVENTS_PANEL = [
     "ts_calendar_profile",    # ISO dow numbering under tied timestamps
     "dq_psi",                 # negative micro-values through the integer bin edges
     "ts_macd",                # short/negative series: partial-window adaptive chains
+    # round-8 batch-5 events-path operators:
+    "agg_mutual_info",        # degenerate margins (one dow dominates) through ln terms
+    "ts_stochastic",          # size-1 and flat envelopes pin NULL %K identically
+    "ts_burstiness",          # all-tied user: zero gaps => 0/0 pins NULL (not Inf)
+    "dq_cardinality_trend",   # halve/double breach on tiny integer day counts
+    # round-8 batch-6 events-path operators:
+    "ts_volatility",          # negative daily sums pin NULL returns (no ln(<=0))
+    "ts_outages",             # all-tied user contributes zero gaps; 16-day spans gap
+    "f_time_bucket",          # collided timestamps bucket identically (pure arithmetic)
 ]
 
 

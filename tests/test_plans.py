@@ -1835,3 +1835,191 @@ def test_skipgram_equi_join_take_ordered(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan, (
         f"the offset explode should broadcast 4 rows:\n{plan}"
     )
+
+
+# --- round-8 batch 5 ----------------------------------------------------------
+
+
+def test_cramers_v_single_fact_scan(spark, sf_dir):
+    # the contingency collapse must be the ONLY pass over orders; margins,
+    # total and dims all ride the persisted cell table via broadcasts
+    plan = _executed_plan(spark, "agg_cramers_v", sf_dir)
+    # the persisted cell table feeds margins/total/dims: every consumer must
+    # read the cache, so the raw FileScan appears only inside the (single)
+    # InMemoryRelation build, never as a live re-scan alongside it
+    assert len(re.findall(r"InMemoryTableScan", plan)) >= 3, plan
+    live_scans = re.sub(r"InMemoryRelation.*", "", plan, flags=re.S).count("Scan parquet")
+    assert live_scans == 0, f"orders re-scanned outside the cache:\n{plan}"
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_mutual_info_single_fact_scan(spark, sf_dir):
+    plan = _executed_plan(spark, "agg_mutual_info", sf_dir)
+    assert len(re.findall(r"InMemoryTableScan", plan)) >= 3, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, f"cell-grain joins must broadcast:\n{plan}"
+
+
+def test_cohens_d_no_window_no_join(spark, sf_dir):
+    # one moment collapse + conditional pivot: no window, no join, no Python
+    plan = _executed_plan(spark, "agg_cohens_d", sf_dir)
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_vwap_one_aggregate_no_window(spark, sf_dir):
+    plan = _executed_plan(spark, "ts_vwap", sf_dir)
+    assert "Window" not in plan
+    assert "Join" not in plan
+    # map-side partials: two HashAggregates (partial + final), one exchange
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_stochastic_windows_ride_daily_grain(spark, sf_dir):
+    plan = _executed_plan(spark, "ts_stochastic", sf_dir)
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "event_type" in m.group(1), (
+            f"stochastic windows must partition by type: {m.group(1)}\n{plan}"
+        )
+    assert "ArrowEvalPython" not in plan
+
+
+def test_burstiness_lag_partitions_by_user(spark, sf_dir):
+    plan = _executed_plan(spark, "ts_burstiness", sf_dir)
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "user_id" in m.group(1), (
+            f"gap lag must partition by user: {m.group(1)}\n{plan}"
+        )
+    assert "Exchange rangepartitioning" not in plan, f"no global sort:\n{plan}"
+
+
+def test_richclub_reuses_memoized_edges(spark, sf_dir):
+    # the edge build is memoized+persisted; thresholds and degrees are
+    # dimension work; no unbounded cartesian (the 4-row panel join is a
+    # broadcast nested loop by construction)
+    plan = _executed_plan(spark, "graph_richclub", sf_dir)
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rank_delta_windows_orthogonal_partitions(spark, sf_dir):
+    plan = _executed_plan(spark, "win_rank_delta", sf_dir)
+    specs = [m.group(1) for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan)]
+    assert specs, plan
+    assert all("ship_month" in s or "l_suppkey" in s for s in specs), (
+        f"every window must partition by month or supplier:\n{specs}"
+    )
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_value_shape_topk_window_on_mask_cells(spark, sf_dir):
+    # masks collapse BEFORE the margin join and the top-5 window partitions
+    # by column — never an unpartitioned sort over value rows
+    plan = _executed_plan(spark, "dq_value_shape", sf_dir)
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "col" in m.group(1), (
+            f"top-5 window must partition by col: {m.group(1)}\n{plan}"
+        )
+    assert "ArrowEvalPython" not in plan
+
+
+def test_cardinality_trend_two_level_distinct(spark, sf_dir):
+    # exact distinct must plan as the two-level (day,user)->day aggregate
+    # (Spark expands count_distinct that way); no Python, no range shuffle
+    # beyond the |days|-grain lag window's single partition
+    plan = _executed_plan(spark, "dq_cardinality_trend", sf_dir)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Scan parquet") <= 1, f"events scanned more than once:\n{plan}"
+    assert "Join" not in plan
+
+
+def test_lsh_tune_equi_joins_only(spark, sf_dir):
+    plan = _executed_plan(spark, "llm_lsh_tune", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_self_bleu_no_pair_join(spark, sf_dir):
+    # the exclude-self clip must ride per-gram top-2 cells — never a
+    # doc x doc reference join
+    plan = _executed_plan(spark, "llm_self_bleu", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        f"self-BLEU must not build doc pairs:\n{plan}"
+    )
+
+
+def test_bitrate_no_python_no_join(spark, sf_dir):
+    # payload bytes never cross into Python — only length() rides the plan
+    plan = _executed_plan(spark, "mm_bitrate", sf_dir)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# --- round-8 batch 6 ----------------------------------------------------------
+
+
+def test_strat_k_window_partitioned_by_stratum(spark, sf_dir):
+    plan = _executed_plan(spark, "sample_strat_k", sf_dir)
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "o_orderpriority" in m.group(1), (
+            f"rank must partition by stratum: {m.group(1)}\n{plan}"
+        )
+    assert "Exchange rangepartitioning" not in plan, f"no global sort:\n{plan}"
+
+
+def test_volatility_windows_ride_daily_grain(spark, sf_dir):
+    plan = _executed_plan(spark, "ts_volatility", sf_dir)
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "event_type" in m.group(1), (
+            f"volatility windows must partition by type: {m.group(1)}\n{plan}"
+        )
+    assert "ArrowEvalPython" not in plan
+
+
+def test_outages_lag_partitioned_no_sort(spark, sf_dir):
+    plan = _executed_plan(spark, "ts_outages", sf_dir)
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "event_type" in m.group(1), (
+            f"gap lag must partition by type: {m.group(1)}\n{plan}"
+        )
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_langid_eval_single_scan_broadcasts(spark, sf_dir):
+    # classification is projection work; confusion cells persist once and
+    # feed margins + accuracy via broadcasts
+    plan = _executed_plan(spark, "llm_langid_eval", sf_dir)
+    assert len(re.findall(r"InMemoryTableScan", plan)) >= 3, plan
+    assert "SortMergeJoin" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_minhash_est_err_panel_bounded(spark, sf_dir):
+    # the pair join is panel-bounded by the doc_id < 100 pushed filter;
+    # signatures are built once per doc (projection), no Python
+    fmt = _formatted(spark, "llm_minhash_est_err", sf_dir)
+    assert "doc_id" in fmt and "100" in fmt
+    plan = _executed_plan(spark, "llm_minhash_est_err", sf_dir)
+    assert "ArrowEvalPython" not in plan
+
+
+def test_time_bucket_pure_projection(spark, sf_dir):
+    # function-family contract: zero exchanges, zero Python, codegen span
+    plan = _executed_plan(spark, "f_time_bucket", sf_dir)
+    assert "Exchange" not in plan, f"scalar demo must not shuffle:\n{plan}"
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.lstrip().startswith("*(") or "WholeStageCodegen" in plan, plan
+
+
+def test_label_balance_prunes_to_label_column(spark, sf_dir):
+    # column pruning: the scan must read label only — never the vectors
+    fmt = _formatted(spark, "dq_label_balance", sf_dir)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", fmt)
+    assert m and "embedding" not in m.group(1), (
+        f"vector column must be pruned from the scan: {m and m.group(1)}"
+    )
+    plan = _executed_plan(spark, "dq_label_balance", sf_dir)
+    assert "SortMergeJoin" not in plan

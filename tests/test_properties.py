@@ -3207,3 +3207,353 @@ def test_skipgram_counts_match_python_window_scan(spark, sf_dir):
         for r in SPECS["llm_skipgram_cooccur"].builder(spark, sf_dir).collect()
     ]
     assert got == ref
+
+
+# --- round-8 batch 5 -----------------------------------------------------------
+
+
+def test_cramers_v_bounded_and_consistent(spark, sf_dir):
+    """V in [0, 1]; the closing sqrt must reproduce from the reported
+    integer chi2_micro and n exactly (self-consistency of the row)."""
+    import math
+
+    rows = SPECS["agg_cramers_v"].builder(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert 0.0 <= r.cramers_v <= 1.0
+    assert r.mindim >= 1
+    expect = math.sqrt((r.chi2_micro / 1e6) / (r.n_rows * r.mindim))
+    assert abs(r.cramers_v - expect) < 1e-9
+
+
+def test_mutual_info_nonnegative_and_term_sum(spark, sf_dir):
+    """MI >= 0 up to quantization (every cell floors by < 1e-6 nats), and
+    every row must carry the same mi_micro_sum = sum of the cell terms."""
+    rows = SPECS["agg_mutual_info"].builder(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.term_micro for r in rows)
+    for r in rows:
+        assert r.mi_micro_sum == total
+    assert total >= -len(rows)  # each floor undershoots by < 1 micro-nat
+    assert rows[0].mutual_info_nats >= -1e-3
+
+
+def test_cohens_d_recomputes_from_raw(spark, sf_dir):
+    """Recompute d for one status group from the raw fixture in Python
+    (exact centi-unit moments, pooled SD) and match to 1e-9."""
+    import math
+
+    import duckdb
+
+    rows = {r.l_linestatus: r for r in SPECS["agg_cohens_d"].builder(spark, sf_dir).collect()}
+    assert rows
+    st, r = sorted(rows.items())[0]
+    con = duckdb.connect()
+    raw = con.execute(
+        f"""SELECT l_returnflag, COUNT(*),
+                   SUM(CAST(floor(l_quantity*100.0) AS BIGINT)),
+                   SUM(CAST(floor(l_quantity*100.0) AS BIGINT)
+                       * CAST(floor(l_quantity*100.0) AS BIGINT))
+            FROM '{sf_dir}/lineitem.parquet'
+            WHERE l_linestatus = ? AND l_returnflag IN ('R','N')
+            GROUP BY 1""",
+        [st],
+    ).fetchall()
+    m = {f: (n, s, ss) for f, n, s, ss in raw}
+    (n1, s1, ss1), (n2, s2, ss2) = m["R"], m["N"]
+    m1, m2 = s1 / n1, s2 / n2
+    pooled = math.sqrt(((ss1 - s1 * s1 / n1) + (ss2 - s2 * s2 / n2)) / (n1 + n2 - 2))
+    assert r.n1 == n1 and r.n2 == n2
+    assert abs(r.cohens_d - round((m1 - m2) / pooled, 9)) < 1e-9
+
+
+def test_vwap_between_unit_price_extrema(spark, sf_dir):
+    """A weighted mean must sit inside the per-month unit-price envelope."""
+    import duckdb
+
+    rows = SPECS["ts_vwap"].builder(spark, sf_dir).collect()
+    assert rows
+    con = duckdb.connect()
+    env = {
+        int(m): (lo, hi)
+        for m, lo, hi in con.execute(
+            f"""SELECT year(l_shipdate)*100 + month(l_shipdate),
+                       MIN(l_extendedprice / l_quantity),
+                       MAX(l_extendedprice / l_quantity)
+                FROM '{sf_dir}/lineitem.parquet' GROUP BY 1"""
+        ).fetchall()
+    }
+    for r in rows:
+        lo, hi = env[r.ship_month]
+        # centi-unit flooring perturbs by < 0.02 currency units
+        assert lo - 0.05 <= r.vwap_unit_price <= hi + 0.05
+        assert r.vol_centi > 0
+
+
+def test_stochastic_k_bounded_and_pinned_at_extrema(spark, sf_dir):
+    """%K in [0,1] when defined; a day equal to its envelope max must pin
+    %K = 1, equal to the min must pin 0; n_win <= 14."""
+    rows = SPECS["ts_stochastic"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_win <= 14
+        if r.pct_k is not None:
+            assert 0.0 <= r.pct_k <= 1.0
+            if r.v_micro == r.env_hi:
+                assert r.pct_k == 1.0
+            if r.v_micro == r.env_lo:
+                assert r.pct_k == 0.0
+
+
+def test_burstiness_bounded(spark, sf_dir):
+    """B in [-1, 1) by construction (sigma, mu >= 0, not both 0); the
+    min-events filter must hold; sd/mean must reproduce B."""
+    rows = SPECS["ts_burstiness"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_gaps >= 5
+        if r.burstiness is not None:
+            assert -1.0 <= r.burstiness < 1.0
+            expect = (r.sd_gap_s - r.mean_gap_s) / (r.sd_gap_s + r.mean_gap_s)
+            assert abs(r.burstiness - expect) < 1e-6
+
+
+def test_richclub_monotone_club_size(spark, sf_dir):
+    """Higher degree thresholds can only shrink the club, and phi is a
+    density in [0, 1]; club_edges cannot exceed n_k*(n_k-1)."""
+    rows = sorted(
+        SPECS["graph_richclub"].builder(spark, sf_dir).collect(),
+        key=lambda r: r.degree_threshold,
+    )
+    assert rows
+    prev = None
+    for r in rows:
+        if prev is not None:
+            assert r.club_size <= prev
+        prev = r.club_size
+        assert r.club_edges <= r.club_size * max(r.club_size - 1, 0)
+        if r.phi is not None:
+            assert 0.0 <= r.phi <= 1.0
+
+
+def test_rank_delta_is_permutation_and_consistent(spark, sf_dir):
+    """Within each month the ranks are exactly 1..n; places_gained must
+    equal prev_rank - rnk wherever prev_rank exists."""
+    from collections import defaultdict
+
+    rows = SPECS["win_rank_delta"].builder(spark, sf_dir).collect()
+    assert rows
+    by_month = defaultdict(list)
+    for r in rows:
+        by_month[r.ship_month].append(r.rnk)
+        if r.prev_rank is None:
+            assert r.places_gained is None
+        else:
+            assert r.places_gained == r.prev_rank - r.rnk
+    for month, ranks in by_month.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), month
+
+
+def test_value_shape_masks_and_shares(spark, sf_dir):
+    """Masks contain no raw letters/digits (only A/a/9 and punctuation),
+    ranks run 1..5 max, shares are descending within a column."""
+    import re as _re
+    from collections import defaultdict
+
+    rows = SPECS["dq_value_shape"].builder(spark, sf_dir).collect()
+    assert rows
+    by_col = defaultdict(list)
+    for r in rows:
+        assert not _re.search(r"[B-Zb-z0-8]", r.mask.replace("A", "").replace("a", "").replace("9", "")), r.mask
+        assert 1 <= r.rnk <= 5
+        assert 0.0 < r.share <= 1.0
+        by_col[r.col].append((r.rnk, r.n_values))
+    for col, pairs in by_col.items():
+        pairs.sort()
+        counts = [c for _, c in pairs]
+        assert counts == sorted(counts, reverse=True), col
+
+
+def test_cardinality_trend_lag_and_breach(spark, sf_dir):
+    """prev_users must be the previous day's n_users in date order, and
+    the breach flag must reproduce from integer arithmetic."""
+    rows = sorted(SPECS["dq_cardinality_trend"].builder(spark, sf_dir).collect(), key=lambda r: r.day)
+    assert rows
+    prev = None
+    for r in rows:
+        assert r.prev_users == prev
+        if prev is None:
+            assert r.breach == 0
+        else:
+            expect = 1 if (r.n_users * 2 < prev or r.n_users > prev * 2) else 0
+            assert r.breach == expect
+        prev = r.n_users
+
+
+def test_lsh_tune_s_curve_ordering(spark, sf_dir):
+    """For 8 total hashes, more bands of fewer rows always detects more:
+    p(8x1) >= p(4x2) >= p(2x4) for every pair, all probabilities in
+    [0, 1], and p reproduces from the jaccard to 1e-6."""
+    rows = SPECS["llm_lsh_tune"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.p_b2_r4 <= r.p_b4_r2 <= r.p_b8_r1 <= 1.0
+        s = r.jaccard
+        assert abs(r.p_b8_r1 - (1 - (1 - s) ** 8)) < 1e-6
+        assert abs(r.p_b4_r2 - (1 - (1 - s**2) ** 4)) < 1e-6
+        assert abs(r.p_b2_r4 - (1 - (1 - s**4) ** 2)) < 1e-6
+
+
+def test_self_bleu_clip_bounds(spark, sf_dir):
+    """Clipped count never exceeds the candidate's own bigram count, and
+    an exact duplicate pair inside the panel must pin self_bleu2 = 1."""
+    import duckdb
+
+    rows = {r.doc_id: r for r in SPECS["llm_self_bleu"].builder(spark, sf_dir).collect()}
+    assert rows
+    for r in rows.values():
+        assert 0 <= r.n_clipped <= r.n_bigrams
+        assert 0.0 <= r.self_bleu2 <= 1.0
+    con = duckdb.connect()
+    dup_ids = [
+        i
+        for (i,) in con.execute(
+            f"""SELECT doc_id FROM '{sf_dir}/documents.parquet'
+                WHERE doc_id < 60 AND text IN (
+                  SELECT text FROM '{sf_dir}/documents.parquet'
+                  WHERE doc_id < 60 GROUP BY text HAVING COUNT(*) > 1)
+                  AND length(string_split(text, ' ')) >= 2"""
+        ).fetchall()
+    ]
+    for i in dup_ids:
+        if i in rows:
+            assert rows[i].self_bleu2 == 1.0, i
+
+
+def test_bitrate_grid_bounds(spark, sf_dir):
+    """Rates obey the 32/16 grid bounds: >= 6400 bps for payloads >= 48
+    bytes, global max 18800 (the 47-byte single-frame case), and bucket
+    keys reproduce from the mean."""
+    rows = SPECS["mm_bitrate"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.kbps_bucket <= 18
+        assert r.n_media > 0
+        assert r.kbps_bucket * 1000 <= r.mean_rate_bps < (r.kbps_bucket + 1) * 1000
+
+
+# --- round-8 batch 6 -----------------------------------------------------------
+
+
+def test_strat_k_exact_count_per_stratum(spark, sf_dir):
+    """Exactly min(k, stratum size) rows per stratum, ranks 1..n, and the
+    selection is the true bottom-k of the md5 ordering."""
+    from collections import defaultdict
+
+    import duckdb
+
+    rows = SPECS["sample_strat_k"].builder(spark, sf_dir).collect()
+    assert rows
+    con = duckdb.connect()
+    sizes = dict(
+        con.execute(
+            f"SELECT o_orderpriority, COUNT(*) FROM '{sf_dir}/orders.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    by_stratum = defaultdict(list)
+    for r in rows:
+        by_stratum[r.o_orderpriority].append(r)
+    assert set(by_stratum) == set(sizes)
+    for strat, rs in by_stratum.items():
+        assert len(rs) == min(200, sizes[strat])
+        assert sorted(r.rk for r in rs) == list(range(1, len(rs) + 1))
+        assert max(r.h for r in rs) <= min(
+            h
+            for (h,) in con.execute(
+                f"""SELECT md5(CAST(o_orderkey AS VARCHAR)) FROM '{sf_dir}/orders.parquet'
+                    WHERE o_orderpriority = ? ORDER BY 1 DESC LIMIT 1""",
+                [strat],
+            ).fetchall()
+        )
+
+
+def test_volatility_nonnegative_and_warmup(spark, sf_dir):
+    """SD >= 0 when defined, NULL until two returns exist, and n_ret never
+    exceeds the 7-row frame."""
+    rows = SPECS["ts_volatility"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_ret <= 7
+        if r.n_ret < 2:
+            assert r.vol_7d is None
+        elif r.vol_7d is not None:
+            assert r.vol_7d >= 0.0
+
+
+def test_outages_durations_consistent(spark, sf_dir):
+    """duration_s must be the truncated second gap between start and end,
+    strictly above the threshold, with start < end."""
+    rows = SPECS["ts_outages"].builder(spark, sf_dir).collect()
+    for r in rows:
+        assert r.outage_start < r.outage_end
+        assert r.duration_s > 3600
+        micros = (r.outage_end - r.outage_start).total_seconds()
+        assert abs(r.duration_s - int(micros)) <= 1
+
+
+def test_langid_eval_matches_lang_id_rows(spark, sf_dir):
+    """The confusion matrix must be the exact groupBy of llm_lang_id's
+    per-document output (one source of truth), and accuracy must equal
+    the diagonal mass over the total."""
+    from collections import Counter
+
+    per_doc = SPECS["llm_lang_id"].builder(spark, sf_dir).collect()
+    conf = Counter((r.labeled_lang, r.predicted_lang) for r in per_doc)
+    rows = SPECS["llm_langid_eval"].builder(spark, sf_dir).collect()
+    assert {(r.labeled_lang, r.predicted_lang): r.n for r in rows} == dict(conf)
+    total = sum(conf.values())
+    correct = sum(n for (a, b), n in conf.items() if a == b)
+    assert abs(rows[0].overall_accuracy - round(correct / total, 9)) < 1e-9
+
+
+def test_minhash_est_err_consistency(spark, sf_dir):
+    """est = matches/8 exactly, error = est - exact, and the estimator is
+    not degenerate (some pair has a nonzero estimate at this SF)."""
+    rows = SPECS["llm_minhash_est_err"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.sig_matches <= 8
+        assert abs(r.jaccard_est - round(r.sig_matches / 8.0, 9)) < 1e-9
+        assert abs(r.est_error - round(r.jaccard_est - r.jaccard_exact, 9)) < 2e-9
+    assert any(r.sig_matches > 0 for r in rows)
+
+
+def test_time_bucket_alignment(spark, sf_dir):
+    """Bucket starts are aligned multiples of the width, contain their
+    event, and offset reproduces the remainder."""
+    rows = SPECS["f_time_bucket"].builder(spark, sf_dir).limit(500).collect()
+    assert rows
+    for r in rows:
+        for bucket, width_s in ((r.bucket_5m, 300), (r.bucket_6h, 21600)):
+            assert bucket <= r.ts
+            assert (r.ts - bucket).total_seconds() < width_s
+            assert (bucket.minute * 60 + bucket.second) % width_s in (
+                0,
+                (bucket.hour * 3600 + bucket.minute * 60 + bucket.second) % width_s * 0,
+            )
+        assert 0 <= r.offset_in_5m_us < 300 * 1_000_000
+
+
+def test_label_balance_shares_sum_to_one(spark, sf_dir):
+    """Shares sum to 1 (up to ROUND), exactly one class has vs_majority
+    = 1, Gini-Simpson in [0, 1 - 1/k], starved flag reproduces."""
+    rows = SPECS["dq_label_balance"].builder(spark, sf_dir).collect()
+    assert rows
+    k = rows[0].n_classes
+    assert len(rows) == k
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-6
+    assert sum(1 for r in rows if r.vs_majority == 1.0) >= 1
+    n_tot = sum(r.n for r in rows)
+    for r in rows:
+        assert 0.0 <= r.gini_simpson <= 1.0 - 1.0 / k + 1e-9
+        assert r.starved == (1 if r.n * 10 * k < n_tot else 0)
