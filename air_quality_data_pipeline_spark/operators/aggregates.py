@@ -2286,8 +2286,13 @@ tot AS (
   FROM rev GROUP BY nationkey
 ),
 terms AS (
+  -- negative revenue (credit lines) would hand ln a negative ratio:
+  -- Spark log() returns NULL there but DuckDB ln() RAISES, so the index
+  -- is defined over positive-revenue suppliers only (x <= 0 pins 0, the
+  -- x*ln(x) -> 0 limit extended; n/total still count every supplier)
   SELECT r.nationkey, t.n, t.total,
-         CASE WHEN r.x = 0 THEN 0
+         CASE WHEN r.x <= 0 THEN 0
+              WHEN t.total <= 0 THEN NULL
               ELSE CAST(floor(
                 (CAST(r.x AS DOUBLE) / (CAST(t.total AS DOUBLE) / t.n))
                 * ln(CAST(r.x AS DOUBLE) / (CAST(t.total AS DOUBLE) / t.n))
@@ -2336,7 +2341,8 @@ def agg_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio = F.col("x").cast("double") / mu
     terms = rev.join(F.broadcast(tot), "nationkey").select(
         "nationkey", "n", "total",
-        F.when(F.col("x") == 0, F.lit(0).cast("bigint"))
+        F.when(F.col("x") <= 0, F.lit(0).cast("bigint"))
+        .when(F.col("total") <= 0, F.lit(None).cast("bigint"))
         .otherwise(F.floor(ratio * F.log(ratio) * 1000000.0).cast("bigint"))
         .alias("term_micro"),
     )
@@ -2477,8 +2483,11 @@ dims AS (
 SELECT n.total AS n_rows,
        (SELECT CAST(SUM(contrib_micro) AS BIGINT) FROM contrib) AS chi2_micro,
        d.mindim,
-       ROUND(sqrt((CAST((SELECT SUM(contrib_micro) FROM contrib) AS DOUBLE) / 1000000.0)
-                  / (CAST(n.total AS DOUBLE) * d.mindim)), 9) AS cramers_v
+       CASE WHEN d.mindim = 0 THEN NULL
+            ELSE ROUND(sqrt((CAST((SELECT SUM(contrib_micro) FROM contrib) AS DOUBLE)
+                             / 1000000.0)
+                       / (CAST(n.total AS DOUBLE) * d.mindim)), 9)
+       END AS cramers_v
 FROM n CROSS JOIN dims d
 """
 
@@ -2528,13 +2537,17 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total").alias("n_rows"),
             "chi2_micro",
             "mindim",
-            F.round(
-                F.sqrt(
-                    (F.col("chi2_micro").cast("double") / 1000000.0)
-                    / (F.col("total").cast("double") * F.col("mindim"))
-                ),
-                9,
-            ).alias("cramers_v"),
+            F.when(F.col("mindim") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    F.sqrt(
+                        (F.col("chi2_micro").cast("double") / 1000000.0)
+                        / (F.col("total").cast("double") * F.col("mindim"))
+                    ),
+                    9,
+                )
+            )
+            .alias("cramers_v"),
         )
     )
 
@@ -2664,17 +2677,28 @@ sides AS (
          MAX(CASE WHEN flag = 'N' THEN s END) AS s2,
          MAX(CASE WHEN flag = 'N' THEN ss END) AS ss2
   FROM m GROUP BY grp
+),
+pooled AS (
+  -- greatest(., 0): with identical values the exact css is 0 but the
+  -- double rounding of s*s/n can land a hair ABOVE ss, and DuckDB sqrt
+  -- RAISES on negatives where Spark returns NaN; a zero pooled SD then
+  -- pins NULL (DuckDB x/0.0 is NULL, Spark is Inf — agree by guarding)
+  SELECT grp, n1, n2, s1, s2,
+         greatest(CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1, 0)
+           + greatest(CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2, 0)
+           AS css
+  FROM sides
+  WHERE n1 IS NOT NULL AND n2 IS NOT NULL AND n1 + n2 > 2
 )
 SELECT grp AS l_linestatus, n1, n2,
        ROUND((CAST(s1 AS DOUBLE) / n1) / 100.0, 9) AS mean_returned,
        ROUND((CAST(s2 AS DOUBLE) / n2) / 100.0, 9) AS mean_delivered,
-       ROUND(
-         (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
-         / sqrt(((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
-               + (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2))
-               / (n1 + n2 - 2)), 9) AS cohens_d
-FROM sides
-WHERE n1 IS NOT NULL AND n2 IS NOT NULL AND n1 + n2 > 2
+       CASE WHEN css = 0 THEN NULL
+            ELSE ROUND(
+              (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+              / sqrt(css / (n1 + n2 - 2)), 9)
+       END AS cohens_d
+FROM pooled
 """
 
 
@@ -2709,21 +2733,27 @@ def agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m1 = F.col("s1").cast("double") / F.col("n1")
     m2 = F.col("s2").cast("double") / F.col("n2")
-    css1 = F.col("ss1").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n1")
-    css2 = F.col("ss2").cast("double") - F.col("s2").cast("double") * F.col("s2") / F.col("n2")
-    pooled = F.sqrt((css1 + css2) / (F.col("n1") + F.col("n2") - 2))
-    return (
-        sides.filter(
-            F.col("n1").isNotNull()
-            & F.col("n2").isNotNull()
-            & (F.col("n1") + F.col("n2") > 2)
-        )
-        .select(
-            F.col("grp").alias("l_linestatus"),
-            "n1",
-            "n2",
-            F.round(m1 / 100.0, 9).alias("mean_returned"),
-            F.round(m2 / 100.0, 9).alias("mean_delivered"),
-            F.round((m1 - m2) / pooled, 9).alias("cohens_d"),
-        )
+    css1 = F.greatest(
+        F.col("ss1").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n1"),
+        F.lit(0.0),
+    )
+    css2 = F.greatest(
+        F.col("ss2").cast("double") - F.col("s2").cast("double") * F.col("s2") / F.col("n2"),
+        F.lit(0.0),
+    )
+    pooled = sides.filter(
+        F.col("n1").isNotNull()
+        & F.col("n2").isNotNull()
+        & (F.col("n1") + F.col("n2") > 2)
+    ).select("grp", "n1", "n2", "s1", "s2", (css1 + css2).alias("css"))
+    sd = F.sqrt(F.col("css") / (F.col("n1") + F.col("n2") - 2))
+    return pooled.select(
+        F.col("grp").alias("l_linestatus"),
+        "n1",
+        "n2",
+        F.round(m1 / 100.0, 9).alias("mean_returned"),
+        F.round(m2 / 100.0, 9).alias("mean_delivered"),
+        F.when(F.col("css") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round((m1 - m2) / sd, 9))
+        .alias("cohens_d"),
     )

@@ -146,6 +146,15 @@ def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(drop_last_token_spark("text")).alias("text"),
         )
     )
+    # shingle-less docs (< 3 tokens) are excluded BEFORE hashing: the
+    # predicate is equivalent to the oracle's len(shingles) > 0 (a 3-gram
+    # list is non-empty iff tokens >= 3) and costs one split per row. A
+    # filter on the computed shingle array instead is a 20x regression:
+    # PushPredicateThroughNonJoin substitutes the alias into the pushed
+    # condition and re-evaluates the full md5 chain per reference
+    # (caught by the round-8 bench; see oracle comment for WHY the
+    # exclusion exists: NULL-sig buckets / 0-0 jaccard).
+    corpus = corpus.filter(F.size(F.split(F.col("text"), " ")) >= 3)
     # spread the md5/shingle map work across every core (tiny text exchange
     # vs per-token compute; see tables.rebalance_for_map)
     corpus = rebalance_for_map(corpus, spark)
@@ -167,7 +176,7 @@ def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("array<int>")
         .alias("sh_hashes"),
-    ).filter(F.size("sh_hashes") > 0)  # see oracle comment: NULL-sig buckets / 0-0 jaccard
+    )
     # Persist the signature base: it feeds three subtrees (bands, shingle
     # explode, set sizes) and the barrier stops Catalyst from pushing inferred
     # not-null filters below it — which would inline the hash chain per use.
@@ -670,6 +679,9 @@ def llm_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(drop_last_token_spark("text")).alias("text"),
         )
     )
+    # tokens >= 3 == non-empty shingle list; cheap pre-filter, never a
+    # predicate on the computed array (the llm_minhash_dedup 20x lesson)
+    corpus = corpus.filter(F.size(F.split(F.col("text"), " ")) >= 3)
     corpus = rebalance_for_map(corpus, spark)
     hashed = corpus.select(
         "doc_id", F.expr(token_hashes_spark_sql(tokens_spark("text"))).alias("th")
@@ -683,7 +695,7 @@ def llm_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(
                 F.expr(shingle_hashes_spark_sql("th", mod=SHINGLE_MOD_WIDE))
             ).alias("sh_hashes"),
-        ).filter(F.size("sh_hashes") > 0)
+        )
     )
     sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh_hashes").alias("sh_a"))
     sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh_hashes").alias("sh_b"))
@@ -1202,6 +1214,9 @@ def llm_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     corpus = rebalance_for_map(corpus, spark)
+    # tokens >= 3 == non-empty shingle list; cheap pre-filter, never a
+    # predicate on the computed array (the llm_minhash_dedup 20x lesson)
+    corpus = corpus.filter(F.size(F.split(F.col("text"), " ")) >= 3)
     hashed = corpus.select(
         "doc_id", "side",
         F.expr(token_hashes_spark_sql(tokens_spark("text"))).alias("th"),
@@ -1215,7 +1230,7 @@ def llm_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("array<int>")
             .alias("sh"),
-        ).filter(F.size("sh") > 0)
+        )
     )
     sigs = shingled.select(
         "doc_id", "side", F.expr(_MH_SPARK_ARR_INT.replace("sh_hashes", "sh")).alias("sig")
@@ -1487,13 +1502,16 @@ def llm_minhash_est_err(spark: SparkSession, sf_dir: str) -> DataFrame:
     panel rows, the pair join carries 8-int signatures + hash sets.
     Corpus-scale estimator audits run this on sampled panels."""
     apply_engine_conf(spark)
-    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    docs = table(spark, sf_dir, "documents").filter(
+        # tokens >= 3 == non-empty shingle list; cheap pre-filter, never
+        # a predicate on the computed array (the llm_minhash_dedup 20x
+        # lesson)
+        (F.col("doc_id") < 100) & (F.size(F.split(F.col("text"), " ")) >= 3)
+    )
     sh_expr = shingle_hashes_spark_sql(
         token_hashes_spark_sql(tokens_spark("text")), mod=SHINGLE_MOD_WIDE
     )
-    sub = docs.select(
-        "doc_id", F.array_distinct(F.expr(sh_expr)).alias("sh")
-    ).filter(F.size("sh") > 0)
+    sub = docs.select("doc_id", F.array_distinct(F.expr(sh_expr)).alias("sh"))
     sigs = sub.select("doc_id", "sh", F.expr(_MH_EST_SPARK).alias("sig"))
     a = sigs.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("sig").alias("sig_a")

@@ -2676,8 +2676,10 @@ WITH px AS (
 SELECT ship_month,
        CAST(COUNT(*) AS BIGINT) AS n_lines,
        CAST(SUM(CAST(q AS DECIMAL(38,0))) AS BIGINT) AS vol_centi,
-       ROUND(CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
-             / CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE), 9) AS vwap_unit_price
+       CASE WHEN SUM(CAST(q AS DECIMAL(38,0))) = 0 THEN NULL
+            ELSE ROUND(CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
+                       / CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE), 9)
+       END AS vwap_unit_price
 FROM px
 GROUP BY ship_month
 """
@@ -2710,11 +2712,17 @@ def ts_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return px.groupBy("ship_month").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         F.sum(F.col("q").cast("decimal(38,0)")).cast("bigint").alias("vol_centi"),
-        F.round(
-            F.sum(F.col("cents").cast("decimal(38,0)")).cast("double")
-            / F.sum(F.col("q").cast("decimal(38,0)")).cast("double"),
-            9,
-        ).alias("vwap_unit_price"),
+        F.when(
+            F.sum(F.col("q").cast("decimal(38,0)")) == 0, F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.round(
+                F.sum(F.col("cents").cast("decimal(38,0)")).cast("double")
+                / F.sum(F.col("q").cast("decimal(38,0)")).cast("double"),
+                9,
+            )
+        )
+        .alias("vwap_unit_price"),
     )
 
 
@@ -2841,24 +2849,25 @@ m AS (
          CAST(SUM(CAST(gap_s * gap_s AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ss
   FROM gaps WHERE gap_s IS NOT NULL
   GROUP BY user_id HAVING COUNT(gap_s) >= {_BURSTINESS_MIN_EVENTS - 1}
+),
+v AS (
+  -- greatest(., 0): identical gaps make the exact variance 0 but double
+  -- rounding of mu*mu can land a hair above ss/n, and DuckDB sqrt RAISES
+  -- on negatives where Spark returns NaN
+  SELECT user_id, n_gaps, s,
+         greatest(CAST(ss AS DOUBLE) / n_gaps
+                  - (CAST(s AS DOUBLE) / n_gaps) * (CAST(s AS DOUBLE) / n_gaps),
+                  0) AS var_pop
+  FROM m
 )
 SELECT user_id, n_gaps,
        ROUND(CAST(s AS DOUBLE) / n_gaps, 9) AS mean_gap_s,
-       ROUND(sqrt(CAST(ss AS DOUBLE) / n_gaps
-                  - (CAST(s AS DOUBLE) / n_gaps) * (CAST(s AS DOUBLE) / n_gaps)), 9)
-         AS sd_gap_s,
-       CASE WHEN CAST(ss AS DOUBLE) / n_gaps
-                 - (CAST(s AS DOUBLE) / n_gaps) * (CAST(s AS DOUBLE) / n_gaps) = 0
-              AND s = 0 THEN NULL
-            ELSE ROUND(
-              (sqrt(CAST(ss AS DOUBLE) / n_gaps
-                    - (CAST(s AS DOUBLE) / n_gaps) * (CAST(s AS DOUBLE) / n_gaps))
-               - CAST(s AS DOUBLE) / n_gaps)
-              / (sqrt(CAST(ss AS DOUBLE) / n_gaps
-                      - (CAST(s AS DOUBLE) / n_gaps) * (CAST(s AS DOUBLE) / n_gaps))
-                 + CAST(s AS DOUBLE) / n_gaps), 9)
+       ROUND(sqrt(var_pop), 9) AS sd_gap_s,
+       CASE WHEN var_pop = 0 AND s = 0 THEN NULL
+            ELSE ROUND((sqrt(var_pop) - CAST(s AS DOUBLE) / n_gaps)
+                       / (sqrt(var_pop) + CAST(s AS DOUBLE) / n_gaps), 9)
        END AS burstiness
-FROM m
+FROM v
 """
 
 
@@ -2897,7 +2906,9 @@ def ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_gaps") >= _BURSTINESS_MIN_EVENTS - 1)
     )
     mu = F.col("s").cast("double") / F.col("n_gaps")
-    var = F.col("ss").cast("double") / F.col("n_gaps") - mu * mu
+    var = F.greatest(
+        F.col("ss").cast("double") / F.col("n_gaps") - mu * mu, F.lit(0.0)
+    )
     sd = F.sqrt(var)
     return m.select(
         "user_id",
@@ -2950,8 +2961,12 @@ mom AS (
 )
 SELECT event_type, CAST(day AS VARCHAR) AS day, vm AS v_micro, r_micro, n_ret,
        CASE WHEN n_ret >= 2 THEN
-         ROUND(sqrt((CAST(ss AS DOUBLE)
-                     - CAST(s AS DOUBLE) * s / n_ret) / (n_ret - 1)) / 1000000.0, 9)
+         -- greatest(., 0): identical returns make the exact variance 0 but
+         -- the double rounding of s*s/n can land a hair above ss, and
+         -- DuckDB sqrt RAISES on negatives where Spark returns NaN
+         ROUND(sqrt(greatest(CAST(ss AS DOUBLE)
+                             - CAST(s AS DOUBLE) * s / n_ret, 0)
+                    / (n_ret - 1)) / 1000000.0, 9)
        END AS vol_7d
 FROM mom
 """
@@ -3000,9 +3015,10 @@ def ts_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("r_micro") * F.col("r_micro")).over(v).cast("bigint").alias("ss"),
     )
     sd = F.sqrt(
-        (
+        F.greatest(
             F.col("ss").cast("double")
-            - F.col("s").cast("double") * F.col("s") / F.col("n_ret")
+            - F.col("s").cast("double") * F.col("s") / F.col("n_ret"),
+            F.lit(0.0),
         )
         / (F.col("n_ret") - 1)
     )

@@ -571,3 +571,154 @@ def test_adversarial_graph_empty_edges(spark, adv_graph_empty_dir, name):
         spec.builder(spark, adv_graph_empty_dir), spec.oracle, adv_graph_empty_dir
     )
     assert not problems, f"{name} diverges on the empty edge set: {problems[:3]}"
+
+
+# --- adversarial lineitem/orders: ties, credits, zero quantities ----------------
+
+# The relational/stat family's hostile classes the TPC-H-shaped fixtures
+# never produce: CREDIT lines (negative extended price — flips a
+# supplier's or a whole nation's revenue negative, reaching the ln(<= 0)
+# guard where DuckDB RAISES and Spark returns NULL), zero quantities
+# (a whole calendar month with zero traded volume — the x/0.0 edge where
+# DuckDB yields NULL and Spark Infinity), massed value ties (one order
+# whose 8 lines share one quantity — rank/trim arithmetic under heavy
+# duplication), floor-boundary fractional quantities (q*100 landing a
+# hair below an integer), a negative quantity, same-supplier orders
+# (no co-purchase pairs), sparse high order keys and childless orders
+# (key-continuity and outer paths). Rows are APPENDED to the sf0.001
+# base so every operator keeps non-degenerate margins; the replay runs
+# the exact driver comparator — engines must agree on whatever semantics
+# each operator defines for these rows.
+
+_ADV_LI_COLS = (
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate",
+)
+
+
+def _adv_lineitem_rows():
+    import datetime
+
+    rows = []
+    d = datetime.datetime
+    # order 100000 (1990-01): zero-quantity month => ts_vwap volume 0
+    for ln in range(1, 6):
+        rows.append((100000, ln * 13 % 200, ln % 10, ln, 0.0, 100.0 + ln,
+                     0.0, 0.0, "R" if ln % 2 else "N", "F", d(1990, 1, 10 + ln)))
+    # order 100007 (1990-02): 8 lines, ONE quantity, ONE supplier (5) —
+    # tie mass for trim/rank arithmetic, no co-purchase pairs
+    for ln in range(1, 9):
+        rows.append((100007, (50 + ln) % 200, 5, ln, 25.0, 5000.0,
+                     0.1, 0.05, "R" if ln <= 4 else "N", "F", d(1990, 2, 10)))
+    # order 100100 (1990-03): a huge CREDIT line — supplier 6 (and its
+    # nation, depending on base totals) goes revenue-negative
+    rows.append((100100, 7, 6, 1, 1.0, -99999999.99, 0.0, 0.0, "R", "O",
+                 d(1990, 3, 5)))
+    # order 100101 (1990-03): floor-boundary and NEGATIVE quantities
+    rows.append((100101, 11, 7, 1, 19.995, 1234.56, 0.02, 0.01, "N", "O",
+                 d(1990, 3, 6)))
+    rows.append((100101, 12, 7, 2, -3.5, 777.77, 0.0, 0.0, "N", "O",
+                 d(1990, 3, 6)))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def adv_li_dir(spark):
+    import datetime
+
+    import duckdb
+
+    src = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    dst = "/tmp/adv_lineitem_fixture"
+    os.makedirs(dst, exist_ok=True)
+    for name in TABLE_NAMES:
+        if name in ("lineitem", "orders"):
+            continue
+        shutil.copyfile(
+            os.path.join(src, f"{name}.parquet"),
+            os.path.join(dst, f"{name}.parquet"),
+        )
+    con = duckdb.connect()
+    # lineitem: base rows + hostile rows (duckdb handles the parquet IO and
+    # keeps the base file's physical types)
+    li = pa.table(
+        {c: [r[i] for r in _adv_lineitem_rows()] for i, c in enumerate(_ADV_LI_COLS)},
+        schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_partkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("l_linenumber", pa.int32()),
+                ("l_quantity", pa.float64()),
+                ("l_extendedprice", pa.float64()),
+                ("l_discount", pa.float64()),
+                ("l_tax", pa.float64()),
+                ("l_returnflag", pa.string()),
+                ("l_linestatus", pa.string()),
+                ("l_shipdate", pa.timestamp("us")),
+            ]
+        ),
+    )
+    con.register("adv_li", li)
+    con.execute(
+        f"""COPY (SELECT * FROM '{src}/lineitem.parquet'
+                  UNION ALL SELECT * FROM adv_li)
+            TO '{dst}/lineitem.parquet' (FORMAT PARQUET)"""
+    )
+    d = datetime.datetime
+    hostile_orders = [
+        (100000, 3, "F", 0.0, d(1990, 1, 15), "1-URGENT"),
+        (100007, 7, "F", 40000.0, d(1990, 2, 1), "2-HIGH"),
+        (100100, 11, "O", -99999999.99, d(1990, 3, 1), "3-MEDIUM"),
+        (100101, 13, "O", 2012.33, d(1990, 3, 1), "5-LOW"),
+        # childless orders on sparse keys: key-continuity + outer paths
+        (100200, 17, "P", 10.0, d(1990, 4, 1), "4-NOT SPECIFIED"),
+        (100203, 19, "P", 11.0, d(1990, 4, 2), "1-URGENT"),
+        (100204, 23, "F", 12.0, d(1990, 4, 3), "2-HIGH"),
+    ]
+    od = pa.table(
+        {
+            "o_orderkey": [r[0] for r in hostile_orders],
+            "o_custkey": [r[1] for r in hostile_orders],
+            "o_orderstatus": [r[2] for r in hostile_orders],
+            "o_totalprice": [r[3] for r in hostile_orders],
+            "o_orderdate": pa.array([r[4] for r in hostile_orders], pa.timestamp("us")),
+            "o_orderpriority": [r[5] for r in hostile_orders],
+        }
+    )
+    con.register("adv_od", od)
+    con.execute(
+        f"""COPY (SELECT * FROM '{src}/orders.parquet'
+                  UNION ALL SELECT * FROM adv_od)
+            TO '{dst}/orders.parquet' (FORMAT PARQUET)"""
+    )
+    return dst
+
+
+# lineitem/orders-path oracle operators the hostile classes can reach.
+ADV_LINEITEM_PANEL = [
+    "agg_trimmed_mean",   # tie mass + negative centi-quantity value cells
+    "agg_cohens_d",       # credit/zero rows through the clamped pooled SD
+    "agg_theil",          # NEGATIVE supplier revenue: the ln(<=0) guard
+    "agg_gini",           # rank form under negative revenue cells
+    "agg_weighted_avg",   # negative prices through the decimal-exact sums
+    "agg_weighted_median",
+    "agg_kendall_tau",    # brand cells with negative revenue contributions
+    "ts_vwap",            # 1990-01 has ZERO traded volume: NULL, not Inf
+    "ts_stochastic",      # appended months extend each type's daily series
+    "win_rank_delta",     # massed cent ties under the (cents, suppkey) key
+    "sample_strat_k",     # sparse keys perturb the md5 bottom-k per stratum
+    "agg_cramers_v",      # new (status, priority) cells shift every margin
+    "dq_sequence_gaps",   # 100000+ keys open giant ranges; childless orders
+    "sql_q1",             # negative price/quantity through decimal Q1 sums
+    "graph_richclub",     # same-supplier order + credit edges reshape degrees
+]
+
+
+@pytest.mark.parametrize("name", ADV_LINEITEM_PANEL)
+def test_adversarial_lineitem_credits_ties(spark, adv_li_dir, name):
+    spec = SPECS[name]
+    assert spec.oracle is not None
+    problems = check_query(spec.builder(spark, adv_li_dir), spec.oracle, adv_li_dir)
+    assert not problems, f"{name} diverges on hostile lineitem rows: {problems[:3]}"
