@@ -371,10 +371,13 @@ def llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(drop_last_token_spark("text")).alias("text"),
         )
     )
+    # tokens >= 3 == non-empty shingle list; cheap pre-filter, never a
+    # predicate on the computed array (the llm_minhash_dedup 20x lesson)
+    corpus = corpus.filter(F.size(F.split(F.col("text"), " ")) >= 3)
     shingled = corpus.select(
         "doc_id",
         F.array_distinct(F.expr(shingles_spark(tokens_spark("text")))).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    )
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
     feats = tf.transform(shingled)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
