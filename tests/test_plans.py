@@ -2023,3 +2023,29 @@ def test_label_balance_prunes_to_label_column(spark, sf_dir):
     )
     plan = _executed_plan(spark, "dq_label_balance", sf_dir)
     assert "SortMergeJoin" not in plan
+
+
+# --- regression gate: hashing must never ride a Filter condition ---------------
+
+# The round-8 20x regression: a filter on a COMPUTED shingle array gets
+# its alias substituted into the pushed-down condition
+# (PushPredicateThroughNonJoin), re-evaluating the md5 token-hash chain
+# per reference. The fix expresses the shingle-less exclusion as a cheap
+# tokens >= 3 predicate BEFORE hashing. This gate pins it for the whole
+# minhash family: no Filter node in any executed plan may contain the
+# md5 hash chain.
+@pytest.mark.parametrize(
+    "name",
+    ["llm_minhash_dedup", "llm_dedup_audit", "llm_cross_dedup",
+     "llm_minhash_est_err", "llm_minhash_lsh", "llm_incr_dedup"],
+)
+def test_no_md5_inside_filter_condition(spark, sf_dir, name):
+    plan = _executed_plan(spark, name, sf_dir)
+    offenders = [
+        ln for ln in plan.splitlines()
+        if "Filter " in ln and ("md5(" in ln or "conv(" in ln)
+    ]
+    assert not offenders, (
+        f"{name}: hash chain evaluated inside a Filter (pushdown alias "
+        f"substitution — the 20x class):\n" + "\n".join(offenders[:3])
+    )
