@@ -2757,3 +2757,69 @@ def agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round((m1 - m2) / sd, 9))
         .alias("cohens_d"),
     )
+
+
+# --- agg_topn_other: rare-category collapse ("other" bucketing) -----------------
+
+# The feature-engineering staple before any categorical encoding: keep
+# categories holding at least 2% of rows, fold the long tail into one
+# OTHER bucket, report counts and share. The threshold is an integer
+# cross-multiply (n * 50 >= n_tot — never a double comparison, the
+# dq_cardinality_trend discipline), so membership can't flip on a ulp;
+# shares close with one ROUND(9) division each.
+_TOPN_OTHER_DEN = 50  # keep categories with share >= 1/50 = 2%
+
+_TOPN_OTHER_ORACLE = f"""
+WITH c AS (
+  SELECT p_type AS category, CAST(COUNT(*) AS BIGINT) AS n
+  FROM part GROUP BY p_type
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot FROM c),
+folded AS (
+  SELECT CASE WHEN c.n * {_TOPN_OTHER_DEN} >= t.n_tot THEN c.category
+              ELSE 'OTHER' END AS category,
+         c.n
+  FROM c CROSS JOIN t
+)
+SELECT f.category,
+       CAST(SUM(f.n) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_merged,
+       ROUND(CAST(SUM(f.n) AS DOUBLE) / t.n_tot, 9) AS share
+FROM folded f CROSS JOIN t
+GROUP BY f.category, t.n_tot
+"""
+
+
+@register("agg_topn_other", oracle=_TOPN_OTHER_ORACLE, tags=("agg",))
+def agg_topn_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-category collapse: part types holding >= 2% of rows keep
+    their name, the long tail folds into one OTHER bucket (with the
+    count of merged categories) — the cardinality-control step before
+    one-hot/target encoding. Integer cross-multiply threshold; see
+    header for why no double comparison exists.
+
+    Scale shape: ONE map-side collapse to the |categories| grain; the
+    1-row total broadcasts back; the fold and re-aggregate ride the
+    dimension-sized cell table. The fact is scanned once."""
+    apply_engine_conf(spark)
+    part = table(spark, sf_dir, "part")
+    c = scoped_persist(
+        part.groupBy(F.col("p_type").alias("category")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+    )
+    t = c.agg(F.sum("n").cast("bigint").alias("n_tot"))
+    folded = c.crossJoin(F.broadcast(t)).select(
+        F.when(
+            F.col("n") * _TOPN_OTHER_DEN >= F.col("n_tot"), F.col("category")
+        )
+        .otherwise(F.lit("OTHER"))
+        .alias("category"),
+        "n",
+        "n_tot",
+    )
+    return folded.groupBy("category", "n_tot").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_merged"),
+        F.round(F.sum("n").cast("double") / F.col("n_tot"), 9).alias("share"),
+    ).select("category", "n", "n_merged", "share")

@@ -4872,3 +4872,75 @@ def llm_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+# --- llm_source_overlap: pairwise source-level content overlap ------------------
+
+# The corpus-mixing question llm_jsd_drift (distribution shift) and
+# llm_dataset_diff (row identity) don't answer: how much of one SOURCE's
+# content vocabulary is shared with another? Distinct bigrams per source,
+# then the pairwise overlap coefficient |A ∩ B| / min(|A|, |B|) — the
+# number that says "these two crawls are near-clones, downweight one"
+# before any document-level dedup runs. The intersection is ONE gram
+# equi-join on the (source, gram) cell grain — sources² only in the
+# closing |sources|² output, never doc x doc.
+_SOURCE_OVERLAP_ORACLE = f"""
+WITH grams AS (
+  SELECT DISTINCT source, UNNEST({shingles_duckdb(tokens_duckdb('text'), 2)}) AS g
+  FROM documents
+),
+sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+       ROUND(CAST(i.n_common AS DOUBLE) / least(sa.n, sb.n), 9) AS overlap_coef
+FROM inter i
+JOIN sz sa ON sa.source = i.source_a
+JOIN sz sb ON sb.source = i.source_b
+"""
+
+
+@register("llm_source_overlap", oracle=_SOURCE_OVERLAP_ORACLE, tags=("llm", "text"))
+def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-level vocabulary overlap: distinct bigrams per
+    source, overlap coefficient |A∩B|/min(|A|,|B|) per source pair —
+    the crawl-redundancy screen that runs BEFORE document-level dedup
+    (llm_jsd_drift measures distribution shift; this measures shared
+    content). Integers until one closing division.
+
+    Scale shape: bigrams collapse to the DISTINCT (source, gram) cell
+    grain map-side (the exchange carries each source's vocabulary once,
+    not token instances); the intersection is one hash equi-join on
+    gram; sizes broadcast onto the |sources|² result. Nothing is ever
+    quadratic in documents or grams."""
+    apply_engine_conf(spark)
+    docs = rebalance_for_map(table(spark, sf_dir, "documents"), spark)
+    grams = scoped_persist(
+        docs.select(
+            "source",
+            F.explode(F.expr(shingles_spark(tokens_spark("text"), 2))).alias("g"),
+        ).distinct()
+    )
+    sz = grams.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = grams.select(F.col("source").alias("source_a"), "g")
+    b = grams.select(F.col("source").alias("source_b"), F.col("g").alias("g_b"))
+    inter = (
+        a.join(b, (a.g == b.g_b) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sz.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a", "source_b", "n_a", "n_b", "n_common",
+            F.round(
+                F.col("n_common").cast("double") / F.least("n_a", "n_b"), 9
+            ).alias("overlap_coef"),
+        )
+    )

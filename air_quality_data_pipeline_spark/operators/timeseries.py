@@ -3088,3 +3088,97 @@ def ts_outages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("outage_end"),
         F.col("gap_s").cast("bigint").alias("duration_s"),
     )
+
+# --- ts_forecast_eval: WAPE / sMAPE scoring of the seasonal-naive forecast ------
+
+# ts_forecast_baseline PRODUCES forecasts; this scores one — the
+# evaluation half every forecasting loop needs. Forecast = same weekday
+# last week (lag 7 on the per-type daily grain); errors aggregate two
+# ways: WAPE = sum|err| / sum|actual| (two exact integer sums, ONE
+# closing division — the robust volume-weighted metric) and sMAPE, whose
+# PER-DAY ratio 2|err|/(|f|+|a|) is FLOOR-quantized to micro-units
+# before the order-free integer sum (the agg_entropy discipline — a
+# double sum of per-day ratios would be partitioning-dependent).
+# Zero-denominator days (forecast and actual both 0) pin a NULL term and
+# drop from the sMAPE count in both engines.
+_FC_EVAL_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(floor(SUM(CAST(value AS DECIMAL(18, 9))) * 1000000) AS BIGINT) AS vm
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+f AS (
+  SELECT event_type, day, vm,
+         lag(vm, 7) OVER (PARTITION BY event_type ORDER BY day) AS fc
+  FROM daily
+),
+terms AS (
+  SELECT event_type, abs(vm - fc) AS abs_err, abs(vm) AS abs_act,
+         CASE WHEN abs(fc) + abs(vm) = 0 THEN NULL
+              ELSE CAST(floor(2000000.0 * abs(vm - fc)
+                              / (abs(fc) + abs(vm))) AS BIGINT)
+         END AS smape_micro
+  FROM f WHERE fc IS NOT NULL
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(SUM(abs_err) AS BIGINT) AS sum_abs_err,
+       CAST(SUM(abs_act) AS BIGINT) AS sum_abs_actual,
+       CASE WHEN SUM(abs_act) = 0 THEN NULL
+            ELSE ROUND(CAST(SUM(abs_err) AS DOUBLE) / SUM(abs_act), 9)
+       END AS wape,
+       ROUND(CAST(SUM(smape_micro) AS DOUBLE) / 1000000.0
+             / COUNT(smape_micro), 9) AS smape
+FROM terms GROUP BY event_type
+"""
+
+
+@register("ts_forecast_eval", oracle=_FC_EVAL_ORACLE, tags=("timeseries",))
+def ts_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast accuracy scorecard for the seasonal-naive (same weekday
+    last week) forecast: per-type WAPE and sMAPE over the daily series —
+    the evaluation half of ts_forecast_baseline. WAPE closes with one
+    division of exact integer sums; sMAPE's per-day ratios are
+    micro-floor-quantized before the order-free sum (see header); all-
+    zero days pin NULL terms identically.
+
+    Scale shape: ONE map-side collapse to the calendar-bounded daily
+    grain, a lag-7 window partitioned by type, then a second map-side
+    collapse to |types| scorecard rows. No exchange carries event-grain
+    rows past the first collapse."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.floor(F.sum(F.col("value").cast("decimal(18,9)")) * 1000000)
+        .cast("bigint")
+        .alias("vm")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    f = daily.select(
+        "event_type", "day", "vm", F.lag("vm", 7).over(w).alias("fc")
+    ).filter(F.col("fc").isNotNull())
+    den = F.abs("fc") + F.abs("vm")
+    terms = f.select(
+        "event_type",
+        F.abs(F.col("vm") - F.col("fc")).alias("abs_err"),
+        F.abs("vm").alias("abs_act"),
+        F.when(den == 0, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(
+                F.lit(2000000.0) * F.abs(F.col("vm") - F.col("fc")) / den
+            ).cast("bigint")
+        )
+        .alias("smape_micro"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        F.sum("abs_err").cast("bigint").alias("sum_abs_err"),
+        F.sum("abs_act").cast("bigint").alias("sum_abs_actual"),
+        F.when(F.sum("abs_act") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.sum("abs_err").cast("double") / F.sum("abs_act"), 9))
+        .alias("wape"),
+        F.round(
+            F.sum("smape_micro").cast("double") / 1000000.0 / F.count("smape_micro"),
+            9,
+        ).alias("smape"),
+    )

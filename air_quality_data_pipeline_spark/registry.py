@@ -271,6 +271,13 @@ DEFERRED_FIRST_ROW: set[str] = {
     "llm_minhash_est_err",
     "f_time_bucket",
     "dq_label_balance",
+    # round-8 batch 7 (rare-category collapse, source overlap, forecast
+    # scoring) — these three bring the round-9 window to exactly 50:
+    # len(DEFERRED_FIRST_ROW)=49 first rows + the win_ntile changed-code
+    # re-sample. Round 8 adds NO further operators past this point.
+    "agg_topn_other",
+    "llm_source_overlap",
+    "ts_forecast_eval",
 }
 
 

@@ -139,6 +139,8 @@ ADV_PANEL = [
     # round-8 batch-6 document-path operators:
     "llm_langid_eval",        # NULL text scores 0 on every profile -> tiebreak row
     "llm_minhash_est_err",    # shingle-less hostile docs excluded identically
+    # round-8 batch-7 document-path operators:
+    "llm_source_overlap",     # NULL/1-token docs add no bigrams identically
 ]
 
 
@@ -307,6 +309,9 @@ ADV_EVENTS_PANEL = [
     "ts_volatility",          # negative daily sums pin NULL returns (no ln(<=0))
     "ts_outages",             # all-tied user contributes zero gaps; 16-day spans gap
     "f_time_bucket",          # collided timestamps bucket identically (pure arithmetic)
+    # round-8 batch-7 events-path operators:
+    "ts_forecast_eval",       # zero/negative daily sums through |err| sums and
+                              # the zero-denominator sMAPE NULL pin
 ]
 
 

@@ -2049,3 +2049,32 @@ def test_no_md5_inside_filter_condition(spark, sf_dir, name):
         f"{name}: hash chain evaluated inside a Filter (pushdown alias "
         f"substitution — the 20x class):\n" + "\n".join(offenders[:3])
     )
+
+
+# --- round-8 batch 7 ----------------------------------------------------------
+
+
+def test_topn_other_single_scan_broadcast_total(spark, sf_dir):
+    plan = _executed_plan(spark, "agg_topn_other", sf_dir)
+    assert len(re.findall(r"InMemoryTableScan", plan)) >= 2, plan
+    assert "SortMergeJoin" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_source_overlap_gram_cells_not_doc_pairs(spark, sf_dir):
+    # the intersection must be a hash equi-join on gram over the distinct
+    # (source, gram) cells — no nested-loop pair join anywhere
+    plan = _executed_plan(spark, "llm_source_overlap", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        f"source overlap must not build doc/source pairs by nested loop:\n{plan}"
+    )
+
+
+def test_forecast_eval_windows_ride_daily_grain(spark, sf_dir):
+    plan = _executed_plan(spark, "ts_forecast_eval", sf_dir)
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "event_type" in m.group(1), (
+            f"lag-7 must partition by type: {m.group(1)}\n{plan}"
+        )
+    assert "ArrowEvalPython" not in plan

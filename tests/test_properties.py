@@ -3557,3 +3557,72 @@ def test_label_balance_shares_sum_to_one(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.gini_simpson <= 1.0 - 1.0 / k + 1e-9
         assert r.starved == (1 if r.n * 10 * k < n_tot else 0)
+
+
+# --- round-8 batch 7 -----------------------------------------------------------
+
+
+def test_topn_other_threshold_and_mass(spark, sf_dir):
+    """Every named category holds >= 2% of rows; OTHER (if present) merges
+    the rest; total mass is the table row count; shares sum to 1."""
+    import duckdb
+
+    rows = SPECS["agg_topn_other"].builder(spark, sf_dir).collect()
+    assert rows
+    con = duckdb.connect()
+    (n_tot,) = con.execute(
+        f"SELECT COUNT(*) FROM '{sf_dir}/part.parquet'"
+    ).fetchone()
+    assert sum(r.n for r in rows) == n_tot
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-6
+    for r in rows:
+        if r.category != "OTHER":
+            assert r.n_merged == 1
+            assert r.n * 50 >= n_tot
+        else:
+            assert r.n_merged >= 1
+
+
+def test_source_overlap_bounds_and_symmetry_grain(spark, sf_dir):
+    """Overlap coefficient in (0, 1]; n_common <= min(n_a, n_b); exactly
+    one row per unordered source pair that shares at least one gram."""
+    rows = SPECS["llm_source_overlap"].builder(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert (r.source_a, r.source_b) not in seen
+        seen.add((r.source_a, r.source_b))
+        assert 0 < r.n_common <= min(r.n_a, r.n_b)
+        assert 0.0 < r.overlap_coef <= 1.0
+
+
+def test_forecast_eval_recomputes_wape(spark, sf_dir):
+    """WAPE must reproduce from the daily series in Python (lag-7 naive
+    forecast on the same micro-quantized values), and sMAPE sits in
+    [0, 2] by construction."""
+    from collections import defaultdict
+
+    import duckdb
+
+    rows = {r.event_type: r for r in SPECS["ts_forecast_eval"].builder(spark, sf_dir).collect()}
+    assert rows
+    con = duckdb.connect()
+    daily = con.execute(
+        f"""SELECT event_type, CAST(ts AS DATE),
+                   CAST(floor(SUM(CAST(value AS DECIMAL(18,9))) * 1000000) AS BIGINT)
+            FROM '{sf_dir}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).fetchall()
+    series = defaultdict(list)
+    for et, _, vm in daily:
+        series[et].append(vm)
+    for et, r in rows.items():
+        vs = series[et]
+        errs = [(abs(vs[i] - vs[i - 7]), abs(vs[i])) for i in range(7, len(vs))]
+        assert r.n_scored == len(errs)
+        assert r.sum_abs_err == sum(e for e, _ in errs)
+        assert r.sum_abs_actual == sum(a for _, a in errs)
+        if r.wape is not None:
+            assert abs(r.wape - round(r.sum_abs_err / r.sum_abs_actual, 9)) < 1e-9
+        if r.smape is not None:
+            assert 0.0 <= r.smape <= 2.0
