@@ -2182,8 +2182,13 @@ WITH cell AS (
   GROUP BY p.p_brand
 ),
 pairs AS (
-  SELECT CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END AS conc,
-         CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END AS disc,
+  -- sign comparisons, never the diff PRODUCT: cent-scale per-brand sums
+  -- reach ~1e12 at sf1, so (dx) * (dy) exceeds int64 and BOTH engines
+  -- kill the job (caught by the round-8 full sf1 replay)
+  SELECT CASE WHEN (a.x > b.x AND a.y > b.y) OR (a.x < b.x AND a.y < b.y)
+              THEN 1 ELSE 0 END AS conc,
+         CASE WHEN (a.x > b.x AND a.y < b.y) OR (a.x < b.x AND a.y > b.y)
+              THEN 1 ELSE 0 END AS disc,
          CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tie_x,
          CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS tie_y
   FROM cell a JOIN cell b ON a.brand < b.brand
@@ -2235,10 +2240,13 @@ def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = cell.alias("a"), cell.alias("b")
     ax, bx = F.col("a.x"), F.col("b.x")
     ay, by = F.col("a.y"), F.col("b.y")
-    prod = (ax - bx) * (ay - by)
+    # sign comparisons, never the diff product — see oracle comment
+    # (int64 overflow at sf1 cent scale, ANSI job-kill)
+    conc = ((ax > bx) & (ay > by)) | ((ax < bx) & (ay < by))
+    disc = ((ax > bx) & (ay < by)) | ((ax < bx) & (ay > by))
     pairs = a.join(F.broadcast(b), F.col("a.brand") < F.col("b.brand")).select(
-        F.when(prod > 0, 1).otherwise(0).alias("conc"),
-        F.when(prod < 0, 1).otherwise(0).alias("disc"),
+        F.when(conc, 1).otherwise(0).alias("conc"),
+        F.when(disc, 1).otherwise(0).alias("disc"),
         F.when(ax == bx, 1).otherwise(0).alias("tie_x"),
         F.when(ay == by, 1).otherwise(0).alias("tie_y"),
     )
