@@ -71,25 +71,82 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # registry are ignored (lets the list name queries before they land);
 # everything not listed keeps module order after the priority block.
 #
-# Round-8 window, in need-order (VERDICT r7 item 1: "rotate the ENTIRE
-# DEFERRED_FIRST_ROW set into the round-8 window"):
-# (a) the 42 queries with NO driver row — every DEFERRED_FIRST_ROW name,
-#     in the deferral-set listing order (session-2 pairs, then session-3
-#     batches A–H, then session-4 batches I–K). Two of them (mm_scene_cut
-#     byte-length contract, ts_decay_score libm-free weight — both ADVICE
-#     r7 fixes) also changed this round, so their first rows double as
-#     changed-code re-samples.
+# Round-9 window, in need-order (VERDICT r8 item 1: "drive the staged
+# round-9 window green"):
+# (a) the 50 queries with NO driver row — the ENTIRE round-8
+#     DEFERRED_FIRST_ROW set, in the deferral-set listing order (round-8
+#     batches 2-7). len() of that set is 50, not the 49 the round-8
+#     planning comment claimed (the off-by-one lesson again — counts were
+#     re-derived with len() this round), so these fill the window EXACTLY
+#     and the win_ntile changed-code re-sample is bumped to the round-10
+#     window front (it is property-pinned equal to the old form and
+#     four-SF oracle-green in every local test run; only the driver row
+#     is postponed).
 # (b) queries whose CODE or ORACLE changed this round and already have a
-#     green row: none so far (round-8 advice fixes all landed inside the
-#     deferred set). New round-8 operators insert HERE, each displacing
-#     one (c) filler — at most 8 new operators this round keeps the
-#     window whole with zero new deferral debt.
-# (c) filler: stalest greens (last driver sample round 1), module order —
-#     8 ride this round's window (slots 43-50).
-# (d) remaining round-1 greens, kept for ordering the registry tail and
-#     as the next filler pool.
+#     green row: none can ride (window full) — any such change this round
+#     goes into ROUND10_RESAMPLE below in the same commit.
+# (c) no filler this round (window full with first rows).
+# (d) round-8 window greens + round-1 greens keep ordering the tail.
 DRIVER_PRIORITY = [
-    # (a) the 42 never-sampled first rows (== DEFERRED_FIRST_ROW)
+    # (a) the 50 never-sampled first rows (== round-8 DEFERRED_FIRST_ROW)
+    # round-8 batch 2 (stats/ts/graph/llm/mm breadth), in add order
+    "agg_mannwhitney",
+    "agg_anova",
+    "ts_bollinger",
+    "ts_rsi",
+    "graph_assortativity",
+    "llm_emb_outliers",
+    "llm_prefix_dedup",
+    "mm_aspect_bucket",
+    "sample_bottomk",
+    # round-8 batch 3
+    "ts_leadlag",
+    "llm_rater_kappa",
+    # round-8 batch 4
+    "agg_kendall_tau",
+    "dq_psi",
+    "dq_sequence_gaps",
+    "win_hopping",
+    "ts_calendar_profile",
+    "graph_harmonic",
+    "graph_pref_attach",
+    "llm_lexical_diversity",
+    "llm_term_lift",
+    "llm_chrf",
+    "mm_audio_vad",
+    "f_edit_distance",
+    "ts_macd",
+    "agg_theil",
+    "agg_trimmed_mean",
+    "llm_skipgram_cooccur",
+    # round-8 batch 5
+    "agg_cramers_v",
+    "agg_mutual_info",
+    "agg_cohens_d",
+    "ts_vwap",
+    "ts_stochastic",
+    "ts_burstiness",
+    "graph_richclub",
+    "win_rank_delta",
+    "dq_value_shape",
+    "dq_cardinality_trend",
+    "llm_lsh_tune",
+    "llm_self_bleu",
+    "mm_bitrate",
+    # round-8 batch 6
+    "sample_strat_k",
+    "ts_volatility",
+    "ts_outages",
+    "llm_langid_eval",
+    "llm_minhash_est_err",
+    "f_time_bucket",
+    "dq_label_balance",
+    # round-8 batch 7
+    "agg_topn_other",
+    "llm_source_overlap",
+    "ts_forecast_eval",
+    # ---- 50-slot fold: names below only order the registry tail ----
+    # (d) round-8 window greens (sampled r08), window order
     "llm_char_entropy",
     "llm_dataset_interleave",
     "dq_volume_anomaly",
@@ -132,9 +189,6 @@ DRIVER_PRIORITY = [
     "agg_geomean",
     "ts_cov_matrix",
     "ts_decay_score",
-    # (b) new round-8 operators (each displaced one (c) filler; all 8
-    # slots now used — agg_spearman takes the last one, so the window is
-    # exactly blocks (a) + (b) and no filler rides this round)
     "llm_simhash_neardup",
     "graph_label_prop",
     "dq_chi2",
@@ -143,7 +197,7 @@ DRIVER_PRIORITY = [
     "graph_cc_shuffle",
     "llm_cross_dedup",
     "agg_spearman",
-    # (c) filler: stalest greens (last sampled r1), module order
+    # round-1 greens (stale filler pool), module order
     "flagship",
     "flt_isin",
     "flt_notnull",
@@ -194,90 +248,38 @@ DRIVER_PRIORITY = [
 # order the remainder of the registry.
 DRIVER_WINDOW = DRIVER_PRIORITY[:50]
 
-# Round 8 rotates ALL 42 never-sampled queries into the window (slots
-# 1-42, VERDICT r7 item 1), emptying the 42-name round-7 deferral set.
-# New operators registered this round must go into block (b) of
-# DRIVER_PRIORITY in the same commit — the round-6 lesson: a @register
-# without window accounting ships a red suite. The 8 filler slots all
-# went to new round-8 operators; the 9 batch-2 operators below exceed
-# the window and are DEFERRED to the round-9 window front — each is
-# four-SF oracle-green locally (tests/test_oracle.py replays them every
-# run), so the deferral postpones only the driver row, not verification.
+# Round 9 rotates ALL 50 never-sampled oracle-checked queries into the
+# window (slots 1-50, VERDICT r8 item 1), emptying the round-8 deferral
+# set. New operators registered this round must be added to
+# DEFERRED_FIRST_ROW in the same commit — the round-6 lesson: a @register
+# without window accounting ships a red suite. Per VERDICT r8 item 3 the
+# growth cap is what the round-10 window can clear: 50 slots minus
+# len(ROUND10_RESAMPLE) minus the st_approx_distinct rows-only slot.
 #
 # st_approx_distinct is rows-only by design (HLL++ registers aren't
-# DuckDB-reproducible; value anchor = within-5%-of-exact property test)
-# and is exempt per the rows-only rule.
-# Round-9 window planning note: besides the deferral set below, win_ntile's
-# CODE changed late in round 8 (the distributed two-level position scan
-# replaced the single-partition ntile window; same oracle, green driver
-# rows r06 predate the change) — rotate it into the round-9 window as a
-# changed-code re-sample. Round-9 window budget = len(DEFERRED_FIRST_ROW)
-# first rows + that 1 re-sample; derive counts with len() when planning,
-# not from comment literals (the round-7 off-by-one lesson).
-DEFERRED_FIRST_ROW: set[str] = {
-    # round-8 batch 2 (stats/ts/graph/llm/mm breadth), in add order
-    "agg_mannwhitney",
-    "agg_anova",
-    "ts_bollinger",
-    "ts_rsi",
-    "graph_assortativity",
-    "llm_emb_outliers",
-    "llm_prefix_dedup",
-    "mm_aspect_bucket",
-    "sample_bottomk",
-    # round-8 batch 3
-    "ts_leadlag",
-    "llm_rater_kappa",
-    # round-8 batch 4 (ordinal association, PSI drift, key continuity,
-    # hopping windows, calendar seasonality, bounded centrality, PA links)
-    "agg_kendall_tau",
-    "dq_psi",
-    "dq_sequence_gaps",
-    "win_hopping",
-    "ts_calendar_profile",
-    "graph_harmonic",
-    "graph_pref_attach",
-    "llm_lexical_diversity",
-    "llm_term_lift",
-    "llm_chrf",
-    "mm_audio_vad",
-    "f_edit_distance",
-    "ts_macd",
-    "agg_theil",
-    "agg_trimmed_mean",
-    "llm_skipgram_cooccur",
-    # round-8 batch 5 (association effect sizes, oscillator/burstiness
-    # series, rich-club, rank movement, mask profiling, cardinality
-    # audit, LSH tuning, self-BLEU, bitrate)
-    "agg_cramers_v",
-    "agg_mutual_info",
-    "agg_cohens_d",
-    "ts_vwap",
-    "ts_stochastic",
-    "ts_burstiness",
-    "graph_richclub",
-    "win_rank_delta",
-    "dq_value_shape",
-    "dq_cardinality_trend",
-    "llm_lsh_tune",
-    "llm_self_bleu",
-    "mm_bitrate",
-    # round-8 batch 6 (sampling, volatility/outage series, classifier
-    # eval, estimator audit, time bucketing, label balance)
-    "sample_strat_k",
-    "ts_volatility",
-    "ts_outages",
-    "llm_langid_eval",
-    "llm_minhash_est_err",
-    "f_time_bucket",
-    "dq_label_balance",
-    # round-8 batch 7 (rare-category collapse, source overlap, forecast
-    # scoring) — these three bring the round-9 window to exactly 50:
-    # len(DEFERRED_FIRST_ROW)=49 first rows + the win_ntile changed-code
-    # re-sample. Round 8 adds NO further operators past this point.
-    "agg_topn_other",
-    "llm_source_overlap",
-    "ts_forecast_eval",
+# DuckDB-reproducible; value anchor = within-5%-of-exact property test).
+# VERDICT r8 item 2: it must get an explicit rows-only driver row the way
+# llm_minhash_lsh/agg_sketch_union did in r5 — it is first in line for a
+# round-10 window slot (tracked in ROUND10_RESAMPLE below).
+DEFERRED_FIRST_ROW: set[str] = set()
+
+# Names owed a round-10 window slot that are NOT first rows: changed-code
+# re-samples and the deliberate rows-only slot. Kept as code (not a
+# comment) so the accounting tests can enforce the round-10 budget.
+ROUND10_RESAMPLE: set[str] = {
+    # rows-only by design; never driver-sampled (VERDICT r8 item 2)
+    "st_approx_distinct",
+    # CODE changed late in round 8 (distributed two-level position scan
+    # replaced the single-partition ntile window; same oracle, green
+    # driver rows r06 predate the change); bumped from the round-9 window
+    # because the 50 first rows fill it exactly
+    "win_ntile",
+    # CODE changed round 9 (VERDICT r8 item 4: hash-inside-Filter 2x
+    # constants removed — non-nullable salt/digest projections,
+    # inline_outer; llm_incr_dedup's oracle gained the matching COALESCE)
+    "join_salted",
+    "llm_incr_dedup",
+    "llm_cdc_chunk",
 }
 
 

@@ -7,6 +7,7 @@ from air_quality_data_pipeline_spark.registry import (
     DEFERRED_FIRST_ROW,
     DRIVER_PRIORITY,
     DRIVER_WINDOW,
+    ROUND10_RESAMPLE,
     load_all_queries,
 )
 
@@ -101,6 +102,29 @@ def test_deferred_set_is_minimal_and_real():
         assert n in SPECS, f"deferred name not registered: {n}"
         assert SPECS[n].oracle is not None, f"deferred name is rows-only: {n}"
         assert n not in DRIVER_WINDOW, f"deferred name is inside the window: {n}"
+
+
+def test_round10_resample_names_real():
+    """ROUND10_RESAMPLE entries must be registered and genuinely outside
+    the current window (otherwise they are already being sampled and the
+    bookkeeping is stale)."""
+    for n in ROUND10_RESAMPLE:
+        assert n in SPECS, f"resample name not registered: {n}"
+        assert n not in DRIVER_WINDOW, f"resample name is inside the window: {n}"
+
+
+def test_next_window_budget_not_exceeded():
+    """VERDICT r8 item 3: per-round registry growth is capped at what the
+    NEXT driver window can clear. Every query owed a future driver row —
+    new operators (DEFERRED_FIRST_ROW), changed-code re-samples and the
+    deliberate rows-only slots (ROUND10_RESAMPLE) — must fit in 50 slots,
+    so adding an operator without window headroom fails the suite in the
+    same commit."""
+    owed = len(DEFERRED_FIRST_ROW | ROUND10_RESAMPLE)
+    assert owed <= 50, (
+        f"{owed} queries owed a driver row exceed the 50-slot next-round "
+        f"window; stop adding operators or rotate first"
+    )
 
 
 def test_survey_section2_matches_registry():
