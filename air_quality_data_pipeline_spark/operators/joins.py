@@ -173,7 +173,15 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     across 8 tasks instead of melting one reducer. Result is provably
     identical to the unsalted join (the oracle IS the unsalted join).
     AQE's skew-split handles moderate skew automatically; explicit salting
-    is the deterministic fallback for extreme generators like this."""
+    is the deterministic fallback for extreme generators like this.
+
+    The salt projection is wrapped in coalesce(..., 0) to make it
+    NON-NULLABLE: InferFiltersFromConstraints only generates isnotnull
+    constraints for nullable join keys, and the inferred isnotnull(salt)
+    used to be alias-substituted into the scan Filter, re-evaluating the
+    md5 per row (the round-8 sweep's 2x constant — VERDICT r8 item 4).
+    Semantics are unchanged-or-better: a null o_orderkey now salts to 0
+    and joins (matching the unsalted oracle) instead of being dropped."""
     apply_engine_conf(spark)
     orders = table(spark, sf_dir, "orders")
     nation = table(spark, sf_dir, "nation")
@@ -181,8 +189,13 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         (F.col("o_custkey") % 10).alias("hot_key"),
         "o_totalprice",
-        (F.expr("cast(conv(substring(md5(cast(o_orderkey as string)), 1, 8), 16, 10) as bigint)")
-         % _SALTS).alias("salt"),
+        F.coalesce(
+            F.expr(
+                "cast(conv(substring(md5(cast(o_orderkey as string)), 1, 8), 16, 10) as bigint)"
+            )
+            % _SALTS,
+            F.lit(0),
+        ).alias("salt"),
     )
     dim = (
         nation.groupBy((F.col("n_nationkey") % 10).alias("hot_key"))

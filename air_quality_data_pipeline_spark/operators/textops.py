@@ -2349,8 +2349,15 @@ def llm_cdc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the whole operator is per-row array algebra — window hashes,
     breakpoint filter, bounds, per-chunk digests all build inside ONE
-    projection; inline() expands chunks map-side. ZERO exchanges; 100 TB
-    throughput is executors × scan rate, like llm_sentence_split."""
+    projection; inline_outer() expands chunks map-side. ZERO exchanges;
+    100 TB throughput is executors × scan rate, like llm_sentence_split.
+
+    inline_OUTER, not inline: InferFiltersFromGenerate only fires for
+    non-outer generates, and its inferred size(cs)>0 filter used to
+    alias-substitute the ENTIRE chunk-building expression into a Filter,
+    doubling per-row CPU (round-8 sweep, VERDICT r8 item 4). Every doc
+    yields >=1 chunk (bd always has >=2 bounds), so outer semantics are
+    row-for-row identical."""
     apply_engine_conf(spark)
     docs = table(spark, sf_dir, "documents")
     base = docs.select(
@@ -2386,7 +2393,7 @@ def llm_cdc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS digest))"""
         ).alias("cs"),
     )
-    return chunks.select("doc_id", F.expr("inline(cs)"))
+    return chunks.select("doc_id", F.expr("inline_outer(cs)"))
 
 
 # --- llm_vocab_coverage: tokenizer-vocabulary OOV audit -----------------------
