@@ -1823,6 +1823,56 @@ def agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROUND(9) absorbs the int128/BigDecimal double-conversion ulp. Bound:
 # n*S_xy <= 4*n^4 stays inside DECIMAL(38) through ~6e8 rows per group
 # (sf100), documented here rather than discovered at scale.
+_SPEARMAN_RANGES = 8  # range partitions per value-grain prefix scan
+
+
+def _spearman_ranks(cells: DataFrame, key: str, alias: str) -> DataFrame:
+    """Tie-aware 2x-scaled average ranks of `key` per flag, as a
+    DISTRIBUTED two-level prefix sum over the (flag, key) value grain
+    (the win_skyline pattern — see agg_spearman's docstring). Returns
+    (flag, key, alias) where alias = 2*cumsum(c) - c + 1 in BIGINT.
+
+    Order-correctness leans on the same two facts win_skyline pinned:
+    RangePartitioner assigns ascending partition ids in (flag, key)
+    order, and AQE coalescing merges only contiguous ranges, so
+    spark_partition_id() is a monotone bucket id over the sort key.
+
+    The rid assignment is PERSISTED before fan-out: the SQL range
+    exchange samples its partition boundaries per execution, so the two
+    consumers below (the prior-sum branch and the join-back) would
+    otherwise each re-sample and disagree on which rid a key belongs to
+    — measured 4477/6000 wrong ranks at sf0.001 before the persist. The
+    persisted table is the VALUE GRAIN (distinct keys), never the fact
+    table, so the materialization is exactly the small side this
+    operator already banks on."""
+    vc = cells.groupBy("flag", key).agg(F.sum("cnt").cast("bigint").alias("c"))
+    ranged = scoped_persist(
+        vc.repartitionByRange(_SPEARMAN_RANGES, "flag", key).withColumn(
+            "rid", F.spark_partition_id()
+        )
+    )
+    w_local = (
+        Window.partitionBy("rid", "flag")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("lcum", F.sum("c").over(w_local))
+    rtot = ranged.groupBy("rid", "flag").agg(F.sum("c").alias("rtot"))
+    w_prior = (
+        Window.partitionBy("flag").orderBy("rid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = rtot.select("rid", "flag", F.sum("rtot").over(w_prior).alias("prior"))
+    return local.join(F.broadcast(prior), ["rid", "flag"]).select(
+        "flag",
+        key,
+        (
+            2 * (F.col("lcum") + F.coalesce(F.col("prior"), F.lit(0)))
+            - F.col("c")
+            + 1
+        ).alias(alias),
+    )
+
+
 _SPEARMAN_ORACLE = """
 WITH li AS (
   SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty,
@@ -1883,11 +1933,16 @@ def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     under any partitioning.
 
     Scale shape: ONE corpus collapse to the (flag, qty, price) value-pair
-    grain; ranks come from prefix sums over the per-VARIABLE value grains
-    (|distinct qty| and |distinct price| rows — domain-bounded, never the
-    fact table; at extreme price cardinality the win_skyline
-    range-partitioned prefix-sum is the drop-in), joined back onto the
-    cell table, and one moment aggregate closes. The fact table is
+    grain; ranks come from DISTRIBUTED prefix sums over the per-VARIABLE
+    value grains (|distinct qty| and |distinct price| rows — the
+    win_skyline two-level parallel scan, VERDICT r8 item 5: collapse to
+    the value grain map-side-combined, repartitionByRange on (flag,
+    value) so partition ids ascend in key order, per-range running sum
+    via a rid-partitioned window, then a per-flag prefix over the
+    |ranges|x|flags| per-range totals — a window whose row count is a
+    constant of the config, not the data — broadcast back. No
+    single-partition window ever sees a value grain), joined back onto
+    the cell table, and one moment aggregate closes. The fact table is
     scanned exactly once."""
     apply_engine_conf(spark)
     li = table(spark, sf_dir, "lineitem").select(
@@ -1900,17 +1955,8 @@ def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = scoped_persist(
         li.groupBy("flag", "qty", "price").agg(F.count(F.lit(1)).alias("cnt"))
     )
-    cum = Window.partitionBy("flag").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    qc = cells.groupBy("flag", "qty").agg(F.sum("cnt").cast("bigint").alias("c"))
-    qr = qc.select(
-        "flag", "qty",
-        (2 * F.sum("c").over(cum.orderBy("qty")) - F.col("c") + 1).alias("rx"),
-    )
-    pc = cells.groupBy("flag", "price").agg(F.sum("cnt").cast("bigint").alias("c"))
-    pr = pc.select(
-        "flag", "price",
-        (2 * F.sum("c").over(cum.orderBy("price")) - F.col("c") + 1).alias("ry"),
-    )
+    qr = _spearman_ranks(cells, "qty", "rx")
+    pr = _spearman_ranks(cells, "price", "ry")
     d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     j = cells.join(F.broadcast(qr), ["flag", "qty"]).join(pr, ["flag", "price"])
     m = j.groupBy("flag").agg(

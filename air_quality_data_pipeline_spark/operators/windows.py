@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.exact import exact_sum
 from ..registry import register
-from ..session import apply_engine_conf
+from ..session import apply_engine_conf, scoped_persist
 from ..tables import table
 
 _WIN_RANK_ORACLE = """
@@ -379,12 +379,21 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure row-local arithmetic from (position, N): ntile semantics give the
     first N mod k tiles one extra row, reproduced exactly (property-pinned
     row-identical to the single-window ntile form). No single-partition
-    window ever sees the row grain."""
+    window ever sees the row grain.
+
+    The rid assignment is PERSISTED before fan-out (round-9 hardening,
+    same as win_skyline/agg_spearman): the range exchange re-samples its
+    boundaries per execution, and the offset join on rid is only correct
+    when the counts branch and the join-back read ONE materialized
+    assignment — disk-backed persist of the working set, linear and
+    partition-local."""
     apply_engine_conf(spark)
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    ranged = cust.repartitionByRange(
-        _NTILE_RANGES, "c_acctbal", "c_custkey"
-    ).withColumn("rid", F.spark_partition_id())
+    ranged = scoped_persist(
+        cust.repartitionByRange(_NTILE_RANGES, "c_acctbal", "c_custkey").withColumn(
+            "rid", F.spark_partition_id()
+        )
+    )
     w_local = Window.partitionBy("rid").orderBy("c_acctbal", "c_custkey")
     ranged = ranged.withColumn("rn", F.row_number().over(w_local))
     counts = ranged.groupBy("rid").agg(F.count(F.lit(1)).alias("c"))
@@ -939,9 +948,19 @@ def win_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     p = table(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
     per_price = p.groupBy("p_retailprice").agg(F.max("p_size").alias("grp_max"))
-    ranged = per_price.repartitionByRange(
-        _SKYLINE_RANGES, "p_retailprice"
-    ).withColumn("rid", F.spark_partition_id())
+    # PERSIST the rid assignment: the SQL range exchange re-samples its
+    # partition boundaries on every execution (seeded per RDD id), so the
+    # two consumers (prior-max branch, join-back) must read ONE
+    # materialized assignment. Before this pin the consistency hinged on
+    # a ReusedExchange the optimizer happened to produce — agg_spearman's
+    # identical shape lost that reuse to column pruning and mis-ranked
+    # 4477/6000 keys (round-9 find); the persist makes the invariant
+    # structural. The persisted table is the price value grain, not part.
+    ranged = scoped_persist(
+        per_price.repartitionByRange(_SKYLINE_RANGES, "p_retailprice").withColumn(
+            "rid", F.spark_partition_id()
+        )
+    )
     w_local = (
         Window.partitionBy("rid")
         .orderBy("p_retailprice")

@@ -280,6 +280,12 @@ ROUND10_RESAMPLE: set[str] = {
     "join_salted",
     "llm_incr_dedup",
     "llm_cdc_chunk",
+    # CODE changed round 9 (VERDICT r8 item 5 + the rid-determinism find:
+    # agg_spearman's value-grain prefix is now the distributed two-level
+    # scan, and all three rid-based operators persist their range-exchange
+    # rid assignment so fan-out consumers can't see re-sampled boundaries)
+    "agg_spearman",
+    "win_skyline",
 }
 
 

@@ -2078,3 +2078,22 @@ def test_forecast_eval_windows_ride_daily_grain(spark, sf_dir):
             f"lag-7 must partition by type: {m.group(1)}\n{plan}"
         )
     assert "ArrowEvalPython" not in plan
+
+
+# --- round-9: agg_spearman distributed value-grain prefix (VERDICT r8 item 5) --
+
+
+def test_spearman_value_grain_windows_are_range_distributed(spark, sf_dir):
+    """agg_spearman's rank prefix sums must never run a single-partition
+    window over a value grain: every window ordered by qty/price must
+    carry the rid partition key, the only rid-ordered window rides the
+    |ranges|x|flags| per-range-totals table (a config constant), and the
+    rid assignment must come from a range exchange."""
+    plan = _executed_plan(spark, "agg_spearman", sf_dir)
+    assert "Exchange rangepartitioning" in plan, plan
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        if "qty" in spec or "price" in spec:
+            assert spec.strip().startswith("rid"), (
+                f"value-grain window lacks rid partitioning: {spec}\n{plan}"
+            )

@@ -3626,3 +3626,48 @@ def test_forecast_eval_recomputes_wape(spark, sf_dir):
             assert abs(r.wape - round(r.sum_abs_err / r.sum_abs_actual, 9)) < 1e-9
         if r.smape is not None:
             assert 0.0 <= r.smape <= 2.0
+
+
+def test_spearman_distributed_ranks_equal_single_window(spark, sf_dir):
+    """agg_spearman's two-level range-partitioned rank prefix (VERDICT r8
+    item 5) must reproduce the single-window tie-aware ranks exactly, for
+    BOTH variables — pinned against range-boundary / partition-id
+    regressions (the round-9 find: unpinned rid assignments re-sample
+    range boundaries per execution and mis-rank ~75%% of keys)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from air_quality_data_pipeline_spark.operators.aggregates import _spearman_ranks
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    cells = li.groupBy("flag", "qty", "price").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = Window.partitionBy("flag").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    for key, alias in (("qty", "rx"), ("price", "ry")):
+        got = {
+            (r.flag, r[key]): r[alias]
+            for r in _spearman_ranks(cells, key, alias).collect()
+        }
+        vc = cells.groupBy("flag", key).agg(F.sum("cnt").cast("bigint").alias("c"))
+        ref = {
+            (r.flag, r[key]): r[alias]
+            for r in vc.select(
+                "flag",
+                key,
+                (2 * F.sum("c").over(cum.orderBy(key)) - F.col("c") + 1).alias(alias),
+            ).collect()
+        }
+        assert got == ref, f"{key}: distributed ranks diverge from single-window"
+        # tie-aware rank-sum invariant: sum(c * 2r) == n(n+1) per flag
+        tot: dict[str, int] = {}
+        nn: dict[str, int] = {}
+        for r in vc.collect():
+            tot[r.flag] = tot.get(r.flag, 0) + r.c * got[(r.flag, r[key])]
+            nn[r.flag] = nn.get(r.flag, 0) + r.c
+        for f, n in nn.items():
+            assert tot[f] == n * (n + 1), (key, f, tot[f], n * (n + 1))
