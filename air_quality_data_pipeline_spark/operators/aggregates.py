@@ -591,7 +591,7 @@ _SK_KURT = (
 
 _SKEW_KURT_ORACLE = f"""
 WITH q AS (
-  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x FROM lineitem
+  SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS x FROM lineitem
 ),
 s AS (
   SELECT l_returnflag,
@@ -621,7 +621,7 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     same query swaps BIGINT for DECIMAL(38,0) accumulators (as agg_corr)."""
     apply_engine_conf(spark)
     li = table(spark, sf_dir, "lineitem")
-    q = li.select("l_returnflag", F.expr("CAST(l_quantity AS BIGINT)").alias("x"))
+    q = li.select("l_returnflag", F.expr("CAST(floor(l_quantity) AS BIGINT)").alias("x"))
     s = q.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("s1"),
@@ -1095,7 +1095,7 @@ _WMEDIAN_ORACLE = """
 WITH base AS (
   SELECT l_returnflag AS grp,
          CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS price_cents,
-         CAST(l_quantity AS BIGINT) AS w
+         CAST(floor(l_quantity) AS BIGINT) AS w
   FROM lineitem
 ),
 cum AS (
@@ -1135,7 +1135,7 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = li.select(
         F.col("l_returnflag").alias("grp"),
         F.floor(F.col("l_extendedprice") * 100.0).cast("bigint").alias("price_cents"),
-        F.col("l_quantity").cast("bigint").alias("w"),
+        F.floor("l_quantity").cast("bigint").alias("w"),
     )
     run = (
         Window.partitionBy("grp")
@@ -1875,7 +1875,7 @@ def _spearman_ranks(cells: DataFrame, key: str, alias: str) -> DataFrame:
 
 _SPEARMAN_ORACLE = """
 WITH li AS (
-  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty,
+  SELECT l_returnflag AS flag, CAST(floor(l_quantity) AS BIGINT) AS qty,
          l_extendedprice AS price
   FROM lineitem
 ),
@@ -1947,7 +1947,12 @@ def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     li = table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"),
-        F.col("l_quantity").cast("bigint").alias("qty"),
+        # explicit floor, NOT a bare bigint cast: Spark's double->bigint
+        # cast truncates toward zero while DuckDB's rounds, so -3.5 and
+        # 19.995 land in different value cells (hostile-panel find);
+        # floor() agrees in both engines and is the identity on the
+        # integral quantities real data carries
+        F.floor("l_quantity").cast("bigint").alias("qty"),
         F.col("l_extendedprice").alias("price"),
     )
     # persist the pair-grain collapse: it feeds both rank derivations and
@@ -1995,7 +2000,7 @@ def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cells) in ONE map-side-combinable pass.
 _MANNWHITNEY_ORACLE = """
 WITH li AS (
-  SELECT CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS flag
+  SELECT CAST(floor(l_quantity) AS BIGINT) AS qty, l_returnflag AS flag
   FROM lineitem WHERE l_returnflag IN ('A', 'R')
 ),
 vc AS (
@@ -2055,7 +2060,7 @@ def agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "lineitem")
         .filter(F.col("l_returnflag").isin("A", "R"))
         .select(
-            F.col("l_quantity").cast("bigint").alias("qty"),
+            F.floor("l_quantity").cast("bigint").alias("qty"),
             F.col("l_returnflag").alias("flag"),
         )
     )

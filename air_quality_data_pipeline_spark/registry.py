@@ -286,6 +286,13 @@ ROUND10_RESAMPLE: set[str] = {
     # rid assignment so fan-out consumers can't see re-sampled boundaries)
     "agg_spearman",
     "win_skyline",
+    # CODE+ORACLE changed round 9 (hostile-panel find: Spark's
+    # double->bigint cast truncates while DuckDB's rounds — bare
+    # l_quantity casts became explicit floor() in both engines; identity
+    # on the integral quantities real data carries). agg_mannwhitney got
+    # the same fix but rides the round-9 window itself.
+    "agg_skew_kurt",
+    "agg_weighted_median",
 }
 
 

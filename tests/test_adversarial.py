@@ -625,6 +625,18 @@ def _adv_lineitem_rows():
                  d(1990, 3, 6)))
     rows.append((100101, 12, 7, 2, -3.5, 777.77, 0.0, 0.0, "N", "O",
                  d(1990, 3, 6)))
+    # order 100102 (1990-03): fractional quantities on flags A and R —
+    # the round-9 find: Spark's double->bigint cast truncates toward zero
+    # while DuckDB's ROUNDS, so any operator pairing a bare bigint cast of
+    # l_quantity with its oracle diverges on -3.5 / 19.995 / x.5 cells.
+    # Flag-N rows above missed the A/R-filtered statistics (agg_mannwhitney)
+    # entirely; these reach them.
+    rows.append((100102, 21, 8, 1, 7.5, 432.10, 0.0, 0.0, "A", "F",
+                 d(1990, 3, 7)))
+    rows.append((100102, 22, 8, 2, -0.5, 210.98, 0.0, 0.0, "R", "F",
+                 d(1990, 3, 7)))
+    rows.append((100102, 23, 8, 3, 19.995, 654.32, 0.0, 0.0, "A", "F",
+                 d(1990, 3, 7)))
     return rows
 
 
@@ -718,6 +730,11 @@ ADV_LINEITEM_PANEL = [
     "dq_sequence_gaps",   # 100000+ keys open giant ranges; childless orders
     "sql_q1",             # negative price/quantity through decimal Q1 sums
     "graph_richclub",     # same-supplier order + credit edges reshape degrees
+    # round-9 statistical-family extension (VERDICT r8 item 9):
+    "agg_mannwhitney",    # massed qty ties drive the T = c^3-c tie term and
+                          # the negative-quantity cells cross rank groups
+    "agg_spearman",       # tie-aware 2x ranks over negative/boundary value
+                          # cells through the distributed range-prefix path
 ]
 
 
