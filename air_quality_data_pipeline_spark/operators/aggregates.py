@@ -2882,3 +2882,767 @@ def agg_topn_other(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_merged"),
         F.round(F.sum("n").cast("double") / F.col("n_tot"), 9).alias("share"),
     ).select("category", "n", "n_merged", "share")
+
+
+# --- agg_levene: Brown-Forsythe homogeneity-of-variance test ------------------
+
+# The gatekeeper assumption check BEFORE agg_anova (equal variances) and
+# the robust sibling of a plain variance ratio: Levene's W with the
+# Brown-Forsythe median centering. The whole computation lives on the
+# value-grain cell table — events.value has a bounded cents domain, so
+# (event_type, cents) cells are O(domain), not O(rows), exactly the
+# distributed-median shape agg_weighted_median/agg_spearman use. The
+# group median is recovered from a cumulative-count window over cells in
+# HALF-CENTS (2*median = lo + hi order stats, exact integers — no
+# interpolated double ever exists), absolute deviations and their squares
+# are integer arithmetic on cells, and W is row-local algebra on the
+# k-row group table. ROUND(9) absorbs the final division ulp.
+_LEVENE_ORACLE = """
+WITH cells AS (
+  SELECT event_type,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, cents, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM cells
+),
+med AS (
+  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+         MIN(CASE WHEN cum >= (n + 1) // 2 THEN cents END)
+         + MIN(CASE WHEN cum >= n // 2 + 1 THEN cents END) AS med2
+  FROM cum GROUP BY event_type
+),
+z AS (
+  SELECT c.event_type, m.n,
+         SUM(c.cnt * abs(2 * c.cents - m.med2)) AS sz,
+         SUM(c.cnt * (2 * c.cents - m.med2) * (2 * c.cents - m.med2)) AS szz
+  FROM cells c JOIN med m ON m.event_type = c.event_type
+  GROUP BY c.event_type, m.n
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(sz) AS BIGINT) AS sz_all
+  FROM z
+),
+parts AS (
+  SELECT CAST(SUM(CAST(z.n AS DOUBLE)
+                  * (CAST(z.sz AS DOUBLE) / CAST(z.n AS DOUBLE)
+                     - CAST(t.sz_all AS DOUBLE) / CAST(t.nn AS DOUBLE))
+                  * (CAST(z.sz AS DOUBLE) / CAST(z.n AS DOUBLE)
+                     - CAST(t.sz_all AS DOUBLE) / CAST(t.nn AS DOUBLE))
+                  * 1000.0) AS DOUBLE) AS between_milli,
+         CAST(SUM(CAST(z.szz AS DOUBLE)
+                  - CAST(z.sz AS DOUBLE) * CAST(z.sz AS DOUBLE)
+                    / CAST(z.n AS DOUBLE)) AS DOUBLE) AS within,
+         MAX(t.nn) AS nn, MAX(t.k) AS k
+  FROM z CROSS JOIN tot t
+)
+SELECT z.event_type, z.n,
+       ROUND(CAST(z.sz AS DOUBLE) / CAST(z.n AS DOUBLE) / 200.0, 9)
+         AS mean_abs_dev,
+       ROUND((CAST(p.nn AS DOUBLE) - CAST(p.k AS DOUBLE))
+             / (CAST(p.k AS DOUBLE) - 1.0)
+             * (p.between_milli / 1000.0) / p.within, 9) AS levene_w
+FROM z CROSS JOIN parts p
+"""
+
+
+@register("agg_levene", oracle=_LEVENE_ORACLE, tags=("agg", "stats"))
+def agg_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe Levene test (variance homogeneity across event
+    types): per-group median absolute deviation and the shared W
+    statistic. The reference computes no dispersion statistics at all
+    (main.py aggregates are count/set only) — this is the north-star
+    statistical family's assumption gate for agg_anova.
+
+    Scale shape: the corpus collapses ONCE to (type, cents) cells —
+    O(value domain), not O(rows); the median comes from a cumulative
+    window over cells in exact half-cent integers (no interpolated
+    double); deviations and squares are integer cell arithmetic; W is
+    row-local algebra on the k-row table. The only corpus-sized exchange
+    is the map-side-combined cell collapse. The between-group sum is
+    evaluated on a k-row table (k = 5 types) after exact-integer inputs,
+    so its double arithmetic is partition-count-independent."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("cents"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = cells.select(
+        "event_type",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    med = cum.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        (
+            F.min(
+                F.when(
+                    F.col("cum") >= F.floor((F.col("n") + 1) / F.lit(2)),
+                    F.col("cents"),
+                )
+            )
+            + F.min(
+                F.when(
+                    F.col("cum") >= F.floor(F.col("n") / F.lit(2)) + 1,
+                    F.col("cents"),
+                )
+            )
+        ).alias("med2"),
+    )
+    # integer cell arithmetic against the broadcast k-row median table
+    z = (
+        cells.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.sum(F.col("cnt") * F.abs(F.lit(2) * F.col("cents") - F.col("med2"))).alias("sz"),
+            F.sum(
+                F.col("cnt")
+                * (F.lit(2) * F.col("cents") - F.col("med2"))
+                * (F.lit(2) * F.col("cents") - F.col("med2"))
+            ).alias("szz"),
+        )
+    )
+    z = scoped_persist(z)
+    tot = z.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("sz").cast("bigint").alias("sz_all"),
+    )
+    dev = F.col("sz").cast("double") / F.col("n").cast("double") - F.col(
+        "sz_all"
+    ).cast("double") / F.col("nn").cast("double")
+    parts = (
+        z.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(F.col("n").cast("double") * dev * dev * F.lit(1000.0)).alias(
+                "between_milli"
+            ),
+            F.sum(
+                F.col("szz").cast("double")
+                - F.col("sz").cast("double")
+                * F.col("sz").cast("double")
+                / F.col("n").cast("double")
+            ).alias("within"),
+            F.max("nn").alias("nn"),
+            F.max("k").alias("k"),
+        )
+    )
+    return z.crossJoin(F.broadcast(parts)).select(
+        "event_type",
+        "n",
+        F.round(
+            F.col("sz").cast("double") / F.col("n").cast("double") / F.lit(200.0), 9
+        ).alias("mean_abs_dev"),
+        F.round(
+            (F.col("nn").cast("double") - F.col("k").cast("double"))
+            / (F.col("k").cast("double") - F.lit(1.0))
+            * (F.col("between_milli") / F.lit(1000.0))
+            / F.col("within"),
+            9,
+        ).alias("levene_w"),
+    )
+
+
+# --- agg_jackknife_ratio: leave-one-out SE of a ratio estimator ---------------
+
+# The delete-one jackknife is the classical variance estimator for
+# NONLINEAR statistics (a ratio of sums has no closed-form SE the way a
+# mean does) — and it distributes perfectly: every leave-one-out ratio
+# r_i = (S - x_i)/(T - y_i) needs only the GLOBAL sums S, T broadcast
+# back onto the rows. Deviations are centered on the plug-in ratio and
+# quantized to exact integers before the order-free sum, so the SE is
+# partition-count-independent.
+_JACKKNIFE_ORACLE = """
+WITH rows_q AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+              AS BIGINT) AS rev_c,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+),
+g AS (
+  SELECT l_returnflag, CAST(SUM(rev_c) AS BIGINT) AS s,
+         CAST(SUM(qty) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS n
+  FROM rows_q GROUP BY l_returnflag
+),
+d AS (
+  SELECT r.l_returnflag, g.s, g.t, g.n,
+         CAST(floor((CAST(g.s - r.rev_c AS DOUBLE) / CAST(g.t - r.qty AS DOUBLE)
+                     - CAST(g.s AS DOUBLE) / CAST(g.t AS DOUBLE)) * 1000000.0
+                    + 0.5) AS BIGINT) AS dq
+  FROM rows_q r JOIN g ON g.l_returnflag = r.l_returnflag
+)
+SELECT l_returnflag, MAX(n) AS n,
+       ROUND(CAST(MAX(s) AS DOUBLE) / CAST(MAX(t) AS DOUBLE) / 100.0, 9)
+         AS ratio,
+       ROUND(sqrt((CAST(MAX(n) AS DOUBLE) - 1.0) / CAST(MAX(n) AS DOUBLE)
+                  * (CAST(SUM(CAST(dq AS DECIMAL(38,0)) * dq) AS DOUBLE)
+                     - CAST(SUM(dq) AS DOUBLE) * CAST(SUM(dq) AS DOUBLE)
+                       / CAST(MAX(n) AS DOUBLE)))
+             / 100000000.0, 9) AS jackknife_se
+FROM d GROUP BY l_returnflag
+"""
+
+
+@register("agg_jackknife_ratio", oracle=_JACKKNIFE_ORACLE, tags=("agg", "stats"))
+def agg_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one jackknife standard error of revenue-per-unit (a ratio
+    of sums) per return flag. Ratios have no closed-form SE; the
+    jackknife is the textbook answer and the reference computes nothing
+    like it (north-star statistical family).
+
+    Scale shape: ONE aggregate produces the 3-row (S, T, n) cell table;
+    it broadcasts back onto the fact rows so every leave-one-out ratio
+    is row-local arithmetic; deviations from the plug-in ratio are
+    quantized to exact integer micro-units, so the variance sum is
+    order-free (DECIMAL(38,0) squares — no int64 overflow through
+    sf100). Two corpus passes, zero corpus-keyed shuffles beyond the
+    3-cell aggregate."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    rows_q = li.select(
+        "l_returnflag",
+        F.floor(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("rev_c"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    g = rows_q.groupBy("l_returnflag").agg(
+        F.sum("rev_c").cast("bigint").alias("s"),
+        F.sum("qty").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    d = rows_q.join(F.broadcast(g), "l_returnflag").select(
+        "l_returnflag",
+        "s",
+        "t",
+        "n",
+        F.floor(
+            (
+                (F.col("s") - F.col("rev_c")).cast("double")
+                / (F.col("t") - F.col("qty")).cast("double")
+                - F.col("s").cast("double") / F.col("t").cast("double")
+            )
+            * 1000000.0
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("dq"),
+    )
+    return d.groupBy("l_returnflag").agg(
+        F.max("n").alias("n"),
+        F.round(
+            F.max("s").cast("double") / F.max("t").cast("double") / F.lit(100.0), 9
+        ).alias("ratio"),
+        F.round(
+            F.sqrt(
+                (F.max("n").cast("double") - F.lit(1.0))
+                / F.max("n").cast("double")
+                * (
+                    F.sum(F.col("dq").cast("decimal(38,0)") * F.col("dq")).cast(
+                        "double"
+                    )
+                    - F.sum("dq").cast("double")
+                    * F.sum("dq").cast("double")
+                    / F.max("n").cast("double")
+                )
+            )
+            / F.lit(100000000.0),
+            9,
+        ).alias("jackknife_se"),
+    )
+
+
+# --- agg_bayes_shrink: empirical-Bayes shrinkage of group means ----------------
+
+# Small groups get noisy means; the normal-normal posterior mean pulls each
+# group toward the grand mean with weight tau2/(tau2 + s2w/n_i) — the
+# standard leaderboard / per-category-rate smoother. tau2 is the plug-in
+# moment estimate max(0, var_between - s2w/nbar). All inputs to the double
+# algebra are exact integer sums (quantity is integral), the k-row
+# between-group pass quantizes its cells to exact micro-units before
+# summing, and the final algebra is row-local on the |brands| table.
+_BAYES_ORACLE = """
+WITH j AS (
+  SELECT p.p_brand, CAST(l.l_quantity AS BIGINT) AS qty
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+g AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(qty) AS BIGINT) AS s,
+         CAST(SUM(qty * qty) AS BIGINT) AS ss
+  FROM j GROUP BY p_brand
+),
+t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(s) AS BIGINT) AS s_all,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CAST(floor((CAST(ss AS DOUBLE)
+                              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                / CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS within_micro
+  FROM g
+),
+b AS (
+  SELECT CAST(SUM(CAST(floor((CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE)
+                              - CAST(t.s_all AS DOUBLE) / CAST(t.nn AS DOUBLE))
+                             * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE)
+                                - CAST(t.s_all AS DOUBLE) / CAST(t.nn AS DOUBLE))
+                             * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS between_micro,
+         MAX(t.nn) AS nn, MAX(t.s_all) AS s_all, MAX(t.k) AS k,
+         MAX(t.within_micro) AS within_micro
+  FROM g CROSS JOIN t
+)
+SELECT g.p_brand, g.n,
+       ROUND(CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE), 9) AS mean_qty,
+       ROUND(greatest(0.0,
+               CAST(b.between_micro AS DOUBLE) / 1000000.0
+                 / (CAST(b.k AS DOUBLE) - 1.0)
+               - (CAST(b.within_micro AS DOUBLE) / 1000000.0
+                  / (CAST(b.nn AS DOUBLE) - CAST(b.k AS DOUBLE)))
+                 / (CAST(b.nn AS DOUBLE) / CAST(b.k AS DOUBLE)))
+             / (greatest(0.0,
+                  CAST(b.between_micro AS DOUBLE) / 1000000.0
+                    / (CAST(b.k AS DOUBLE) - 1.0)
+                  - (CAST(b.within_micro AS DOUBLE) / 1000000.0
+                     / (CAST(b.nn AS DOUBLE) - CAST(b.k AS DOUBLE)))
+                    / (CAST(b.nn AS DOUBLE) / CAST(b.k AS DOUBLE)))
+                + (CAST(b.within_micro AS DOUBLE) / 1000000.0
+                   / (CAST(b.nn AS DOUBLE) - CAST(b.k AS DOUBLE)))
+                  / CAST(g.n AS DOUBLE)), 9) AS shrink_w,
+       ROUND(CAST(b.s_all AS DOUBLE) / CAST(b.nn AS DOUBLE)
+             + greatest(0.0,
+                 CAST(b.between_micro AS DOUBLE) / 1000000.0
+                   / (CAST(b.k AS DOUBLE) - 1.0)
+                 - (CAST(b.within_micro AS DOUBLE) / 1000000.0
+                    / (CAST(b.nn AS DOUBLE) - CAST(b.k AS DOUBLE)))
+                   / (CAST(b.nn AS DOUBLE) / CAST(b.k AS DOUBLE)))
+               / (greatest(0.0,
+                    CAST(b.between_micro AS DOUBLE) / 1000000.0
+                      / (CAST(b.k AS DOUBLE) - 1.0)
+                    - (CAST(b.within_micro AS DOUBLE) / 1000000.0
+                       / (CAST(b.nn AS DOUBLE) - CAST(b.k AS DOUBLE)))
+                      / (CAST(b.nn AS DOUBLE) / CAST(b.k AS DOUBLE)))
+                  + (CAST(b.within_micro AS DOUBLE) / 1000000.0
+                     / (CAST(b.nn AS DOUBLE) - CAST(b.k AS DOUBLE)))
+                    / CAST(g.n AS DOUBLE))
+               * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE)
+                  - CAST(b.s_all AS DOUBLE) / CAST(b.nn AS DOUBLE)), 9)
+         AS shrunk_mean
+FROM g CROSS JOIN b
+"""
+
+
+@register("agg_bayes_shrink", oracle=_BAYES_ORACLE, tags=("agg", "stats"))
+def agg_bayes_shrink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (normal-normal) shrinkage of per-brand mean order
+    quantity toward the grand mean — the smoothed-leaderboard aggregate
+    that keeps a 40-row brand from outranking everyone on noise. The
+    reference computes only raw counts (north-star statistical family).
+
+    Scale shape: ONE broadcast dim join + ONE map-side-combined collapse
+    to (brand, n, s, ss) integer cells; the grand/within/between moments
+    are a second pass over the |brands| cell table with micro-quantized
+    terms (order-free); shrinkage is row-local algebra on that same cell
+    table. The fact is scanned once."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_brand", F.col("l_quantity").cast("bigint").alias("qty")
+    )
+    g = scoped_persist(
+        j.groupBy("p_brand").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("qty").cast("bigint").alias("s"),
+            F.sum(F.col("qty") * F.col("qty")).cast("bigint").alias("ss"),
+        )
+    )
+    within_term = F.floor(
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("n").cast("double")
+        )
+        * 1000000.0
+        + 0.5
+    ).cast("bigint")
+    t = g.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("s").cast("bigint").alias("s_all"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(within_term).cast("bigint").alias("within_micro"),
+    )
+    mdev = F.col("s").cast("double") / F.col("n").cast("double") - F.col(
+        "s_all"
+    ).cast("double") / F.col("nn").cast("double")
+    b = (
+        g.crossJoin(F.broadcast(t))
+        .agg(
+            F.sum(F.floor(mdev * mdev * 1000000.0 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("between_micro"),
+            F.max("nn").alias("nn"),
+            F.max("s_all").alias("s_all"),
+            F.max("k").alias("k"),
+            F.max("within_micro").alias("within_micro"),
+        )
+    )
+    out = g.crossJoin(F.broadcast(b))
+    s2w = (
+        F.col("within_micro").cast("double")
+        / 1000000.0
+        / (F.col("nn").cast("double") - F.col("k").cast("double"))
+    )
+    var_b = F.col("between_micro").cast("double") / 1000000.0 / (
+        F.col("k").cast("double") - 1.0
+    )
+    tau2 = F.greatest(
+        F.lit(0.0),
+        var_b - s2w / (F.col("nn").cast("double") / F.col("k").cast("double")),
+    )
+    w = tau2 / (tau2 + s2w / F.col("n").cast("double"))
+    m_i = F.col("s").cast("double") / F.col("n").cast("double")
+    m = F.col("s_all").cast("double") / F.col("nn").cast("double")
+    return out.select(
+        "p_brand",
+        "n",
+        F.round(m_i, 9).alias("mean_qty"),
+        F.round(w, 9).alias("shrink_w"),
+        F.round(m + w * (m_i - m), 9).alias("shrunk_mean"),
+    )
+
+
+# --- agg_circular_mean: directional statistics on time-of-day -----------------
+
+# "What hour do users act?" is a CIRCULAR question — a plain mean of
+# 23:30 and 00:30 says noon; the resultant-vector mean says midnight.
+# Each event's time-of-day maps to an angle; sin/cos are rounded at 9
+# (the f_trig libm guard) then quantized to exact nano-units so the
+# resultant sums are order-free; atan2 / sqrt / ln run on identical
+# exact-ratio doubles in both engines, ROUND(9) absorbing the final ulp.
+_TWO_PI = "6.283185307179586"
+
+_CIRC_ORACLE = f"""
+WITH a AS (
+  SELECT event_type,
+         CAST(floor(ROUND(sin({_TWO_PI} * (CAST(hour(ts) * 3600
+                 + minute(ts) * 60 + CAST(second(ts) AS BIGINT) AS DOUBLE)
+                 / 86400.0)), 9) * 1000000000.0 + 0.5) AS BIGINT) AS s_nano,
+         CAST(floor(ROUND(cos({_TWO_PI} * (CAST(hour(ts) * 3600
+                 + minute(ts) * 60 + CAST(second(ts) AS BIGINT) AS DOUBLE)
+                 / 86400.0)), 9) * 1000000000.0 + 0.5) AS BIGINT) AS c_nano
+  FROM events
+),
+g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(s_nano) AS BIGINT) AS ss, CAST(SUM(c_nano) AS BIGINT) AS sc
+  FROM a GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND((CASE WHEN atan2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE)) < 0.0
+                   THEN atan2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE)) + {_TWO_PI}
+                   ELSE atan2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE)) END)
+             / {_TWO_PI} * 24.0, 9) AS mean_hour,
+       ROUND(sqrt(CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+                  + CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+             / 1000000000.0 / CAST(n AS DOUBLE), 9) AS resultant,
+       ROUND(sqrt(-2.0 * ln(sqrt(CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+                                 + CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+                            / 1000000000.0 / CAST(n AS DOUBLE)))
+             / {_TWO_PI} * 24.0, 9) AS circ_std_hours
+FROM g
+"""
+
+
+@register("agg_circular_mean", oracle=_CIRC_ORACLE, tags=("agg", "stats"))
+def agg_circular_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular (directional) mean and dispersion of event time-of-day per
+    type: resultant-vector statistics, the correct average for periodic
+    quantities (hour-of-day, day-of-week, wind bearing). The reference
+    averages nothing periodic; this serves the north-star events
+    workload (peak-hour detection that doesn't break across midnight).
+
+    Scale shape: sin/cos are row-local (rounded at 9 for the libm ulp,
+    then quantized to exact nano-units), so the resultant reduces to ONE
+    map-side-combined integer sum per type; atan2/sqrt/ln run on the
+    k-row cell table."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    frac = (
+        F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts").cast("bigint")
+    ).cast("double") / 86400.0
+    two_pi = float(_TWO_PI)
+    a = ev.select(
+        "event_type",
+        F.floor(F.round(F.sin(F.lit(two_pi) * frac), 9) * 1000000000.0 + 0.5)
+        .cast("bigint")
+        .alias("s_nano"),
+        F.floor(F.round(F.cos(F.lit(two_pi) * frac), 9) * 1000000000.0 + 0.5)
+        .cast("bigint")
+        .alias("c_nano"),
+    )
+    g = a.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("s_nano").cast("bigint").alias("ss"),
+        F.sum("c_nano").cast("bigint").alias("sc"),
+    )
+    ssd = F.col("ss").cast("double")
+    scd = F.col("sc").cast("double")
+    ang = F.atan2(ssd, scd)
+    r = F.sqrt(ssd * ssd + scd * scd) / 1000000000.0 / F.col("n").cast("double")
+    return g.select(
+        "event_type",
+        "n",
+        F.round(
+            F.when(ang < 0.0, ang + two_pi).otherwise(ang) / two_pi * 24.0, 9
+        ).alias("mean_hour"),
+        F.round(r, 9).alias("resultant"),
+        F.round(F.sqrt(F.lit(-2.0) * F.log(r)) / two_pi * 24.0, 9).alias(
+            "circ_std_hours"
+        ),
+    )
+
+
+# --- agg_chao1: species-richness (unseen-vocabulary) estimator -----------------
+
+# "How much vocabulary does this source have that we HAVEN'T crawled
+# yet?" Chao1 estimates total richness from the observed distinct count
+# plus the singleton/doubleton ratio; Good-Turing coverage says what
+# fraction of the next token draw is already known. Both are exact
+# integer/ratio arithmetic on frequency-of-frequency cells.
+_CHAO1_ORACLE = """
+WITH w AS (
+  SELECT source, t AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+  WHERE t <> ''
+  GROUP BY source, t
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS d_observed,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+       CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             + CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               * CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) - 1 AS DOUBLE)
+               / (2.0 * (CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)
+                              AS DOUBLE) + 1.0)), 9) AS chao1,
+       ROUND(1.0 - CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(cnt) AS DOUBLE), 9) AS coverage
+FROM w GROUP BY source
+"""
+
+
+@register("agg_chao1", oracle=_CHAO1_ORACLE, tags=("agg", "llm", "stats"))
+def agg_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 unseen-vocabulary estimator + Good-Turing coverage per
+    source — the crawl-planning aggregate: a source whose chao1 is far
+    above its observed distinct count still has vocabulary to give;
+    coverage near 1 says more crawling is repetition. The reference
+    counts distinct city names with a Python set (main.py:216-217);
+    this is the estimator family such counts feed at corpus scale.
+
+    Scale shape: tokenize/explode is map-local; the (source, word)
+    collapse is Heaps-law sub-linear in the corpus; the
+    frequency-of-frequency reduction is a second map-side-combined
+    aggregate on the vocabulary-grain table. Bias-corrected chao1
+    (f2+1 denominator) stays finite when no doubletons exist."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    w = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    f1 = F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).cast("bigint")
+    f2 = F.sum(F.when(F.col("cnt") == 2, 1).otherwise(0)).cast("bigint")
+    d = F.count(F.lit(1)).cast("bigint")
+    return w.groupBy("source").agg(
+        d.alias("d_observed"),
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        f1.alias("f1"),
+        f2.alias("f2"),
+        F.round(
+            d.cast("double")
+            + f1.cast("double")
+            * (f1 - 1).cast("double")
+            / (F.lit(2.0) * (f2.cast("double") + 1.0)),
+            9,
+        ).alias("chao1"),
+        F.round(
+            F.lit(1.0) - f1.cast("double") / F.sum("cnt").cast("double"), 9
+        ).alias("coverage"),
+    )
+
+
+# --- agg_bootstrap_ci: Poisson-bootstrap confidence interval -------------------
+
+# THE distributed bootstrap: classical resampling needs the whole sample
+# in one place; the Poisson bootstrap replaces "draw n with replacement"
+# with an independent Poisson(1) weight per (row, replicate) — one
+# streaming pass, map-side combinable, embarrassingly parallel. Weights
+# come from a 56-bit md5 slice compared against exact INTEGER CDF
+# thresholds (floor(CDF_k * 2^56)), so both engines draw bit-identical
+# weights with no float in the sampler. B=32 replicates; the replicate
+# means are exact integer ratios; their spread is quantized to exact
+# nano-units before the order-free variance sum.
+_BOOT_B = 32
+_BOOT_THRESH = [
+    26508507426831584,  # P(X=0)          = 1/e
+    53017014853663168,  # P(X<=1)
+    66271268567078960,  # P(X<=2)
+    70689353138217560,  # P(X<=3)
+    71793874281002208,  # P(X<=4)
+    72014778509559136,  # P(X<=5); tail lumped into w=6
+]
+_BOOT_Z = "1.959963984540054"
+
+
+def _boot_weight_case(h: str) -> str:
+    branches = "".join(
+        f" WHEN {h} < {t} THEN {k}" for k, t in enumerate(_BOOT_THRESH)
+    )
+    return f"CASE{branches} ELSE 6 END"
+
+
+_BOOT_ORACLE = f"""
+WITH x AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+         b.b AS b,
+         {_boot_weight_case(
+             "CAST(('0x' || substring(md5('boot' || CAST(b.b AS VARCHAR) || '|'"
+             " || CAST(l_orderkey AS VARCHAR) || ':'"
+             " || CAST(l_linenumber AS VARCHAR)), 1, 14)) AS BIGINT)"
+         )} AS w
+  FROM lineitem CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS b) b
+),
+reps AS (
+  SELECT l_returnflag, b, CAST(SUM(w * qty) AS BIGINT) AS sw,
+         CAST(SUM(w) AS BIGINT) AS nw
+  FROM x GROUP BY l_returnflag, b
+),
+q AS (
+  SELECT l_returnflag,
+         CAST(floor(CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE) * 1000000000.0
+                    + 0.5) AS BIGINT) AS m_nano
+  FROM reps
+),
+g AS (
+  SELECT l_returnflag, CAST(SUM(l_quantity) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_returnflag
+),
+se AS (
+  SELECT l_returnflag,
+         sqrt((CAST(SUM(CAST(m_nano AS DECIMAL(38,0)) * m_nano) AS DOUBLE)
+               - CAST(SUM(m_nano) AS DOUBLE) * CAST(SUM(m_nano) AS DOUBLE)
+                 / {_BOOT_B}.0) / ({_BOOT_B}.0 - 1.0)) / 1000000000.0 AS se
+  FROM q GROUP BY l_returnflag
+)
+SELECT g.l_returnflag, g.n,
+       ROUND(CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE), 9) AS mean_qty,
+       ROUND(se.se, 9) AS boot_se,
+       ROUND(CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE) - {_BOOT_Z} * se.se, 9)
+         AS ci_lo,
+       ROUND(CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE) + {_BOOT_Z} * se.se, 9)
+         AS ci_hi
+FROM g JOIN se ON se.l_returnflag = g.l_returnflag
+"""
+
+
+@register("agg_bootstrap_ci", oracle=_BOOT_ORACLE, tags=("agg", "stats"))
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for per-flag mean quantity — the bootstrap
+    that actually runs on a 1000-executor cluster: instead of materializing
+    B resamples, every row draws B independent Poisson(1) weights in a
+    single streaming pass (Kleiner et al.'s scalable-bootstrap family).
+    Weights are bit-exact across engines: a 56-bit md5 slice against
+    integer CDF thresholds — no float sampler anywhere.
+
+    Scale shape: the B-fold fan-out is map-LOCAL (explode feeding a
+    map-side-combined partial agg); the only exchange carries B*k cells,
+    not B*N rows. Replicate means are exact integer ratios; the SE
+    variance runs on nano-quantized integers (DECIMAL(38,0) squares), so
+    the interval is partition-count-independent."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_quantity").cast("bigint").alias("qty"),
+        "l_returnflag",
+    )
+    h = (
+        "cast(conv(substring(md5(concat('boot', cast(b as string), '|', "
+        "cast(l_orderkey as string), ':', cast(l_linenumber as string))), 1, 14), "
+        "16, 10) as bigint)"
+    )
+    x = li.select(
+        "l_returnflag",
+        "qty",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        "l_orderkey",
+        "l_linenumber",
+    ).select(
+        "l_returnflag", "qty", "b", F.expr(_boot_weight_case(h)).alias("w")
+    )
+    reps = x.groupBy("l_returnflag", "b").agg(
+        F.sum(F.col("w") * F.col("qty")).cast("bigint").alias("sw"),
+        F.sum("w").cast("bigint").alias("nw"),
+    )
+    q = reps.select(
+        "l_returnflag",
+        F.floor(
+            F.col("sw").cast("double") / F.col("nw").cast("double") * 1000000000.0
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("m_nano"),
+    )
+    se = q.groupBy("l_returnflag").agg(
+        (
+            F.sqrt(
+                (
+                    F.sum(F.col("m_nano").cast("decimal(38,0)") * F.col("m_nano")).cast(
+                        "double"
+                    )
+                    - F.sum("m_nano").cast("double")
+                    * F.sum("m_nano").cast("double")
+                    / F.lit(float(_BOOT_B))
+                )
+                / F.lit(float(_BOOT_B) - 1.0)
+            )
+            / 1000000000.0
+        ).alias("se")
+    )
+    g = li.groupBy("l_returnflag").agg(
+        F.sum("qty").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    z = float(_BOOT_Z)
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    return g.join(F.broadcast(se), "l_returnflag").select(
+        "l_returnflag",
+        "n",
+        F.round(mean, 9).alias("mean_qty"),
+        F.round(F.col("se"), 9).alias("boot_se"),
+        F.round(mean - z * F.col("se"), 9).alias("ci_lo"),
+        F.round(mean + z * F.col("se"), 9).alias("ci_hi"),
+    )

@@ -2041,3 +2041,228 @@ def graph_richclub(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("phi"),
         )
     )
+
+
+# --- graph_bipartite_project: item-item projection of a bipartite graph --------
+
+# The market-basket projection: customers x brands collapses to a
+# brand-brand graph weighted by shared customers, keeping only pairs
+# whose co-occurrence beats independence (lift > 1). Lift is decided by
+# the INTEGER cross-multiply w*N > n_a*n_b — no double can flip
+# membership. The projection fans out per-customer pairs, bounded by the
+# brand-domain square, never by the corpus.
+_BIPROJ_ORACLE = """
+WITH cb AS (
+  SELECT DISTINCT o.o_custkey AS cust, p.p_brand AS brand
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+),
+deg AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n FROM cb GROUP BY brand
+),
+tot AS (SELECT CAST(COUNT(DISTINCT cust) AS BIGINT) AS nn FROM cb),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM cb a JOIN cb b ON b.cust = a.cust AND a.brand < b.brand
+  GROUP BY a.brand, b.brand
+)
+SELECT p.brand_a, p.brand_b, p.w,
+       da.n AS n_a, db.n AS n_b,
+       ROUND(CAST(p.w AS DOUBLE) * CAST(t.nn AS DOUBLE)
+             / (CAST(da.n AS DOUBLE) * CAST(db.n AS DOUBLE)), 9) AS lift,
+       ROUND(CAST(p.w AS DOUBLE)
+             / CAST(da.n + db.n - p.w AS DOUBLE), 9) AS jaccard
+FROM pairs p
+JOIN deg da ON da.brand = p.brand_a
+JOIN deg db ON db.brand = p.brand_b
+CROSS JOIN tot t
+WHERE p.w * t.nn > da.n * db.n
+"""
+
+
+@register("graph_bipartite_project", oracle=_BIPROJ_ORACLE, tags=("graph",))
+def graph_bipartite_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection of the customer-brand purchase graph onto
+    brands: edge weight = customers buying both, kept only when
+    co-occurrence beats independence (lift > 1, decided by integer
+    cross-multiplication). The item-item graph that powers
+    co-recommendation and assortment analysis.
+
+    Scale shape: the corpus collapses FIRST to distinct (customer,
+    brand) memberships (one map-side distinct); the pair fan-out is
+    per-customer and bounded by the brand-domain square — the classic
+    bounded-fan-out projection, same regime as _copurchase_edges.
+    Degrees and the customer total are dimension-sized broadcasts; the
+    lift gate is exact integer arithmetic."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cb = scoped_persist(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    deg = cb.groupBy("brand").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = cb.agg(F.countDistinct("cust").cast("bigint").alias("nn"))
+    a = cb.alias("a")
+    b = cb.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cust") == F.col("b.cust"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    da = deg.select(F.col("brand").alias("brand_a"), F.col("n").alias("n_a"))
+    db = deg.select(F.col("brand").alias("brand_b"), F.col("n").alias("n_b"))
+    out = (
+        pairs.join(F.broadcast(da), "brand_a")
+        .join(F.broadcast(db), "brand_b")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("w") * F.col("nn") > F.col("n_a") * F.col("n_b"))
+    )
+    return out.select(
+        "brand_a",
+        "brand_b",
+        "w",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("w").cast("double")
+            * F.col("nn").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+            9,
+        ).alias("lift"),
+        F.round(
+            F.col("w").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("w")).cast("double"),
+            9,
+        ).alias("jaccard"),
+    )
+
+
+# --- graph_triad_census: cyclic vs transitive triangle motifs ------------------
+
+# Directed-motif fingerprinting: in a trade graph, A->B->C->A cycles mean
+# circular flow, while transitive A->B, B->C, A->C triangles mean
+# hierarchy. The census runs on the nation-grain trade graph (customer
+# nation -> supplier nation, sparsified to above-mean weight exactly like
+# _copurchase_edges' threshold), so the triple self-join touches a
+# domain-bounded table that broadcasts at any corpus size. Each cyclic
+# triangle is counted once via its rotation-minimal corner; each
+# transitive triangle once via its unique (source, middle, sink) roles.
+_TRIAD_ORACLE = """
+WITH trade AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+  GROUP BY 1, 2
+),
+m AS (SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*) AS mean_w FROM trade),
+e AS (
+  SELECT src, dst FROM trade CROSS JOIN m WHERE CAST(w AS DOUBLE) > mean_w
+),
+cyc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n
+  FROM e ab JOIN e bc ON bc.src = ab.dst
+            JOIN e ca ON ca.src = bc.dst AND ca.dst = ab.src
+  WHERE ab.src < ab.dst AND ab.src < bc.dst
+),
+ff AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n
+  FROM e ab JOIN e bc ON bc.src = ab.dst
+            JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst
+  WHERE ab.dst <> ac.dst AND ab.src <> bc.dst
+),
+ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e)
+SELECT ne.n AS n_edges, cyc.n AS n_cyclic, ff.n AS n_transitive,
+       ROUND(CAST(cyc.n AS DOUBLE)
+             / (CAST(cyc.n AS DOUBLE) + CAST(ff.n AS DOUBLE)), 9)
+         AS cycle_share
+FROM ne CROSS JOIN cyc CROSS JOIN ff
+"""
+
+
+@register("graph_triad_census", oracle=_TRIAD_ORACLE, tags=("graph",))
+def graph_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed triangle census of the nation-level trade graph: cyclic
+    (A->B->C->A) vs transitive (A->B, B->C, A->C) motif counts and the
+    cycle share — the hierarchy-vs-circulation fingerprint used in
+    trade-flow and money-laundering analytics.
+
+    Scale shape: the corpus collapses ONCE to nation-grain weighted
+    edges (two broadcast dim joins + one map-side agg); the above-mean
+    sparsification and the triple self-join run on the |nations|^2
+    bounded table — broadcastable at any corpus size. Cyclic triangles
+    dedup by rotation-minimal corner (src < both others); transitive
+    ones are naturally unique by their role assignment."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    trade = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    trade = scoped_persist(trade)
+    m = trade.agg(
+        (F.sum("w").cast("double") / F.count(F.lit(1))).alias("mean_w")
+    )
+    e = scoped_persist(
+        trade.crossJoin(F.broadcast(m))
+        .filter(F.col("w").cast("double") > F.col("mean_w"))
+        .select("src", "dst")
+    )
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b2"), F.col("dst").alias("c"))
+    ca = e.select(F.col("src").alias("c2"), F.col("dst").alias("a2"))
+    cyc = (
+        ab.join(F.broadcast(bc), F.col("b2") == F.col("b"))
+        .join(
+            F.broadcast(ca),
+            (F.col("c2") == F.col("c")) & (F.col("a2") == F.col("a")),
+        )
+        .filter((F.col("a") < F.col("b")) & (F.col("a") < F.col("c")))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cyclic"))
+    )
+    ac = e.select(F.col("src").alias("a3"), F.col("dst").alias("c3"))
+    ff = (
+        ab.join(F.broadcast(bc), F.col("b2") == F.col("b"))
+        .join(
+            F.broadcast(ac),
+            (F.col("a3") == F.col("a")) & (F.col("c3") == F.col("c")),
+        )
+        .filter((F.col("b") != F.col("c")) & (F.col("a") != F.col("c")))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitive"))
+    )
+    ne = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    out = ne.crossJoin(F.broadcast(cyc)).crossJoin(F.broadcast(ff))
+    return out.select(
+        "n_edges",
+        "n_cyclic",
+        "n_transitive",
+        F.round(
+            F.col("n_cyclic").cast("double")
+            / (F.col("n_cyclic").cast("double") + F.col("n_transitive").cast("double")),
+            9,
+        ).alias("cycle_share"),
+    )

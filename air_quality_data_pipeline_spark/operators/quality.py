@@ -1985,3 +1985,186 @@ def dq_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("gini_simpson"),
     )
+
+
+# --- dq_simpson: Simpson's-paradox detector ------------------------------------
+
+# The aggregation trap every metrics team hits: an association that holds
+# in the pooled data REVERSES inside every segment (or vice versa)
+# because segment sizes confound it. The detector compares the sign of
+# cov(discount, quantity) pooled vs within each return-flag segment.
+# Signs come from the integer identity n*Sxy - Sx*Sy — discount is
+# milli-exact, quantity integral, so no double ever decides a sign.
+_SIMPSON_ORACLE = """
+WITH q AS (
+  SELECT l_returnflag AS seg,
+         CAST(floor(l_discount * 1000.0 + 0.5) AS BIGINT) AS x,
+         CAST(l_quantity AS BIGINT) AS y
+  FROM lineitem
+),
+s AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM q GROUP BY seg
+),
+pooled AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(sx) AS BIGINT) AS sx,
+         CAST(SUM(sy) AS BIGINT) AS sy, CAST(SUM(sxy) AS BIGINT) AS sxy
+  FROM s
+)
+SELECT s.seg, s.n,
+       CASE WHEN CAST(s.n AS DECIMAL(38,0)) * s.sxy
+                 - CAST(s.sx AS DECIMAL(38,0)) * s.sy > 0 THEN 1
+            WHEN CAST(s.n AS DECIMAL(38,0)) * s.sxy
+                 - CAST(s.sx AS DECIMAL(38,0)) * s.sy < 0 THEN -1
+            ELSE 0 END AS seg_sign,
+       CASE WHEN CAST(p.n AS DECIMAL(38,0)) * p.sxy
+                 - CAST(p.sx AS DECIMAL(38,0)) * p.sy > 0 THEN 1
+            WHEN CAST(p.n AS DECIMAL(38,0)) * p.sxy
+                 - CAST(p.sx AS DECIMAL(38,0)) * p.sy < 0 THEN -1
+            ELSE 0 END AS pooled_sign,
+       (CASE WHEN CAST(s.n AS DECIMAL(38,0)) * s.sxy
+                  - CAST(s.sx AS DECIMAL(38,0)) * s.sy > 0 THEN 1
+             WHEN CAST(s.n AS DECIMAL(38,0)) * s.sxy
+                  - CAST(s.sx AS DECIMAL(38,0)) * s.sy < 0 THEN -1
+             ELSE 0 END)
+       * (CASE WHEN CAST(p.n AS DECIMAL(38,0)) * p.sxy
+                    - CAST(p.sx AS DECIMAL(38,0)) * p.sy > 0 THEN 1
+               WHEN CAST(p.n AS DECIMAL(38,0)) * p.sxy
+                    - CAST(p.sx AS DECIMAL(38,0)) * p.sy < 0 THEN -1
+               ELSE 0 END) = -1 AS sign_flips
+FROM s CROSS JOIN pooled p
+"""
+
+
+@register("dq_simpson", oracle=_SIMPSON_ORACLE, tags=("quality", "stats"))
+def dq_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox detector: does the discount-quantity association
+    reverse inside return-flag segments vs the pooled corpus? The
+    pre-dashboard audit that catches confounded aggregations before
+    anyone ships a wrong conclusion.
+
+    Scale shape: ONE map-side-combined collapse to per-segment integer
+    moment cells (n, Sx, Sy, Sxy); the pooled moments are a k-row
+    re-aggregate; every sign comes from the exact DECIMAL identity
+    n*Sxy - Sx*Sy — no double decides anything. The fact is scanned
+    once."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    q = li.select(
+        F.col("l_returnflag").alias("seg"),
+        F.floor(F.col("l_discount") * 1000.0 + 0.5).cast("bigint").alias("x"),
+        F.col("l_quantity").cast("bigint").alias("y"),
+    )
+    s = scoped_persist(
+        q.groupBy("seg").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        )
+    )
+    pooled = s.agg(
+        F.sum("n").cast("bigint").alias("pn"),
+        F.sum("sx").cast("bigint").alias("psx"),
+        F.sum("sy").cast("bigint").alias("psy"),
+        F.sum("sxy").cast("bigint").alias("psxy"),
+    )
+
+    def sign(n, sxy, sx, sy):
+        d = n.cast("decimal(38,0)") * sxy - sx.cast("decimal(38,0)") * sy
+        return F.when(d > 0, 1).when(d < 0, -1).otherwise(0)
+
+    out = s.crossJoin(F.broadcast(pooled))
+    seg_sign = sign(F.col("n"), F.col("sxy"), F.col("sx"), F.col("sy"))
+    pooled_sign = sign(F.col("pn"), F.col("psxy"), F.col("psx"), F.col("psy"))
+    return out.select(
+        "seg",
+        "n",
+        seg_sign.alias("seg_sign"),
+        pooled_sign.alias("pooled_sign"),
+        (seg_sign * pooled_sign == -1).alias("sign_flips"),
+    )
+
+
+# --- dq_dup_burden: storage/compute waste from duplicate rows ------------------
+
+# Dedup operators answer "which rows"; this audit answers "how much is it
+# COSTING us" per source: duplicate row share and wasted bytes. The
+# fixture corpus is dup-free, so a deterministic 1-in-7 replay is planted
+# in-query (both engines build the identical corpus — the
+# llm_emb_neardup augmentation recipe); the metrics are then exact
+# integer arithmetic on digest-grain cells.
+_DUP_BURDEN_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, source, text, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, source, text, n_chars
+  FROM documents WHERE doc_id % 7 = 0
+),
+cells AS (
+  SELECT source, md5(text) AS digest,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(MAX(n_chars) AS BIGINT) AS chars
+  FROM corpus GROUP BY source, md5(text)
+)
+SELECT source,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS dup_rows,
+       CAST(SUM((cnt - 1) * chars) AS BIGINT) AS wasted_bytes,
+       ROUND(CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 9)
+         AS dup_row_share,
+       ROUND(CAST(SUM((cnt - 1) * chars) AS DOUBLE)
+             / CAST(SUM(cnt * chars) AS DOUBLE), 9) AS wasted_byte_share
+FROM cells GROUP BY source
+"""
+
+
+@register("dq_dup_burden", oracle=_DUP_BURDEN_ORACLE, tags=("quality", "dedup"))
+def dq_dup_burden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-burden audit per source: how many rows and bytes a
+    dedup pass would reclaim — the cost-of-duplication dashboard that
+    decides WHETHER to run the dedup family at all. A deterministic
+    1-in-7 replay is planted in-query (the fixture is dup-free; both
+    engines build the identical corpus).
+
+    Scale shape: the only corpus exchange is the digest-grain collapse
+    keyed on md5(text) — payloads never shuffle (the exact-dedup
+    recipe); burden metrics are integer arithmetic on the distinct-text
+    cell table re-aggregated per source."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", "n_chars"
+    )
+    corpus = docs.unionAll(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            "source",
+            "text",
+            "n_chars",
+        )
+    )
+    cells = corpus.groupBy("source", F.md5("text").alias("digest")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.max("n_chars").cast("bigint").alias("chars"),
+    )
+    return cells.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        (F.sum("cnt") - F.count(F.lit(1))).cast("bigint").alias("dup_rows"),
+        F.sum((F.col("cnt") - 1) * F.col("chars")).cast("bigint").alias(
+            "wasted_bytes"
+        ),
+        F.round(
+            (F.sum("cnt") - F.count(F.lit(1))).cast("double")
+            / F.sum("cnt").cast("double"),
+            9,
+        ).alias("dup_row_share"),
+        F.round(
+            F.sum((F.col("cnt") - 1) * F.col("chars")).cast("double")
+            / F.sum(F.col("cnt") * F.col("chars")).cast("double"),
+            9,
+        ).alias("wasted_byte_share"),
+    )

@@ -3182,3 +3182,346 @@ def ts_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("smape"),
     )
+
+
+# --- ts_sax: symbolic aggregate approximation of daily series ------------------
+
+# SAX (Lin et al.) turns a numeric series into a short symbol string so
+# similarity search / motif mining over millions of series becomes string
+# algebra. Pipeline: daily totals (exact micro-integers) -> PAA over
+# fixed 4-day frames (exact integer ratio) -> z-normalize against the
+# series moments (exact-integer-derived doubles) -> 4-symbol alphabet at
+# the standard N(0,1) breakpoints. Day indexing is epoch-based (no
+# engine-specific week/dow function), frames are day_idx DIV 4.
+_SAX_BP = ("-0.6744897501960817", "0.6744897501960817")
+
+_SAX_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS qv
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, d, qv,
+         CAST(d - DATE '2024-01-01' AS BIGINT) // 4 AS frame
+  FROM daily
+),
+paa AS (
+  SELECT event_type, frame,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(qv) AS BIGINT) AS s
+  FROM idx GROUP BY 1, 2
+),
+mom AS (
+  SELECT event_type,
+         CAST(SUM(qv) AS BIGINT) AS s_all,
+         CAST(COUNT(*) AS BIGINT) AS n_all,
+         CAST(SUM(CAST(qv AS DECIMAL(38,0)) * qv) AS DOUBLE) AS ssq
+  FROM idx GROUP BY event_type
+),
+z AS (
+  SELECT p.event_type, p.frame, p.n_days,
+         ROUND((CAST(p.s AS DOUBLE) / CAST(p.n_days AS DOUBLE)
+                - CAST(m.s_all AS DOUBLE) / CAST(m.n_all AS DOUBLE))
+               / sqrt(m.ssq / CAST(m.n_all AS DOUBLE)
+                      - (CAST(m.s_all AS DOUBLE) / CAST(m.n_all AS DOUBLE))
+                        * (CAST(m.s_all AS DOUBLE) / CAST(m.n_all AS DOUBLE))),
+               9) AS z
+  FROM paa p JOIN mom m ON m.event_type = p.event_type
+)
+SELECT event_type, frame, n_days, z,
+       CASE WHEN z < {_SAX_BP[0]} THEN 'a'
+            WHEN z < 0.0 THEN 'b'
+            WHEN z < {_SAX_BP[1]} THEN 'c'
+            ELSE 'd' END AS symbol
+FROM z
+"""
+
+
+@register("ts_sax", oracle=_SAX_ORACLE, tags=("timeseries",))
+def ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (PAA + N(0,1)-breakpoint alphabet) of each event
+    type's daily-total series — the representation that turns motif
+    mining and whole-series similarity over millions of series into
+    string matching. The reference has no series analytics (main.py
+    aggregates are scalar counts).
+
+    Scale shape: ONE map-side collapse to (type, day) micro-integer
+    cells; frames are day_idx DIV 4 (epoch-based — no locale/week
+    function), PAA is a second cell-grain aggregate; the series moments
+    come from exact integer/decimal sums so the z-scores are
+    partition-count-independent; symbolization is row-local. Nothing
+    after the first collapse touches corpus-sized data."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000000.0).cast("bigint"))
+        .cast("bigint")
+        .alias("qv")
+    )
+    idx = daily.select(
+        "event_type",
+        "qv",
+        F.floor(F.datediff(F.col("d"), F.lit("2024-01-01")) / 4)
+        .cast("bigint")
+        .alias("frame"),
+    )
+    idx = scoped_persist(idx)
+    paa = idx.groupBy("event_type", "frame").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("qv").cast("bigint").alias("s"),
+    )
+    mom = idx.groupBy("event_type").agg(
+        F.sum("qv").cast("bigint").alias("s_all"),
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum(F.col("qv").cast("decimal(38,0)") * F.col("qv"))
+        .cast("double")
+        .alias("ssq"),
+    )
+    mean_all = F.col("s_all").cast("double") / F.col("n_all").cast("double")
+    std = F.sqrt(
+        F.col("ssq") / F.col("n_all").cast("double") - mean_all * mean_all
+    )
+    z = paa.join(F.broadcast(mom), "event_type").select(
+        "event_type",
+        "frame",
+        "n_days",
+        F.round(
+            (F.col("s").cast("double") / F.col("n_days").cast("double") - mean_all)
+            / std,
+            9,
+        ).alias("z"),
+    )
+    lo, hi = float(_SAX_BP[0]), float(_SAX_BP[1])
+    return z.select(
+        "event_type",
+        "frame",
+        "n_days",
+        "z",
+        F.when(F.col("z") < lo, "a")
+        .when(F.col("z") < 0.0, "b")
+        .when(F.col("z") < hi, "c")
+        .otherwise("d")
+        .alias("symbol"),
+    )
+
+
+# --- ts_lag_features: supervised-learning feature matrix ------------------------
+
+# The feature-engineering step every forecasting model trains on: for each
+# (series, day) emit calendar position, lag-1/lag-7 values, and trailing
+# 7-day mean/std — one row per observation, ready for a regressor. All
+# features are derived from exact micro-integer daily cells: lags are
+# integer copies, the rolling mean is an exact integer ratio, the rolling
+# std uses DECIMAL(38,0) squares; the only doubles are final divisions
+# under ROUND(9).
+_LAGFEAT_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS qv
+  FROM events GROUP BY 1, 2
+),
+feat AS (
+  SELECT event_type, d, qv,
+         CAST(d - DATE '2024-01-01' AS BIGINT) % 7 AS day_cycle,
+         lag(qv, 1) OVER w AS lag1,
+         lag(qv, 7) OVER w AS lag7,
+         CAST(SUM(qv) OVER tw AS BIGINT) AS r_s,
+         CAST(COUNT(*) OVER tw AS BIGINT) AS r_n,
+         CAST(SUM(CAST(qv AS DECIMAL(38,0)) * qv) OVER tw AS DOUBLE) AS r_ssq
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d),
+         tw AS (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, CAST(d AS VARCHAR) AS d, day_cycle,
+       ROUND(CAST(qv AS DOUBLE) / 1000000.0, 9) AS y,
+       ROUND(CAST(lag1 AS DOUBLE) / 1000000.0, 9) AS lag1,
+       ROUND(CAST(lag7 AS DOUBLE) / 1000000.0, 9) AS lag7,
+       ROUND(CAST(r_s AS DOUBLE) / CAST(r_n AS DOUBLE) / 1000000.0, 9)
+         AS roll7_mean,
+       CASE WHEN r_n > 1 THEN
+         ROUND(sqrt(greatest(0.0,
+                 (r_ssq - CAST(r_s AS DOUBLE) * CAST(r_s AS DOUBLE)
+                          / CAST(r_n AS DOUBLE)) / (CAST(r_n AS DOUBLE) - 1.0)))
+               / 1000000.0, 9)
+       END AS roll7_std
+FROM feat
+"""
+
+
+@register("ts_lag_features", oracle=_LAGFEAT_ORACLE, tags=("timeseries", "ml"))
+def ts_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag/rolling feature matrix for supervised forecasting: per (event
+    type, day) — calendar cycle position, lag-1, lag-7, trailing 7-day
+    mean and std. The step between raw telemetry and any trained
+    forecaster; the reference has nothing downstream-ML-shaped.
+
+    Scale shape: ONE map-side collapse to daily micro-integer cells;
+    every feature is a bounded-frame window over the |days| x |types|
+    cell table (never the raw corpus). At 100 TB the window partitions
+    are per-series cell counts — thousands of rows, not billions; a
+    single task never sees more than one series' cells."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(F.floor(F.col("value") * 1000000.0).cast("bigint"))
+        .cast("bigint")
+        .alias("qv")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    tw = w.rowsBetween(-6, 0)
+    feat = daily.select(
+        "event_type",
+        "d",
+        "qv",
+        (F.datediff(F.col("d"), F.lit("2024-01-01")).cast("bigint") % 7).alias(
+            "day_cycle"
+        ),
+        F.lag("qv", 1).over(w).alias("lag1"),
+        F.lag("qv", 7).over(w).alias("lag7"),
+        F.sum("qv").over(tw).cast("bigint").alias("r_s"),
+        F.count(F.lit(1)).over(tw).cast("bigint").alias("r_n"),
+        F.sum(F.col("qv").cast("decimal(38,0)") * F.col("qv"))
+        .over(tw)
+        .cast("double")
+        .alias("r_ssq"),
+    )
+    rn = F.col("r_n").cast("double")
+    rs = F.col("r_s").cast("double")
+    return feat.select(
+        "event_type",
+        F.col("d").cast("string").alias("d"),
+        "day_cycle",
+        F.round(F.col("qv").cast("double") / 1000000.0, 9).alias("y"),
+        F.round(F.col("lag1").cast("double") / 1000000.0, 9).alias("lag1"),
+        F.round(F.col("lag7").cast("double") / 1000000.0, 9).alias("lag7"),
+        F.round(rs / rn / 1000000.0, 9).alias("roll7_mean"),
+        F.when(
+            F.col("r_n") > 1,
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.lit(0.0),
+                        (F.col("r_ssq") - rs * rs / rn) / (rn - 1.0),
+                    )
+                )
+                / 1000000.0,
+                9,
+            ),
+        ).alias("roll7_std"),
+    )
+
+
+# --- ts_crossover: fast/slow moving-average crossing detector ------------------
+
+# The classic regime-change event ("golden cross"): a fast EWMA crossing a
+# slow rolling mean flips the trend signal; only the flip rows are
+# emitted. The fast side reuses the ts_ewma bit-exactness recipe — all
+# weights are powers of two, the lag chain is the SAME left-associative
+# sum in both engines; the slow side is an exact integer rolling mean.
+# Signals are integer (+1/-1) so the flip comparison can't wobble.
+_XOVER_K = 6  # fast EWMA horizon (alpha = 1/2)
+
+
+def _xover_ewma(lag_fn) -> tuple[str, str]:
+    num = " + ".join(
+        f"coalesce({lag_fn(k)}, 0.0) * {0.5 ** k!r}" for k in range(_XOVER_K)
+    )
+    den = " + ".join(
+        f"(CASE WHEN {lag_fn(k)} IS NOT NULL THEN {0.5 ** k!r} ELSE 0.0 END)"
+        for k in range(_XOVER_K)
+    )
+    return num, den
+
+
+_XO_WIN = "OVER (PARTITION BY event_type ORDER BY d)"
+_XO_NUM, _XO_DEN = _xover_ewma(
+    lambda k: f"lag(CAST(qv AS DOUBLE), {k}) {_XO_WIN}"
+)
+
+_XOVER_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS qv
+  FROM events GROUP BY 1, 2
+),
+sig AS (
+  SELECT event_type, d, qv,
+         ({_XO_NUM}) / ({_XO_DEN}) AS fast,
+         CAST(SUM(qv) OVER (PARTITION BY event_type ORDER BY d
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY d
+                                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS slow
+  FROM daily
+),
+flagged AS (
+  SELECT event_type, d,
+         ROUND(fast / 1000000.0, 9) AS fast_v,
+         ROUND(slow / 1000000.0, 9) AS slow_v,
+         CASE WHEN fast >= slow THEN 1 ELSE -1 END AS signal,
+         lag(CASE WHEN fast >= slow THEN 1 ELSE -1 END)
+           OVER (PARTITION BY event_type ORDER BY d) AS prev_signal
+  FROM sig
+)
+SELECT event_type, CAST(d AS VARCHAR) AS d, fast_v, slow_v, signal,
+       CASE WHEN signal = 1 THEN 'golden' ELSE 'death' END AS cross_type
+FROM flagged
+WHERE prev_signal IS NOT NULL AND signal <> prev_signal
+"""
+
+
+@register("ts_crossover", oracle=_XOVER_ORACLE, tags=("timeseries",))
+def ts_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fast-EWMA / slow-rolling-mean crossover events per event type —
+    the trend-flip detector (golden/death cross) dashboards alert on.
+    Only flip rows are emitted, so the result is bounded by the number
+    of regime changes, not days.
+
+    Scale shape: daily micro-integer cells; the fast EWMA is the
+    power-of-two lag chain (bit-exact across engines, ts_ewma recipe);
+    the slow mean is an exact integer rolling ratio; the flip compare
+    happens on INTEGER signals so no float boundary can disagree.
+    Windows ride the per-series cell grain."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(F.floor(F.col("value") * 1000000.0).cast("bigint"))
+        .cast("bigint")
+        .alias("qv")
+    )
+    daily.createOrReplaceTempView("xo_daily")
+    num, den = _xover_ewma(
+        lambda k: f"lag(CAST(qv AS DOUBLE), {k}) {_XO_WIN}"
+    )
+    return spark.sql(
+        f"""
+        WITH sig AS (
+          SELECT event_type, d, qv,
+                 ({num}) / ({den}) AS fast,
+                 CAST(SUM(qv) OVER (PARTITION BY event_type ORDER BY d
+                                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                      AS DOUBLE)
+                   / CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY d
+                                         ROWS BETWEEN 6 PRECEDING AND CURRENT
+                                         ROW) AS DOUBLE) AS slow
+          FROM xo_daily
+        ),
+        flagged AS (
+          SELECT event_type, d,
+                 ROUND(fast / 1000000.0, 9) AS fast_v,
+                 ROUND(slow / 1000000.0, 9) AS slow_v,
+                 CASE WHEN fast >= slow THEN 1 ELSE -1 END AS signal,
+                 lag(CASE WHEN fast >= slow THEN 1 ELSE -1 END)
+                   OVER (PARTITION BY event_type ORDER BY d) AS prev_signal
+          FROM sig
+        )
+        SELECT event_type, CAST(d AS STRING) AS d, fast_v, slow_v, signal,
+               CASE WHEN signal = 1 THEN 'golden' ELSE 'death' END AS cross_type
+        FROM flagged
+        WHERE prev_signal IS NOT NULL AND signal <> prev_signal
+        """
+    )

@@ -261,7 +261,24 @@ DRIVER_WINDOW = DRIVER_PRIORITY[:50]
 # VERDICT r8 item 2: it must get an explicit rows-only driver row the way
 # llm_minhash_lsh/agg_sketch_union did in r5 — it is first in line for a
 # round-10 window slot (tracked in ROUND10_RESAMPLE below).
-DEFERRED_FIRST_ROW: set[str] = set()
+DEFERRED_FIRST_ROW: set[str] = {
+    # round-9 additions (batches 1-2): the round-9 window was already full
+    # with the 50 round-8 first rows when these landed, so they are owed
+    # round-10 slots. Budget check: test_next_window_budget_not_exceeded.
+    "agg_levene",
+    "agg_jackknife_ratio",
+    "agg_bayes_shrink",
+    "agg_circular_mean",
+    "agg_chao1",
+    "agg_bootstrap_ci",
+    "ts_sax",
+    "ts_lag_features",
+    "ts_crossover",
+    "graph_bipartite_project",
+    "graph_triad_census",
+    "dq_simpson",
+    "dq_dup_burden",
+}
 
 # Names owed a round-10 window slot that are NOT first rows: changed-code
 # re-samples and the deliberate rows-only slot. Kept as code (not a
