@@ -943,3 +943,65 @@ def f_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket_6h"),
         F.expr(f"cast({eus} % {_BUCKET_5M_US} as bigint)").alias("offset_in_5m_us"),
     )
+
+
+# --- f_hash_rng: deterministic hash-derived random variates --------------------
+
+# Reproducible randomness is infrastructure at 100 TB: df.sample()'s
+# output depends on partition layout, but a content-hash RNG gives every
+# row the same draw on any cluster, any partitioning, any engine. A
+# 56-bit md5 slice becomes uniform u in (0,1]; -ln(u) is an Exponential(1)
+# variate (inverse-CDF); the 10% keep decision and the decile bucket are
+# INTEGER comparisons on the raw hash — no float anywhere near a
+# boundary. This is the primitive agg_bootstrap_ci's Poisson sampler and
+# sample_hash's bucketing both specialize.
+_RNG_SCALE = 72057594037927936  # 2^56
+_RNG_TENTH = 7205759403792793  # floor(2^56 / 10)
+
+_HASH_RNG_ORACLE = f"""
+WITH h AS (
+  SELECT event_id,
+         CAST(('0x' || substring(md5('rng|' || CAST(event_id AS VARCHAR)),
+                                 1, 14)) AS BIGINT) AS hv
+  FROM events
+)
+SELECT event_id, hv,
+       ROUND((CAST(hv AS DOUBLE) + 1.0) / {_RNG_SCALE}.0, 9) AS u,
+       ROUND(-ln((CAST(hv AS DOUBLE) + 1.0) / {_RNG_SCALE}.0), 9) AS exp1,
+       hv < {_RNG_TENTH} AS keep_10pct,
+       CAST(hv // {_RNG_TENTH + 1} AS BIGINT) AS decile
+FROM h
+"""
+
+
+@register("f_hash_rng", oracle=_HASH_RNG_ORACLE, tags=("function", "sample"))
+def f_hash_rng(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-row random variates from a content hash:
+    uniform(0,1], Exponential(1) via inverse-CDF, a 10% keep flag, and
+    a decile bucket — the reproducible-randomness primitive underneath
+    hash sampling, Poisson bootstrapping, and weighted reservoir
+    sampling. Unlike seed-based rand(), the draw is independent of
+    partition layout, task retries, and engine.
+
+    Scale shape: pure row-local projection (codegen, pushdown-safe);
+    the keep flag and decile are integer comparisons on the raw 56-bit
+    hash — only the log crosses into floats, on identical exact-ratio
+    operands (ROUND(9) for the libm ulp)."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    hv = F.expr(
+        "cast(conv(substring(md5(concat('rng|', cast(event_id as string))), 1, 14),"
+        " 16, 10) as bigint)"
+    )
+    h = ev.select("event_id", hv.alias("hv"))
+    u = (F.col("hv").cast("double") + 1.0) / float(_RNG_SCALE)
+    return h.select(
+        "event_id",
+        "hv",
+        F.round(u, 9).alias("u"),
+        F.round(-F.log(u), 9).alias("exp1"),
+        (F.col("hv") < _RNG_TENTH).alias("keep_10pct"),
+        F.floor(F.col("hv") / F.lit(_RNG_TENTH + 1)).cast("bigint").alias(
+            "decile"
+        ),
+    )

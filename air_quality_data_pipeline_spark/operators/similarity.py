@@ -1407,3 +1407,175 @@ def llm_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "outlier"
         ),
     )
+
+
+# --- llm_knn_graph: k-nearest-neighbor graph over embeddings -------------------
+
+# The structure semantic-dedup clusters and diversity samplers are built
+# ON: every vector's k nearest neighbors. Blocked by label (the IVF-cell
+# stand-in on this fixture: in production the blocking key is the
+# coarse-quantizer cell, exactly llm_sim_search_ivf's assignment), so the
+# pair expansion is per-block quadratic, never corpus-quadratic. Cosines
+# are the sequential-fold bit-exact kind; the per-vector top-3 is a rank
+# window on the block-bounded pair table.
+_KNN_K = 3
+
+_KNN_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS qid, a.label, b.vec_id AS nid,
+         {cosine_similarity_duckdb('a.vec', 'b.vec', DIMS)} AS cosine
+  FROM v a JOIN v b ON b.label = a.label AND b.vec_id <> a.vec_id
+),
+ranked AS (
+  SELECT qid, label, nid, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+  FROM pairs
+)
+SELECT qid, label, nid, cosine, rnk FROM ranked WHERE rnk <= {_KNN_K}
+"""
+
+
+@register("llm_knn_graph", oracle=_KNN_ORACLE, tags=("llm", "similarity"))
+def llm_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph (k=3) over embeddings, blocked by label: each vector's
+    three nearest in-block neighbors by cosine. This is the input
+    structure for semantic-dedup clustering, MMR diversification, and
+    graph-based outlier pruning; at 100 TB the blocking key is the IVF
+    coarse cell (llm_sim_search_ivf's assignment) instead of the label —
+    the same bounded-block pair expansion either way.
+
+    Scale shape: the self-join is per-block (never corpus-quadratic);
+    cosines are bit-exact sequential folds; the top-k is a rank window
+    partitioned by vector over the block-bounded pair table."""
+    apply_engine_conf(spark)
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("vec"),
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.label") == F.col("a.label"))
+        & (F.col("b.vec_id") != F.col("a.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("qid"),
+        F.col("a.label").alias("label"),
+        F.col("b.vec_id").alias("nid"),
+        cosine_similarity(F.col("a.vec"), F.col("b.vec")).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        pairs.select("qid", "label", "nid", "cosine", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= _KNN_K)
+    )
+
+
+# --- llm_label_medoid: exemplar selection per cluster ---------------------------
+
+# Dataset distillation / few-shot exemplar picking: the member closest to
+# its cluster centroid is the cluster's prototype. The centroid is the
+# fixed-point-quantized per-dimension mean (the llm_emb_centroid cells);
+# every member's squared distance to it accumulates over EXACT quantized
+# integer terms, so the argmin (min over a (dist, vec_id) struct) is
+# bit-deterministic in both engines.
+_MEDOID_ORACLE = """
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+e AS (
+  SELECT vec_id, label, i AS dim, vec[i] AS val
+  FROM v, UNNEST(range(1, 65)) AS t(i)
+),
+cent AS (
+  SELECT label, dim,
+         CAST(SUM(CAST(floor(val * 1000000000.0) AS BIGINT)) AS DOUBLE)
+           / (COUNT(*) * 1000000000.0) AS c
+  FROM e GROUP BY label, dim
+),
+dist AS (
+  SELECT e.vec_id, e.label,
+         CAST(SUM(CAST(floor((e.val - c.c) * (e.val - c.c) * 1000000000.0)
+                       AS BIGINT)) AS BIGINT) AS d_q
+  FROM e JOIN cent c ON c.label = e.label AND c.dim = e.dim
+  GROUP BY e.vec_id, e.label
+),
+ranked AS (
+  SELECT label, vec_id, d_q,
+         row_number() OVER (PARTITION BY label ORDER BY d_q, vec_id) AS rnk
+  FROM dist
+)
+SELECT label, vec_id AS medoid_id,
+       ROUND(CAST(d_q AS DOUBLE) / 1000000000.0, 9) AS dist_sq
+FROM ranked WHERE rnk = 1
+"""
+
+
+@register("llm_label_medoid", oracle=_MEDOID_ORACLE, tags=("llm", "similarity", "clustering"))
+def llm_label_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label medoid (member nearest the label centroid) — exemplar
+    selection for dataset distillation and few-shot prompt building.
+    The centroid reuses llm_emb_centroid's fixed-point cell math;
+    distances accumulate over quantized integer terms so the argmin is
+    bit-deterministic.
+
+    Scale shape: dims explode map-locally; the centroid is a (label,
+    dim) cell aggregate (k*64 rows — broadcastable at any corpus
+    size); per-member distances re-collapse map-side; the final argmin
+    is a rank-1 window on the |labels| grain. Two linear passes, no
+    quadratic anything."""
+    apply_engine_conf(spark)
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("vec"),
+    )
+    e = v.select(
+        "vec_id",
+        "label",
+        F.posexplode("vec").alias("dim0", "val"),
+    ).select("vec_id", "label", (F.col("dim0") + 1).alias("dim"), "val")
+    e = scoped_persist(e)
+    cent = e.groupBy("label", "dim").agg(
+        (
+            F.sum(F.floor(F.col("val") * 1000000000.0).cast("bigint")).cast(
+                "double"
+            )
+            / (F.count(F.lit(1)) * 1000000000.0)
+        ).alias("c")
+    )
+    dist = (
+        e.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                F.floor(
+                    (F.col("val") - F.col("c"))
+                    * (F.col("val") - F.col("c"))
+                    * 1000000000.0
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("d_q")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.asc("d_q"), F.asc("vec_id"))
+    return (
+        dist.select(
+            "label", "vec_id", "d_q", F.row_number().over(w).alias("rnk")
+        )
+        .filter(F.col("rnk") == 1)
+        .select(
+            "label",
+            F.col("vec_id").alias("medoid_id"),
+            F.round(F.col("d_q").cast("double") / 1000000000.0, 9).alias(
+                "dist_sq"
+            ),
+        )
+    )

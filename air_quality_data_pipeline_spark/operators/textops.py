@@ -4951,3 +4951,304 @@ def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_coef"),
         )
     )
+
+
+# --- llm_code_detect: code-likeness scoring for corpus routing ------------------
+
+# Pretraining mixes route code-heavy documents to different tokenizer/
+# quality tracks than prose; the standard first-pass detector is pure
+# surface statistics (symbol density + keyword hits), no parser. The
+# word-soup fixture carries no code, so a deterministic code-ish suffix
+# is planted on every 7th doc in-query — both engines enrich identically,
+# making the detector's true/false split known. All ratios are exact
+# integer divisions; the blend is row-local double algebra on identical
+# operands.
+_CODE_SUFFIX = " def f(x): return x[0]; // { } int n = 0;"
+_CODE_KW = r"\b(def|return|class|import|int|void|for|while)\b"
+
+_CODE_DETECT_ORACLE = f"""
+WITH enriched AS (
+  SELECT doc_id, source,
+         text || CASE WHEN doc_id % 7 = 0 THEN '{_CODE_SUFFIX}' ELSE '' END
+           AS t
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source,
+         CAST(length(t) AS BIGINT) AS n_chars,
+         CAST(length(t) - length(regexp_replace(t, '[{{}}();=\\[\\]<>:/]', '',
+                                                'g')) AS BIGINT) AS n_sym,
+         CAST(len(regexp_extract_all(t, '{_CODE_KW}')) AS BIGINT) AS n_kw,
+         CAST(len(string_split(t, ' ')) AS BIGINT) AS n_toks
+  FROM enriched
+)
+SELECT doc_id, source, n_sym, n_kw,
+       ROUND(0.7 * CAST(n_sym AS DOUBLE) / CAST(n_chars AS DOUBLE)
+             + 0.3 * CAST(n_kw AS DOUBLE) / CAST(n_toks AS DOUBLE), 9)
+         AS code_score,
+       (0.7 * CAST(n_sym AS DOUBLE) / CAST(n_chars AS DOUBLE)
+        + 0.3 * CAST(n_kw AS DOUBLE) / CAST(n_toks AS DOUBLE)) >= 0.02
+         AS is_code
+FROM m
+"""
+
+
+@register("llm_code_detect", oracle=_CODE_DETECT_ORACLE, tags=("llm", "text"))
+def llm_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surface-statistics code detector (symbol density + keyword rate)
+    for routing code-heavy documents to their own pretraining track —
+    the cheap pass that runs BEFORE any parser or classifier. Every 7th
+    doc gets a deterministic code-ish suffix in-query (the fixture is
+    prose-only; both engines enrich identically, so the detector's
+    ground truth is known).
+
+    Scale shape: entirely row-local regex/ratio projections — no
+    shuffle at all, whole-stage codegen end to end; the score blend
+    runs on exact integer ratios so the boolean gate can't flip
+    between engines."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(_CODE_SUFFIX)).otherwise(""),
+    )
+    m = docs.select(
+        "doc_id",
+        "source",
+        F.length(t).cast("bigint").alias("n_chars"),
+        (
+            F.length(t)
+            - F.length(F.regexp_replace(t, r"[{}();=\[\]<>:/]", ""))
+        )
+        .cast("bigint")
+        .alias("n_sym"),
+        F.regexp_count(t, F.lit(_CODE_KW)).cast("bigint").alias("n_kw"),
+        F.size(F.split(t, " ")).cast("bigint").alias("n_toks"),
+    )
+    score = (
+        F.lit(0.7) * F.col("n_sym").cast("double") / F.col("n_chars").cast("double")
+        + F.lit(0.3) * F.col("n_kw").cast("double") / F.col("n_toks").cast("double")
+    )
+    return m.select(
+        "doc_id",
+        "source",
+        "n_sym",
+        "n_kw",
+        F.round(score, 9).alias("code_score"),
+        (score >= 0.02).alias("is_code"),
+    )
+
+
+# --- llm_script_mix: character-class composition profiling ----------------------
+
+# Language-ID and mojibake triage start with "what KINDS of characters
+# does this doc carry": alpha/digit/whitespace/ascii-punct/non-ascii
+# shares and the dominant class. Counts come from length-after-strip
+# regex projections (UTF-8-aware length in both engines); the fixture is
+# pure lowercase prose, so deterministic digit/punct/accented suffixes
+# are planted on arithmetic progressions of doc_id to give every class
+# mass.
+_SCRIPT_MIX_ORACLE = """
+WITH enriched AS (
+  SELECT doc_id, source,
+         text || CASE WHEN doc_id % 5 = 0 THEN ' 2024 v2 10%' ELSE '' END
+              || CASE WHEN doc_id % 11 = 0 THEN ' café résumé'
+                      ELSE '' END AS t
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source,
+         CAST(length(t) AS BIGINT) AS n_total,
+         CAST(length(regexp_replace(t, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+           AS n_alpha,
+         CAST(length(regexp_replace(t, '[^0-9]', '', 'g')) AS BIGINT)
+           AS n_digit,
+         CAST(length(t) - length(regexp_replace(t, ' ', '', 'g')) AS BIGINT)
+           AS n_space,
+         CAST(length(regexp_replace(t, '[ -~]', '', 'g')) AS BIGINT)
+           AS n_nonascii
+  FROM enriched
+)
+SELECT doc_id, source, n_total, n_alpha, n_digit, n_space,
+       n_total - n_alpha - n_digit - n_space - n_nonascii AS n_punct,
+       n_nonascii,
+       ROUND(CAST(n_alpha AS DOUBLE) / CAST(n_total AS DOUBLE), 9)
+         AS alpha_share,
+       ROUND(CAST(n_nonascii AS DOUBLE) / CAST(n_total AS DOUBLE), 9)
+         AS nonascii_share,
+       CASE WHEN n_nonascii * 20 >= n_total THEN 'nonascii'
+            WHEN n_digit > n_alpha THEN 'numeric'
+            ELSE 'latin' END AS script_class
+FROM m
+"""
+
+
+@register("llm_script_mix", oracle=_SCRIPT_MIX_ORACLE, tags=("llm", "text"))
+def llm_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per document (alpha / digit /
+    whitespace / ascii-punct / non-ascii counts, shares, and a routing
+    class) — the mojibake/mixed-script triage that runs before
+    language-ID. Deterministic digit/punct/accented suffixes are
+    planted in-query on doc_id progressions (the fixture is pure
+    lowercase prose; both engines enrich identically).
+
+    Scale shape: pure row-local length-after-strip regex projections —
+    zero shuffle, codegen end to end; the routing class is decided by
+    integer cross-multiplication (n_nonascii*20 >= n_total), never a
+    double."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" 2024 v2 10%")).otherwise(""),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" café résumé"))
+        .otherwise(""),
+    )
+    m = docs.select(
+        "doc_id",
+        "source",
+        F.length(t).cast("bigint").alias("n_total"),
+        F.length(F.regexp_replace(t, "[^a-zA-Z]", "")).cast("bigint").alias(
+            "n_alpha"
+        ),
+        F.length(F.regexp_replace(t, "[^0-9]", "")).cast("bigint").alias(
+            "n_digit"
+        ),
+        (F.length(t) - F.length(F.regexp_replace(t, " ", "")))
+        .cast("bigint")
+        .alias("n_space"),
+        F.length(F.regexp_replace(t, "[ -~]", "")).cast("bigint").alias(
+            "n_nonascii"
+        ),
+    )
+    return m.select(
+        "doc_id",
+        "source",
+        "n_total",
+        "n_alpha",
+        "n_digit",
+        "n_space",
+        (
+            F.col("n_total")
+            - F.col("n_alpha")
+            - F.col("n_digit")
+            - F.col("n_space")
+            - F.col("n_nonascii")
+        ).alias("n_punct"),
+        "n_nonascii",
+        F.round(
+            F.col("n_alpha").cast("double") / F.col("n_total").cast("double"), 9
+        ).alias("alpha_share"),
+        F.round(
+            F.col("n_nonascii").cast("double") / F.col("n_total").cast("double"),
+            9,
+        ).alias("nonascii_share"),
+        F.when(F.col("n_nonascii") * 20 >= F.col("n_total"), "nonascii")
+        .when(F.col("n_digit") > F.col("n_alpha"), "numeric")
+        .otherwise("latin")
+        .alias("script_class"),
+    )
+
+
+# --- llm_boilerplate_lines: cross-document repeated-line prevalence -------------
+
+# The C4/RefinedWeb boilerplate pass: lines repeated across MANY
+# documents (nav bars, footers, license blurbs) are template noise, not
+# content — distinct from llm_line_dedup, which keeps first occurrences;
+# this AUDITS prevalence so the cleaning threshold can be chosen. Lines
+# are the same fixed 8-token windows line_dedup uses on this single-line
+# corpus, plus one per-source footer line planted in-query (each source's
+# docs share it — known ground truth). The exchange carries md5 digests,
+# never line text.
+_BOILER_MIN_DOCS = 5
+
+_BOILER_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS tk
+  FROM documents
+),
+chunked AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(0, CAST(ceil(len(tk) / 8.0) AS BIGINT)),
+                               i -> array_to_string(tk[i*8+1 : i*8+8], ' ')))
+           AS line
+  FROM toks
+  UNION ALL
+  SELECT doc_id, source, 'footer of ' || source || ' all rights reserved'
+  FROM toks
+),
+lines AS (SELECT doc_id, source, md5(line) AS digest FROM chunked),
+prev AS (
+  SELECT digest, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM lines GROUP BY digest
+),
+flagged AS (
+  SELECT l.source, l.digest, p.n_docs >= {_BOILER_MIN_DOCS} AS is_boiler
+  FROM lines l JOIN prev p ON p.digest = l.digest
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler_lines,
+       CAST(COUNT(DISTINCT CASE WHEN is_boiler THEN digest END) AS BIGINT)
+         AS n_boiler_distinct,
+       ROUND(CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS boiler_share
+FROM flagged GROUP BY source
+"""
+
+
+@register("llm_boilerplate_lines", oracle=_BOILER_ORACLE, tags=("llm", "dedup"))
+def llm_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-line prevalence audit per source: fixed 8-token
+    windows (the line_dedup convention on this single-line corpus)
+    repeated in >= {n} distinct documents are template noise; the audit
+    reports each source's boilerplate share so the cleaning threshold
+    is chosen from data. A per-source footer line is planted in-query
+    (deterministic, both engines) for known ground truth.
+
+    Scale shape: chunking is map-local (transform over token arrays);
+    the prevalence collapse and the flag join are keyed on md5(line) —
+    32-byte digests, line text never shuffles; per-source shares are a
+    second map-side-combined aggregate.""".format(n=_BOILER_MIN_DOCS)
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", F.split("text", " ").alias("tk"))
+    chunk_expr = (
+        "transform(sequence(0, cast(ceil(size(tk) / 8.0) as int) - 1), "
+        "i -> array_join(slice(tk, i*8+1, 8), ' '))"
+    )
+    chunked = toks.select(
+        "doc_id", "source", F.explode(F.expr(chunk_expr)).alias("line")
+    ).unionAll(
+        toks.select(
+            "doc_id",
+            "source",
+            F.concat(
+                F.lit("footer of "), F.col("source"), F.lit(" all rights reserved")
+            ).alias("line"),
+        )
+    )
+    lines = scoped_persist(
+        chunked.select("doc_id", "source", F.md5("line").alias("digest"))
+    )
+    prev = lines.groupBy("digest").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    flagged = lines.join(prev, "digest").select(
+        "source", "digest", (F.col("n_docs") >= _BOILER_MIN_DOCS).alias("is_boiler")
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_boiler_lines"),
+        F.countDistinct(F.when(F.col("is_boiler"), F.col("digest")))
+        .cast("bigint")
+        .alias("n_boiler_distinct"),
+        F.round(
+            F.sum(F.when(F.col("is_boiler"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("boiler_share"),
+    )

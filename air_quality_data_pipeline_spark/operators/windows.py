@@ -1131,3 +1131,88 @@ def win_rank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("rnk").over(ws).alias("prev_rank"),
         (F.lag("rnk").over(ws) - F.col("rnk")).alias("places_gained"),
     )
+
+
+# --- win_reset_cumsum: running total since the last reset event -----------------
+
+# The "spend since last purchase" / "errors since last deploy" window:
+# a running sum that restarts whenever a marker event occurs. The classic
+# two-window composition — a cumulative count of markers assigns each row
+# a segment id, then the sum accumulates within (user, segment). Values
+# ride as exact micro-integers; both windows share one partitioning, so
+# the whole operator costs a single user-keyed exchange.
+_RESET_TYPE = "purchase"
+
+_RESET_CUMSUM_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS v_micro,
+         CAST(SUM(CASE WHEN event_type = '{_RESET_TYPE}' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+           AS segment
+  FROM events
+)
+SELECT user_id, event_id, event_type, segment,
+       ROUND(CAST(CAST(SUM(CASE WHEN event_type <> '{_RESET_TYPE}'
+                                THEN v_micro ELSE 0 END)
+                       OVER (PARTITION BY user_id, segment
+                             ORDER BY event_id) AS BIGINT) AS DOUBLE)
+             / 1000000.0, 9) AS run_sum
+FROM seq
+"""
+
+
+@register("win_reset_cumsum", oracle=_RESET_CUMSUM_ORACLE, tags=("window",))
+def win_reset_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user value total that RESETS at every '{t}' event —
+    the "accumulated since last marker" window (spend since last
+    purchase, errors since last deploy). Two stacked windows: a
+    cumulative marker count assigns segment ids, the sum accumulates
+    within (user, segment); marker rows restart at 0.
+
+    Scale shape: both windows share the user partitioning, so the whole
+    operator is ONE user-keyed exchange (the sessionization exchange);
+    values accumulate as exact micro-integers — the running sum is
+    identical under any partition count.""".format(t=_RESET_TYPE)
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    w_seg = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1000000.0).cast("bigint").alias("v_micro"),
+        F.sum(
+            F.when(F.col("event_type") == _RESET_TYPE, 1).otherwise(0)
+        )
+        .over(w_seg)
+        .cast("bigint")
+        .alias("segment"),
+    )
+    w_run = (
+        Window.partitionBy("user_id", "segment")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return seq.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "segment",
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("event_type") != _RESET_TYPE, F.col("v_micro")
+                ).otherwise(0)
+            )
+            .over(w_run)
+            .cast("bigint")
+            .cast("double")
+            / 1000000.0,
+            9,
+        ).alias("run_sum"),
+    )

@@ -278,6 +278,13 @@ DEFERRED_FIRST_ROW: set[str] = {
     "graph_triad_census",
     "dq_simpson",
     "dq_dup_burden",
+    "llm_code_detect",
+    "llm_script_mix",
+    "llm_boilerplate_lines",
+    "llm_knn_graph",
+    "llm_label_medoid",
+    "win_reset_cumsum",
+    "f_hash_rng",
 }
 
 # Names owed a round-10 window slot that are NOT first rows: changed-code
