@@ -3646,3 +3646,151 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean - z * F.col("se"), 9).alias("ci_lo"),
         F.round(mean + z * F.col("se"), 9).alias("ci_hi"),
     )
+
+
+# --- agg_tail_contrib: who drives the p99 tail ---------------------------------
+
+# The incident-review aggregate: the global p99 threshold is one number,
+# but the FIX needs to know which groups put rows above it. The
+# threshold is an exact order statistic recovered from value-grain cells
+# (cents domain — the agg_levene median machinery at the 99th), and each
+# brand's tail contribution is integer counting against the broadcast
+# threshold. No interpolated percentile double ever exists.
+_TAIL_ORACLE = """
+WITH cells AS (
+  SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1
+),
+cum AS (
+  SELECT cents, SUM(cnt) OVER (ORDER BY cents) AS c,
+         SUM(cnt) OVER () AS n
+  FROM cells
+),
+thr AS (
+  SELECT CAST(MIN(CASE WHEN c >= (99 * n + 99) // 100 THEN cents END)
+              AS BIGINT) AS t,
+         CAST(MAX(n) AS BIGINT) AS n
+  FROM cum
+),
+j AS (
+  SELECT p.p_brand,
+         CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+g AS (
+  SELECT j.p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN j.cents > t.t THEN 1 ELSE 0 END) AS BIGINT)
+           AS tail_rows,
+         MAX(t.t) AS t, MAX(t.n) AS n_all
+  FROM j CROSS JOIN thr t
+  GROUP BY j.p_brand
+),
+tot AS (SELECT CAST(SUM(tail_rows) AS BIGINT) AS tail_all FROM g)
+SELECT g.p_brand, g.n_rows, g.tail_rows,
+       ROUND(CAST(g.t AS DOUBLE) / 100.0, 9) AS p99_threshold,
+       ROUND(CAST(g.tail_rows AS DOUBLE) / CAST(g.n_rows AS DOUBLE), 9)
+         AS tail_rate,
+       ROUND(CAST(g.tail_rows AS DOUBLE) / CAST(t.tail_all AS DOUBLE), 9)
+         AS share_of_tail
+FROM g CROSS JOIN tot t
+WHERE g.tail_rows > 0
+"""
+
+
+@register("agg_tail_contrib", oracle=_TAIL_ORACLE, tags=("agg", "stats"))
+def agg_tail_contrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-contribution analysis: which brands put rows above the global
+    p99 of extended price, each brand's tail rate, and its share of the
+    whole tail — the "who drives the p99" breakdown every latency/spend
+    incident review starts with.
+
+    Scale shape: the p99 is an EXACT order statistic from value-grain
+    (cents) cells; the price grain is corpus-sized-ish (millions of
+    distinct cents), so the cumulative scan is the DISTRIBUTED
+    two-level prefix (the agg_spearman/win_skyline pattern: range
+    partition on cents, rid-local running sums — persisted so both
+    consumers see one boundary sample — then a prior-sum over the
+    8-row per-range totals); the 1-row threshold broadcasts into a
+    second map-side-combined counting pass per brand. No
+    single-partition window ever sees the value grain."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    cents_col = F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("bigint")
+    cells = li.groupBy(cents_col.alias("cents")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    ranged = scoped_persist(
+        cells.repartitionByRange(_SPEARMAN_RANGES, "cents").withColumn(
+            "rid", F.spark_partition_id()
+        )
+    )
+    w_local = (
+        Window.partitionBy("rid")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("lcum", F.sum("cnt").over(w_local))
+    rtot = ranged.groupBy("rid").agg(F.sum("cnt").alias("rtot"))
+    w_prior = Window.orderBy("rid").rowsBetween(Window.unboundedPreceding, -1)
+    prior = rtot.select(
+        "rid", F.sum("rtot").over(w_prior).alias("prior")
+    )
+    n_tot = ranged.agg(F.sum("cnt").cast("bigint").alias("n"))
+    cum = (
+        local.join(F.broadcast(prior), "rid")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "cents",
+            (F.col("lcum") + F.coalesce(F.col("prior"), F.lit(0))).alias("c"),
+            "n",
+        )
+    )
+    thr = cum.agg(
+        F.min(
+            F.when(
+                F.col("c") >= F.floor((99 * F.col("n") + 99) / 100),
+                F.col("cents"),
+            )
+        )
+        .cast("bigint")
+        .alias("t"),
+        F.max("n").cast("bigint").alias("n_all"),
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_brand", cents_col.alias("cents")
+    )
+    g = (
+        j.crossJoin(F.broadcast(thr))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("cents") > F.col("t"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("tail_rows"),
+            F.max("t").alias("t"),
+        )
+    )
+    g = scoped_persist(g)
+    tot = g.agg(F.sum("tail_rows").cast("bigint").alias("tail_all"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .filter(F.col("tail_rows") > 0)
+        .select(
+            "p_brand",
+            "n_rows",
+            "tail_rows",
+            F.round(F.col("t").cast("double") / 100.0, 9).alias("p99_threshold"),
+            F.round(
+                F.col("tail_rows").cast("double") / F.col("n_rows").cast("double"),
+                9,
+            ).alias("tail_rate"),
+            F.round(
+                F.col("tail_rows").cast("double")
+                / F.col("tail_all").cast("double"),
+                9,
+            ).alias("share_of_tail"),
+        )
+    )

@@ -2266,3 +2266,98 @@ def graph_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("cycle_share"),
     )
+
+
+# --- graph_eigencentrality: power-iteration eigenvector centrality --------------
+
+# "Important because connected to the important": the eigenvector-
+# centrality cousin of pagerank without damping or out-degree division —
+# influence flows along RAW adjacency, so a hub's weight is the sum of
+# its neighbors' weights. Three power iterations in pure integer
+# fixed-point: scores start at 10^6, each round sums neighbor scores and
+# renormalizes by the maximum via integer DIV — every value on every
+# round is a BIGINT, so three rounds of both engines are bit-identical
+# (the graph_pagerank recipe, different recurrence).
+_EIGEN_SCALE = 1000000
+
+_EIGEN_ORACLE = f"""
+WITH pair_counts AS MATERIALIZED (
+  SELECT l1.l_suppkey AS src, l2.l_suppkey AS dst, COUNT(*) AS w
+  FROM lineitem l1
+  JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+  GROUP BY 1, 2
+),
+m AS (SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*) AS mean_w FROM pair_counts),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM pair_counts CROSS JOIN m WHERE CAST(w AS DOUBLE) > mean_w
+),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+x0 AS (SELECT node, CAST({_EIGEN_SCALE} AS BIGINT) AS x FROM nodes),
+s1 AS (
+  SELECT e.dst AS node, CAST(SUM(x.x) AS BIGINT) AS x
+  FROM edges e JOIN x0 x ON x.node = e.src GROUP BY e.dst
+),
+x1 AS (
+  SELECT node, CAST(x * {_EIGEN_SCALE} // (SELECT MAX(x) FROM s1) AS BIGINT) AS x
+  FROM s1
+),
+s2 AS (
+  SELECT e.dst AS node, CAST(SUM(x.x) AS BIGINT) AS x
+  FROM edges e JOIN x1 x ON x.node = e.src GROUP BY e.dst
+),
+x2 AS (
+  SELECT node, CAST(x * {_EIGEN_SCALE} // (SELECT MAX(x) FROM s2) AS BIGINT) AS x
+  FROM s2
+),
+s3 AS (
+  SELECT e.dst AS node, CAST(SUM(x.x) AS BIGINT) AS x
+  FROM edges e JOIN x2 x ON x.node = e.src GROUP BY e.dst
+),
+x3 AS (
+  SELECT node, CAST(x * {_EIGEN_SCALE} // (SELECT MAX(x) FROM s3) AS BIGINT) AS x
+  FROM s3
+)
+SELECT node AS s_suppkey, x AS score_fixed,
+       ROUND(CAST(x AS DOUBLE) / {_EIGEN_SCALE}.0, 9) AS centrality
+FROM x3 WHERE x * 10 >= {_EIGEN_SCALE}
+"""
+
+
+@register("graph_eigencentrality", oracle=_EIGEN_ORACLE, tags=("graph",))
+def graph_eigencentrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality of the supplier co-purchase graph via three
+    integer fixed-point power iterations (max-normalized each round,
+    reported where centrality >= 0.1) — the influence score where a
+    node matters because its NEIGHBORS matter, complementing
+    graph_pagerank (random-surfer) and graph_hits (hub/authority).
+
+    Scale shape: the edge build is the shared bounded _copurchase
+    collapse; each iteration is ONE hash join edge->score plus a
+    map-side sum on the node grain — the score table is |V|-sized and
+    broadcastable; normalization is a 1-row max broadcast with integer
+    DIV (truncation identical in both engines, every value BIGINT on
+    every round)."""
+    apply_engine_conf(spark)
+    edges = scoped_persist(_copurchase_edges(spark, sf_dir))
+    x = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(_EIGEN_SCALE).cast("bigint").alias("x")
+    )
+    for _ in range(3):
+        s = (
+            edges.join(x, edges.src == x.node)
+            .groupBy(edges.dst.alias("n2"))
+            .agg(F.sum("x").cast("bigint").alias("xs"))
+        )
+        mx = s.agg(F.max("xs").alias("mx"))
+        x = s.crossJoin(F.broadcast(mx)).select(
+            F.col("n2").alias("node"),
+            F.expr(f"cast(xs * {_EIGEN_SCALE} div mx as bigint)").alias("x"),
+        )
+    return x.filter(F.col("x") * 10 >= _EIGEN_SCALE).select(
+        F.col("node").alias("s_suppkey"),
+        F.col("x").alias("score_fixed"),
+        F.round(F.col("x").cast("double") / float(_EIGEN_SCALE), 9).alias(
+            "centrality"
+        ),
+    )

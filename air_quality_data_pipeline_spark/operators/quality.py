@@ -2168,3 +2168,215 @@ def dq_dup_burden(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("wasted_byte_share"),
     )
+
+
+# --- dq_heaping: digit-preference (round-number heaping) audit -------------------
+
+# Human-entered or degraded-precision numerics heap on round values; the
+# classic detector is the LAST-digit distribution against uniform
+# (complementing dq_benford, which tests FIRST digits against log).
+# Counts are integer cells on the 10-value digit domain; the chi-squared
+# statistic divides exact integer counts by an exact ratio — row-local
+# doubles on identical operands.
+_HEAPING_ORACLE = """
+WITH d AS (
+  SELECT event_type,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) % 10 AS digit
+  FROM events
+),
+c AS (
+  SELECT event_type, digit, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM d GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, digit, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM c
+),
+terms AS (
+  SELECT event_type, digit, cnt, n,
+         CAST(floor((CAST(cnt AS DOUBLE) - CAST(n AS DOUBLE) / 10.0)
+                    * (CAST(cnt AS DOUBLE) - CAST(n AS DOUBLE) / 10.0)
+                    / (CAST(n AS DOUBLE) / 10.0) * 1000000.0 + 0.5)
+              AS BIGINT) AS t_micro
+  FROM t
+),
+g AS (
+  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+         CAST(SUM(t_micro) AS BIGINT) AS chi2_micro
+  FROM terms GROUP BY event_type
+)
+SELECT c.event_type, c.digit, c.cnt,
+       ROUND(CAST(c.cnt AS DOUBLE) / CAST(g.n AS DOUBLE), 9) AS share,
+       ROUND(CAST(g.chi2_micro AS DOUBLE) / 1000000.0, 9) AS chi2,
+       g.chi2_micro > 16919000000 AS heaping_flag
+FROM c JOIN g ON g.event_type = c.event_type
+"""
+
+
+@register("dq_heaping", oracle=_HEAPING_ORACLE, tags=("quality", "stats"))
+def dq_heaping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digit-preference (heaping) audit: last-cent-digit distribution per
+    event type with the chi-squared-vs-uniform statistic and a flag at
+    the 95% critical value (16.919, 9 df) — the detector for
+    human-entered or precision-degraded numerics, complementing
+    dq_benford's first-digit test.
+
+    Scale shape: ONE map-side collapse to the (type, digit) 10-cell
+    domain; chi-squared terms micro-quantize before the order-free sum;
+    the flag compares INTEGERS (chi2_micro vs the scaled critical
+    value) so no double boundary can disagree."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type",
+        (F.floor(F.col("value") * 100.0 + 0.5).cast("bigint") % 10).alias(
+            "digit"
+        ),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w_t = Window.partitionBy("event_type")
+    exp = F.sum("cnt").over(w_t).cast("double") / 10.0
+    term = F.floor(
+        (F.col("cnt").cast("double") - exp)
+        * (F.col("cnt").cast("double") - exp)
+        / exp
+        * 1000000.0
+        + 0.5
+    ).cast("bigint")
+    withterm = c.select("event_type", "digit", "cnt", term.alias("t_micro"))
+    g = withterm.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum("t_micro").cast("bigint").alias("chi2_micro"),
+    )
+    return withterm.join(F.broadcast(g), "event_type").select(
+        "event_type",
+        "digit",
+        "cnt",
+        F.round(F.col("cnt").cast("double") / F.col("n").cast("double"), 9).alias(
+            "share"
+        ),
+        F.round(F.col("chi2_micro").cast("double") / 1000000.0, 9).alias("chi2"),
+        (F.col("chi2_micro") > 16919000000).alias("heaping_flag"),
+    )
+
+
+# --- dq_null_correlation: missing-not-at-random (MNAR) audit --------------------
+
+# "Is the field missing at random, or missing BECAUSE of the value?"
+# The audit buckets rows by an observed driver (value quartile) and
+# compares each bucket's null rate to the global rate; a monotone lift
+# profile is the MNAR signature that invalidates naive mean imputation.
+# The fixture has no nulls, so value-dependent missingness is PLANTED
+# in-query (props withheld above a value threshold plus a 1-in-13
+# random-looking hash drop) — both engines plant identically, so the
+# audit's ground truth is known. Quartile edges are exact integer
+# cents; every rate is an exact integer ratio.
+_MNAR_ORACLE = """
+WITH base AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN value > 350.0
+                   OR CAST(('0x' || substring(md5('mnar|'
+                        || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                      % 13 = 0
+              THEN NULL ELSE props END AS props_obs
+  FROM events
+),
+b AS (
+  SELECT event_id, event_type, props_obs,
+         CASE WHEN cents < 12500 THEN 'q1'
+              WHEN cents < 25000 THEN 'q2'
+              WHEN cents < 37500 THEN 'q3'
+              ELSE 'q4' END AS bucket
+  FROM base
+),
+g AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN props_obs IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null
+  FROM b GROUP BY bucket
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(n_null) AS BIGINT) AS nnull
+  FROM g
+)
+SELECT g.bucket, g.n, g.n_null,
+       ROUND(CAST(g.n_null AS DOUBLE) / CAST(g.n AS DOUBLE), 9) AS null_rate,
+       ROUND(CAST(t.nnull AS DOUBLE) / CAST(t.nn AS DOUBLE), 9)
+         AS global_rate,
+       ROUND(CAST(g.n_null AS DOUBLE) / CAST(g.n AS DOUBLE)
+             / (CAST(t.nnull AS DOUBLE) / CAST(t.nn AS DOUBLE)), 9) AS lift,
+       g.n_null * t.nn > 2 * t.nnull * g.n AS mnar_flag
+FROM g CROSS JOIN tot t
+"""
+
+
+@register("dq_null_correlation", oracle=_MNAR_ORACLE, tags=("quality",))
+def dq_null_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-not-at-random audit: null rate of the props payload by
+    value quartile vs the global rate, with lift and an MNAR flag when
+    a bucket's missingness doubles the global rate (integer
+    cross-multiply — no double decides). Value-dependent missingness is
+    planted in-query (the fixture is null-free; both engines plant
+    identically): props withheld above a value threshold plus a 1-in-13
+    hash drop as the MCAR background.
+
+    Scale shape: row-local bucket/null projections collapse map-side to
+    the 4-bucket cell table; the global rate is a second k-row
+    aggregate; everything after the one collapse is dimension-sized."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    hash13 = F.expr(
+        "cast(conv(substring(md5(concat('mnar|', cast(event_id as string))), 1, 8),"
+        " 16, 10) as bigint) % 13"
+    )
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("cents"),
+        F.when(
+            (F.col("value") > 350.0) | (hash13 == 0), F.lit(None)
+        )
+        .otherwise(F.col("props"))
+        .alias("props_obs"),
+    )
+    b = base.select(
+        "props_obs",
+        F.when(F.col("cents") < 12500, "q1")
+        .when(F.col("cents") < 25000, "q2")
+        .when(F.col("cents") < 37500, "q3")
+        .otherwise("q4")
+        .alias("bucket"),
+    )
+    g = scoped_persist(
+        b.groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("props_obs").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("n_null").cast("bigint").alias("nnull"),
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n",
+        "n_null",
+        F.round(F.col("n_null").cast("double") / F.col("n").cast("double"), 9).alias(
+            "null_rate"
+        ),
+        F.round(F.col("nnull").cast("double") / F.col("nn").cast("double"), 9).alias(
+            "global_rate"
+        ),
+        F.round(
+            F.col("n_null").cast("double")
+            / F.col("n").cast("double")
+            / (F.col("nnull").cast("double") / F.col("nn").cast("double")),
+            9,
+        ).alias("lift"),
+        (F.col("n_null") * F.col("nn") > 2 * F.col("nnull") * F.col("n")).alias(
+            "mnar_flag"
+        ),
+    )

@@ -3525,3 +3525,177 @@ def ts_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE prev_signal IS NOT NULL AND signal <> prev_signal
         """
     )
+
+
+# --- ts_hurst: rescaled-range (R/S) long-memory exponent ------------------------
+
+# Does the series trend-persist (H > 0.5), mean-revert (H < 0.5), or
+# walk randomly (H = 0.5)? Classical Hurst R/S analysis over the hourly
+# series: split into chunks of 8/16/32 hours, compute each chunk's
+# rescaled range R/S, regress mean log(R/S) on log(size). Cumulative
+# deviations use the integer identity n*cum_k - k*S (no mean fraction
+# ever materializes); per-chunk log(R/S) values are nano-quantized
+# before the per-size mean; with log2-spaced sizes the regression slope
+# reduces to (y32 - y8) / (2 ln 2) — entirely row-local literals.
+_LN2 = "0.6931471805599454"
+
+_HURST_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) * 24
+           + CAST(hour(ts) AS BIGINT) AS hidx,
+         CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+chunked AS (
+  SELECT h.event_type, s.s, h.hidx // s.s AS chunk, h.hidx, h.v
+  FROM hourly h CROSS JOIN (SELECT unnest([8, 16, 32]) AS s) s
+),
+stats AS (
+  SELECT event_type, s, chunk, hidx, v,
+         CAST(SUM(v) OVER w AS BIGINT) AS cum,
+         CAST(row_number() OVER w AS BIGINT) AS k,
+         CAST(SUM(v) OVER cw AS BIGINT) AS tot,
+         CAST(COUNT(*) OVER cw AS BIGINT) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(38,0)) * v) OVER cw AS DOUBLE) AS ssq
+  FROM chunked
+  WINDOW w AS (PARTITION BY event_type, s, chunk ORDER BY hidx),
+         cw AS (PARTITION BY event_type, s, chunk)
+),
+chunk_rs AS (
+  SELECT event_type, s, chunk,
+         CAST(floor(ln(
+             (CAST(MAX(n * cum - k * tot) AS DOUBLE)
+              - CAST(MIN(n * cum - k * tot) AS DOUBLE))
+             / sqrt(MAX(ssq) * CAST(MAX(n) AS DOUBLE)
+                    - CAST(MAX(tot) AS DOUBLE) * CAST(MAX(tot) AS DOUBLE))
+         ) * 1000000000.0 + 0.5) AS BIGINT) AS log_rs_nano
+  FROM stats
+  WHERE n = s
+  GROUP BY event_type, s, chunk
+  HAVING MAX(n * cum - k * tot) > MIN(n * cum - k * tot)
+),
+per_size AS (
+  SELECT event_type, s,
+         CAST(SUM(log_rs_nano) AS DOUBLE)
+           / (COUNT(*) * 1000000000.0) AS y
+  FROM chunk_rs GROUP BY event_type, s
+)
+SELECT event_type,
+       ROUND(MAX(CASE WHEN s = 8 THEN y END), 9) AS log_rs_8,
+       ROUND(MAX(CASE WHEN s = 16 THEN y END), 9) AS log_rs_16,
+       ROUND(MAX(CASE WHEN s = 32 THEN y END), 9) AS log_rs_32,
+       ROUND((MAX(CASE WHEN s = 32 THEN y END)
+              - MAX(CASE WHEN s = 8 THEN y END)) / (2.0 * {_LN2}), 9)
+         AS hurst
+FROM per_size GROUP BY event_type
+"""
+
+
+@register("ts_hurst", oracle=_HURST_ORACLE, tags=("timeseries", "stats"))
+def ts_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent via rescaled-range analysis of each event type's
+    hourly series: H > 0.5 = trend persistence, < 0.5 = mean reversion —
+    the long-memory diagnostic behind capacity planning and anomaly
+    baselines. Chunk cumulative deviations use the exact integer
+    identity n*cum_k − k*S; each chunk's log(R/S) nano-quantizes before
+    the per-size mean; with log2-spaced sizes (8/16/32) the regression
+    slope collapses to (y32 − y8)/(2 ln 2), a row-local literal form.
+
+    Scale shape: ONE collapse to hourly micro-integer cells; the 3x
+    chunk fan-out is map-local; every window partitions by (type, size,
+    chunk) — at most 32 rows per partition BY CONSTRUCTION, the
+    textbook bounded-frame window; per-size means and the slope ride
+    the |types| x 3 grain. The 1/n factors cancel exactly: R =
+    (dmax-dmin)/n and std = sqrt(n*ssq - S^2)/n, so R/S =
+    (dmax-dmin)/sqrt(n*ssq - S^2) — integer-derived operands into one
+    sqrt and one ln, identical in both engines."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        (
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).cast("bigint") * 24
+            + F.hour("ts").cast("bigint")
+        ).alias("hidx"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000000.0).cast("bigint"))
+        .cast("bigint")
+        .alias("v")
+    )
+    chunked = hourly.select(
+        "event_type",
+        "hidx",
+        "v",
+        F.explode(F.array(F.lit(8), F.lit(16), F.lit(32))).alias("s"),
+    ).select(
+        "event_type",
+        "s",
+        F.floor(F.col("hidx") / F.col("s")).cast("bigint").alias("chunk"),
+        "hidx",
+        "v",
+    )
+    w = Window.partitionBy("event_type", "s", "chunk").orderBy("hidx")
+    cw = Window.partitionBy("event_type", "s", "chunk")
+    stats = chunked.select(
+        "event_type",
+        "s",
+        "chunk",
+        "v",
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum"),
+        F.row_number().over(w).cast("bigint").alias("k"),
+        F.sum("v").over(cw).cast("bigint").alias("tot"),
+        F.count(F.lit(1)).over(cw).cast("bigint").alias("n"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v"))
+        .over(cw)
+        .cast("double")
+        .alias("ssq"),
+    )
+    dev = F.col("n") * F.col("cum") - F.col("k") * F.col("tot")
+    chunk_rs = (
+        stats.filter(F.col("n") == F.col("s"))
+        .groupBy("event_type", "s", "chunk")
+        .agg(
+            F.max(dev).alias("dmax"),
+            F.min(dev).alias("dmin"),
+            F.max("n").alias("n"),
+            F.max("tot").alias("tot"),
+            F.max("ssq").alias("ssq"),
+        )
+        .filter(F.col("dmax") > F.col("dmin"))
+        .select(
+            "event_type",
+            "s",
+            F.floor(
+                F.log(
+                    (F.col("dmax").cast("double") - F.col("dmin").cast("double"))
+                    / F.sqrt(
+                        F.col("ssq") * F.col("n").cast("double")
+                        - F.col("tot").cast("double") * F.col("tot").cast("double")
+                    )
+                )
+                * 1000000000.0
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("log_rs_nano"),
+        )
+    )
+    per_size = chunk_rs.groupBy("event_type", "s").agg(
+        (
+            F.sum("log_rs_nano").cast("double")
+            / (F.count(F.lit(1)) * 1000000000.0)
+        ).alias("y")
+    )
+    ln2 = float(_LN2)
+    y8 = F.max(F.when(F.col("s") == 8, F.col("y")))
+    y16 = F.max(F.when(F.col("s") == 16, F.col("y")))
+    y32 = F.max(F.when(F.col("s") == 32, F.col("y")))
+    return per_size.groupBy("event_type").agg(
+        F.round(y8, 9).alias("log_rs_8"),
+        F.round(y16, 9).alias("log_rs_16"),
+        F.round(y32, 9).alias("log_rs_32"),
+        F.round((y32 - y8) / (2.0 * ln2), 9).alias("hurst"),
+    )

@@ -285,6 +285,11 @@ DEFERRED_FIRST_ROW: set[str] = {
     "llm_label_medoid",
     "win_reset_cumsum",
     "f_hash_rng",
+    "ts_hurst",
+    "graph_eigencentrality",
+    "agg_tail_contrib",
+    "dq_heaping",
+    "dq_null_correlation",
 }
 
 # Names owed a round-10 window slot that are NOT first rows: changed-code
