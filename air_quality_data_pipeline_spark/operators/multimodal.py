@@ -25,7 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..registry import register
-from ..session import apply_engine_conf
+from ..session import apply_engine_conf, scoped_persist
 from ..tables import table
 
 # --- the synthetic media table ------------------------------------------------
@@ -1026,4 +1026,85 @@ def mm_bitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("rate_bps").cast("double") / F.count(F.lit(1)), 9).alias(
             "mean_rate_bps"
         ),
+    )
+
+
+# --- mm_modality_balance: corpus composition across modalities -----------------
+
+# The multimodal-mix dashboard every pretraining run is planned from:
+# per (modality, origin) asset counts, byte volume, and each cell's
+# share of the corpus byte budget — the multimodal analog of
+# llm_domain_mix. Byte counts are exact integers off the binary column;
+# shares are exact ratios against a 1-row broadcast total; the skew flag
+# (cell holds > 2x its uniform byte share) is an integer
+# cross-multiplication.
+_MODALITY_ORACLE = """
+WITH m AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+         source AS origin,
+         CAST(strlen(text) AS BIGINT) AS n_bytes
+  FROM documents
+),
+g AS (
+  SELECT kind, origin, CAST(COUNT(*) AS BIGINT) AS n_assets,
+         CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+  FROM m GROUP BY kind, origin
+),
+t AS (
+  SELECT CAST(SUM(total_bytes) AS BIGINT) AS corpus_bytes,
+         CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM g
+)
+SELECT g.kind, g.origin, g.n_assets, g.total_bytes,
+       ROUND(CAST(g.total_bytes AS DOUBLE) / CAST(g.n_assets AS DOUBLE), 9)
+         AS avg_bytes,
+       ROUND(CAST(g.total_bytes AS DOUBLE) / CAST(t.corpus_bytes AS DOUBLE), 9)
+         AS byte_share,
+       g.total_bytes * t.n_cells > 2 * t.corpus_bytes AS skew_flag
+FROM g CROSS JOIN t
+"""
+
+
+@register("mm_modality_balance", oracle=_MODALITY_ORACLE, tags=("multimodal", "llm"))
+def mm_modality_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition across modalities: per (kind, origin) asset
+    counts, byte volume, byte share, and a storage-skew flag — the
+    multimodal mix dashboard a pretraining data budget is planned from
+    (llm_domain_mix's analog over the binary side of the corpus).
+
+    Scale shape: ONE map-side-combined collapse of the media scan to the
+    (modality, origin) cell grain — byte lengths are codegen over the
+    binary column, payloads never shuffle; the corpus total is a 1-row
+    broadcast; the skew flag is integer cross-multiplication."""
+    apply_engine_conf(spark)
+    media = _media(spark, sf_dir)
+    g = media.groupBy(
+        "kind", F.col("meta.origin").alias("origin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+        F.sum(F.length("payload")).cast("bigint").alias("total_bytes"),
+    )
+    g = scoped_persist(g)
+    t = g.agg(
+        F.sum("total_bytes").cast("bigint").alias("corpus_bytes"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+    )
+    return g.crossJoin(F.broadcast(t)).select(
+        "kind",
+        "origin",
+        "n_assets",
+        "total_bytes",
+        F.round(
+            F.col("total_bytes").cast("double") / F.col("n_assets").cast("double"),
+            9,
+        ).alias("avg_bytes"),
+        F.round(
+            F.col("total_bytes").cast("double")
+            / F.col("corpus_bytes").cast("double"),
+            9,
+        ).alias("byte_share"),
+        (
+            F.col("total_bytes") * F.col("n_cells")
+            > 2 * F.col("corpus_bytes")
+        ).alias("skew_flag"),
     )

@@ -290,6 +290,7 @@ DEFERRED_FIRST_ROW: set[str] = {
     "agg_tail_contrib",
     "dq_heaping",
     "dq_null_correlation",
+    "mm_modality_balance",
 }
 
 # Names owed a round-10 window slot that are NOT first rows: changed-code
