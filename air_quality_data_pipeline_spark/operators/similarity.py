@@ -33,7 +33,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions.vectors import cosine_similarity, cosine_similarity_duckdb
+from ..functions.vectors import (
+    cosine_similarity,
+    cosine_similarity_duckdb,
+    dot_product,
+    l2_norm,
+)
 from ..registry import register
 from ..session import apply_engine_conf, scoped_persist
 from ..tables import table
@@ -1450,24 +1455,57 @@ def llm_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the self-join is per-block (never corpus-quadratic);
     cosines are bit-exact sequential folds; the top-k is a rank window
-    partitioned by vector over the block-bounded pair table."""
+    partitioned by vector over the block-bounded pair table. The query
+    side is SALTED (vec_id % 16) and the corpus side replicated 16x, so
+    the pair expansion spreads over |blocks| x 16 tasks — without the
+    salt, AQE's byte-based coalescing sees a few MB of vectors and
+    folds the whole block join into ONE task while the real cost is
+    the O(block^2) cosine arithmetic it can't see (measured: 15+ min
+    single-task at sf1 unsalted vs seconds salted). Replication
+    multiplies only the pre-expansion corpus rows, never the pairs.
+    Norms are computed ONCE per vector BEFORE the join (identical fold,
+    identical bits — the oracle's inline norms agree), so each pair
+    pays one dot fold instead of three: the n^2 side of the work is as
+    small as exact cosine allows."""
     apply_engine_conf(spark)
     v = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.expr("transform(embedding, x -> cast(x as double))").alias("vec"),
     )
-    a = v.alias("a")
-    b = v.alias("b")
+    v = v.withColumn("nrm", l2_norm(F.col("vec")))
+    n_salt = 16
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # repartition with an EXPLICIT partition count (REPARTITION_BY_NUM):
+    # AQE never coalesces these, so the join keeps n_part compute tasks
+    # even though the vector bytes would coalesce to one partition
+    a = (
+        v.withColumn("salt", (F.col("vec_id") % n_salt).cast("int"))
+        .repartition(n_part, "label", "salt")
+        .alias("a")
+    )
+    b = (
+        v.crossJoin(
+            F.broadcast(
+                spark.range(n_salt).select(F.col("id").cast("int").alias("salt"))
+            )
+        )
+        .repartition(n_part, "label", "salt")
+        .alias("b")
+    )
+    denom = F.col("a.nrm") * F.col("b.nrm")
     pairs = a.join(
         b,
         (F.col("b.label") == F.col("a.label"))
+        & (F.col("b.salt") == F.col("a.salt"))
         & (F.col("b.vec_id") != F.col("a.vec_id")),
     ).select(
         F.col("a.vec_id").alias("qid"),
         F.col("a.label").alias("label"),
         F.col("b.vec_id").alias("nid"),
-        cosine_similarity(F.col("a.vec"), F.col("b.vec")).alias("cosine"),
+        F.when(
+            denom != 0.0, dot_product(F.col("a.vec"), F.col("b.vec")) / denom
+        ).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
