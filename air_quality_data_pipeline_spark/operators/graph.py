@@ -2159,8 +2159,13 @@ def graph_bipartite_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 # domain-bounded table that broadcasts at any corpus size. Each cyclic
 # triangle is counted once via its rotation-minimal corner; each
 # transitive triangle once via its unique (source, middle, sink) roles.
+# trade/e are MATERIALIZED in the oracle: DuckDB inlines
+# multiply-referenced CTEs by default, and the three triad corners would
+# each re-expand the 4-way lineitem join — measured 929 s + full-disk
+# spill DNF at sf1 before materializing (the graph_pagerank oracle
+# lesson, same fix).
 _TRIAD_ORACLE = """
-WITH trade AS (
+WITH trade AS MATERIALIZED (
   SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
          CAST(COUNT(*) AS BIGINT) AS w
   FROM lineitem l
@@ -2171,7 +2176,7 @@ WITH trade AS (
   GROUP BY 1, 2
 ),
 m AS (SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*) AS mean_w FROM trade),
-e AS (
+e AS MATERIALIZED (
   SELECT src, dst FROM trade CROSS JOIN m WHERE CAST(w AS DOUBLE) > mean_w
 ),
 cyc AS (
