@@ -2344,7 +2344,11 @@ def graph_eigencentrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     DIV (truncation identical in both engines, every value BIGINT on
     every round)."""
     apply_engine_conf(spark)
-    edges = scoped_persist(_copurchase_edges(spark, sf_dir))
+    # _copurchase_edges is already session-memoized + persisted; wrapping
+    # it in scoped_persist would unpersist the SHARED cache at the next
+    # query and break every downstream graph operator's cache reuse
+    # (caught by test_clustering_coef_reuses_edge_cache).
+    edges = _copurchase_edges(spark, sf_dir)
     x = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.lit(_EIGEN_SCALE).cast("bigint").alias("x")
     )
