@@ -3071,7 +3071,7 @@ WITH rows_q AS (
   SELECT l_returnflag,
          CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
               AS BIGINT) AS rev_c,
-         CAST(l_quantity AS BIGINT) AS qty
+         CAST(floor(l_quantity) AS BIGINT) AS qty
   FROM lineitem
 ),
 g AS (
@@ -3122,7 +3122,7 @@ def agg_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("rev_c"),
-        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.floor(F.col("l_quantity")).cast("bigint").alias("qty"),
     )
     g = rows_q.groupBy("l_returnflag").agg(
         F.sum("rev_c").cast("bigint").alias("s"),
@@ -3181,7 +3181,7 @@ def agg_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # summing, and the final algebra is row-local on the |brands| table.
 _BAYES_ORACLE = """
 WITH j AS (
-  SELECT p.p_brand, CAST(l.l_quantity AS BIGINT) AS qty
+  SELECT p.p_brand, CAST(floor(l.l_quantity) AS BIGINT) AS qty
   FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 ),
 g AS (
@@ -3265,7 +3265,7 @@ def agg_bayes_shrink(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
     part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
-        "p_brand", F.col("l_quantity").cast("bigint").alias("qty")
+        "p_brand", F.floor(F.col("l_quantity")).cast("bigint").alias("qty")
     )
     g = scoped_persist(
         j.groupBy("p_brand").agg(
@@ -3527,7 +3527,7 @@ def _boot_weight_case(h: str) -> str:
 
 _BOOT_ORACLE = f"""
 WITH x AS (
-  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+  SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS qty,
          b.b AS b,
          {_boot_weight_case(
              "CAST(('0x' || substring(md5('boot' || CAST(b.b AS VARCHAR) || '|'"
@@ -3548,7 +3548,8 @@ q AS (
   FROM reps
 ),
 g AS (
-  SELECT l_returnflag, CAST(SUM(l_quantity) AS BIGINT) AS s,
+  SELECT l_returnflag,
+         CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS s,
          CAST(COUNT(*) AS BIGINT) AS n
   FROM lineitem GROUP BY l_returnflag
 ),
@@ -3586,7 +3587,7 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     the interval is partition-count-independent."""
     apply_engine_conf(spark)
     li = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", F.col("l_quantity").cast("bigint").alias("qty"),
+        "l_orderkey", "l_linenumber", F.floor(F.col("l_quantity")).cast("bigint").alias("qty"),
         "l_returnflag",
     )
     h = (

@@ -1999,7 +1999,7 @@ _SIMPSON_ORACLE = """
 WITH q AS (
   SELECT l_returnflag AS seg,
          CAST(floor(l_discount * 1000.0 + 0.5) AS BIGINT) AS x,
-         CAST(l_quantity AS BIGINT) AS y
+         CAST(floor(l_quantity) AS BIGINT) AS y
   FROM lineitem
 ),
 s AS (
@@ -2055,7 +2055,7 @@ def dq_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = li.select(
         F.col("l_returnflag").alias("seg"),
         F.floor(F.col("l_discount") * 1000.0 + 0.5).cast("bigint").alias("x"),
-        F.col("l_quantity").cast("bigint").alias("y"),
+        F.floor(F.col("l_quantity")).cast("bigint").alias("y"),
     )
     s = scoped_persist(
         q.groupBy("seg").agg(

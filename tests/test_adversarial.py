@@ -312,6 +312,20 @@ ADV_EVENTS_PANEL = [
     # round-8 batch-7 events-path operators:
     "ts_forecast_eval",       # zero/negative daily sums through |err| sums and
                               # the zero-denominator sMAPE NULL pin
+    # round-9 events-path operators:
+    "agg_levene",             # collided/negative value cells through the
+                              # half-cent median order stats and integer z cells
+    "agg_circular_mean",      # massed identical times-of-day: resultant near 1,
+                              # ln(r) in circ_std must agree at the boundary
+    "dq_heaping",             # negative cents through the %10 digit cells
+                              # (both engines' % follow truncation sign rules)
+    "dq_null_correlation",    # negative values land below every quartile edge
+    "ts_sax",                 # negative daily sums through z-normalization
+    "ts_lag_features",        # short/collided series: NULL lags, size-1 std
+    "ts_crossover",           # flat series: fast == slow pins signal +1
+    "ts_hurst",               # zero-range chunks dropped identically (HAVING)
+    "win_reset_cumsum",       # collided timestamps tie-break on (ts, event_id)
+    "f_hash_rng",             # pure hash arithmetic, unaffected by collisions
 ]
 
 
@@ -735,6 +749,22 @@ ADV_LINEITEM_PANEL = [
                           # the negative-quantity cells cross rank groups
     "agg_spearman",       # tie-aware 2x ranks over negative/boundary value
                           # cells through the distributed range-prefix path
+    # round-9 lineitem-path operators (all four quantity consumers were
+    # floor()-hardened against the Spark-truncates/DuckDB-rounds cast
+    # divergence BEFORE first driver sampling — this panel is the proof):
+    "agg_jackknife_ratio",   # credit line flips a leave-one-out ratio's sign;
+                             # fractional/negative qty through floor()
+    "agg_bootstrap_ci",      # negative/fractional qty in every replicate's
+                             # weighted mean; zero-weight replicates divide NULL
+    "agg_bayes_shrink",      # hostile partkeys shift brand moments; negative
+                             # qty through the integer ss cells
+    "dq_simpson",            # negative qty flips per-segment covariance signs
+    "agg_tail_contrib",      # credit cents sit below every p99 threshold;
+                             # the two-level prefix must place them first
+    "graph_bipartite_project", # childless orders and same-supplier baskets
+                               # perturb degrees; lift gate on shifted totals
+    "graph_triad_census",    # hostile orders reshape the trade edge set
+    "graph_eigencentrality", # same-supplier order adds no co-purchase edge
 ]
 
 
