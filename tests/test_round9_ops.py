@@ -77,6 +77,11 @@ def test_knn_graph_pair_expansion_is_equi_join(spark, sf_dir):
         or "ShuffledHashJoin" in plan
         or "BroadcastHashJoin" in plan  # tiny-SF plan for the same equi keys
     ), plan[:1500]
+    # the AQE compute-blind-coalescing fix (BASELINE.md round-9): the salted
+    # inputs must exchange with an EXPLICIT partition count — the only
+    # shuffle origin AQE never coalesces. Losing this reverts the block
+    # join to one task (measured 15+ min at sf1).
+    assert "REPARTITION_BY_NUM" in plan, plan[:1500]
 
 
 def test_reset_cumsum_single_exchange(spark, sf_dir):
