@@ -4983,12 +4983,14 @@ m AS (
   FROM enriched
 )
 SELECT doc_id, source, n_sym, n_kw,
-       ROUND(0.7 * CAST(n_sym AS DOUBLE) / CAST(n_chars AS DOUBLE)
-             + 0.3 * CAST(n_kw AS DOUBLE) / CAST(n_toks AS DOUBLE), 9)
-         AS code_score,
-       (0.7 * CAST(n_sym AS DOUBLE) / CAST(n_chars AS DOUBLE)
-        + 0.3 * CAST(n_kw AS DOUBLE) / CAST(n_toks AS DOUBLE)) >= 0.02
-         AS is_code
+       ROUND(0.7 * CAST(n_sym AS DOUBLE) / CAST(greatest(1, n_chars) AS DOUBLE)
+             + 0.3 * CAST(n_kw AS DOUBLE) / CAST(greatest(1, n_toks) AS DOUBLE),
+             9) AS code_score,
+       COALESCE((0.7 * CAST(n_sym AS DOUBLE)
+                 / CAST(greatest(1, n_chars) AS DOUBLE)
+                 + 0.3 * CAST(n_kw AS DOUBLE)
+                   / CAST(greatest(1, n_toks) AS DOUBLE)) >= 0.02,
+                FALSE) AS is_code
 FROM m
 """
 
@@ -5025,9 +5027,16 @@ def llm_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(t, F.lit(_CODE_KW)).cast("bigint").alias("n_kw"),
         F.size(F.split(t, " ")).cast("bigint").alias("n_toks"),
     )
+    # greatest(1, ...) floors: an EMPTY document has n_chars = 0 and a
+    # bare division is a DIVIDE_BY_ZERO job-kill under ANSI mode
+    # (adversarial-panel find); the score is 0 for empty docs either way
     score = (
-        F.lit(0.7) * F.col("n_sym").cast("double") / F.col("n_chars").cast("double")
-        + F.lit(0.3) * F.col("n_kw").cast("double") / F.col("n_toks").cast("double")
+        F.lit(0.7)
+        * F.col("n_sym").cast("double")
+        / F.greatest(F.lit(1), F.col("n_chars")).cast("double")
+        + F.lit(0.3)
+        * F.col("n_kw").cast("double")
+        / F.greatest(F.lit(1), F.col("n_toks")).cast("double")
     )
     return m.select(
         "doc_id",
@@ -5035,7 +5044,7 @@ def llm_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sym",
         "n_kw",
         F.round(score, 9).alias("code_score"),
-        (score >= 0.02).alias("is_code"),
+        F.coalesce(score >= 0.02, F.lit(False)).alias("is_code"),
     )
 
 
@@ -5072,10 +5081,10 @@ m AS (
 SELECT doc_id, source, n_total, n_alpha, n_digit, n_space,
        n_total - n_alpha - n_digit - n_space - n_nonascii AS n_punct,
        n_nonascii,
-       ROUND(CAST(n_alpha AS DOUBLE) / CAST(n_total AS DOUBLE), 9)
-         AS alpha_share,
-       ROUND(CAST(n_nonascii AS DOUBLE) / CAST(n_total AS DOUBLE), 9)
-         AS nonascii_share,
+       ROUND(CAST(n_alpha AS DOUBLE) / CAST(greatest(1, n_total) AS DOUBLE),
+             9) AS alpha_share,
+       ROUND(CAST(n_nonascii AS DOUBLE)
+             / CAST(greatest(1, n_total) AS DOUBLE), 9) AS nonascii_share,
        CASE WHEN n_nonascii * 20 >= n_total THEN 'nonascii'
             WHEN n_digit > n_alpha THEN 'numeric'
             ELSE 'latin' END AS script_class
@@ -5136,11 +5145,16 @@ def llm_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("n_nonascii")
         ).alias("n_punct"),
         "n_nonascii",
+        # greatest(1, ...) floors the EMPTY-document denominator — a bare
+        # division is a DIVIDE_BY_ZERO job-kill under ANSI (panel find)
         F.round(
-            F.col("n_alpha").cast("double") / F.col("n_total").cast("double"), 9
+            F.col("n_alpha").cast("double")
+            / F.greatest(F.lit(1), F.col("n_total")).cast("double"),
+            9,
         ).alias("alpha_share"),
         F.round(
-            F.col("n_nonascii").cast("double") / F.col("n_total").cast("double"),
+            F.col("n_nonascii").cast("double")
+            / F.greatest(F.lit(1), F.col("n_total")).cast("double"),
             9,
         ).alias("nonascii_share"),
         F.when(F.col("n_nonascii") * 20 >= F.col("n_total"), "nonascii")
@@ -5251,4 +5265,228 @@ def llm_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double"),
             9,
         ).alias("boiler_share"),
+    )
+
+
+# --- llm_fleiss_kappa: multi-rater agreement ------------------------------------
+
+# llm_rater_kappa handles TWO raters (Cohen); production quality stacks
+# run three or more gates, and Fleiss' kappa is the standard chance-
+# corrected agreement for m raters. Raters are three deterministic
+# integer-arithmetic gates per document (lexical diversity, length
+# shape, vocabulary richness), so every per-item category count is an
+# exact BIGINT and kappa's closing ratio divides exact operands.
+_FLEISS_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq,
+         strlen(text) AS n_chars
+  FROM documents WHERE text IS NOT NULL
+),
+r AS (
+  SELECT doc_id,
+         CAST(CASE WHEN n_tok >= 20 AND n_uniq * 10 >= 3 * n_tok
+                   THEN 1 ELSE 0 END
+              + CASE WHEN n_chars >= 100 AND (n_chars - n_tok + 1) <= 8 * n_tok
+                     THEN 1 ELSE 0 END
+              + CASE WHEN n_uniq * 2 >= n_tok THEN 1 ELSE 0 END
+              AS BIGINT) AS n_keep
+  FROM m
+),
+c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(n_keep) AS BIGINT) AS keep_votes,
+         CAST(SUM(n_keep * n_keep + (3 - n_keep) * (3 - n_keep) - 3)
+              AS BIGINT) AS pi_num
+  FROM r
+)
+SELECT n, keep_votes,
+       ROUND(CAST(pi_num AS DOUBLE) / (6.0 * CAST(n AS DOUBLE)), 9)
+         AS p_observed,
+       ROUND((CAST(keep_votes AS DOUBLE) / (3.0 * CAST(n AS DOUBLE)))
+             * (CAST(keep_votes AS DOUBLE) / (3.0 * CAST(n AS DOUBLE)))
+             + (1.0 - CAST(keep_votes AS DOUBLE) / (3.0 * CAST(n AS DOUBLE)))
+               * (1.0 - CAST(keep_votes AS DOUBLE) / (3.0 * CAST(n AS DOUBLE))),
+             9) AS p_expected,
+       ROUND((CAST(pi_num AS DOUBLE) / (6.0 * CAST(n AS DOUBLE))
+              - ((CAST(keep_votes AS DOUBLE) / (3.0 * CAST(n AS DOUBLE)))
+                 * (CAST(keep_votes AS DOUBLE) / (3.0 * CAST(n AS DOUBLE)))
+                 + (1.0 - CAST(keep_votes AS DOUBLE) / (3.0 * CAST(n AS DOUBLE)))
+                   * (1.0 - CAST(keep_votes AS DOUBLE)
+                      / (3.0 * CAST(n AS DOUBLE)))))
+             / (1.0 - ((CAST(keep_votes AS DOUBLE) / (3.0 * CAST(n AS DOUBLE)))
+                       * (CAST(keep_votes AS DOUBLE) / (3.0 * CAST(n AS DOUBLE)))
+                       + (1.0 - CAST(keep_votes AS DOUBLE)
+                          / (3.0 * CAST(n AS DOUBLE)))
+                         * (1.0 - CAST(keep_votes AS DOUBLE)
+                            / (3.0 * CAST(n AS DOUBLE))))), 9) AS fleiss_kappa
+FROM c
+"""
+
+
+@register("llm_fleiss_kappa", oracle=_FLEISS_ORACLE, tags=("llm", "stats"))
+def llm_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over THREE deterministic quality gates (lexical
+    diversity, length shape, vocabulary richness) — the m-rater
+    chance-corrected agreement a production quality stack reports where
+    Cohen's (llm_rater_kappa) stops at two raters. Binary categories:
+    per-item agreement P_i = (n1^2 + n0^2 - m)/(m(m-1)) with m=3.
+
+    Scale shape: the three gates are row-local integer arithmetic; ONE
+    map-side-combined global collapse produces (n, keep_votes, pi_num)
+    exact BIGINT cells; kappa is one shared closing expression over
+    exact ratios (ROUND(9))."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_chars = F.length("text")
+    ra = F.when((n_tok >= 20) & (n_uniq * 10 >= 3 * n_tok), 1).otherwise(0)
+    rb = F.when(
+        (n_chars >= 100) & ((n_chars - n_tok + 1) <= 8 * n_tok), 1
+    ).otherwise(0)
+    rc = F.when(n_uniq * 2 >= n_tok, 1).otherwise(0)
+    r = docs.select((ra + rb + rc).cast("bigint").alias("n_keep"))
+    c = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_keep").cast("bigint").alias("keep_votes"),
+        F.sum(
+            F.col("n_keep") * F.col("n_keep")
+            + (F.lit(3) - F.col("n_keep")) * (F.lit(3) - F.col("n_keep"))
+            - 3
+        )
+        .cast("bigint")
+        .alias("pi_num"),
+    )
+    nd = F.col("n").cast("double")
+    p1 = F.col("keep_votes").cast("double") / (3.0 * nd)
+    p_obs = F.col("pi_num").cast("double") / (6.0 * nd)
+    p_exp = p1 * p1 + (1.0 - p1) * (1.0 - p1)
+    return c.select(
+        "n",
+        "keep_votes",
+        F.round(p_obs, 9).alias("p_observed"),
+        F.round(p_exp, 9).alias("p_expected"),
+        F.round((p_obs - p_exp) / (1.0 - p_exp), 9).alias("fleiss_kappa"),
+    )
+
+
+# --- llm_curriculum_phase: tertile curriculum bucketing --------------------------
+
+# Curriculum training feeds easy documents first; the assignment step
+# buckets the corpus by a difficulty proxy into ordered phases. Phase
+# boundaries are EXACT tertile order statistics over the token-count
+# grain, recovered with the distributed two-level prefix scan (the
+# agg_tail_contrib pattern — no single-partition window touches the
+# score grain), and ties stay together (threshold semantics, so a
+# boundary can't split equal-difficulty docs across phases).
+_CURRICULUM_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+  FROM documents WHERE text IS NOT NULL
+),
+cells AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY score
+),
+cum AS (
+  SELECT score, SUM(cnt) OVER (ORDER BY score) AS c, SUM(cnt) OVER () AS n
+  FROM cells
+),
+thr AS (
+  SELECT CAST(MIN(CASE WHEN c >= (n + 2) // 3 THEN score END) AS BIGINT) AS t1,
+         CAST(MIN(CASE WHEN c >= (2 * n + 2) // 3 THEN score END) AS BIGINT)
+           AS t2
+  FROM cum
+),
+p AS (
+  SELECT CASE WHEN d.score <= t.t1 THEN 'phase1'
+              WHEN d.score <= t.t2 THEN 'phase2'
+              ELSE 'phase3' END AS phase,
+         d.score
+  FROM d CROSS JOIN thr t
+)
+SELECT phase,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(score) AS BIGINT) AS total_tokens,
+       CAST(MIN(score) AS BIGINT) AS min_score,
+       CAST(MAX(score) AS BIGINT) AS max_score
+FROM p GROUP BY phase
+"""
+
+
+@register("llm_curriculum_phase", oracle=_CURRICULUM_ORACLE, tags=("llm", "text"))
+def llm_curriculum_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing: documents split into three ordered training
+    phases at exact tertile boundaries of the difficulty proxy (token
+    count), ties kept together — the assignment step before a
+    curriculum-ordered training run.
+
+    Scale shape: the corpus collapses to score-grain cells; the tertile
+    thresholds come from the DISTRIBUTED two-level prefix scan (range
+    partition + rid-local sums + prior broadcast — agg_tail_contrib's
+    treatment; no single-partition window on the score grain); the
+    1-row threshold table broadcasts back into one map-side-combined
+    phase aggregate."""
+    apply_engine_conf(spark)
+    # NULL text is untrainable and would also sort differently in the two
+    # engines' cumulative windows (Spark NULLS FIRST vs DuckDB NULLS LAST,
+    # shifting every tertile threshold — adversarial-panel find)
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("score")
+    )
+    cells = d.groupBy("score").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    ranged = scoped_persist(
+        cells.repartitionByRange(8, "score").withColumn(
+            "rid", F.spark_partition_id()
+        )
+    )
+    w_local = (
+        Window.partitionBy("rid")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("lcum", F.sum("cnt").over(w_local))
+    rtot = ranged.groupBy("rid").agg(F.sum("cnt").alias("rtot"))
+    w_prior = Window.orderBy("rid").rowsBetween(Window.unboundedPreceding, -1)
+    prior = rtot.select("rid", F.sum("rtot").over(w_prior).alias("prior"))
+    n_tot = ranged.agg(F.sum("cnt").cast("bigint").alias("n"))
+    cum = (
+        local.join(F.broadcast(prior), "rid")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "score",
+            (F.col("lcum") + F.coalesce(F.col("prior"), F.lit(0))).alias("c"),
+            "n",
+        )
+    )
+    thr = cum.agg(
+        F.min(
+            F.when(F.col("c") >= F.floor((F.col("n") + 2) / 3), F.col("score"))
+        )
+        .cast("bigint")
+        .alias("t1"),
+        F.min(
+            F.when(
+                F.col("c") >= F.floor((2 * F.col("n") + 2) / 3), F.col("score")
+            )
+        )
+        .cast("bigint")
+        .alias("t2"),
+    )
+    p = d.crossJoin(F.broadcast(thr)).select(
+        F.when(F.col("score") <= F.col("t1"), "phase1")
+        .when(F.col("score") <= F.col("t2"), "phase2")
+        .otherwise("phase3")
+        .alias("phase"),
+        "score",
+    )
+    return p.groupBy("phase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("score").cast("bigint").alias("total_tokens"),
+        F.min("score").cast("bigint").alias("min_score"),
+        F.max("score").cast("bigint").alias("max_score"),
     )

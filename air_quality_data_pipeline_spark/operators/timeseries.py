@@ -3699,3 +3699,59 @@ def ts_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(y32, 9).alias("log_rs_32"),
         F.round((y32 - y8) / (2.0 * ln2), 9).alias("hurst"),
     )
+
+
+# --- ts_pacf: partial autocorrelation via Durbin-Levinson ------------------------
+
+# ACF says "lag-3 correlates"; PACF says whether that is NEW information
+# or just lag-1 echoing through — the statistic that picks AR model
+# order. ACF at lags 1-3 reuses ts_autocorr's exact fixed-point recipe
+# (one window exchange produces all lag columns, Pearson from BIGINT/
+# DECIMAL sums); the Durbin-Levinson recursion to PACF is row-local
+# algebra on the k-row (type, r1, r2, r3) table, closed-form at order 3.
+_PACF_ORACLE = f"""
+WITH q AS (
+  SELECT event_type,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS q,
+         LAG(CAST(floor(value * 1000000.0) AS BIGINT), 1) OVER w AS l1,
+         LAG(CAST(floor(value * 1000000.0) AS BIGINT), 2) OVER w AS l2,
+         LAG(CAST(floor(value * 1000000.0) AS BIGINT), 3) OVER w AS l3
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+),
+s AS (
+  SELECT event_type, {_ac_sums(1)}, {_ac_sums(2)}, {_ac_sums(3)}
+  FROM q GROUP BY event_type
+),
+acf AS (
+  SELECT event_type,
+         {_ac_expr(1)} AS r1, {_ac_expr(2)} AS r2, {_ac_expr(3)} AS r3
+  FROM s
+)
+SELECT event_type,
+       ROUND(r1, 9) AS pacf1,
+       ROUND((r2 - r1 * r1) / (1.0 - r1 * r1), 9) AS pacf2,
+       ROUND((r3 - (r1 * (1.0 - (r2 - r1 * r1) / (1.0 - r1 * r1))) * r2
+                 - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r1)
+             / (1.0 - (r1 * (1.0 - (r2 - r1 * r1) / (1.0 - r1 * r1))) * r1
+                    - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r2), 9) AS pacf3
+FROM acf
+"""
+
+
+@register("ts_pacf", oracle=_PACF_ORACLE, tags=("timeseries", "stats"))
+def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation (lags 1-3) per event type via the
+    Durbin-Levinson recursion — the AR-order diagnostic that separates
+    genuine lag-k structure from lag-1 echo (complementing ts_autocorr's
+    plain ACF).
+
+    Scale shape: ONE series-keyed window exchange produces all three lag
+    columns; Pearson numerators/denominators are exact BIGINT/DECIMAL
+    fixed-point sums (the ts_autocorr recipe) collapsing map-side to the
+    |types| cell grain; the closed-form order-3 recursion is row-local
+    double algebra on identical exact-ratio operands (ROUND(9))."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("pacf_events")
+    return spark.sql(_PACF_ORACLE.replace("FROM events", "FROM pacf_events"))

@@ -291,6 +291,9 @@ DEFERRED_FIRST_ROW: set[str] = {
     "dq_heaping",
     "dq_null_correlation",
     "mm_modality_balance",
+    "ts_pacf",
+    "llm_fleiss_kappa",
+    "llm_curriculum_phase",
 }
 
 # Names owed a round-10 window slot that are NOT first rows: changed-code

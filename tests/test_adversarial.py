@@ -141,6 +141,18 @@ ADV_PANEL = [
     "llm_minhash_est_err",    # shingle-less hostile docs excluded identically
     # round-8 batch-7 document-path operators:
     "llm_source_overlap",     # NULL/1-token docs add no bigrams identically
+    # round-9 document-path operators:
+    "llm_code_detect",        # markup/unicode rows carry real symbol density;
+                              # the 0.02 gate must flip identically
+    "llm_script_mix",         # hostile unicode/emoji rows exercise every
+                              # char class for real (not just the planting)
+    "llm_boilerplate_lines",  # NULL/short docs chunk to nothing identically
+    "dq_dup_burden",          # hostile EXACT-duplicate rows join the planted
+                              # replay through the digest cells
+    "agg_chao1",              # NULL text adds no words; unicode words count
+                              # once per source identically
+    "llm_fleiss_kappa",       # NULL text drops from all three gates at once
+    "llm_curriculum_phase",   # single-token/NULL docs mass at the low tertile
 ]
 
 
@@ -326,6 +338,8 @@ ADV_EVENTS_PANEL = [
     "ts_hurst",               # zero-range chunks dropped identically (HAVING)
     "win_reset_cumsum",       # collided timestamps tie-break on (ts, event_id)
     "f_hash_rng",             # pure hash arithmetic, unaffected by collisions
+    "ts_pacf",                # collided/flat series: zero-variance lags pin
+                              # NULL pacf identically through the nullif guard
 ]
 
 

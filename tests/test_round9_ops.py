@@ -362,3 +362,45 @@ def test_null_correlation_detects_planting(spark, sf_dir):
     }
     assert rows["q4"].null_rate > rows["q1"].null_rate
     assert rows["q4"].mnar_flag
+
+
+# --- round-9 final batch (ts_pacf, llm_fleiss_kappa, llm_curriculum_phase) -----
+
+
+def test_curriculum_thresholds_are_range_distributed(spark, sf_dir):
+    """The tertile scan must be the two-level prefix, not a
+    single-partition window over the score grain."""
+    plan = _executed_plan(spark, "llm_curriculum_phase", sf_dir)
+    assert "rangepartitioning" in plan.lower(), plan[:1500]
+
+
+def test_curriculum_phases_cover_corpus(spark, sf_dir):
+    rows = SPECS["llm_curriculum_phase"].builder(spark, sf_dir).collect()
+    import pyspark.sql.functions as F  # noqa: F401
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    by = {r.phase: r for r in rows}
+    # ordered, non-overlapping score ranges
+    phases = sorted(by)
+    for a, b in zip(phases, phases[1:]):
+        assert by[a].max_score < by[b].min_score
+
+
+def test_fleiss_kappa_bounded(spark, sf_dir):
+    rows = SPECS["llm_fleiss_kappa"].builder(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert -1.0 <= r.fleiss_kappa <= 1.0
+    assert 0.0 <= r.p_observed <= 1.0
+    assert 0.5 <= r.p_expected <= 1.0  # binary two-category floor is 1/2
+
+
+def test_pacf_lag1_equals_acf1(spark, sf_dir):
+    """By construction pacf(1) == acf(1); and all pacf values bounded."""
+    rows = SPECS["ts_pacf"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        for v in (r.pacf1, r.pacf2, r.pacf3):
+            if v is not None:
+                assert -1.0001 <= v <= 1.0001
