@@ -2929,15 +2929,17 @@ tot AS (
   FROM z
 ),
 parts AS (
-  SELECT CAST(SUM(CAST(z.n AS DOUBLE)
+  SELECT SUM(CAST(floor(CAST(z.n AS DOUBLE) / CAST(t.nn AS DOUBLE)
                   * (CAST(z.sz AS DOUBLE) / CAST(z.n AS DOUBLE)
                      - CAST(t.sz_all AS DOUBLE) / CAST(t.nn AS DOUBLE))
                   * (CAST(z.sz AS DOUBLE) / CAST(z.n AS DOUBLE)
                      - CAST(t.sz_all AS DOUBLE) / CAST(t.nn AS DOUBLE))
-                  * 1000.0) AS DOUBLE) AS between_milli,
-         CAST(SUM(CAST(z.szz AS DOUBLE)
+                  * 1000000.0 + 0.5) AS BIGINT)) AS between_nq,
+         SUM(CAST(floor((CAST(z.szz AS DOUBLE)
                   - CAST(z.sz AS DOUBLE) * CAST(z.sz AS DOUBLE)
-                    / CAST(z.n AS DOUBLE)) AS DOUBLE) AS within,
+                    / CAST(z.n AS DOUBLE)) / CAST(t.nn AS DOUBLE)
+                  * 1000000.0 + 0.5)
+             AS BIGINT)) AS within_nq,
          MAX(t.nn) AS nn, MAX(t.k) AS k
   FROM z CROSS JOIN tot t
 )
@@ -2945,8 +2947,10 @@ SELECT z.event_type, z.n,
        ROUND(CAST(z.sz AS DOUBLE) / CAST(z.n AS DOUBLE) / 200.0, 9)
          AS mean_abs_dev,
        ROUND((CAST(p.nn AS DOUBLE) - CAST(p.k AS DOUBLE))
-             / (CAST(p.k AS DOUBLE) - 1.0)
-             * (p.between_milli / 1000.0) / p.within, 9) AS levene_w
+             / nullif(CAST(p.k AS DOUBLE) - 1.0, 0.0)
+             * CAST(p.between_nq AS DOUBLE)
+             / nullif(CAST(p.within_nq AS DOUBLE), 0.0), 9)
+         AS levene_w
 FROM z CROSS JOIN parts p
 """
 
@@ -3025,18 +3029,40 @@ def agg_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = F.col("sz").cast("double") / F.col("n").cast("double") - F.col(
         "sz_all"
     ).cast("double") / F.col("nn").cast("double")
+    # Each between/within term is nn-NORMALIZED, then micro-quantized
+    # (floor(x*1e6+0.5)) to an exact BIGINT BEFORE the sum, so the k-row
+    # fold is combine-order-independent across engines and partitionings
+    # (the agg_bayes_shrink pattern, ADVICE r9). The nn division makes
+    # the quantized magnitude SCALE-INVARIANT (~dev^2*1e6 <= ~1e15 at any
+    # SF — raw terms grow linearly with rows and overflowed FLOOR's
+    # BIGINT output at sf1); nn cancels exactly in the between/within
+    # ratio, so W is unchanged.
     parts = (
         z.crossJoin(F.broadcast(tot))
         .agg(
-            F.sum(F.col("n").cast("double") * dev * dev * F.lit(1000.0)).alias(
-                "between_milli"
-            ),
             F.sum(
-                F.col("szz").cast("double")
-                - F.col("sz").cast("double")
-                * F.col("sz").cast("double")
-                / F.col("n").cast("double")
-            ).alias("within"),
+                F.floor(
+                    F.col("n").cast("double")
+                    / F.col("nn").cast("double")
+                    * dev
+                    * dev
+                    * F.lit(1000000.0)
+                    + 0.5
+                ).cast("bigint")
+            ).alias("between_nq"),
+            F.sum(
+                F.floor(
+                    (
+                        F.col("szz").cast("double")
+                        - F.col("sz").cast("double")
+                        * F.col("sz").cast("double")
+                        / F.col("n").cast("double")
+                    )
+                    / F.col("nn").cast("double")
+                    * 1000000.0
+                    + 0.5
+                ).cast("bigint")
+            ).alias("within_nq"),
             F.max("nn").alias("nn"),
             F.max("k").alias("k"),
         )
@@ -3047,11 +3073,13 @@ def agg_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("sz").cast("double") / F.col("n").cast("double") / F.lit(200.0), 9
         ).alias("mean_abs_dev"),
+        # nullif-guard k=1 (single group) and zero within (all groups
+        # deviation-free): NULL in both engines, never DIVIDE_BY_ZERO.
         F.round(
             (F.col("nn").cast("double") - F.col("k").cast("double"))
-            / (F.col("k").cast("double") - F.lit(1.0))
-            * (F.col("between_milli") / F.lit(1000.0))
-            / F.col("within"),
+            / F.nullif(F.col("k").cast("double") - F.lit(1.0), F.lit(0.0))
+            * F.col("between_nq").cast("double")
+            / F.nullif(F.col("within_nq").cast("double"), F.lit(0.0)),
             9,
         ).alias("levene_w"),
     )
@@ -3081,7 +3109,8 @@ g AS (
 ),
 d AS (
   SELECT r.l_returnflag, g.s, g.t, g.n,
-         CAST(floor((CAST(g.s - r.rev_c AS DOUBLE) / CAST(g.t - r.qty AS DOUBLE)
+         CAST(floor((CAST(g.s - r.rev_c AS DOUBLE)
+                       / CAST(nullif(g.t - r.qty, 0) AS DOUBLE)
                      - CAST(g.s AS DOUBLE) / CAST(g.t AS DOUBLE)) * 1000000.0
                     + 0.5) AS BIGINT) AS dq
   FROM rows_q r JOIN g ON g.l_returnflag = r.l_returnflag
@@ -3134,10 +3163,17 @@ def agg_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s",
         "t",
         "n",
+        # nullif-guard the leave-one-out denominator: a row whose quantity
+        # equals its group total (1-row or negative-qty group) makes t-qty
+        # zero — ANSI Spark would throw DIVIDE_BY_ZERO where the oracle's
+        # nullif yields NULL; NULL dq rows drop from both engines' sums
+        # identically (ADVICE r9 zero-denominator class).
         F.floor(
             (
                 (F.col("s") - F.col("rev_c")).cast("double")
-                / (F.col("t") - F.col("qty")).cast("double")
+                / F.nullif(
+                    (F.col("t") - F.col("qty")).cast("double"), F.lit(0.0)
+                )
                 - F.col("s").cast("double") / F.col("t").cast("double")
             )
             * 1000000.0
@@ -3793,5 +3829,239 @@ def agg_tail_contrib(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("tail_all").cast("double"),
                 9,
             ).alias("share_of_tail"),
+        )
+    )
+
+
+# --- agg_hodges_lehmann: robust pairwise-median location estimator -------------
+
+# The Hodges-Lehmann estimator (median of all Walsh averages
+# (x_i + x_j)/2, i <= j) is the location estimate behind the Wilcoxon
+# signed-rank test: 29% breakdown like the median, but ~95% Gaussian
+# efficiency vs the median's 64%. Naive form is O(n^2) pairs; over an
+# integral bounded domain (l_quantity in 1..50) it collapses to the
+# DOMAIN-cell grain: one count per (flag, qty) cell, D(D+1)/2 <= 1275
+# weighted pair cells per group — constant in corpus size. Pair sums
+# are exact integers (qty_a + qty_b), pair weights are exact products
+# of cell counts (within-cell pairs: c*(c+1)/2, including i=j Walsh
+# pairs), and the weighted median is recovered from a cumulative window
+# over pair cells in HALF-UNITS (lo+hi order stats — no interpolated
+# double), the agg_levene median recipe.
+_HODGES_LEHMANN_ORACLE = """
+WITH cells AS (
+  SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS q,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.l_returnflag, a.q + b.q AS s2,
+         CASE WHEN a.q = b.q THEN a.c * (a.c + 1) // 2
+              ELSE a.c * b.c END AS w
+  FROM cells a JOIN cells b
+    ON b.l_returnflag = a.l_returnflag AND b.q >= a.q
+),
+grp AS (
+  SELECT l_returnflag, s2, CAST(SUM(w) AS BIGINT) AS w
+  FROM pairs GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, s2, w,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY s2) AS cw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS m
+  FROM grp
+)
+SELECT l_returnflag, CAST(MAX(m) AS BIGINT) AS n_pairs,
+       ROUND(CAST(MIN(CASE WHEN cw >= (m + 1) // 2 THEN s2 END)
+                  + MIN(CASE WHEN cw >= m // 2 + 1 THEN s2 END)
+              AS DOUBLE) / 4.0, 9) AS hodges_lehmann
+FROM cum GROUP BY l_returnflag
+"""
+
+
+@register("agg_hodges_lehmann", oracle=_HODGES_LEHMANN_ORACLE, tags=("agg", "stats"))
+def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann pseudomedian of l_quantity per return flag: the
+    median of all Walsh averages (x_i + x_j)/2 over i <= j — the robust
+    location estimator dual to the Wilcoxon signed-rank test (the
+    reference has no robust statistics at all; north-star family).
+
+    Scale shape: the corpus collapses ONCE (map-side combined) to the
+    (flag, qty) cell grain — l_quantity is integral in a bounded domain,
+    so <= 50 cells per flag and <= 1275 weighted pair cells after the
+    cell self-join, CONSTANT in corpus size. Pair sums and weights are
+    exact integers; the weighted median rides a cumulative window over
+    the bounded pair table in half-unit integers (lo+hi order stats, no
+    interpolated double until the final /4.0 under ROUND(9))."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        "l_returnflag",
+        F.floor("l_quantity").cast("bigint").alias("q"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cells = scoped_persist(cells)
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.l_returnflag") == F.col("a.l_returnflag"))
+        & (F.col("b.q") >= F.col("a.q")),
+    ).select(
+        F.col("a.l_returnflag").alias("l_returnflag"),
+        (F.col("a.q") + F.col("b.q")).alias("s2"),
+        F.when(
+            F.col("a.q") == F.col("b.q"),
+            F.expr("a.c * (a.c + 1) div 2"),
+        )
+        .otherwise(F.col("a.c") * F.col("b.c"))
+        .alias("w"),
+    )
+    grp = pairs.groupBy("l_returnflag", "s2").agg(
+        F.sum("w").cast("bigint").alias("w")
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("s2")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = grp.select(
+        "l_returnflag",
+        "s2",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_all).alias("m"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.max("m").cast("bigint").alias("n_pairs"),
+        F.round(
+            (
+                F.min(
+                    F.when(
+                        F.col("cw") >= F.floor((F.col("m") + 1) / 2), F.col("s2")
+                    )
+                )
+                + F.min(
+                    F.when(
+                        F.col("cw") >= F.floor(F.col("m") / 2) + 1, F.col("s2")
+                    )
+                )
+            ).cast("double")
+            / F.lit(4.0),
+            9,
+        ).alias("hodges_lehmann"),
+    )
+
+
+# --- agg_basket_pairs: market-basket association rules --------------------------
+
+# Co-occurrence mining over order baskets — the association-rule core
+# (support / confidence / lift) that powers recommender candidates and
+# is the relational twin of llm_pmi_collocations (token windows ->
+# order baskets). Baskets are DISTINCT (order, brand) memberships, so a
+# 7-line order with 3 brands contributes 3 membership rows and C(3,2)
+# ordered pairs; the brand vocabulary is bounded (25), so the pair
+# table is <= 300 rows regardless of corpus size. Confidence and lift
+# divide exact BIGINT counts (ROUND(9)).
+_BASKET_PAIRS_ORACLE = """
+WITH baskets AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM baskets),
+item AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS supp FROM baskets GROUP BY 1
+),
+pair AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+         CAST(COUNT(*) AS BIGINT) AS pair_supp
+  FROM baskets a JOIN baskets b
+    ON b.l_orderkey = a.l_orderkey AND b.p_brand > a.p_brand
+  GROUP BY 1, 2
+)
+SELECT p.brand_a, p.brand_b, p.pair_supp,
+       ia.supp AS supp_a, ib.supp AS supp_b,
+       ROUND(CAST(p.pair_supp AS DOUBLE) / CAST(ia.supp AS DOUBLE), 9)
+         AS confidence,
+       ROUND(CAST(p.pair_supp AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+             / (CAST(ia.supp AS DOUBLE) * CAST(ib.supp AS DOUBLE)), 9)
+         AS lift
+FROM pair p
+JOIN item ia ON ia.p_brand = p.brand_a
+JOIN item ib ON ib.p_brand = p.brand_b
+CROSS JOIN n
+"""
+
+
+@register("agg_basket_pairs", oracle=_BASKET_PAIRS_ORACLE, tags=("agg", "mining"))
+def agg_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: for every brand pair
+    co-purchased in an order, support, per-antecedent confidence, and
+    lift — the market-basket mining primitive (the reference computes
+    no co-occurrence analytics; llm_pmi_collocations is this operator's
+    token-domain sibling).
+
+    Scale shape: the brand dim broadcasts into the membership build;
+    each order collapses to ONE sorted distinct-brand array in a single
+    map-side-combined order-keyed exchange — the ONLY corpus-sized
+    shuffle in the plan (a membership self-join would re-exchange both
+    aliased sides; the array form generates the same C(k,2) pairs
+    MAP-LOCALLY). Arrays are bounded by the 25-brand domain; pair/item
+    supports collapse to the <= |brands|^2 = 625-cell grain and the
+    25-row item-support table broadcasts back onto pairs.
+    Confidence/lift divide exact BIGINTs."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+    )
+    baskets = scoped_persist(baskets)
+    n = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    item = (
+        baskets.select(F.explode("brands").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("supp"))
+    )
+    pair = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(brands, (x, i) ->"
+                    " transform(slice(brands, i + 2, size(brands)),"
+                    " y -> struct(x AS brand_a, y AS brand_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.brand_a", "p.brand_b")
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_supp"))
+    )
+    ia = item.select(
+        F.col("p_brand").alias("brand_a"), F.col("supp").alias("supp_a")
+    )
+    ib = item.select(
+        F.col("p_brand").alias("brand_b"), F.col("supp").alias("supp_b")
+    )
+    return (
+        pair.join(F.broadcast(ia), "brand_a")
+        .join(F.broadcast(ib), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_supp",
+            "supp_a",
+            "supp_b",
+            F.round(
+                F.col("pair_supp").cast("double") / F.col("supp_a").cast("double"),
+                9,
+            ).alias("confidence"),
+            F.round(
+                F.col("pair_supp").cast("double")
+                * F.col("n_orders").cast("double")
+                / (F.col("supp_a").cast("double") * F.col("supp_b").cast("double")),
+                9,
+            ).alias("lift"),
         )
     )

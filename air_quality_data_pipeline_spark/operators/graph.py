@@ -2370,3 +2370,117 @@ def graph_eigencentrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centrality"
         ),
     )
+
+
+# --- graph_katz: truncated Katz centrality ---------------------------------------
+
+# Katz centrality counts ALL walks into a node, geometrically damped by
+# length — the centrality that, unlike degree, credits a node for being
+# reachable from many places, and, unlike eigenvector centrality
+# (graph_eigencentrality's power iteration), has a closed TRUNCATED form:
+# with alpha = 1/10, katz_i = sum_k alpha^k * walks_k(i) over k = 1..3.
+# Walk counts are exact BIGINT path aggregates (two edge joins), and the
+# alpha-weighting collapses to pure integer arithmetic in 1/1000 units:
+# katz_milli = 100*w1 + 10*w2 + w3 — no float until the final /1000.
+_KATZ_ORACLE = """
+WITH pair_counts AS MATERIALIZED (
+  SELECT l1.l_suppkey AS src, l2.l_suppkey AS dst, COUNT(*) AS w
+  FROM lineitem l1
+  JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+  GROUP BY l1.l_suppkey, l2.l_suppkey
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM pair_counts
+  WHERE w > (SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*) FROM pair_counts)
+),
+w1 AS MATERIALIZED (
+  SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS walks1
+  FROM edges GROUP BY dst
+),
+w2 AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(SUM(w1.walks1) AS BIGINT) AS walks2
+  FROM edges e JOIN w1 ON w1.node = e.src
+  GROUP BY e.dst
+),
+w3 AS (
+  SELECT e.dst AS node, CAST(SUM(w2.walks2) AS BIGINT) AS walks3
+  FROM edges e JOIN w2 ON w2.node = e.src
+  GROUP BY e.dst
+)
+SELECT w1.node, w1.walks1,
+       COALESCE(w2.walks2, 0) AS walks2,
+       COALESCE(w3.walks3, 0) AS walks3,
+       ROUND(CAST(100 * w1.walks1 + 10 * COALESCE(w2.walks2, 0)
+                  + COALESCE(w3.walks3, 0) AS DOUBLE) / 1000.0, 9) AS katz
+FROM w1
+LEFT JOIN w2 ON w2.node = w1.node
+LEFT JOIN w3 ON w3.node = w1.node
+"""
+
+
+@register("graph_katz", oracle=_KATZ_ORACLE, tags=("graph",))
+def graph_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated Katz centrality (alpha = 0.1, walks of length 1..3) on
+    the mean-thresholded supplier co-purchase graph — the walk-counting
+    centrality with a CLOSED form at fixed truncation, complementing
+    graph_eigencentrality's iterative power method. In-walk counts are
+    exact BIGINT aggregates; the alpha mix is integer arithmetic in
+    1/1000 units (katz_milli = 100*w1 + 10*w2 + w3), float only at the
+    final /1000 (ROUND(9) is belt-and-braces: the operands are exact).
+
+    Scale shape: the edge build is the memoized co-purchase set
+    (_copurchase_edges, shared with pagerank/eigencentrality — one
+    lineitem self-join per session); walk aggregation is two node-keyed
+    hash joins on the edge table, each collapsing map-side to the
+    |nodes| grain. In-walks (dst-side) make the node table the build
+    side; no walk enumeration ever materializes — counts compose by
+    A^T-multiplication. Every node with in-degree appears via the w1
+    LEFT spine (disconnected dst-less nodes carry no Katz mass by
+    definition)."""
+    apply_engine_conf(spark)
+    edges = _copurchase_edges(spark, sf_dir)
+    w1 = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("walks1")
+    )
+    w1 = scoped_persist(w1)
+    w2 = (
+        edges.join(
+            w1.select(F.col("node").alias("src"), "walks1"), "src"
+        )
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("walks1").cast("bigint").alias("walks2"))
+    )
+    w2 = scoped_persist(w2)
+    w3 = (
+        edges.join(
+            w2.select(F.col("node").alias("src"), "walks2"), "src"
+        )
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("walks2").cast("bigint").alias("walks3"))
+    )
+    out = (
+        w1.join(w2, "node", "left")
+        .join(w3, "node", "left")
+        .select(
+            "node",
+            "walks1",
+            F.coalesce("walks2", F.lit(0)).cast("bigint").alias("walks2"),
+            F.coalesce("walks3", F.lit(0)).cast("bigint").alias("walks3"),
+        )
+    )
+    return out.select(
+        "node",
+        "walks1",
+        "walks2",
+        "walks3",
+        F.round(
+            (
+                F.lit(100) * F.col("walks1")
+                + F.lit(10) * F.col("walks2")
+                + F.col("walks3")
+            ).cast("double")
+            / F.lit(1000.0),
+            9,
+        ).alias("katz"),
+    )

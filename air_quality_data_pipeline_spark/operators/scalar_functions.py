@@ -1001,7 +1001,10 @@ def f_hash_rng(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u, 9).alias("u"),
         F.round(-F.log(u), 9).alias("exp1"),
         (F.col("hv") < _RNG_TENTH).alias("keep_10pct"),
-        F.floor(F.col("hv") / F.lit(_RNG_TENTH + 1)).cast("bigint").alias(
-            "decile"
-        ),
+        # exact integer division (`div`), NOT floor(double-div): hv is a
+        # 56-bit integer a double can't represent exactly, and values just
+        # below k*(TENTH+1) round up under double division, flipping the
+        # bucket vs the oracle's exact `//` (ADVICE r9). Both engines
+        # truncate non-negative integer division identically.
+        F.expr(f"hv div {_RNG_TENTH + 1}").cast("bigint").alias("decile"),
     )

@@ -5315,12 +5315,14 @@ SELECT n, keep_votes,
                  + (1.0 - CAST(keep_votes AS DOUBLE) / (3.0 * CAST(n AS DOUBLE)))
                    * (1.0 - CAST(keep_votes AS DOUBLE)
                       / (3.0 * CAST(n AS DOUBLE)))))
-             / (1.0 - ((CAST(keep_votes AS DOUBLE) / (3.0 * CAST(n AS DOUBLE)))
+             / nullif(
+                 1.0 - ((CAST(keep_votes AS DOUBLE) / (3.0 * CAST(n AS DOUBLE)))
                        * (CAST(keep_votes AS DOUBLE) / (3.0 * CAST(n AS DOUBLE)))
                        + (1.0 - CAST(keep_votes AS DOUBLE)
                           / (3.0 * CAST(n AS DOUBLE)))
                          * (1.0 - CAST(keep_votes AS DOUBLE)
-                            / (3.0 * CAST(n AS DOUBLE))))), 9) AS fleiss_kappa
+                            / (3.0 * CAST(n AS DOUBLE)))), 0.0), 9)
+           AS fleiss_kappa
 FROM c
 """
 
@@ -5369,7 +5371,12 @@ def llm_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep_votes",
         F.round(p_obs, 9).alias("p_observed"),
         F.round(p_exp, 9).alias("p_expected"),
-        F.round((p_obs - p_exp) / (1.0 - p_exp), 9).alias("fleiss_kappa"),
+        # nullif: unanimous raters on every doc drive p_exp to 1.0 —
+        # kappa goes NULL in both engines rather than ANSI
+        # DIVIDE_BY_ZERO on the Spark side (ADVICE r9).
+        F.round(
+            (p_obs - p_exp) / F.nullif(F.lit(1.0) - p_exp, F.lit(0.0)), 9
+        ).alias("fleiss_kappa"),
     )
 
 
@@ -5489,4 +5496,232 @@ def llm_curriculum_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("score").cast("bigint").alias("total_tokens"),
         F.min("score").cast("bigint").alias("min_score"),
         F.max("score").cast("bigint").alias("max_score"),
+    )
+
+
+# --- llm_dp_count: differentially-private release counts --------------------------
+
+# Publishing a dataset card with per-source document counts can leak
+# membership; the epsilon-DP answer adds Laplace(sensitivity/epsilon)
+# noise. At 100 TB the noise draw must be REPRODUCIBLE across retries
+# and engines, so it derives from the f_hash_rng primitive: a 56-bit
+# md5 slice of the source key -> uniform u in (0,1] -> inverse-CDF
+# Laplace (ln(2u) below the median, -ln(2(1-u)) above). One libm call
+# per SOURCE (bounded), under ROUND(9); the greatest() floor guards the
+# measure-zero u=1 edge identically in both engines.
+_DP_EPS = "1.0"
+_DP_SCALE = 72057594037927936  # 2^56, the f_hash_rng uniform scale
+
+_DP_COUNT_ORACLE = f"""
+WITH g AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+h AS (
+  SELECT source, n_docs,
+         (CAST(('0x' || substring(md5('dp|' || source), 1, 14)) AS BIGINT)
+          + 1.0) / {_DP_SCALE}.0 AS u
+  FROM g
+),
+nz AS (
+  SELECT source, n_docs, u,
+         CASE WHEN u < 0.5
+              THEN ln(greatest(2.0 * u, power(2.0, -56.0))) / {_DP_EPS}
+              ELSE -ln(greatest(2.0 * (1.0 - u), power(2.0, -56.0)))
+                   / {_DP_EPS} END AS noise
+  FROM h
+)
+SELECT source, n_docs, ROUND(noise, 9) AS noise,
+       ROUND(CAST(n_docs AS DOUBLE) + noise, 9) AS dp_count,
+       {_DP_EPS} AS epsilon
+FROM nz
+"""
+
+
+@register("llm_dp_count", oracle=_DP_COUNT_ORACLE, tags=("llm", "privacy"))
+def llm_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epsilon-differentially-private per-source document counts
+    (Laplace mechanism, sensitivity 1, epsilon 1.0) with the noise draw
+    derived DETERMINISTICALLY from a content hash of the source key —
+    reproducible across engines, retries, and partitionings, unlike
+    rand()-based noise. A production release drops the raw n_docs
+    column; it stays here so the driver can verify the mechanism.
+
+    Scale shape: ONE map-side-combined count collapse to the |sources|
+    grain; hashing, the inverse-CDF Laplace transform, and the noisy
+    sum are row-local on that bounded table (one md5 + one ln per
+    source, ROUND(9) for the libm ulp; greatest() floors the u=1
+    edge)."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    u = (
+        F.expr(
+            "cast(conv(substring(md5(concat('dp|', source)), 1, 14), 16, 10)"
+            " as bigint)"
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(_DP_SCALE))
+    eps = float(_DP_EPS)
+    floor_arg = F.lit(float(2.0**-56))
+    noise = F.when(
+        u < 0.5, F.log(F.greatest(F.lit(2.0) * u, floor_arg)) / F.lit(eps)
+    ).otherwise(
+        -F.log(F.greatest(F.lit(2.0) * (F.lit(1.0) - u), floor_arg)) / F.lit(eps)
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        F.round(noise, 9).alias("noise"),
+        F.round(F.col("n_docs").cast("double") + noise, 9).alias("dp_count"),
+        F.lit(eps).alias("epsilon"),
+    )
+
+
+# --- llm_epoch_plan: capped-epoch token-budget allocation --------------------------
+
+# Planning a pretraining mix is a waterfilling problem: give each source
+# training tokens proportional to its quality-weighted size, but never
+# more than MAX_EPOCHS passes over its data (repetition hurts past a few
+# epochs). The weight avail * (distinct-tokens / tokens) collapses to the
+# SUM OF PER-DOC DISTINCT-TOKEN COUNTS — an exact BIGINT — so the
+# proportional shares divide exact integers; the single cap-and-
+#-redistribute pass quantizes its overflow micro-exactly before the
+# bounded re-sum (order-free), and a terminal min() re-caps any source
+# the redistribution itself pushed over.
+_EPOCH_TARGET_X = "2.0"  # train 2x the corpus token count
+_EPOCH_CAP = "3.0"  # no source repeats more than 3 epochs
+
+_EPOCH_PLAN_ORACLE = f"""
+WITH d AS (
+  SELECT source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS avail,
+         CAST(SUM(n_uniq) AS BIGINT) AS w
+  FROM d GROUP BY source
+),
+t AS (
+  SELECT CAST(SUM(avail) AS BIGINT) AS avail_all,
+         CAST(SUM(w) AS BIGINT) AS w_all
+  FROM g
+),
+p1 AS (
+  SELECT g.source, g.avail, g.w, t.avail_all, t.w_all,
+         {_EPOCH_TARGET_X} * CAST(t.avail_all AS DOUBLE)
+           * CAST(g.w AS DOUBLE) / CAST(t.w_all AS DOUBLE) AS ideal,
+         {_EPOCH_CAP} * CAST(g.avail AS DOUBLE) AS cap_tokens
+  FROM g CROSS JOIN t
+),
+ex AS (
+  SELECT CAST(SUM(CAST(floor(greatest(ideal - cap_tokens, 0.0) * 1000000.0
+                             + 0.5) AS BIGINT)) AS BIGINT) AS excess_micro,
+         CAST(SUM(CASE WHEN ideal < cap_tokens THEN w ELSE 0 END) AS BIGINT)
+           AS w_open
+  FROM p1
+),
+p2 AS (
+  SELECT p1.source, p1.avail, p1.w, p1.ideal, p1.cap_tokens,
+         CASE WHEN p1.ideal >= p1.cap_tokens THEN p1.cap_tokens
+              ELSE least(p1.cap_tokens,
+                         p1.ideal
+                         + (CAST(e.excess_micro AS DOUBLE) / 1000000.0)
+                           * CAST(p1.w AS DOUBLE)
+                           / nullif(CAST(e.w_open AS DOUBLE), 0.0)) END
+           AS alloc
+  FROM p1 CROSS JOIN ex e
+)
+SELECT source, avail AS avail_tokens, w AS weight,
+       ROUND(ideal, 9) AS ideal_tokens,
+       ROUND(alloc, 9) AS alloc_tokens,
+       ROUND(alloc / CAST(avail AS DOUBLE), 9) AS epochs,
+       ideal >= cap_tokens AS capped
+FROM p2
+"""
+
+
+@register("llm_epoch_plan", oracle=_EPOCH_PLAN_ORACLE, tags=("llm", "text"))
+def llm_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining token-budget plan: allocate a 2x-corpus training
+    budget across sources proportional to quality-weighted size (weight
+    = sum of per-doc distinct-token counts), cap every source at 3
+    epochs, and redistribute the capped overflow to open sources in one
+    deterministic pass — the data-mixing step between llm_domain_mix's
+    measurement and llm_seq_pack's consumption.
+
+    Scale shape: per-doc token stats are row-local; ONE map-side-
+    combined collapse to the |sources| grain; totals broadcast back;
+    the cap/redistribute algebra is row-local on the bounded source
+    table, with the overflow micro-quantized to an exact integer before
+    its order-free fold. Exact-integer weights (avail * uniq/tok =
+    sum-of-uniq) keep every proportional share a two-exact-operand
+    division."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split("text", " ")
+    g = docs.groupBy("source").agg(
+        F.sum(F.size(toks)).cast("bigint").alias("avail"),
+        F.sum(F.size(F.array_distinct(toks))).cast("bigint").alias("w"),
+    )
+    g = scoped_persist(g)
+    t = g.agg(
+        F.sum("avail").cast("bigint").alias("avail_all"),
+        F.sum("w").cast("bigint").alias("w_all"),
+    )
+    target_x, cap = float(_EPOCH_TARGET_X), float(_EPOCH_CAP)
+    p1 = g.crossJoin(F.broadcast(t)).select(
+        "source",
+        "avail",
+        "w",
+        (
+            F.lit(target_x)
+            * F.col("avail_all").cast("double")
+            * F.col("w").cast("double")
+            / F.col("w_all").cast("double")
+        ).alias("ideal"),
+        (F.lit(cap) * F.col("avail").cast("double")).alias("cap_tokens"),
+    )
+    p1 = scoped_persist(p1)
+    ex = p1.agg(
+        F.sum(
+            F.floor(
+                F.greatest(F.col("ideal") - F.col("cap_tokens"), F.lit(0.0))
+                * 1000000.0
+                + 0.5
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("excess_micro"),
+        F.sum(
+            F.when(F.col("ideal") < F.col("cap_tokens"), F.col("w")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("w_open"),
+    )
+    alloc = F.when(
+        F.col("ideal") >= F.col("cap_tokens"), F.col("cap_tokens")
+    ).otherwise(
+        F.least(
+            F.col("cap_tokens"),
+            F.col("ideal")
+            + (F.col("excess_micro").cast("double") / F.lit(1000000.0))
+            * F.col("w").cast("double")
+            / F.nullif(F.col("w_open").cast("double"), F.lit(0.0)),
+        )
+    )
+    return p1.crossJoin(F.broadcast(ex)).select(
+        "source",
+        F.col("avail").alias("avail_tokens"),
+        F.col("w").alias("weight"),
+        F.round(F.col("ideal"), 9).alias("ideal_tokens"),
+        F.round(alloc, 9).alias("alloc_tokens"),
+        F.round(alloc / F.col("avail").cast("double"), 9).alias("epochs"),
+        (F.col("ideal") >= F.col("cap_tokens")).alias("capped"),
     )

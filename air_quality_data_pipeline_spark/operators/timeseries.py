@@ -3223,9 +3223,11 @@ z AS (
   SELECT p.event_type, p.frame, p.n_days,
          ROUND((CAST(p.s AS DOUBLE) / CAST(p.n_days AS DOUBLE)
                 - CAST(m.s_all AS DOUBLE) / CAST(m.n_all AS DOUBLE))
-               / sqrt(m.ssq / CAST(m.n_all AS DOUBLE)
+               / nullif(
+                   sqrt(m.ssq / CAST(m.n_all AS DOUBLE)
                       - (CAST(m.s_all AS DOUBLE) / CAST(m.n_all AS DOUBLE))
                         * (CAST(m.s_all AS DOUBLE) / CAST(m.n_all AS DOUBLE))),
+                   0.0),
                9) AS z
   FROM paa p JOIN mom m ON m.event_type = p.event_type
 )
@@ -3264,9 +3266,14 @@ def ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = daily.select(
         "event_type",
         "qv",
-        F.floor(F.datediff(F.col("d"), F.lit("2024-01-01")) / 4)
-        .cast("bigint")
-        .alias("frame"),
+        # `div`, not floor(double-div): matches the oracle's `//`
+        # truncate-toward-zero semantics for days BEFORE the 2024-01-01
+        # epoch (floor(-7/4) = -2 vs -7 div 4 = -1; ADVICE r9). Fixtures
+        # start at the epoch, so this is identity there — the guard is
+        # for earlier-dated data.
+        F.expr(
+            "cast(datediff(d, date'2024-01-01') as bigint) div 4"
+        ).alias("frame"),
     )
     idx = scoped_persist(idx)
     paa = idx.groupBy("event_type", "frame").agg(
@@ -3281,8 +3288,14 @@ def ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ssq"),
     )
     mean_all = F.col("s_all").cast("double") / F.col("n_all").cast("double")
-    std = F.sqrt(
-        F.col("ssq") / F.col("n_all").cast("double") - mean_all * mean_all
+    # nullif: a constant series has zero variance — z goes NULL (symbol
+    # 'd' via the CASE fall-through) in BOTH engines instead of an ANSI
+    # DIVIDE_BY_ZERO on the Spark side (ADVICE r9 zero-denominator class).
+    std = F.nullif(
+        F.sqrt(
+            F.col("ssq") / F.col("n_all").cast("double") - mean_all * mean_all
+        ),
+        F.lit(0.0),
     )
     z = paa.join(F.broadcast(mom), "event_type").select(
         "event_type",
@@ -3631,7 +3644,10 @@ def ts_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type",
         "s",
-        F.floor(F.col("hidx") / F.col("s")).cast("bigint").alias("chunk"),
+        # `div` matches the oracle's `//` truncate-toward-zero for hours
+        # before the 2024-01-01 epoch (negative hidx; ADVICE r9) —
+        # floor(double-div) would shift pre-epoch chunks by one.
+        F.expr("hidx div s").cast("bigint").alias("chunk"),
         "hidx",
         "v",
     )
@@ -3727,15 +3743,22 @@ acf AS (
   SELECT event_type,
          {_ac_expr(1)} AS r1, {_ac_expr(2)} AS r2, {_ac_expr(3)} AS r3
   FROM s
+),
+acf2 AS (
+  -- nullif-guards (ADVICE r9): |r1| = 1 (perfectly autocorrelated
+  -- series) zeroes the Durbin-Levinson denominators — NULL in both
+  -- engines instead of an ANSI DIVIDE_BY_ZERO on the Spark side.
+  SELECT event_type, r1, r2, r3,
+         (r2 - r1 * r1) / nullif(1.0 - r1 * r1, 0.0) AS a2
+  FROM acf
 )
 SELECT event_type,
        ROUND(r1, 9) AS pacf1,
-       ROUND((r2 - r1 * r1) / (1.0 - r1 * r1), 9) AS pacf2,
-       ROUND((r3 - (r1 * (1.0 - (r2 - r1 * r1) / (1.0 - r1 * r1))) * r2
-                 - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r1)
-             / (1.0 - (r1 * (1.0 - (r2 - r1 * r1) / (1.0 - r1 * r1))) * r1
-                    - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r2), 9) AS pacf3
-FROM acf
+       ROUND(a2, 9) AS pacf2,
+       ROUND((r3 - (r1 * (1.0 - a2)) * r2 - a2 * r1)
+             / nullif(1.0 - (r1 * (1.0 - a2)) * r1 - a2 * r2, 0.0), 9)
+         AS pacf3
+FROM acf2
 """
 
 
@@ -3755,3 +3778,347 @@ def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("pacf_events")
     return spark.sql(_PACF_ORACLE.replace("FROM events", "FROM pacf_events"))
+
+
+# --- ts_spectral_power: Goertzel DFT power at candidate periods ------------------
+
+# "Is this series daily or weekly?" answered WITHOUT an FFT: the DFT
+# power at a known candidate period T is (sum v*cos(2*pi*t/T))^2 +
+# (sum v*sin(...))^2 — the Goertzel single-bin trick. The trig argument
+# depends only on t mod T, so the corpus first collapses to PHASE cells
+# (type, period, t mod T) with exact integer value sums: at most
+# 24 + 168 trig evaluations per series regardless of corpus size, each
+# phase term quantized to an exact integer BEFORE the final <= 168-row
+# fold (order-free; the ts_hurst log-quantization recipe applied to
+# libm trig).
+_TWO_PI = "6.283185307179586"
+
+_SPECTRAL_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) * 24
+           + CAST(hour(ts) AS BIGINT) AS hidx,
+         CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+phase AS (
+  SELECT event_type, p.period, hidx % p.period AS ph,
+         CAST(SUM(v) AS BIGINT) AS pv
+  FROM hourly CROSS JOIN (SELECT unnest([24, 168]) AS period) p
+  GROUP BY 1, 2, 3
+),
+terms AS (
+  SELECT event_type, period,
+         CAST(floor(CAST(pv AS DOUBLE)
+                    * cos({_TWO_PI} * ph / period) / 1000.0 + 0.5)
+              AS BIGINT) AS c_k,
+         CAST(floor(CAST(pv AS DOUBLE)
+                    * sin({_TWO_PI} * ph / period) / 1000.0 + 0.5)
+              AS BIGINT) AS s_k
+  FROM phase
+),
+bins AS (
+  SELECT event_type, period,
+         CAST(SUM(c_k) AS BIGINT) AS c_sum, CAST(SUM(s_k) AS BIGINT) AS s_sum
+  FROM terms GROUP BY 1, 2
+)
+SELECT event_type, period, c_sum, s_sum,
+       ROUND((CAST(c_sum AS DOUBLE) * CAST(c_sum AS DOUBLE)
+              + CAST(s_sum AS DOUBLE) * CAST(s_sum AS DOUBLE)) / 1e12, 9)
+         AS power,
+       ROUND((CAST(c_sum AS DOUBLE) * CAST(c_sum AS DOUBLE)
+              + CAST(s_sum AS DOUBLE) * CAST(s_sum AS DOUBLE))
+             / nullif(SUM(CAST(c_sum AS DOUBLE) * CAST(c_sum AS DOUBLE)
+                          + CAST(s_sum AS DOUBLE) * CAST(s_sum AS DOUBLE))
+                      OVER (PARTITION BY event_type), 0.0), 9) AS power_share
+FROM bins
+"""
+
+
+@register("ts_spectral_power", oracle=_SPECTRAL_ORACLE, tags=("timeseries", "stats"))
+def ts_spectral_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-bin DFT (Goertzel) power of each event type's hourly series
+    at the daily (T=24) and weekly (T=168) candidate periods — the
+    direct periodicity detector behind seasonality-aware forecasting and
+    anomaly baselines (complements ts_seasonal's decomposition and
+    ts_pacf's lag view with a frequency-domain one).
+
+    Scale shape: ONE collapse to hourly micro-integer cells, then a
+    second map-side collapse to PHASE cells (t mod T — at most 24+168
+    rows per series, constant in corpus size) with exact BIGINT sums;
+    libm trig runs once per phase cell, each term milli-quantized to an
+    exact integer before the bounded fold (order-free, cross-engine
+    safe: a half-ulp trig divergence moves a term only at probability
+    ~ulp/quantum). Power and its per-series share are row-local algebra
+    on the |types| x 2 grain; nullif guards the all-zero-bin series."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    two_pi = float(_TWO_PI)
+    hourly = ev.groupBy(
+        "event_type",
+        (
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).cast("bigint") * 24
+            + F.hour("ts").cast("bigint")
+        ).alias("hidx"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000000.0).cast("bigint"))
+        .cast("bigint")
+        .alias("v")
+    )
+    phase = (
+        hourly.select(
+            "event_type",
+            "hidx",
+            "v",
+            F.explode(F.array(F.lit(24), F.lit(168))).alias("period"),
+        )
+        .groupBy(
+            "event_type", "period", (F.col("hidx") % F.col("period")).alias("ph")
+        )
+        .agg(F.sum("v").cast("bigint").alias("pv"))
+    )
+    angle = F.lit(two_pi) * F.col("ph") / F.col("period")
+    terms = phase.select(
+        "event_type",
+        "period",
+        F.floor(F.col("pv").cast("double") * F.cos(angle) / 1000.0 + 0.5)
+        .cast("bigint")
+        .alias("c_k"),
+        F.floor(F.col("pv").cast("double") * F.sin(angle) / 1000.0 + 0.5)
+        .cast("bigint")
+        .alias("s_k"),
+    )
+    bins = terms.groupBy("event_type", "period").agg(
+        F.sum("c_k").cast("bigint").alias("c_sum"),
+        F.sum("s_k").cast("bigint").alias("s_sum"),
+    )
+    power = (
+        F.col("c_sum").cast("double") * F.col("c_sum").cast("double")
+        + F.col("s_sum").cast("double") * F.col("s_sum").cast("double")
+    )
+    w_type = Window.partitionBy("event_type")
+    return bins.select(
+        "event_type",
+        "period",
+        "c_sum",
+        "s_sum",
+        F.round(power / F.lit(1e12), 9).alias("power"),
+        F.round(
+            power / F.nullif(F.sum(power).over(w_type), F.lit(0.0)), 9
+        ).alias("power_share"),
+    )
+
+
+# --- ts_entropy_rate: Markov-chain entropy rate ----------------------------------
+
+# How PREDICTABLE is the event stream? ts_markov_transitions gives the
+# matrix; the entropy rate collapses it to one number: H = -sum_ij
+# (c_ij/N) * log2(c_ij/c_i) bits per step (empirical stationary weights),
+# with perplexity 2^H the "effective branching factor". All counts are
+# exact BIGINTs; each of the <= |types|^2 = 25 cell terms nano-quantizes
+# its libm log2 before the bounded order-free fold (ts_hurst recipe).
+_ENTROPY_RATE_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+rows_q AS (
+  SELECT prev_type, c,
+         CAST(SUM(c) OVER (PARTITION BY prev_type) AS BIGINT) AS c_from,
+         CAST(SUM(c) OVER () AS BIGINT) AS n
+  FROM pairs
+),
+terms AS (
+  SELECT n,
+         CAST(floor(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                    * log2(CAST(c AS DOUBLE) / CAST(c_from AS DOUBLE))
+                    * 1000000000.0 + 0.5) AS BIGINT) AS t_nano
+  FROM rows_q
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_transitions,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       ROUND(-CAST(SUM(t_nano) AS DOUBLE) / 1000000000.0, 9)
+         AS entropy_rate_bits,
+       ROUND(pow(2.0, -CAST(SUM(t_nano) AS DOUBLE) / 1000000000.0), 9)
+         AS perplexity
+FROM terms GROUP BY n
+"""
+
+
+@register("ts_entropy_rate", oracle=_ENTROPY_RATE_ORACLE, tags=("timeseries", "stats"))
+def ts_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user event-type Markov chain (bits per
+    step, empirical stationary weighting) plus its perplexity — the
+    single-number predictability summary on top of
+    ts_markov_transitions' matrix (high = erratic streams, low =
+    scripted/bot-like).
+
+    Scale shape: ONE user-keyed exchange feeds the lag window (same as
+    ts_markov_transitions), then the corpus collapses map-side to the
+    <= |types|^2 = 25-cell bigram table; row/global totals ride windows
+    over that bounded table; each cell's log2 term nano-quantizes to an
+    exact integer before the order-free 25-row fold, so the libm call
+    count is constant and cross-engine divergence is quantization-
+    bounded."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w_from = Window.partitionBy("prev_type")
+    w_all = Window.partitionBy()
+    rows_q = pairs.select(
+        "c",
+        F.sum("c").over(w_from).cast("bigint").alias("c_from"),
+        F.sum("c").over(w_all).cast("bigint").alias("n"),
+    )
+    terms = rows_q.select(
+        "n",
+        F.floor(
+            F.col("c").cast("double")
+            / F.col("n").cast("double")
+            * F.log2(F.col("c").cast("double") / F.col("c_from").cast("double"))
+            * 1000000000.0
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("t_nano"),
+    )
+    h = -F.sum("t_nano").cast("double") / F.lit(1000000000.0)
+    return terms.groupBy("n").agg(
+        F.max("n").cast("bigint").alias("n_transitions"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.round(h, 9).alias("entropy_rate_bits"),
+        F.round(F.pow(F.lit(2.0), h), 9).alias("perplexity"),
+    ).drop("n")
+
+
+# --- ts_haar_energy: multi-resolution wavelet energy ------------------------------
+
+# WHERE does a series carry its variance — day-to-day jitter or
+# week-scale swings? The Haar detail coefficient at scale s (block of s
+# days) is first-half-sum minus second-half-sum: an EXACT integer on
+# micro-quantized daily cells, no float until the final shares. Energy
+# per scale = sum of squared details (DECIMAL(38,0) — products reach
+# ~1e20 past sf1); the energy profile across scales 2/4/8 is the
+# discrete wavelet spectrum, the multi-resolution twin of
+# ts_spectral_power's fixed-frequency view.
+_HAAR_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+         CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+blocks AS (
+  SELECT dd.event_type, s.s, dd.d // s.s AS blk,
+         CAST(SUM(CASE WHEN (dd.d % s.s) * 2 < s.s THEN dd.v ELSE -dd.v END)
+              AS BIGINT) AS detail,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM daily dd CROSS JOIN (SELECT unnest([2, 4, 8]) AS s) s
+  GROUP BY 1, 2, 3
+),
+energy AS (
+  SELECT event_type, s,
+         CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         SUM(CAST(detail AS DECIMAL(38,0)) * detail) AS e
+  FROM blocks WHERE n_days = s
+  GROUP BY 1, 2
+)
+SELECT event_type, s AS scale_days, n_blocks,
+       -- no ROUND: e is an exact DECIMAL, the cast + /1e12 are the same
+       -- IEEE ops in both engines; ROUND(9) itself diverges at binary
+       -- half-way points (observed: ...920|921 flip at sf0.01)
+       CAST(e AS DOUBLE) / 1e12 AS energy,
+       ROUND(CAST(e AS DOUBLE)
+             / nullif(SUM(CAST(e AS DOUBLE))
+                      OVER (PARTITION BY event_type), 0.0), 9)
+         AS energy_share
+FROM energy
+"""
+
+
+@register("ts_haar_energy", oracle=_HAAR_ORACLE, tags=("timeseries", "stats"))
+def ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet energy spectrum of each event type's daily series at
+    scales 2/4/8 days: per-scale detail energy and its share — the
+    multi-resolution variance decomposition (day-jitter vs week-swing)
+    complementing ts_spectral_power's fixed-frequency bins. Detail
+    coefficients are EXACT integers (first-half minus second-half of
+    micro-quantized block sums); squares accumulate in DECIMAL(38,0).
+
+    Scale shape: ONE collapse to daily micro-integer cells (map-side
+    combined); the 3-scale fan-out is map-local; details collapse
+    directly in the block aggregate via a sign flip on the half index
+    (no window, no second exchange); energies ride the |types| x 3
+    grain with exact decimal sums, and only the final /1e12 display
+    scaling and nullif-guarded shares are doubles."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+        .cast("bigint")
+        .alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000000.0).cast("bigint"))
+        .cast("bigint")
+        .alias("v")
+    )
+    blocks = (
+        daily.select(
+            "event_type",
+            "d",
+            "v",
+            F.explode(F.array(F.lit(2), F.lit(4), F.lit(8))).alias("s"),
+        )
+        .groupBy("event_type", "s", F.expr("d div s").alias("blk"))
+        .agg(
+            F.sum(
+                F.when((F.col("d") % F.col("s")) * 2 < F.col("s"), F.col("v"))
+                .otherwise(-F.col("v"))
+            )
+            .cast("bigint")
+            .alias("detail"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        )
+    )
+    energy = (
+        blocks.filter(F.col("n_days") == F.col("s"))
+        .groupBy("event_type", "s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum(F.col("detail").cast("decimal(38,0)") * F.col("detail")).alias(
+                "e"
+            ),
+        )
+    )
+    w_type = Window.partitionBy("event_type")
+    return energy.select(
+        "event_type",
+        F.col("s").alias("scale_days"),
+        "n_blocks",
+        (F.col("e").cast("double") / F.lit(1e12)).alias("energy"),
+        F.round(
+            F.col("e").cast("double")
+            / F.nullif(
+                F.sum(F.col("e").cast("double")).over(w_type), F.lit(0.0)
+            ),
+            9,
+        ).alias("energy_share"),
+    )

@@ -71,25 +71,84 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # registry are ignored (lets the list name queries before they land);
 # everything not listed keeps module order after the priority block.
 #
-# Round-9 window, in need-order (VERDICT r8 item 1: "drive the staged
-# round-9 window green"):
-# (a) the 50 queries with NO driver row — the ENTIRE round-8
-#     DEFERRED_FIRST_ROW set, in the deferral-set listing order (round-8
-#     batches 2-7). len() of that set is 50, not the 49 the round-8
-#     planning comment claimed (the off-by-one lesson again — counts were
-#     re-derived with len() this round), so these fill the window EXACTLY
-#     and the win_ntile changed-code re-sample is bumped to the round-10
-#     window front (it is property-pinned equal to the old form and
-#     four-SF oracle-green in every local test run; only the driver row
-#     is postponed).
-# (b) queries whose CODE or ORACLE changed this round and already have a
-#     green row: none can ride (window full) — any such change this round
-#     goes into ROUND10_RESAMPLE below in the same commit.
-# (c) no filler this round (window full with first rows).
-# (d) round-8 window greens + round-1 greens keep ordering the tail.
+# Round-10 window, in need-order (VERDICT r9 items 1-3): every name owed a
+# driver row fits in EXACTLY 50 slots — len()-verified by the registry
+# accounting tests, not by comment arithmetic.
+# (a) the 29 round-9 additions with NO driver row (round-9
+#     DEFERRED_FIRST_ROW, listing order). Seven of them (agg_levene,
+#     agg_jackknife_ratio, ts_sax, ts_hurst, ts_pacf, llm_fleiss_kappa,
+#     f_hash_rng) also took the ADVICE r9 numeric-hardening fixes this
+#     round, so their first row samples the FIXED code.
+# (b) the 9 ROUND10_RESAMPLE debts staged last round: st_approx_distinct's
+#     first-ever rows-only row (VERDICT r8 item 2 / r9 item 1) plus the
+#     eight changed-code re-samples.
+# (c) fresh rows-only rows for llm_minhash_lsh + agg_sketch_union (stale
+#     since r05 — VERDICT r9 item 1).
+# (d) src_http: CODE changed this round (promoted to a registered Spark 4
+#     Python DataSource, VERDICT r9 item 3).
+# (e) the 8 round-10 additions (growth capped at the leftover window
+#     budget, VERDICT r9 item 2).
+# (f) 1 filler slot: ref_pipeline, the oldest green (r03) not re-sampled
+#     since.
 DRIVER_PRIORITY = [
-    # (a) the 50 never-sampled first rows (== round-8 DEFERRED_FIRST_ROW)
-    # round-8 batch 2 (stats/ts/graph/llm/mm breadth), in add order
+    # (a) round-9 first rows, deferral-listing order
+    "agg_levene",
+    "agg_jackknife_ratio",
+    "agg_bayes_shrink",
+    "agg_circular_mean",
+    "agg_chao1",
+    "agg_bootstrap_ci",
+    "ts_sax",
+    "ts_lag_features",
+    "ts_crossover",
+    "graph_bipartite_project",
+    "graph_triad_census",
+    "dq_simpson",
+    "dq_dup_burden",
+    "llm_code_detect",
+    "llm_script_mix",
+    "llm_boilerplate_lines",
+    "llm_knn_graph",
+    "llm_label_medoid",
+    "win_reset_cumsum",
+    "f_hash_rng",
+    "ts_hurst",
+    "graph_eigencentrality",
+    "agg_tail_contrib",
+    "dq_heaping",
+    "dq_null_correlation",
+    "mm_modality_balance",
+    "ts_pacf",
+    "llm_fleiss_kappa",
+    "llm_curriculum_phase",
+    # (b) staged re-samples (ROUND10_RESAMPLE, round-9 bookkeeping)
+    "st_approx_distinct",
+    "win_ntile",
+    "join_salted",
+    "llm_incr_dedup",
+    "llm_cdc_chunk",
+    "agg_spearman",
+    "win_skyline",
+    "agg_skew_kurt",
+    "agg_weighted_median",
+    # (c) stale rows-only refresh (last sampled r05)
+    "llm_minhash_lsh",
+    "agg_sketch_union",
+    # (d) code changed round 10: Python DataSource promotion
+    "src_http",
+    # (e) round-10 additions
+    "agg_hodges_lehmann",
+    "agg_basket_pairs",
+    "graph_katz",
+    "ts_spectral_power",
+    "ts_entropy_rate",
+    "ts_haar_energy",
+    "llm_dp_count",
+    "llm_epoch_plan",
+    # (f) filler: oldest green
+    "ref_pipeline",
+    # ---- 50-slot fold: names below only order the registry tail ----
+    # round-9 window greens (sampled r09), window order
     "agg_mannwhitney",
     "agg_anova",
     "ts_bollinger",
@@ -99,10 +158,8 @@ DRIVER_PRIORITY = [
     "llm_prefix_dedup",
     "mm_aspect_bucket",
     "sample_bottomk",
-    # round-8 batch 3
     "ts_leadlag",
     "llm_rater_kappa",
-    # round-8 batch 4
     "agg_kendall_tau",
     "dq_psi",
     "dq_sequence_gaps",
@@ -119,7 +176,6 @@ DRIVER_PRIORITY = [
     "agg_theil",
     "agg_trimmed_mean",
     "llm_skipgram_cooccur",
-    # round-8 batch 5
     "agg_cramers_v",
     "agg_mutual_info",
     "agg_cohens_d",
@@ -133,7 +189,6 @@ DRIVER_PRIORITY = [
     "llm_lsh_tune",
     "llm_self_bleu",
     "mm_bitrate",
-    # round-8 batch 6
     "sample_strat_k",
     "ts_volatility",
     "ts_outages",
@@ -141,12 +196,10 @@ DRIVER_PRIORITY = [
     "llm_minhash_est_err",
     "f_time_bucket",
     "dq_label_balance",
-    # round-8 batch 7
     "agg_topn_other",
     "llm_source_overlap",
     "ts_forecast_eval",
-    # ---- 50-slot fold: names below only order the registry tail ----
-    # (d) round-8 window greens (sampled r08), window order
+    # round-8 window greens (sampled r08), window order
     "llm_char_entropy",
     "llm_dataset_interleave",
     "dq_volume_anomaly",
@@ -172,7 +225,6 @@ DRIVER_PRIORITY = [
     "agg_wilson_ci",
     "llm_pad_waste",
     "agg_bloom_filter",
-    "win_skyline",
     "ts_markov_transitions",
     "dq_funcdep",
     "llm_readability",
@@ -196,7 +248,6 @@ DRIVER_PRIORITY = [
     "ts_holt",
     "graph_cc_shuffle",
     "llm_cross_dedup",
-    "agg_spearman",
     # round-1 greens (stale filler pool), module order
     "flagship",
     "flt_isin",
@@ -209,7 +260,6 @@ DRIVER_PRIORITY = [
     "join_anti",
     "join_dim",
     "join_nested_corr",
-    "join_salted",
     "join_bucketed",
     "join_range",
     "agg_count_grp",
@@ -248,85 +298,22 @@ DRIVER_PRIORITY = [
 # order the remainder of the registry.
 DRIVER_WINDOW = DRIVER_PRIORITY[:50]
 
-# Round 9 rotates ALL 50 never-sampled oracle-checked queries into the
-# window (slots 1-50, VERDICT r8 item 1), emptying the round-8 deferral
-# set. New operators registered this round must be added to
-# DEFERRED_FIRST_ROW in the same commit — the round-6 lesson: a @register
-# without window accounting ships a red suite. Per VERDICT r8 item 3 the
-# growth cap is what the round-10 window can clear: 50 slots minus
-# len(ROUND10_RESAMPLE) minus the st_approx_distinct rows-only slot.
-#
-# st_approx_distinct is rows-only by design (HLL++ registers aren't
-# DuckDB-reproducible; value anchor = within-5%-of-exact property test).
-# VERDICT r8 item 2: it must get an explicit rows-only driver row the way
-# llm_minhash_lsh/agg_sketch_union did in r5 — it is first in line for a
-# round-10 window slot (tracked in ROUND10_RESAMPLE below).
-DEFERRED_FIRST_ROW: set[str] = {
-    # round-9 additions (batches 1-2): the round-9 window was already full
-    # with the 50 round-8 first rows when these landed, so they are owed
-    # round-10 slots. Budget check: test_next_window_budget_not_exceeded.
-    "agg_levene",
-    "agg_jackknife_ratio",
-    "agg_bayes_shrink",
-    "agg_circular_mean",
-    "agg_chao1",
-    "agg_bootstrap_ci",
-    "ts_sax",
-    "ts_lag_features",
-    "ts_crossover",
-    "graph_bipartite_project",
-    "graph_triad_census",
-    "dq_simpson",
-    "dq_dup_burden",
-    "llm_code_detect",
-    "llm_script_mix",
-    "llm_boilerplate_lines",
-    "llm_knn_graph",
-    "llm_label_medoid",
-    "win_reset_cumsum",
-    "f_hash_rng",
-    "ts_hurst",
-    "graph_eigencentrality",
-    "agg_tail_contrib",
-    "dq_heaping",
-    "dq_null_correlation",
-    "mm_modality_balance",
-    "ts_pacf",
-    "llm_fleiss_kappa",
-    "llm_curriculum_phase",
-}
+# Round 10 clears the ENTIRE debt ledger: all 29 round-9 first rows, all 9
+# staged re-samples, both stale rows-only refreshes, the src_http code
+# change, and the 8 round-10 additions ride the window together (48 slots
+# + 2 free, one spent on the oldest-green filler). New operators registered
+# in a round must be added to DEFERRED_FIRST_ROW in the same commit IF the
+# window is already full — the round-6 lesson: a @register without window
+# accounting ships a red suite. This round the window was NOT full, so the
+# additions ride directly and both ledgers are empty.
+DEFERRED_FIRST_ROW: set[str] = set()
 
-# Names owed a round-10 window slot that are NOT first rows: changed-code
-# re-samples and the deliberate rows-only slot. Kept as code (not a
-# comment) so the accounting tests can enforce the round-10 budget.
-ROUND10_RESAMPLE: set[str] = {
-    # rows-only by design; never driver-sampled (VERDICT r8 item 2)
-    "st_approx_distinct",
-    # CODE changed late in round 8 (distributed two-level position scan
-    # replaced the single-partition ntile window; same oracle, green
-    # driver rows r06 predate the change); bumped from the round-9 window
-    # because the 50 first rows fill it exactly
-    "win_ntile",
-    # CODE changed round 9 (VERDICT r8 item 4: hash-inside-Filter 2x
-    # constants removed — non-nullable salt/digest projections,
-    # inline_outer; llm_incr_dedup's oracle gained the matching COALESCE)
-    "join_salted",
-    "llm_incr_dedup",
-    "llm_cdc_chunk",
-    # CODE changed round 9 (VERDICT r8 item 5 + the rid-determinism find:
-    # agg_spearman's value-grain prefix is now the distributed two-level
-    # scan, and all three rid-based operators persist their range-exchange
-    # rid assignment so fan-out consumers can't see re-sampled boundaries)
-    "agg_spearman",
-    "win_skyline",
-    # CODE+ORACLE changed round 9 (hostile-panel find: Spark's
-    # double->bigint cast truncates while DuckDB's rounds — bare
-    # l_quantity casts became explicit floor() in both engines; identity
-    # on the integral quantities real data carries). agg_mannwhitney got
-    # the same fix but rides the round-9 window itself.
-    "agg_skew_kurt",
-    "agg_weighted_median",
-}
+# Names owed a round-11 window slot that are NOT first rows: changed-code
+# re-samples and deliberate rows-only slots. Kept as code (not a comment)
+# so the accounting tests can enforce the round-11 budget. Empty: every
+# round-10 code change (ADVICE r9 numeric hardening, the src_http
+# DataSource promotion) rides the round-10 window itself.
+ROUND11_RESAMPLE: set[str] = set()
 
 
 def load_all_queries() -> dict[str, QuerySpec]:

@@ -81,55 +81,126 @@ SELECT * FROM (VALUES
 """
 
 
+# One fixture API server per driver process: a daemon-threaded
+# http.server started lazily on an ephemeral port, alive for the session
+# (the DataFrame is lazy — the reader fetches AFTER the builder returns).
+# Pages mirror the reference crawl: 1-3 carry results, 4 always answers
+# HTTP 500 (the timeout/5xx injection), 5 returns an empty result list
+# (the pagination terminator). ?probe=1 returns only {"n": count} so the
+# driver-side pagination walk is metadata-cheap.
+_HTTP_FIXTURE = {"server": None, "url": None}
+
+_HTTP_PAGES = {
+    1: '{"results": [{"id": 101, "name": "Warszawa-Centrum", "parameter": "pm25", "value": 17.2},'
+       ' {"id": 102, "name": "Warszawa-Praga", "parameter": "pm10", "value": 25.1}]}',
+    2: '{"results": [{"id": 201, "name": "NYC-Manhattan", "parameter": "o3", "value": 0.031},'
+       ' {"id": 202, "name": "NYC-Queens", "parameter": "no2", "value": 0.012}]}',
+    3: '{"results": [{"id": 301, "name": "NYC-Bronx", "parameter": "pm25", "value": 9.5}]}',
+}
+_HTTP_FAILING_PAGE = 4  # always HTTP 500: the reference's error->skip path
+_HTTP_MAX_PAGE = 5  # the reference's crawl cap (main.py:125: range(1, 6))
+
+
+def _http_fixture_url() -> str:
+    """Start (once) and return the base URL of the local fixture API."""
+    if _HTTP_FIXTURE["url"] is not None:
+        return _HTTP_FIXTURE["url"]
+    import http.server
+    import json as _json
+    import threading
+    from urllib.parse import parse_qs, urlparse
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):  # keep test output quiet
+            pass
+
+        def do_GET(self):
+            q = parse_qs(urlparse(self.path).query)
+            page = int(q.get("page", ["1"])[0])
+            if page == _HTTP_FAILING_PAGE:
+                self.send_error(500, "injected server error")
+                return
+            payload = _HTTP_PAGES.get(page, '{"results": []}')
+            if q.get("probe"):
+                n = len(_json.loads(payload)["results"])
+                payload = '{"n": %d}' % n
+            body = payload.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    _HTTP_FIXTURE["server"] = srv
+    _HTTP_FIXTURE["url"] = f"http://127.0.0.1:{srv.server_address[1]}/locations"
+    return _HTTP_FIXTURE["url"]
+
+
 @register("src_http", oracle=_REST_ORACLE, tags=("source",))
 def src_http(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Paginated REST scan as a Spark 4 Python DataSource (the reference's
-    _get_json page loop, main.py:45-57, 125-132). Each page is an
-    InputPartition, so a 1000-page crawl fans out across executors instead
-    of looping on one driver. Payloads are canned (network-free, same JSON
-    shape as the OpenAQ /locations results).
+    """Paginated REST scan as a REGISTERED Spark 4 Python DataSource
+    against a real in-process HTTP fixture server (the reference's
+    _get_json page loop, main.py:45-57, 125-132). The planner walks
+    pages 1..5 with cheap ?probe=1 metadata calls and STOPS at the first
+    empty page (the reference's pagination terminator); every discovered
+    page becomes an InputPartition, so a 1000-page crawl fans out across
+    executors instead of looping on one driver.
 
-    The reference's error contract IS reproduced: _get_json uses
-    timeout=15 s and maps any HTTP error/timeout to None → page skipped
-    (main.py:39-40, 45-57). Page 4 here is a failure-injection page whose
-    fetch always raises; the reader's try/except converts it to an empty
-    page exactly like the reference, so the oracle (which expects only
-    pages 1-3's five rows) pins the skip behavior. On Spark the policy is
-    partition-local — one bad page costs one empty partition, not a
-    driver-global abort the sequential loop risks."""
+    The reference's error contract IS reproduced over real HTTP:
+    _get_json maps any HTTP error/timeout to None -> page skipped
+    (main.py:39-40). Page 4 answers HTTP 500; the probe keeps it as a
+    partition (an error is not a terminator) and the executor's
+    try/except turns its fetch into an empty page, so the oracle (five
+    rows from pages 1-3) pins the skip. On Spark the policy is
+    partition-local — one bad page costs one empty partition, not the
+    driver-global abort a sequential loop risks."""
     apply_engine_conf(spark)
+
+    base_url = _http_fixture_url()
 
     # defined inside the builder so cloudpickle ships it by value — executors
     # need no import path to this package.
     from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
-    canned_pages = {
-        1: '{"results": [{"id": 101, "name": "Warszawa-Centrum", "parameter": "pm25", "value": 17.2},'
-           ' {"id": 102, "name": "Warszawa-Praga", "parameter": "pm10", "value": 25.1}]}',
-        2: '{"results": [{"id": 201, "name": "NYC-Manhattan", "parameter": "o3", "value": 0.031},'
-           ' {"id": 202, "name": "NYC-Queens", "parameter": "no2", "value": 0.012}]}',
-        3: '{"results": [{"id": 301, "name": "NYC-Bronx", "parameter": "pm25", "value": 9.5}]}',
-    }
-    FAILING_PAGE = 4  # stand-in for an HTTP 5xx / timeout mid-crawl
-
     class RestPagesReader(DataSourceReader):
+        def __init__(self, url: str):
+            self.url = url
+
         def partitions(self):
-            return [InputPartition(p) for p in sorted([*canned_pages, FAILING_PAGE])]
+            # driver-side pagination walk (reference main.py:125-132):
+            # probe pages sequentially, stop at the first EMPTY page;
+            # probe errors keep the page (read() applies the skip policy)
+            import urllib.request
+
+            parts = []
+            for page in range(1, _HTTP_MAX_PAGE + 1):
+                try:
+                    import json
+
+                    with urllib.request.urlopen(
+                        f"{self.url}?page={page}&probe=1", timeout=15
+                    ) as r:
+                        if json.loads(r.read())["n"] == 0:
+                            break
+                except Exception:
+                    pass  # error != empty: the page stays a partition
+                parts.append(InputPartition(page))
+            return parts
 
         def read(self, partition):
             import json
+            import urllib.request
 
             page = partition.value
-
-            def fetch(p):
-                # the canned analogue of requests.get(url, timeout=15).json()
-                if p not in canned_pages:
-                    raise TimeoutError(f"simulated HTTP timeout on page {p}")
-                return json.loads(canned_pages[p])
-
-            # reference main.py:45-57: any error → None → skip the page
+            # the real-HTTP analogue of requests.get(url, timeout=15).json();
+            # reference main.py:45-57: any error -> None -> skip the page
             try:
-                payload = fetch(page)
+                with urllib.request.urlopen(
+                    f"{self.url}?page={page}", timeout=15
+                ) as r:
+                    payload = json.loads(r.read())
             except Exception:
                 payload = None
             if payload is None:
@@ -146,10 +217,10 @@ def src_http(spark: SparkSession, sf_dir: str) -> DataFrame:
             return "page int, id bigint, name string, parameter string, value double"
 
         def reader(self, schema):
-            return RestPagesReader()
+            return RestPagesReader(self.options["base_url"])
 
     spark.dataSource.register(RestPagesSource)
-    return spark.read.format("rest_pages").load()
+    return spark.read.format("rest_pages").option("base_url", base_url).load()
 
 
 _SNK_BASE_SQL = f"""

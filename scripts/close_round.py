@@ -13,6 +13,11 @@ Gates (BASELINE.md anchors):
   headline_17q_total_wall  <= 2 x 24.7 s  (r1 cold-protocol anchor)
   heavy_total_wall         <= 2 x  8.2 s  (r8 pinned anchor)
   every query present, zero "errors" entries
+  driver-row freshness (VERDICT r9 item 5): every registered operator has a
+  CORRECTNESS_r*.json row, or sits in the current DRIVER_WINDOW (getting one
+  this round), or in an explicit deferral ledger — catches the
+  st_approx_distinct class (registered in r8, never sampled, unstaged)
+  automatically. Skip with --skip-freshness only to measure on a broken tree.
 
 Exit 0 = sealed; exit 1 = DO NOT SEAL (fix or re-measure on an idle host —
 concurrent scaling studies inflate readings ~20%, BASELINE.md round-8 note).
@@ -70,7 +75,47 @@ def check(parsed: dict) -> list[str]:
     return problems
 
 
+def check_driver_row_freshness(extra_names: tuple = ()) -> list[str]:
+    """Every registered operator must have driver evidence or a staged slot.
+
+    A name is OK if it appears in ANY CORRECTNESS_r*.json (the driver saw
+    it at least once), in DRIVER_WINDOW (it gets a row this round), or in
+    a deferral ledger (explicitly staged for the next window). A name in
+    none of those is exactly how st_approx_distinct went two rounds
+    without evidence."""
+    import glob
+
+    sampled: set[str] = set()
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        try:
+            sampled |= set(json.load(open(f)))
+        except Exception:
+            pass  # a malformed round file must not mask missing names
+    sys.path.insert(0, REPO)
+    from air_quality_data_pipeline_spark.registry import (
+        DEFERRED_FIRST_ROW,
+        DRIVER_WINDOW,
+        ROUND11_RESAMPLE,
+        load_all_queries,
+    )
+
+    staged = set(DRIVER_WINDOW) | DEFERRED_FIRST_ROW | ROUND11_RESAMPLE
+    names = [*load_all_queries(), *extra_names]  # extras: test seam
+    orphans = sorted(n for n in names if n not in sampled | staged)
+    if orphans:
+        return [
+            f"{len(orphans)} operators have NO driver row and NO staged "
+            f"window slot: {orphans[:10]}{'...' if len(orphans) > 10 else ''}"
+        ]
+    return []
+
+
 def main() -> int:
+    if "--skip-freshness" in sys.argv:
+        sys.argv.remove("--skip-freshness")
+        freshness: list[str] = []
+    else:
+        freshness = check_driver_row_freshness()
     if len(sys.argv) > 2 and sys.argv[1] == "--reuse":
         blob = json.load(open(sys.argv[2]))
         parsed = blob.get("parsed", blob)  # accept BENCH_r{N}.json or raw line
@@ -78,7 +123,7 @@ def main() -> int:
     else:
         parsed = fresh_bench()
         src = "fresh bench.py run"
-    problems = check(parsed)
+    problems = freshness + check(parsed)
     headline = parsed.get("value")
     heavy = parsed.get("heavy_total_wall")
     print(

@@ -7,15 +7,19 @@ overflow, skew-sensitive float folds, output growing super-linearly) fails
 here. Rows-only queries just have to execute.
 
 Usage: python scripts/oracle_replay.py [sf_dir] [--skip name,name,...]
+                                                [--only name,name,...]
 """
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/tmp/sf1"
 skip = set()
+only = None
 for i, a in enumerate(sys.argv):
     if a == "--skip" and i + 1 < len(sys.argv):
         skip = set(sys.argv[i + 1].split(","))
+    if a == "--only" and i + 1 < len(sys.argv):
+        only = set(sys.argv[i + 1].split(","))
 
 from pyspark.sql import SparkSession
 
@@ -29,6 +33,8 @@ from air_quality_data_pipeline_spark.oracle import check_query
 specs = load_all_queries()
 fails = []
 for name, spec in sorted(specs.items()):
+    if only is not None and name not in only:
+        continue
     if name in skip:
         print(f"{name:24s} SKIPPED"); continue
     t = time.time()

@@ -153,6 +153,11 @@ ADV_PANEL = [
                               # once per source identically
     "llm_fleiss_kappa",       # NULL text drops from all three gates at once
     "llm_curriculum_phase",   # single-token/NULL docs mass at the low tertile
+    # round-10 document-path operators:
+    "llm_dp_count",           # counts include NULL-text docs; the hash noise
+                              # depends only on the source key
+    "llm_epoch_plan",         # NULL text drops identically; whitespace-only
+                              # docs still carry tokens into avail/weight
 ]
 
 
@@ -340,6 +345,13 @@ ADV_EVENTS_PANEL = [
     "f_hash_rng",             # pure hash arithmetic, unaffected by collisions
     "ts_pacf",                # collided/flat series: zero-variance lags pin
                               # NULL pacf identically through the nullif guard
+    # round-10 events-path operators:
+    "ts_spectral_power",      # negative daily sums through the phase cells;
+                              # all-zero bins pin NULL share via nullif
+    "ts_entropy_rate",        # collided timestamps tie-break on (ts, event_id)
+                              # before the bigram collapse
+    "ts_haar_energy",         # negative/collided daily sums through the exact
+                              # integer sign-flip details
 ]
 
 

@@ -7,7 +7,7 @@ from air_quality_data_pipeline_spark.registry import (
     DEFERRED_FIRST_ROW,
     DRIVER_PRIORITY,
     DRIVER_WINDOW,
-    ROUND10_RESAMPLE,
+    ROUND11_RESAMPLE,
     load_all_queries,
 )
 
@@ -40,6 +40,10 @@ def test_no_duplicate_priority_names():
 # (its value-level anchor is the pair-superset test in test_properties.py).
 ROWS_ONLY_WINDOW_ALLOWED = {
     "llm_minhash_lsh",
+    # round 10: first-ever driver row for the streaming HLL++ sketch
+    # (VERDICT r8 item 2 / r9 item 1) — rows-only by design, value anchor
+    # is the within-5%-of-exact property test (test_properties.py)
+    "st_approx_distinct",
     # new in round 5, never sampled; rows-only by design (Apache DataSketches
     # HLL registers aren't DuckDB-reproducible) — its value-level anchor is
     # the within-5%-of-exact assertion in test_properties.py, and the query
@@ -104,11 +108,11 @@ def test_deferred_set_is_minimal_and_real():
         assert n not in DRIVER_WINDOW, f"deferred name is inside the window: {n}"
 
 
-def test_round10_resample_names_real():
-    """ROUND10_RESAMPLE entries must be registered and genuinely outside
+def test_next_round_resample_names_real():
+    """ROUND11_RESAMPLE entries must be registered and genuinely outside
     the current window (otherwise they are already being sampled and the
     bookkeeping is stale)."""
-    for n in ROUND10_RESAMPLE:
+    for n in ROUND11_RESAMPLE:
         assert n in SPECS, f"resample name not registered: {n}"
         assert n not in DRIVER_WINDOW, f"resample name is inside the window: {n}"
 
@@ -117,10 +121,10 @@ def test_next_window_budget_not_exceeded():
     """VERDICT r8 item 3: per-round registry growth is capped at what the
     NEXT driver window can clear. Every query owed a future driver row —
     new operators (DEFERRED_FIRST_ROW), changed-code re-samples and the
-    deliberate rows-only slots (ROUND10_RESAMPLE) — must fit in 50 slots,
+    deliberate rows-only slots (ROUND11_RESAMPLE) — must fit in 50 slots,
     so adding an operator without window headroom fails the suite in the
     same commit."""
-    owed = len(DEFERRED_FIRST_ROW | ROUND10_RESAMPLE)
+    owed = len(DEFERRED_FIRST_ROW | ROUND11_RESAMPLE)
     assert owed <= 50, (
         f"{owed} queries owed a driver row exceed the 50-slot next-round "
         f"window; stop adding operators or rotate first"
@@ -155,3 +159,23 @@ def test_survey_section2_matches_registry():
     }
     ghost_rows = sorted(i for i in row_ids if i not in SPECS)
     assert not ghost_rows, f"SURVEY §2 table rows with no registered query: {ghost_rows}"
+
+
+def test_close_round_freshness_gate():
+    """VERDICT r9 item 5: the round-close seal refuses when a registered
+    operator has neither a CORRECTNESS row nor a staged window slot —
+    the exact hole st_approx_distinct fell through in rounds 8-9. The
+    current tree must be clean, and an unstaged unsampled name must be
+    flagged (proving the gate would have caught it)."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    import close_round
+
+    assert close_round.check_driver_row_freshness() == []
+    flagged = close_round.check_driver_row_freshness(
+        extra_names=("st_approx_distinct_like_orphan",)
+    )
+    assert flagged and "st_approx_distinct_like_orphan" in flagged[0]
