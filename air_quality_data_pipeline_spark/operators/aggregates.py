@@ -4065,3 +4065,153 @@ def agg_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --- agg_ols2: closed-form two-regressor OLS per group --------------------------
+
+# Multiple linear regression is the workhorse diagnostic a pipeline runs
+# over every metric pair ("is price explained by quantity AND discount?"),
+# one step past ts_trend_slope's single regressor. The 2x2 normal system
+# has a CLOSED Cramer's-rule solve, so the distributed work is exactly
+# nine map-side-combinable sums per group — no iteration, no matrix
+# library, one exchange carrying 25 partial-sum rows per partition.
+# Exactness: quantity is integral and discount/price collapse to exact
+# cent units, so every sum is an exact integer (DECIMAL(38,0) — the
+# product sums grow ~rows x 1e14 and overflow BIGINT near the petabyte
+# decade, the agg_levene lesson applied in advance). The n-scaled
+# centered moments (n*Sxy - Sx*Sy) cancel their n^2 factors in the beta
+# ratios, so doubles appear only in the final Cramer division — one
+# identical IEEE op tree in both engines, det nullif-guarded.
+_OLS2_ORACLE = """
+WITH u AS (
+  SELECT p.p_brand,
+         CAST(floor(l.l_quantity) AS BIGINT)                    AS q,
+         CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)        AS d,
+         CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)   AS y
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+s AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS DECIMAL(38,0))                 AS n,
+         CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DECIMAL(38,0))     AS sx1,
+         CAST(SUM(CAST(d AS DECIMAL(38,0))) AS DECIMAL(38,0))     AS sx2,
+         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0))     AS sy,
+         CAST(SUM(CAST(q*q AS DECIMAL(38,0))) AS DECIMAL(38,0))   AS sx11,
+         CAST(SUM(CAST(q*d AS DECIMAL(38,0))) AS DECIMAL(38,0))   AS sx12,
+         CAST(SUM(CAST(d*d AS DECIMAL(38,0))) AS DECIMAL(38,0))   AS sx22,
+         CAST(SUM(CAST(q*y AS DECIMAL(38,0))) AS DECIMAL(38,0))   AS sx1y,
+         CAST(SUM(CAST(d*y AS DECIMAL(38,0))) AS DECIMAL(38,0))   AS sx2y,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+              AS DECIMAL(38,0))                                   AS syy
+  FROM u GROUP BY p_brand
+),
+m AS (
+  SELECT p_brand, CAST(n AS BIGINT) AS n_rows,
+         CAST(n*sx11 - sx1*sx1 AS DOUBLE) AS a11,
+         CAST(n*sx12 - sx1*sx2 AS DOUBLE) AS a12,
+         CAST(n*sx22 - sx2*sx2 AS DOUBLE) AS a22,
+         CAST(n*sx1y - sx1*sy  AS DOUBLE) AS a1y,
+         CAST(n*sx2y - sx2*sy  AS DOUBLE) AS a2y,
+         CAST(n*syy  - sy*sy   AS DOUBLE) AS ayy,
+         CAST(sx1 AS DOUBLE) AS dx1, CAST(sx2 AS DOUBLE) AS dx2,
+         CAST(sy AS DOUBLE) AS dy, CAST(n AS DOUBLE) AS dn
+  FROM s
+),
+b AS (
+  SELECT p_brand, n_rows,
+         (a22*a1y - a12*a2y) / nullif(a11*a22 - a12*a12, 0.0) AS b1c,
+         (a11*a2y - a12*a1y) / nullif(a11*a22 - a12*a12, 0.0) AS b2c,
+         a1y, a2y, ayy, dx1, dx2, dy, dn
+  FROM m
+)
+SELECT p_brand, n_rows,
+       ROUND(b1c / 100.0, 9)                                  AS beta_qty,
+       ROUND(b2c, 9)                                          AS beta_discount,
+       ROUND((dy - b1c*dx1 - b2c*dx2) / dn / 100.0, 9)        AS intercept,
+       ROUND((b1c*a1y + b2c*a2y) / nullif(ayy, 0.0), 9)       AS r_squared
+FROM b
+"""
+
+
+@register("agg_ols2", oracle=_OLS2_ORACLE, tags=("agg", "stats"))
+def agg_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form two-regressor OLS per brand: extendedprice ~ quantity
+    + discount, with R^2 — multivariate regression as a pure aggregate
+    (the reference has no model fitting; north-star statistics family).
+
+    Scale shape: the part dim broadcasts onto the lineitem scan; the
+    entire fit is NINE map-side-combinable integer sums per brand (one
+    exchange, 25 groups x partials). Values collapse to exact integer
+    cent/unit grains first, the sums ride DECIMAL(38,0) (BIGINT product
+    sums overflow near the petabyte decade), and the n-scaled centered
+    moments cancel their n^2 factors inside the Cramer ratios — doubles
+    enter only at the final division, the same IEEE op tree DuckDB runs,
+    det and variance nullif-guarded."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    u = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey).select(
+        "p_brand",
+        F.expr("cast(floor(l_quantity) as bigint)").alias("q"),
+        F.expr("cast(floor(l_discount * 100 + 0.5) as bigint)").alias("d"),
+        F.expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    s = u.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("q").cast(dec)).cast(dec).alias("sx1"),
+        F.sum(F.col("d").cast(dec)).cast(dec).alias("sx2"),
+        F.sum(F.col("y").cast(dec)).cast(dec).alias("sy"),
+        F.sum((F.col("q") * F.col("q")).cast(dec)).cast(dec).alias("sx11"),
+        F.sum((F.col("q") * F.col("d")).cast(dec)).cast(dec).alias("sx12"),
+        F.sum((F.col("d") * F.col("d")).cast(dec)).cast(dec).alias("sx22"),
+        F.sum((F.col("q") * F.col("y")).cast(dec)).cast(dec).alias("sx1y"),
+        F.sum((F.col("d") * F.col("y")).cast(dec)).cast(dec).alias("sx2y"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).cast(dec).alias("syy"),
+    )
+    m = s.select(
+        "p_brand",
+        F.col("n").cast("bigint").alias("n_rows"),
+        (F.col("n") * F.col("sx11") - F.col("sx1") * F.col("sx1"))
+        .cast("double")
+        .alias("a11"),
+        (F.col("n") * F.col("sx12") - F.col("sx1") * F.col("sx2"))
+        .cast("double")
+        .alias("a12"),
+        (F.col("n") * F.col("sx22") - F.col("sx2") * F.col("sx2"))
+        .cast("double")
+        .alias("a22"),
+        (F.col("n") * F.col("sx1y") - F.col("sx1") * F.col("sy"))
+        .cast("double")
+        .alias("a1y"),
+        (F.col("n") * F.col("sx2y") - F.col("sx2") * F.col("sy"))
+        .cast("double")
+        .alias("a2y"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+        .alias("ayy"),
+        F.col("sx1").cast("double").alias("dx1"),
+        F.col("sx2").cast("double").alias("dx2"),
+        F.col("sy").cast("double").alias("dy"),
+        F.col("n").cast("double").alias("dn"),
+    )
+    det = F.nullif(F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12"), F.lit(0.0))
+    b1c = (F.col("a22") * F.col("a1y") - F.col("a12") * F.col("a2y")) / det
+    b2c = (F.col("a11") * F.col("a2y") - F.col("a12") * F.col("a1y")) / det
+    return m.select(
+        "p_brand",
+        "n_rows",
+        F.round(b1c / F.lit(100.0), 9).alias("beta_qty"),
+        F.round(b2c, 9).alias("beta_discount"),
+        F.round(
+            (F.col("dy") - b1c * F.col("dx1") - b2c * F.col("dx2"))
+            / F.col("dn")
+            / F.lit(100.0),
+            9,
+        ).alias("intercept"),
+        F.round(
+            (b1c * F.col("a1y") + b2c * F.col("a2y"))
+            / F.nullif(F.col("ayy"), F.lit(0.0)),
+            9,
+        ).alias("r_squared"),
+    )

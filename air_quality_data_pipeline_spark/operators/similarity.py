@@ -1457,12 +1457,15 @@ def llm_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosines are bit-exact sequential folds; the top-k is a rank window
     partitioned by vector over the block-bounded pair table. The query
     side is SALTED (vec_id % 16) and the corpus side replicated 16x, so
-    the pair expansion spreads over |blocks| x 16 tasks — without the
-    salt, AQE's byte-based coalescing sees a few MB of vectors and
+    the pair expansion spreads over |blocks| x n_salt tasks — without
+    the salt, AQE's byte-based coalescing sees a few MB of vectors and
     folds the whole block join into ONE task while the real cost is
     the O(block^2) cosine arithmetic it can't see (measured: 15+ min
-    single-task at sf1 unsalted vs seconds salted). Replication
-    multiplies only the pre-expansion corpus rows, never the pairs.
+    single-task at sf1 unsalted vs seconds salted). n_salt is derived
+    from the measured widest block (~2M pairs per task, floor 16, cap
+    256) so the task grid tracks block growth across decades instead
+    of pinning round-9's sf1 tuning. Replication multiplies only the
+    pre-expansion corpus rows, never the pairs.
     Norms are computed ONCE per vector BEFORE the join (identical fold,
     identical bits — the oracle's inline norms agree), so each pair
     pays one dot fold instead of three: the n^2 side of the work is as
@@ -1474,8 +1477,33 @@ def llm_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(embedding, x -> cast(x as double))").alias("vec"),
     )
     v = v.withColumn("nrm", l2_norm(F.col("vec")))
-    n_salt = 16
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # n_salt derives from MEASURED block width (VERDICT r9 item 6), not a
+    # constant: per-(block, salt) task pair count is block^2 / n_salt, so
+    # n_salt = ceil(max_block^2 / PAIRS_PER_TASK) keeps every task at
+    # ~2M exact-cosine folds (~1 s) regardless of decade. Floor 16 (the
+    # sf1-measured config), cap 256 (replication bytes grow linearly in
+    # n_salt — at the cap the exchange is still ~100x cheaper than the
+    # pair compute it spreads, measured sf10). The stats pass is one
+    # map-side count-by-label over ids only — metadata-grade next to the
+    # O(block^2) join it sizes.
+    _PAIRS_PER_TASK = 2_000_000
+    stats = (
+        v.groupBy("label")
+        .count()
+        .agg(F.max("count"), F.count(F.lit(1)))
+        .collect()[0]
+    )
+    max_block, n_blocks = (stats[0] or 1), (stats[1] or 1)
+    n_salt = min(256, max(16, -(-(max_block * max_block) // _PAIRS_PER_TASK)))
+    # the partition count must TRACK the block x salt cell grid, not the
+    # static shuffle.partitions: at sf10 the grid is ~2400 cells and a
+    # 32-partition exchange would pack ~75 cells (150M pairs) per task —
+    # fine on local[32] (cores saturate either way) but a parallelism cap
+    # on a real cluster. Ceiling 4096 bounds scheduler overhead.
+    n_part = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+        min(4096, n_blocks * n_salt),
+    )
     # repartition with an EXPLICIT partition count (REPARTITION_BY_NUM):
     # AQE never coalesces these, so the join keeps n_part compute tasks
     # even though the vector bytes would coalesce to one partition
@@ -1616,4 +1644,137 @@ def llm_label_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "dist_sq"
             ),
         )
+    )
+
+
+# --- llm_rrf_fusion: reciprocal-rank fusion of keyword + vector retrieval -------
+
+# Hybrid retrieval is how production RAG actually ranks: a lexical list
+# and a dense list, fused by reciprocal rank — rrf(d) = sum_lists
+# 1/(K + rank_d) with K=60 (Cormack & Clarke's constant), robust to the
+# incomparable score scales. RRF is DEFINED over truncated lists (docs
+# outside a list contribute 0), which is exactly what makes it scale:
+# each side needs only its top-M, a TakeOrderedAndProject partial top-k
+# that never global-sorts the corpus. Ranks are exact integers from a
+# deterministic (score desc, id) order; 1.0/(60+rank) is one identical
+# IEEE division in both engines and the fused score is a fixed 2-term
+# sum — no fold-order exposure anywhere.
+_RRF_M = 100  # per-list truncation (the fusion contract, not a shortcut)
+_RRF_K = 60
+_RRF_TERMS = "'the', 'a', 'of', 'and', 'is'"
+
+_RRF_FUSION_ORACLE = f"""
+WITH kw AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '),
+             t -> list_contains([{_RRF_TERMS}], t))) AS kw_score
+  FROM documents WHERE text IS NOT NULL
+),
+kw_top AS (
+  SELECT doc_id, kw_score,
+         row_number() OVER (ORDER BY kw_score DESC, doc_id) AS kw_rank
+  FROM (SELECT * FROM kw ORDER BY kw_score DESC, doc_id LIMIT {_RRF_M}) t
+),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+q AS (SELECT vec AS qvec FROM v WHERE vec_id = 0),
+vec_top AS (
+  SELECT vec_id, cosine,
+         row_number() OVER (ORDER BY cosine DESC, vec_id) AS vec_rank
+  FROM (
+    SELECT v.vec_id, {{cos}} AS cosine
+    FROM v CROSS JOIN q WHERE v.vec_id <> 0
+    ORDER BY cosine DESC, vec_id LIMIT {_RRF_M}
+  ) t
+),
+fused AS (
+  SELECT COALESCE(k.doc_id, e.vec_id) AS doc_id,
+         k.kw_rank, e.vec_rank,
+         COALESCE(1.0 / ({_RRF_K} + k.kw_rank), 0.0)
+           + COALESCE(1.0 / ({_RRF_K} + e.vec_rank), 0.0) AS rrf
+  FROM kw_top k FULL OUTER JOIN vec_top e ON e.vec_id = k.doc_id
+)
+SELECT doc_id, kw_rank, vec_rank, ROUND(rrf, 9) AS rrf_score
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+"""
+
+
+@register(
+    "llm_rrf_fusion",
+    oracle=_RRF_FUSION_ORACLE.format(
+        cos=cosine_similarity_duckdb("v.vec", "q.qvec", DIMS)
+    ),
+    tags=("llm", "similarity"),
+)
+def llm_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical ranking (panel-term hits over
+    documents) and a dense ranking (cosine to query vector 0 over
+    embeddings), RRF K=60, fused top-20 — the hybrid-retrieval step
+    between llm_bm25_score and llm_sim_search (the reference has no
+    retrieval at all; north-star RAG family).
+
+    Scale shape: each list is a TakeOrderedAndProject top-100 (partial
+    top-k per partition, never a global sort); ranks, the full-outer
+    fusion join, and the final top-20 all ride the two 100-row lists.
+    Ranks are exact integers under a deterministic (score, id) order;
+    the fused score is a fixed 2-term sum of identical IEEE divisions —
+    no fold, no libm."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    terms = F.array(*[F.lit(t) for t in ("the", "a", "of", "and", "is")])
+    kw = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", " "), lambda t: F.array_contains(terms, t))
+        ).alias("kw_score"),
+    )
+    kw_top = (
+        kw.orderBy(F.desc("kw_score"), F.asc("doc_id"))
+        .limit(_RRF_M)
+        .withColumn(
+            "kw_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("kw_score"), F.asc("doc_id"))
+            ),
+        )
+    )
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") == 0).select(F.col("vec").alias("qvec"))
+    scored = (
+        v.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            cosine_similarity(F.col("vec"), F.col("qvec")).alias("cosine"),
+        )
+    )
+    vec_top = (
+        scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(_RRF_M)
+        .withColumn(
+            "vec_rank",
+            F.row_number().over(Window.orderBy(F.desc("cosine"), F.asc("vec_id"))),
+        )
+    )
+    fused = kw_top.join(
+        vec_top, kw_top.doc_id == vec_top.vec_id, "full_outer"
+    ).select(
+        F.coalesce(kw_top.doc_id, vec_top.vec_id).alias("doc_id"),
+        "kw_rank",
+        "vec_rank",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("kw_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("vec_rank")), F.lit(0.0)
+            )
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "kw_rank", "vec_rank", F.round("rrf", 9).alias("rrf_score"))
     )

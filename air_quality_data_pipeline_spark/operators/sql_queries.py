@@ -1243,3 +1243,132 @@ def sample_strat_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority", "o_totalprice", h.alias("h")
     ).withColumn("rk", F.row_number().over(w).cast("bigint"))
     return ranked.filter(F.col("rk") <= _STRAT_K)
+
+
+# --- sample_neyman: variance-optimal stratified allocation -----------------------
+
+# Neyman allocation is the sampling design that minimizes estimator
+# variance for a fixed budget: n_h ∝ N_h·σ_h — strata that are BIG or
+# NOISY get more of the sample (uniform per-stratum k, sample_strat_k,
+# is the σ-blind special case). The estimator-design step every
+# large-scale audit/eval sample should start from. Two passes, both
+# bounded: (1) per-stratum N and σ from exact integer cent sums (the
+# n·Σx²−(Σx)² form in DECIMAL(38,0) — BIGINT squares overflow near the
+# petabyte decade); (2) a per-stratum bottom-hash rank window keeps the
+# allocated n_h. σ's sqrt is IEEE-correctly-rounded (identical in both
+# engines) and the allocation divides MICRO-QUANTIZED weights as exact
+# integers — no double division decides a sample count.
+_SAMPLE_NEYMAN_BUDGET = 1000
+
+_SAMPLE_NEYMAN_ORACLE = f"""
+WITH s AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n_h,
+         CAST(SUM(CAST(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                       AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                       AS DECIMAL(38,0))
+                  * CAST(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                       AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx
+  FROM customer GROUP BY c_mktsegment
+),
+w AS (
+  SELECT c_mktsegment, n_h,
+         -- N_h * sigma_h = N_h * sqrt(n*Sxx - Sx^2)/n = sqrt(n*Sxx - Sx^2)
+         CAST(floor(sqrt(CAST(n_h * sxx - sx * sx AS DOUBLE)) / 100.0 + 0.5)
+              AS BIGINT) AS w_cent
+  FROM s
+),
+alloc AS (
+  SELECT c_mktsegment, n_h, w_cent,
+         ({_SAMPLE_NEYMAN_BUDGET} * w_cent)
+           // CAST(SUM(w_cent) OVER () AS BIGINT) AS n_alloc
+  FROM w
+),
+ranked AS (
+  SELECT c.c_mktsegment, c.c_acctbal,
+         row_number() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY md5(CAST(c.c_custkey AS VARCHAR)),
+                                     c.c_custkey) AS rk
+  FROM customer c
+)
+SELECT a.c_mktsegment, a.n_h, a.w_cent, a.n_alloc,
+       CAST(COUNT(r.c_acctbal) AS BIGINT) AS n_sampled,
+       ROUND(CAST(SUM(CAST(CAST(floor(r.c_acctbal * 100 + 0.5) AS BIGINT)
+                           AS DECIMAL(38,0))) AS DOUBLE)
+             / COUNT(r.c_acctbal) / 100.0, 9) AS sample_mean
+FROM alloc a JOIN ranked r
+  ON r.c_mktsegment = a.c_mktsegment AND r.rk <= a.n_alloc
+GROUP BY a.c_mktsegment, a.n_h, a.w_cent, a.n_alloc
+"""
+
+
+@register("sample_neyman", oracle=_SAMPLE_NEYMAN_ORACLE, tags=("sample", "stats"))
+def sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman (variance-optimal) stratified allocation of a 1000-row
+    budget across market segments — n_h ∝ N_h·σ_h(acctbal) — then the
+    deterministic bottom-hash sample of each allocation, reporting the
+    per-stratum weight, allocation, and sample mean.
+
+    Scale shape: pass 1 collapses the corpus map-side to one
+    (N, Σx, Σx²) row per stratum (cent-exact integers in DECIMAL(38,0));
+    the weight table is 5 rows and BROADCASTS onto pass 2's per-stratum
+    bottom-hash rank window (the sample_strat_k exchange). σ comes from
+    one correctly-rounded sqrt, weights are micro-quantized to exact
+    BIGINT cents, and the allocation is an exact integer division — no
+    double ever decides a sample count."""
+    apply_engine_conf(spark)
+    from pyspark.sql import Window
+
+    cust = table(spark, sf_dir, "customer")
+    cents = F.expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)")
+    dec = "decimal(38,0)"
+    s = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum(cents.cast(dec)).cast(dec).alias("sx"),
+        F.sum(cents.cast(dec) * cents.cast(dec)).cast(dec).alias("sxx"),
+    )
+    w = s.select(
+        "c_mktsegment",
+        "n_h",
+        # N_h * sigma_h = N_h * sqrt(n*Sxx - Sx^2)/n = sqrt(n*Sxx - Sx^2)
+        F.floor(
+            F.sqrt(
+                (F.col("n_h") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+            )
+            / F.lit(100.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("w_cent"),
+    )
+    alloc = w.select(
+        "c_mktsegment",
+        "n_h",
+        "w_cent",
+        F.expr(
+            f"({_SAMPLE_NEYMAN_BUDGET} * w_cent) div "
+            "cast(sum(w_cent) over () as bigint)"
+        ).alias("n_alloc"),
+    )
+    wr = Window.partitionBy("c_mktsegment").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), F.col("c_custkey")
+    )
+    ranked = cust.select(
+        "c_mktsegment", "c_acctbal", F.row_number().over(wr).alias("rk")
+    )
+    joined = ranked.join(
+        F.broadcast(alloc).withColumnRenamed("c_mktsegment", "seg"),
+        (F.col("c_mktsegment") == F.col("seg")) & (F.col("rk") <= F.col("n_alloc")),
+    )
+    return joined.groupBy("c_mktsegment", "n_h", "w_cent", "n_alloc").agg(
+        F.count("c_acctbal").cast("bigint").alias("n_sampled"),
+        F.round(
+            F.sum(cents.cast(dec)).cast("double")
+            / F.count("c_acctbal")
+            / F.lit(100.0),
+            9,
+        ).alias("sample_mean"),
+    )

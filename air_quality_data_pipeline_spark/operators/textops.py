@@ -5725,3 +5725,226 @@ def llm_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(alloc / F.col("avail").cast("double"), 9).alias("epochs"),
         (F.col("ideal") >= F.col("cap_tokens")).alias("capped"),
     )
+
+
+# --- llm_ece: expected calibration error of a quality-classifier score ----------
+
+# Every learned quality/toxicity filter in a data pipeline emits a
+# confidence; ECE is the standard audit of whether those confidences
+# MEAN anything (a 0.9-bin should be right 90% of the time). Here the
+# "classifier" is the deterministic stopword-ratio score (the
+# llm_quality_score feature) predicting the is-English label, binned
+# into 10 equal-width reliability buckets. Everything stays exact
+# integers until the final per-bin divisions: confidence is micro-
+# quantized by INTEGER division (never a double x10 floor — the
+# f_hash_rng lesson), so bin assignment, bin counts, label sums and
+# confidence sums are all engine- and partitioning-exact.
+_ECE_ORACLE = """
+WITH conf AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+         (len(list_filter(string_split(text, ' '),
+              t -> list_contains(['the', 'a', 'of', 'and', 'is'], t)))
+          * 1000000) // len(string_split(text, ' ')) AS conf_micro
+  FROM documents WHERE text IS NOT NULL
+),
+bins AS (
+  SELECT least(conf_micro // 100000, 9) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(label) AS BIGINT) AS n_pos,
+         CAST(SUM(conf_micro) AS BIGINT) AS sum_conf
+  FROM conf GROUP BY 1
+),
+tot AS (SELECT SUM(n_docs) AS n_total FROM bins)
+SELECT bin, n_docs,
+       ROUND(CAST(n_pos AS DOUBLE) / n_docs, 9) AS accuracy,
+       ROUND(CAST(sum_conf AS DOUBLE) / n_docs / 1e6, 9) AS avg_confidence,
+       ROUND(abs(CAST(n_pos AS DOUBLE) / n_docs
+                 - CAST(sum_conf AS DOUBLE) / n_docs / 1e6), 9) AS gap,
+       ROUND(SUM(abs(CAST(n_pos AS DOUBLE)
+                     - CAST(sum_conf AS DOUBLE) / 1e6)) OVER ()
+             / CAST((SELECT n_total FROM tot) AS DOUBLE), 9) AS ece
+FROM bins
+"""
+
+
+@register("llm_ece", oracle=_ECE_ORACLE, tags=("llm", "text", "quality"))
+def llm_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error: reliability-diagram bins (accuracy vs
+    mean confidence per decile bucket) plus the corpus ECE, for the
+    deterministic stopword-ratio score predicting lang='en' — the
+    classifier-confidence audit llm_quality_classifier's hard labels
+    can't give (north-star eval family).
+
+    Scale shape: one map-side collapse of the corpus to 10 bin cells
+    (counts, label sums, micro-quantized confidence sums — all exact
+    BIGINTs; bin assignment by INTEGER division, never a double x10
+    floor). The reliability columns and the windowed ECE fold ride the
+    10-row cell table."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    conf = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+        F.expr(
+            "size(filter(split(text, ' '), t -> array_contains("
+            "array('the', 'a', 'of', 'and', 'is'), t))) * 1000000 "
+            "div size(split(text, ' '))"
+        ).alias("conf_micro"),
+    )
+    bins = conf.groupBy(
+        F.least(F.expr("conf_micro div 100000"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("label").cast("bigint").alias("n_pos"),
+        F.sum("conf_micro").cast("bigint").alias("sum_conf"),
+    )
+    w_all = Window.partitionBy()
+    acc = F.col("n_pos").cast("double") / F.col("n_docs")
+    avg_conf = F.col("sum_conf").cast("double") / F.col("n_docs") / F.lit(1e6)
+    return bins.select(
+        "bin",
+        "n_docs",
+        F.round(acc, 9).alias("accuracy"),
+        F.round(avg_conf, 9).alias("avg_confidence"),
+        F.round(F.abs(acc - avg_conf), 9).alias("gap"),
+        F.round(
+            F.sum(
+                F.abs(
+                    F.col("n_pos").cast("double")
+                    - F.col("sum_conf").cast("double") / F.lit(1e6)
+                )
+            ).over(w_all)
+            / F.sum(F.col("n_docs")).over(w_all).cast("double"),
+            9,
+        ).alias("ece"),
+    )
+
+
+# --- llm_filter_funnel: quality-filter ablation waterfall -----------------------
+
+# Corpus curation is a FILTER CHAIN, and the number every pipeline owner
+# asks for is the waterfall: how many documents does each gate reject
+# alone, how many does it reject MARGINALLY (among survivors of the
+# gates before it), and how many survive each stage — the ablation that
+# tells you which filter is load-bearing and which is redundant (e.g.
+# Gopher/C4 rule stacks are reported exactly this way). One corpus pass
+# computes all gate flags from exact integer counts (cross-multiplied
+# thresholds, no double ratios), one map-side collapse produces the
+# per-stage sums, and the 4-stage waterfall is a stack over that one
+# row — the corpus is never re-scanned per filter.
+_FILTER_FUNNEL_ORACLE = """
+WITH m AS (
+  SELECT len(string_split(text, ' ')) AS n_tok,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq,
+         len(list_filter(string_split(text, ' '),
+             t -> list_contains(['the', 'a', 'of', 'and', 'is'], t))) AS n_stop,
+         length(text) AS n_chars
+  FROM documents WHERE text IS NOT NULL
+),
+flags AS (
+  SELECT CASE WHEN n_chars BETWEEN 200 AND 20000 THEN 1 ELSE 0 END AS f1,
+         CASE WHEN 3 * n_tok <= n_chars - n_tok + 1
+                   AND n_chars - n_tok + 1 <= 12 * n_tok THEN 1 ELSE 0 END AS f2,
+         CASE WHEN 10 * n_uniq >= 3 * n_tok THEN 1 ELSE 0 END AS f3,
+         CASE WHEN n_stop >= 1 THEN 1 ELSE 0 END AS f4
+  FROM m
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_in,
+         CAST(SUM(1 - f1) AS BIGINT) AS alone1,
+         CAST(SUM(1 - f2) AS BIGINT) AS alone2,
+         CAST(SUM(1 - f3) AS BIGINT) AS alone3,
+         CAST(SUM(1 - f4) AS BIGINT) AS alone4,
+         CAST(SUM(f1) AS BIGINT) AS surv1,
+         CAST(SUM(f1 * f2) AS BIGINT) AS surv2,
+         CAST(SUM(f1 * f2 * f3) AS BIGINT) AS surv3,
+         CAST(SUM(f1 * f2 * f3 * f4) AS BIGINT) AS surv4
+  FROM flags
+)
+SELECT * FROM (
+  SELECT 1 AS stage, 'len_200_20000' AS filter_name, alone1 AS fail_alone,
+         n_in - surv1 AS fail_marginal, surv1 AS survivors,
+         ROUND(CAST(surv1 AS DOUBLE) / n_in, 9) AS survival_rate
+  FROM agg
+  UNION ALL
+  SELECT 2, 'avg_tok_len_3_12', alone2, surv1 - surv2, surv2,
+         ROUND(CAST(surv2 AS DOUBLE) / n_in, 9) FROM agg
+  UNION ALL
+  SELECT 3, 'ttr_ge_0.3', alone3, surv2 - surv3, surv3,
+         ROUND(CAST(surv3 AS DOUBLE) / n_in, 9) FROM agg
+  UNION ALL
+  SELECT 4, 'stopword_ge_1', alone4, surv3 - surv4, surv4,
+         ROUND(CAST(surv4 AS DOUBLE) / n_in, 9) FROM agg
+) t
+"""
+
+
+@register("llm_filter_funnel", oracle=_FILTER_FUNNEL_ORACLE, tags=("llm", "text", "quality"))
+def llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter ablation waterfall over the C4/Gopher-style gate
+    chain (length band -> mean-token-length band -> type-token ratio ->
+    stopword presence): per stage, the documents the gate rejects ALONE,
+    rejects MARGINALLY (among survivors of earlier gates), survivors,
+    and the cumulative survival rate.
+
+    Scale shape: ONE corpus pass computes all four gate flags from
+    exact integer counts (thresholds cross-multiplied — no double
+    ratios anywhere), one map-side collapse reduces the corpus to a
+    single 9-counter row, and the 4-stage waterfall is a per-row stack
+    of that row. Adding a fifth gate costs one flag column, never
+    another scan."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split(F.col("text"), " ")
+    stop = F.array(*[F.lit(w) for w in _PROFILES["en"]])
+    m = docs.select(
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+        .cast("long")
+        .alias("n_stop"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    atl = F.col("n_chars") - F.col("n_tok") + 1
+    flags = m.select(
+        F.when(
+            (F.col("n_chars") >= 200) & (F.col("n_chars") <= 20000), 1
+        ).otherwise(0).alias("f1"),
+        F.when(
+            (F.lit(3) * F.col("n_tok") <= atl) & (atl <= F.lit(12) * F.col("n_tok")),
+            1,
+        ).otherwise(0).alias("f2"),
+        F.when(F.lit(10) * F.col("n_uniq") >= F.lit(3) * F.col("n_tok"), 1)
+        .otherwise(0)
+        .alias("f3"),
+        F.when(F.col("n_stop") >= 1, 1).otherwise(0).alias("f4"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_in"),
+        F.sum(1 - F.col("f1")).cast("bigint").alias("alone1"),
+        F.sum(1 - F.col("f2")).cast("bigint").alias("alone2"),
+        F.sum(1 - F.col("f3")).cast("bigint").alias("alone3"),
+        F.sum(1 - F.col("f4")).cast("bigint").alias("alone4"),
+        F.sum("f1").cast("bigint").alias("surv1"),
+        F.sum(F.col("f1") * F.col("f2")).cast("bigint").alias("surv2"),
+        F.sum(F.col("f1") * F.col("f2") * F.col("f3")).cast("bigint").alias("surv3"),
+        F.sum(F.col("f1") * F.col("f2") * F.col("f3") * F.col("f4"))
+        .cast("bigint")
+        .alias("surv4"),
+    )
+    return agg.selectExpr(
+        """stack(4,
+             1, 'len_200_20000',    alone1, n_in  - surv1, surv1,
+             2, 'avg_tok_len_3_12', alone2, surv1 - surv2, surv2,
+             3, 'ttr_ge_0.3',       alone3, surv2 - surv3, surv3,
+             4, 'stopword_ge_1',    alone4, surv3 - surv4, surv4
+           ) AS (stage, filter_name, fail_alone, fail_marginal, survivors)""",
+        "n_in",
+    ).selectExpr(
+        "stage",
+        "filter_name",
+        "fail_alone",
+        "fail_marginal",
+        "survivors",
+        "round(cast(survivors as double) / n_in, 9) AS survival_rate",
+    )

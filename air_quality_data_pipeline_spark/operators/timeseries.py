@@ -4122,3 +4122,252 @@ def ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("energy_share"),
     )
+
+
+# --- ts_survival_km: Kaplan-Meier time-to-event curve with censoring ------------
+
+# Survival analysis is the missing third of the duration toolbox next to
+# ts_outages (how long were we down) and ts_interarrival (how often do
+# events come): "what fraction of orders is still unfulfilled after t
+# days, given some orders are still open?" — the right-censored
+# estimator SLAs and churn curves actually need. Duration = order date
+# to the order's LAST shipment; open orders ('O') are censored at that
+# horizon, everything else is an observed event. The Kaplan-Meier
+# product limit S(t) = prod_{u<=t}(1 - d_u/n_u) multiplies one rational
+# factor per EVENT DAY, so the corpus collapses to (priority, day)
+# cells first — the curve computation touches <= cohorts x horizon rows
+# no matter the corpus size. Each log factor is nano-quantized before
+# the cumulative fold (libm ln is the only non-IEEE-identical op; the
+# ts_entropy_rate recipe), and a day where every at-risk order ships is
+# an exact S=0, never ln(0).
+_SURVIVAL_KM_ORACLE = """
+WITH dur AS (
+  SELECT o.o_orderpriority AS priority,
+         datediff('day', o.o_orderdate, MAX(l.l_shipdate)) AS t_days,
+         CASE WHEN o.o_orderstatus <> 'O' THEN 1 ELSE 0 END AS is_event
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate, o.o_orderstatus
+),
+cells AS (
+  SELECT priority, t_days,
+         CAST(SUM(is_event) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS leaving
+  FROM dur GROUP BY priority, t_days
+),
+risk AS (
+  SELECT priority, t_days, d,
+         CAST(SUM(leaving) OVER (PARTITION BY priority ORDER BY t_days
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+           AS n_at_risk
+  FROM cells
+),
+terms AS (
+  SELECT priority, t_days, d, n_at_risk,
+         CASE WHEN d = n_at_risk THEN NULL
+              ELSE CAST(floor(ln(CAST(n_at_risk - d AS DOUBLE)
+                                 / CAST(n_at_risk AS DOUBLE)) * 1e9 + 0.5)
+                        AS BIGINT) END AS lns_nano,
+         CASE WHEN d = n_at_risk THEN 1 ELSE 0 END AS hit_zero
+  FROM risk WHERE d > 0
+),
+cum AS (
+  SELECT priority, t_days, d, n_at_risk,
+         SUM(lns_nano)  OVER (PARTITION BY priority ORDER BY t_days) AS cum_nano,
+         SUM(hit_zero)  OVER (PARTITION BY priority ORDER BY t_days) AS zeroed
+  FROM terms
+)
+SELECT priority, t_days, n_at_risk, d AS n_events,
+       CASE WHEN zeroed > 0 THEN 0.0
+            ELSE ROUND(exp(CAST(cum_nano AS DOUBLE) / 1e9), 6) END AS survival
+FROM cum
+"""
+
+
+@register("ts_survival_km", oracle=_SURVIVAL_KM_ORACLE, tags=("ts", "stats"))
+def ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of order fulfillment time per priority,
+    right-censoring still-open orders: S(t) at each event day with the
+    at-risk and event counts (the reference has no duration analytics).
+
+    Scale shape: ONE orderkey-keyed join+collapse builds per-order
+    durations (both sides arrive keyed on orderkey), then the corpus
+    collapses again to (priority, day) cells — the windows that build
+    the at-risk counts and the product-limit run over <= cohorts x
+    horizon rows, constant in corpus size. The KM product rides a
+    cumulative SUM of nano-quantized log factors (exact BIGINT fold,
+    libm ln quantized the ts_entropy_rate way); a day that exhausts the
+    risk set is an exact 0.0 via the zeroed flag, never ln(0)."""
+    apply_engine_conf(spark)
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    dur = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate", "o_orderstatus")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff("last_ship", "o_orderdate").alias("t_days"),
+            F.when(F.col("o_orderstatus") != "O", 1).otherwise(0).alias("is_event"),
+        )
+    )
+    cells = dur.groupBy("priority", "t_days").agg(
+        F.sum("is_event").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("leaving"),
+    )
+    w_rev = (
+        Window.partitionBy("priority")
+        .orderBy("t_days")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    risk = cells.select(
+        "priority",
+        "t_days",
+        "d",
+        F.sum("leaving").over(w_rev).cast("bigint").alias("n_at_risk"),
+    ).filter(F.col("d") > 0)
+    terms = risk.select(
+        "priority",
+        "t_days",
+        "d",
+        "n_at_risk",
+        F.when(F.col("d") == F.col("n_at_risk"), F.lit(None)
+        ).otherwise(
+            F.floor(
+                F.log(
+                    (F.col("n_at_risk") - F.col("d")).cast("double")
+                    / F.col("n_at_risk").cast("double")
+                )
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+        ).cast("bigint").alias("lns_nano"),
+        F.when(F.col("d") == F.col("n_at_risk"), 1).otherwise(0).alias("hit_zero"),
+    )
+    w_cum = (
+        Window.partitionBy("priority")
+        .orderBy("t_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = terms.select(
+        "priority",
+        "t_days",
+        "d",
+        "n_at_risk",
+        F.sum("lns_nano").over(w_cum).alias("cum_nano"),
+        F.sum("hit_zero").over(w_cum).alias("zeroed"),
+    )
+    return cum.select(
+        "priority",
+        "t_days",
+        "n_at_risk",
+        F.col("d").alias("n_events"),
+        F.when(F.col("zeroed") > 0, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("cum_nano").cast("double") / F.lit(1e9)), 6))
+        .alias("survival"),
+    )
+
+
+# --- ts_runs_test: Wald-Wolfowitz runs test on daily up/down moves --------------
+
+# The runs test is the nonparametric randomness check that complements
+# ts_autocorr/ts_pacf's linear-dependence view: too FEW sign runs means
+# trending, too MANY means oscillation, and the z-statistic needs no
+# distributional assumption at all. Ties (zero day-over-day change) are
+# dropped, the standard treatment. All inputs to the z formula are exact
+# integers (n_up, n_down, run count), so the only doubles are the final
+# mu/sigma/z expressions — one identical IEEE tree in both engines,
+# sigma nullif-guarded for degenerate one-sided series.
+_RUNS_TEST_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+),
+moves AS (
+  SELECT event_type, day,
+         CASE WHEN v > lag(v) OVER w THEN 1
+              WHEN v < lag(v) OVER w THEN -1 END AS sgn
+  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+runs AS (
+  SELECT event_type, sgn,
+         CASE WHEN lag(sgn) OVER (PARTITION BY event_type ORDER BY day)
+                   IS DISTINCT FROM sgn THEN 1 ELSE 0 END AS new_run
+  FROM (SELECT * FROM moves WHERE sgn IS NOT NULL) t
+),
+s AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+         CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+         CAST(SUM(new_run) AS BIGINT) AS n_runs
+  FROM runs GROUP BY event_type
+)
+SELECT event_type, n_up, n_down, n_runs,
+       ROUND((CAST(n_runs AS DOUBLE)
+              - (2.0 * n_up * n_down / (n_up + n_down) + 1.0))
+             / nullif(sqrt(2.0 * n_up * n_down
+                           * (2.0 * n_up * n_down - n_up - n_down)
+                           / ((n_up + n_down) * (n_up + n_down)
+                              * (n_up + n_down - 1.0))), 0.0), 9) AS z
+FROM s
+"""
+
+
+@register("ts_runs_test", oracle=_RUNS_TEST_ORACLE, tags=("ts", "stats"))
+def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the SIGN of day-over-day change of
+    per-type daily totals: up/down counts, observed runs, and the
+    normal-approximation z — the nonparametric trending/oscillation
+    audit next to ts_autocorr's linear view.
+
+    Scale shape: the corpus collapses map-side to (type, day) daily
+    cells (value summed exactly in DECIMAL); the sign/lag/run windows
+    ride the <= types x days cell table, and the final test is one
+    4-integer row per type. The z expression is the same IEEE double
+    tree in both engines over exact integer inputs, sigma
+    nullif-guarded."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    moves = daily.select(
+        "event_type",
+        "day",
+        F.when(F.col("v") > F.lag("v").over(w), 1)
+        .when(F.col("v") < F.lag("v").over(w), -1)
+        .alias("sgn"),
+    ).filter(F.col("sgn").isNotNull())
+    runs = moves.select(
+        "event_type",
+        "sgn",
+        F.when(
+            ~F.lag("sgn").over(w).eqNullSafe(F.col("sgn")), 1
+        ).otherwise(0).alias("new_run"),
+    )
+    s = runs.groupBy("event_type").agg(
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0)).cast("bigint").alias("n_up"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_down"),
+        F.sum("new_run").cast("bigint").alias("n_runs"),
+    )
+    n1 = F.col("n_up").cast("double")
+    n2 = F.col("n_down").cast("double")
+    r = F.col("n_runs").cast("double")
+    mu = F.lit(2.0) * n1 * n2 / (n1 + n2) + F.lit(1.0)
+    sig = F.sqrt(
+        F.lit(2.0)
+        * n1
+        * n2
+        * (F.lit(2.0) * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - F.lit(1.0)))
+    )
+    return s.select(
+        "event_type",
+        "n_up",
+        "n_down",
+        "n_runs",
+        F.round((r - mu) / F.nullif(sig, F.lit(0.0)), 9).alias("z"),
+    )

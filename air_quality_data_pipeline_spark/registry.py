@@ -300,13 +300,25 @@ DRIVER_WINDOW = DRIVER_PRIORITY[:50]
 
 # Round 10 clears the ENTIRE debt ledger: all 29 round-9 first rows, all 9
 # staged re-samples, both stale rows-only refreshes, the src_http code
-# change, and the 8 round-10 additions ride the window together (48 slots
-# + 2 free, one spent on the oldest-green filler). New operators registered
-# in a round must be added to DEFERRED_FIRST_ROW in the same commit IF the
-# window is already full — the round-6 lesson: a @register without window
-# accounting ships a red suite. This round the window was NOT full, so the
-# additions ride directly and both ledgers are empty.
-DEFERRED_FIRST_ROW: set[str] = set()
+# change, and the 8 round-10 batch-1 additions ride the window together
+# (48 slots + 2 free, one spent on the oldest-green filler). New operators
+# registered in a round must be added to DEFERRED_FIRST_ROW in the same
+# commit IF the window is already full — the round-6 lesson: a @register
+# without window accounting ships a red suite.
+#
+# Batch 2 (SURVEY §2.AH) landed AFTER the round-10 window was sealed full,
+# so its 7 operators are the ONLY staged round-11 debt: first driver rows
+# next round, 7 of 50 slots — far under the budget the accounting test
+# enforces, leaving 43 slots for re-samples and oldest-green rotation.
+DEFERRED_FIRST_ROW: set[str] = {
+    "agg_ols2",
+    "ts_survival_km",
+    "ts_runs_test",
+    "llm_rrf_fusion",
+    "llm_ece",
+    "llm_filter_funnel",
+    "sample_neyman",
+}
 
 # Names owed a round-11 window slot that are NOT first rows: changed-code
 # re-samples and deliberate rows-only slots. Kept as code (not a comment)

@@ -158,6 +158,13 @@ ADV_PANEL = [
                               # depends only on the source key
     "llm_epoch_plan",         # NULL text drops identically; whitespace-only
                               # docs still carry tokens into avail/weight
+    # round-10 batch-2 document-path operators:
+    "llm_ece",                # NULL text filtered identically; empty/CJK docs
+                              # land in bin 0 via exact integer division
+    "llm_filter_funnel",      # hostile docs exercise every gate boundary
+                              # (length band, ttr, stopword absence)
+    "llm_rrf_fusion",         # the lexical list re-ranks under hostile docs;
+                              # tie-break on doc_id must agree cross-engine
 ]
 
 
