@@ -1453,40 +1453,45 @@ def llm_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse cell (llm_sim_search_ivf's assignment) instead of the label —
     the same bounded-block pair expansion either way.
 
-    Scale shape: the self-join is per-block (never corpus-quadratic);
-    cosines are bit-exact sequential folds; the top-k is a rank window
-    partitioned by vector over the block-bounded pair table. The query
-    side is SALTED (vec_id % 16) and the corpus side replicated 16x, so
-    the pair expansion spreads over |blocks| x n_salt tasks — without
-    the salt, AQE's byte-based coalescing sees a few MB of vectors and
-    folds the whole block join into ONE task while the real cost is
-    the O(block^2) cosine arithmetic it can't see (measured: 15+ min
-    single-task at sf1 unsalted vs seconds salted). n_salt is derived
-    from the measured widest block (~2M pairs per task, floor 16, cap
-    256) so the task grid tracks block growth across decades instead
-    of pinning round-9's sf1 tuning. Replication multiplies only the
-    pre-expansion corpus rows, never the pairs.
-    Norms are computed ONCE per vector BEFORE the join (identical fold,
-    identical bits — the oracle's inline norms agree), so each pair
-    pays one dot fold instead of three: the n^2 side of the work is as
-    small as exact cosine allows."""
+    Scale shape (third measured form — see BASELINE.md round-10): the
+    block score matrix is computed by a COGROUPED Arrow kernel, one
+    (label, salt) cell per group. The query side is SALTED (vec_id %
+    n_salt) and the corpus side replicated n_salt-fold, so the O(block^2)
+    cosine arithmetic spreads over |blocks| x n_salt cells — the same
+    grid the round-9 relational form used to defeat AQE's byte-based
+    coalescing (which can't see compute cost), with n_salt derived from
+    the measured widest block (~2M pairs per cell, floor 16, cap 256).
+    Each cell transfers its vectors ONCE over Arrow and scores the whole
+    a x b matrix as 64 dimension-major vectorized accumulations —
+    bit-identical to the sequential aggregate()/list_reduce fold (each
+    pair still sees s = (s + a_i*b_i) left-to-right in IEEE doubles), so
+    the unpruned relational ORACLE still matches exactly. Local top-k is
+    emitted directly from the kernel: a query's pairs all live in its
+    one cell, so the old corpus-sized pair shuffle + rank window (the
+    sf10 find: ~100 GB exchanged, spilled, wall 2294 s) disappears —
+    nothing block-sized ever crosses a shuffle. Measured walls, sf10:
+    2294 s (relational pair join + window) -> 1291 s (sample-threshold
+    prune, exchange fixed but interpreted-fold compute-bound) -> this
+    form; all three bit-identical vs the oracle."""
     apply_engine_conf(spark)
     v = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.expr("transform(embedding, x -> cast(x as double))").alias("vec"),
     )
-    v = v.withColumn("nrm", l2_norm(F.col("vec")))
     # n_salt derives from MEASURED block width (VERDICT r9 item 6), not a
-    # constant: per-(block, salt) task pair count is block^2 / n_salt, so
-    # n_salt = ceil(max_block^2 / PAIRS_PER_TASK) keeps every task at
-    # ~2M exact-cosine folds (~1 s) regardless of decade. Floor 16 (the
-    # sf1-measured config), cap 256 (replication bytes grow linearly in
-    # n_salt — at the cap the exchange is still ~100x cheaper than the
-    # pair compute it spreads, measured sf10). The stats pass is one
-    # map-side count-by-label over ids only — metadata-grade next to the
-    # O(block^2) join it sizes.
-    _PAIRS_PER_TASK = 2_000_000
+    # constant: per-(label, salt) cell pair count is block^2 / n_salt, so
+    # n_salt = ceil(max_block^2 / PAIRS_PER_CELL) bounds each Arrow
+    # kernel invocation at ~20M vectorized cosine cells (~1 s of numpy,
+    # ~160 MB of score matrix) regardless of decade. The budget is 10x
+    # the relational form's 2M-fold tasks because the kernel's per-pair
+    # cost is ~100x lower — keeping 2M here would over-salt, and the
+    # replication bytes (corpus x n_salt through the exchange AND the
+    # Arrow boundary) were the measured sf10 bottleneck at 238 salts.
+    # Floor 16, cap 256. The stats pass is one map-side count-by-label
+    # over ids only — metadata-grade next to the O(block^2) kernel it
+    # sizes.
+    _PAIRS_PER_TASK = 20_000_000
     stats = (
         v.groupBy("label")
         .count()
@@ -1505,40 +1510,97 @@ def llm_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         min(4096, n_blocks * n_salt),
     )
     # repartition with an EXPLICIT partition count (REPARTITION_BY_NUM):
-    # AQE never coalesces these, so the join keeps n_part compute tasks
-    # even though the vector bytes would coalesce to one partition
-    a = (
-        v.withColumn("salt", (F.col("vec_id") % n_salt).cast("int"))
-        .repartition(n_part, "label", "salt")
-        .alias("a")
+    # hashpartitioning(label, salt, n_part) satisfies the cogroup's
+    # ClusteredDistribution, so the Arrow kernel consumes THIS exchange
+    # and AQE never coalesces the compute grid into fewer tasks
+    salt_dim = F.broadcast(
+        spark.range(n_salt).select(F.col("id").cast("int").alias("salt"))
     )
-    b = (
-        v.crossJoin(
-            F.broadcast(
-                spark.range(n_salt).select(F.col("id").cast("int").alias("salt"))
+    a = v.withColumn("salt", (F.col("vec_id") % n_salt).cast("int")).repartition(
+        n_part, "label", "salt"
+    )
+    # fresh scan for the corpus side: cogroup sides sharing one plan's
+    # attribute ids trip the ambiguous-self-join analyzer check
+    v_b = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("vec"),
+    )
+    b = v_b.crossJoin(salt_dim).repartition(n_part, "label", "salt")
+    k = _KNN_K
+
+    def score_cell(key, a_pdf, b_pdf):
+        """Score one (label, salt) cell: queries a_pdf x corpus b_pdf.
+
+        The dot/norm folds are dimension-major vectorized accumulations —
+        per pair, the SAME left-to-right (s + a_i*b_i) IEEE sequence the
+        Catalyst aggregate() fold and the DuckDB list_reduce oracle
+        compute, so every cosine is bit-identical to the relational form.
+        Zero-norm operands yield NULL cosine (emitted as Python None),
+        ranked after every real cosine by (cosine DESC NULLS LAST, nid)
+        exactly like the rank window did."""
+        import numpy as np
+        import pandas as pd
+
+        cols = ["qid", "label", "nid", "cosine", "rnk"]
+        dtypes = ["int64", "int32", "int64", "float64", "int32"]
+        if len(a_pdf) == 0 or len(b_pdf) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=d) for c, d in zip(cols, dtypes)}
             )
-        )
-        .repartition(n_part, "label", "salt")
-        .alias("b")
-    )
-    denom = F.col("a.nrm") * F.col("b.nrm")
-    pairs = a.join(
-        b,
-        (F.col("b.label") == F.col("a.label"))
-        & (F.col("b.salt") == F.col("a.salt"))
-        & (F.col("b.vec_id") != F.col("a.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("qid"),
-        F.col("a.label").alias("label"),
-        F.col("b.vec_id").alias("nid"),
-        F.when(
-            denom != 0.0, dot_product(F.col("a.vec"), F.col("b.vec")) / denom
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+        A = np.stack(a_pdf["vec"].to_numpy())
+        B = np.stack(b_pdf["vec"].to_numpy())
+        dims = A.shape[1]
+        dots = np.zeros((len(A), len(B)))
+        na = np.zeros(len(A))
+        nb = np.zeros(len(B))
+        # preallocated product buffer: 64 fresh outer-product allocations
+        # per cell were pure allocator/bandwidth churn (~10 GB per 20M-pair
+        # cell); out= keeps the same per-element multiply-then-add IEEE
+        # sequence, so cosines stay bit-identical to the sequential fold
+        tmp = np.empty_like(dots)
+        for i in range(dims):
+            np.multiply(A[:, i, None], B[None, :, i], out=tmp)
+            np.add(dots, tmp, out=dots)
+            na += A[:, i] * A[:, i]
+            nb += B[:, i] * B[:, i]
+        na = np.sqrt(na)
+        nb = np.sqrt(nb)
+        denom = np.outer(na, nb)
+        aq = a_pdf["vec_id"].to_numpy()
+        bn = b_pdf["vec_id"].to_numpy()
+        label = int(key[0])
+        out = []
+        neg_inf = float("-inf")
+        for r in range(len(A)):
+            valid = denom[r] != 0.0
+            # -inf sentinel orders invalid (NULL) cosines after every real
+            # one; real cosines are finite so the sentinel can't collide
+            cos = np.full(len(B), neg_inf)
+            np.divide(dots[r], denom[r], out=cos, where=valid)
+            others = np.nonzero(bn != aq[r])[0]
+            if others.size == 0:
+                continue
+            order = np.lexsort((bn[others], -cos[others]))
+            for rnk, j in enumerate(others[order[:k]], 1):
+                out.append(
+                    (
+                        int(aq[r]),
+                        label,
+                        int(bn[j]),
+                        float(cos[j]) if cos[j] != neg_inf else None,
+                        rnk,
+                    )
+                )
+        return pd.DataFrame(out, columns=cols)
+
     return (
-        pairs.select("qid", "label", "nid", "cosine", F.row_number().over(w).alias("rnk"))
-        .filter(F.col("rnk") <= _KNN_K)
+        a.groupBy("label", "salt")
+        .cogroup(b.groupBy("label", "salt"))
+        .applyInPandas(
+            score_cell,
+            schema="qid bigint, label int, nid bigint, cosine double, rnk int",
+        )
     )
 
 

@@ -452,6 +452,10 @@ ADV_EMB_PANEL = [
     "llm_emb_quantize",
     "llm_hard_negatives",
     "llm_mmr_diversify",
+    # round-10: the cogrouped Arrow kernel must agree with the unpruned
+    # relational oracle on degenerate vectors (zero norm, antipodal,
+    # exact duplicates, tiny/huge magnitudes)
+    "llm_knn_graph",
 ]
 
 

@@ -291,3 +291,70 @@ def test_neyman_allocation_arithmetic(spark, sf_dir):
         assert r.n_alloc == (1000 * r.w_cent) // total_w
         assert r.n_sampled == min(r.n_alloc, r.n_h)
         assert r.w_cent >= 0
+
+
+# --- llm_knn_graph Arrow-kernel exactness pins (round-10 rewrite) ---------------
+
+
+def test_knn_zero_norm_neighbor_is_null_cosine(spark):
+    """A zero-norm vector sharing a block must surface as a NULL-cosine
+    neighbor ranked AFTER every real cosine (desc NULLS LAST, nid) — the
+    Arrow kernel's -inf sentinel must convert back to a true NULL, and
+    the unpruned relational oracle must agree element-wise."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from air_quality_data_pipeline_spark.oracle import TABLE_NAMES, check_query
+
+    src = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    dst = "/tmp/knn_zero_norm_fixture"
+    os.makedirs(dst, exist_ok=True)
+    for name in TABLE_NAMES:
+        if name == "embeddings":
+            continue
+        shutil.copyfile(
+            os.path.join(src, f"{name}.parquet"), os.path.join(dst, f"{name}.parquet")
+        )
+    dim = 64
+    rows = [
+        (10, [0.0] * dim, 1),                                  # zero norm
+        (11, [0.5] * dim, 1),
+        (12, [(-1.0) ** i * 0.25 for i in range(dim)], 1),
+        (13, [0.125] * dim, 2),                                # lone in its block
+    ]
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": [r[0] for r in rows],
+                "embedding": [r[1] for r in rows],
+                "label": [r[2] for r in rows],
+            },
+            schema=schema,
+        ),
+        os.path.join(dst, "embeddings.parquet"),
+    )
+    spec = SPECS["llm_knn_graph"]
+    got = {
+        (r.qid, r.rnk): r for r in spec.builder(spark, dst).collect()
+    }
+    # vec 11's neighbors: real cosine to 12 first, NULL cosine to 10 last
+    assert got[(11, 1)].nid == 12 and got[(11, 1)].cosine is not None
+    assert got[(11, 2)].nid == 10 and got[(11, 2)].cosine is None
+    # the zero vector itself: every cosine NULL, ordered by nid
+    assert got[(10, 1)].nid == 11 and got[(10, 1)].cosine is None
+    assert got[(10, 2)].nid == 12 and got[(10, 2)].cosine is None
+    # lone vector in block 2 emits nothing
+    assert not any(q == 13 for q, _ in got)
+    # and the whole fixture must match the unpruned relational oracle
+    problems = check_query(spec.builder(spark, dst), spec.oracle, dst)
+    assert not problems, problems[:3]

@@ -64,23 +64,25 @@ def test_tail_contrib_has_no_single_partition_value_window(spark, sf_dir):
             )
 
 
-def test_knn_graph_pair_expansion_is_equi_join(spark, sf_dir):
-    """llm_knn_graph blocks by (label, salt): the PAIR expansion must plan
-    as an equi-join on the block key, never a cartesian product. (The
-    16-row salt replication is a deliberate broadcast nested-loop cross —
-    it multiplies pre-expansion corpus rows, not pairs — so BNLJ is
-    allowed ONLY for that tiny build side.)"""
+def test_knn_graph_scores_in_cogrouped_arrow_cells(spark, sf_dir):
+    """llm_knn_graph blocks by (label, salt) and scores each cell in ONE
+    cogrouped Arrow kernel: the plan must contain the cogroup operator
+    and NO pair-table join or rank window — nothing block-sized may
+    cross a shuffle (the round-10 sf10 find: the relational pair join +
+    window exchanged ~100 GB and spilled). The salt replication stays a
+    deliberate broadcast nested-loop cross of the tiny salt dim; no
+    other cartesian is allowed."""
     plan = _executed_plan(spark, "llm_knn_graph", sf_dir)
+    assert "FlatMapCoGroupsInPandas" in plan, plan[:1500]
     assert "CartesianProduct" not in plan
-    assert (
-        "SortMergeJoin" in plan
-        or "ShuffledHashJoin" in plan
-        or "BroadcastHashJoin" in plan  # tiny-SF plan for the same equi keys
-    ), plan[:1500]
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
+        "a pair-table join reappeared:\n" + plan[:1500]
+    )
+    assert "Window" not in plan, "a rank window reappeared:\n" + plan[:1500]
     # the AQE compute-blind-coalescing fix (BASELINE.md round-9): the salted
     # inputs must exchange with an EXPLICIT partition count — the only
-    # shuffle origin AQE never coalesces. Losing this reverts the block
-    # join to one task (measured 15+ min at sf1).
+    # shuffle origin AQE never coalesces. Losing this folds the compute
+    # grid into one task (measured 15+ min at sf1).
     assert "REPARTITION_BY_NUM" in plan, plan[:1500]
 
 
