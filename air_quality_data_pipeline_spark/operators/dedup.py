@@ -139,6 +139,14 @@ def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     random cross-doc pairs are killed by the Jaccard gate.
     """
     apply_engine_conf(spark)
+    # AQE's byte-based coalescing folded the bucket pair expansion onto ONE
+    # core (0.66 s task) and the array-intersect verify onto FOUR (3.4 s
+    # CPU) at sf0.1 — the shuffled bytes are MBs but the per-row compute is
+    # heavy (guide §2: compute-blind coalescing). Lowering the coalesce
+    # floor for this query keeps those stages wide; at cluster scale the
+    # stages carry GBs and the floor is never the binding constraint.
+    # Restored to the 1MB default by the next query's apply_engine_conf.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
     docs = table(spark, sf_dir, "documents")
     corpus = docs.select("doc_id", "text").unionByName(
         docs.select(

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from ..functions.exact import exact_sum, exact_sum_sql
 from ..registry import register
 from ..session import apply_engine_conf
-from ..tables import table
+from ..tables import rebalance_for_map, table
 
 _BUCKET_COUNTER = itertools.count()
 
@@ -541,6 +541,12 @@ def join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dirty_name"),
         F.expr("split(p_name, ' ')[0]").alias("blk"),
     )
+    # part.parquet is far under one split at bench scale, so the probe side
+    # streamed through the broadcast join as ONE partition and the whole
+    # candidate x levenshtein pipeline ran on one core (profiled: a single
+    # 3.5 s task was 99% of this query's wall at sf0.1). Round-robin the
+    # 10% dirty batch first — a few KB exchanged vs the DP spread 32-way.
+    dirty = rebalance_for_map(dirty, spark)
     # two candidate-pruning layers ahead of the DP: (1) |len(a)−len(b)| ≤ k
     # is a NECESSARY condition for edit distance ≤ k — a length compare
     # removes most in-block pairs before any DP; (2) the threshold form of

@@ -41,7 +41,7 @@ from ..functions.vectors import (
 )
 from ..registry import register
 from ..session import apply_engine_conf, scoped_persist
-from ..tables import table
+from ..tables import rebalance_for_map, table
 
 DIMS = 64  # fixture embedding width (TESTDATA.md)
 
@@ -97,7 +97,11 @@ def llm_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = v.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
     )
-    corpus = v.filter(F.col("vec_id") >= 10)
+    # embeddings.parquet is one file well under a split at bench scale, so
+    # the corpus scans as ONE partition and the 64-dim cosine folds — the
+    # entire cost of this query — ran on one core (profiled: a single
+    # 551 ms task at sf0.1). The tiny vector exchange buys every core.
+    corpus = rebalance_for_map(v.filter(F.col("vec_id") >= 10), spark)
     scored = corpus.join(F.broadcast(q)).select(
         "qid", "vec_id", cosine_similarity(F.col("qvec"), F.col("vec")).alias("cosine")
     )
@@ -420,6 +424,12 @@ SELECT qid, vec_id, cosine, rnk FROM (
 
 def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared IVF top-k plan (see llm_sim_search_ivf docstring)."""
+    # the candidate rescore + per-query window stage is MBs of shuffle but
+    # CPU-dense cosine folds; the stock 1MB AQE coalesce floor folded it
+    # onto one core (profiled: a single 414 ms task at sf0.1). Same
+    # compute-blind-coalescing fix as llm_minhash_dedup; restored by the
+    # next query's apply_engine_conf.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
     v = _vectors(spark, sf_dir)
     cent = v.filter(F.col("vec_id") < _N_CENT).select(
         F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
@@ -431,8 +441,11 @@ def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate rows per vector to 1 before the exchange. Struct ordering is
     # lexicographic, so (csim, -cid) == "highest csim, lowest cid" — the
     # same deterministic tiebreak as the oracle's row_number.
+    # Same single-split-scan hazard as llm_sim_search: the assignment pass
+    # (corpus x 16 centroid cosines, the bulk of the query) profiled as ONE
+    # 657 ms task at sf0.1 — spread the scan before the per-row compute.
     assigned = (
-        v.join(F.broadcast(cent))
+        rebalance_for_map(v, spark).join(F.broadcast(cent))
         .select("vec_id", "cid", csim)
         .groupBy("vec_id")
         .agg(F.max(F.struct(F.col("csim"), (-F.col("cid")).alias("ncid"))).alias("best"))
@@ -537,7 +550,8 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
     )
     bscored = (
-        v.join(F.broadcast(q))
+        rebalance_for_map(v, spark)  # brute branch: corpus x panel cosines
+        .join(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid", "vec_id", cosine_similarity(F.col("qvec"), F.col("vec")).alias("cosine")

@@ -110,6 +110,13 @@ def apply_engine_conf(spark: SparkSession) -> SparkSession:
     )
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    # Compute-dense queries (llm_minhash_dedup's pair expansion / verify)
+    # lower the AQE coalescing floor for their own run — byte-based
+    # coalescing is blind to per-row compute (the round-10 llm_knn_graph
+    # lesson) and folded their MB-sized but CPU-heavy stages onto 1-4
+    # cores. Restore the Spark default here so every other query coalesces
+    # under stock settings.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1MB")
     try:  # default is unset (falls back to autoBroadcastJoinThreshold)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     except Exception:
