@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from ..functions.exact import exact_sum, exact_sum_sql
 from ..registry import register
 from ..session import apply_engine_conf, scoped_persist
-from ..tables import table
+from ..tables import rebalance_for_map, table
 
 _AGG_COUNT_GRP_ORACLE = """
 SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type
@@ -973,7 +973,11 @@ def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the constant-size probe panel. Hashes are the engine-portable md5 fold,
     so the full estimate path is value-checked cross-engine."""
     apply_engine_conf(spark)
-    li = table(spark, sf_dir, "lineitem")
+    # one-row-group fixture scans are 1 task; spread before the heavy
+    # per-row map work (profiled single-task stage; see OPTIMIZATION_r10.md)
+    li = rebalance_for_map(
+        table(spark, sf_dir, "lineitem").select("l_partkey"), spark
+    )
     # One lineitem scan: posexplode the d per-row bucket hashes (array index
     # IS the hash-row id j) instead of d unioned full scans — at 100 TB the
     # union shape pays the scan d times for the same sketch.
@@ -1576,8 +1580,10 @@ def agg_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the panel key range at the parquet reader."""
     apply_engine_conf(spark)
     li = table(spark, sf_dir, "lineitem")
+    # spread only the bits build (k md5 bit positions per row, profiled
+    # single-task); the exact anchor below keeps its pruned pushed-filter scan
     bits = (
-        li.select(
+        rebalance_for_map(li.select("l_partkey"), spark).select(
             F.explode(
                 F.array(*[F.expr(_bf_bit("l_partkey", j)) for j in range(_BF_K)])
             ).alias("bit")
@@ -3626,6 +3632,11 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", F.floor(F.col("l_quantity")).cast("bigint").alias("qty"),
         "l_returnflag",
     )
+    # the B-fold explode turns every input row into B md5 evaluations — at
+    # sf0.1 that is ~19M hashes, and the 3-split lineitem scan ran them on
+    # 3 cores (profiled: one 18 s / 3-task stage was the whole query).
+    # Spread the 4-column input first; the fan-out stays map-local.
+    li = rebalance_for_map(li, spark)
     h = (
         "cast(conv(substring(md5(concat('boot', cast(b as string), '|', "
         "cast(l_orderkey as string), ':', cast(l_linenumber as string))), 1, 14), "

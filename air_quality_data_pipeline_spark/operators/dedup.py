@@ -382,12 +382,23 @@ def llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokens >= 3 == non-empty shingle list; cheap pre-filter, never a
     # predicate on the computed array (the llm_minhash_dedup 20x lesson)
     corpus = corpus.filter(F.size(F.split(F.col("text"), " ")) >= 3)
+    # the 2-split documents scan ran ALL of HashingTF + the 8-table MinHash
+    # family on 2 cores (profiled: two stages, 53 s CPU total, 2 tasks
+    # each — 90% of this query's wall). Same spread as llm_minhash_dedup.
+    corpus = rebalance_for_map(corpus, spark)
     shingled = corpus.select(
         "doc_id",
         F.array_distinct(F.expr(shingles_spark(tokens_spark("text")))).alias("shingles"),
     )
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
-    feats = tf.transform(shingled)
+    # Persist barrier (the llm_minhash_dedup pattern): approxSimilarityJoin
+    # plants size(hashes) > 0 / isnotnull filters that Catalyst pushes BELOW
+    # the rebalance exchange, inlining the whole shingle+TF+MinHash chain
+    # into a scan-side Filter — evaluated TWICE per row, on the 2-task scan,
+    # once per join side (profiled: two 17 s-CPU 2-task stages were 85% of
+    # this query). The cache computes features ONCE post-rebalance and both
+    # join sides read it.
+    feats = scoped_persist(tf.transform(shingled))
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 0.4, distCol="jaccard_dist")
@@ -880,7 +891,11 @@ def llm_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(drop_last_token_spark("text")).alias("text"),
         )
     )
-    arr = corpus.select("doc_id", F.split("text", " ").alias("a"))
+    # one-row-group fixture scans are 1 task; the 8-token shingle md5
+    # explode is the heavy map work — spread first (OPTIMIZATION_r10.md)
+    arr = rebalance_for_map(corpus, spark).select(
+        "doc_id", F.split("text", " ").alias("a")
+    )
     sh = (
         arr.filter(F.size("a") >= _SPAN_K)
         .select(

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..registry import register
 from ..session import apply_engine_conf, scoped_persist
-from ..tables import table
+from ..tables import rebalance_for_map, table
 
 # --- dq_profile ---------------------------------------------------------------
 
@@ -58,7 +58,11 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate over one scan (multi-distinct plans as one Expand +
     aggregate); the report is 4 rows however large the input."""
     apply_engine_conf(spark)
-    li = table(spark, sf_dir, "lineitem")
+    # one-row-group fixture scans are 1 task; spread before the heavy
+    # per-row map work (profiled single-task stage; see OPTIMIZATION_r10.md)
+    li = rebalance_for_map(
+        table(spark, sf_dir, "lineitem").select(*_PROFILE_COLS), spark
+    )
     aggs = []
     for c in _PROFILE_COLS:
         aggs += [
@@ -1396,7 +1400,14 @@ def dq_funcdep(spark: SparkSession, sf_dir: str) -> DataFrame:
     run at the (fd, lhs) group grain, so exchanges carry keys and counts,
     never rows; violation_rate divides two exact BIGINTs."""
     apply_engine_conf(spark)
-    li = table(spark, sf_dir, "lineitem")
+    # one-row-group fixture scans are 1 task; spread before the heavy
+    # per-row map work (profiled single-task stage; see OPTIMIZATION_r10.md)
+    li = rebalance_for_map(
+        table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey", "l_partkey", "l_extendedprice", "l_linestatus"
+        ),
+        spark,
+    )
     pairs = li.selectExpr(
         "stack(4, "
         "'orderkey->suppkey', CAST(l_orderkey AS STRING), CAST(l_suppkey AS STRING), "

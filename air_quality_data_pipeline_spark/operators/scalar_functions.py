@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..functions.geo import HAVERSINE_SQL, SYNTH_LAT_SQL, SYNTH_LON_SQL, haversine_m, synthetic_lat, synthetic_lon
 from ..registry import register
 from ..session import apply_engine_conf
-from ..tables import table
+from ..tables import rebalance_for_map, table
 
 # --- f_parse_ts -------------------------------------------------------------
 
@@ -619,7 +619,12 @@ def f_try_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first quarantines unparseable input, this neutralizes poisoned
     arithmetic on parsed data."""
     apply_engine_conf(spark)
-    orders = table(spark, sf_dir, "orders")
+    # EVERY row takes the try_add overflow path (exception-based in the
+    # JVM, ~20us/row) and the one-row-group orders scan ran all 150k of
+    # them on ONE task (profiled 3.8 s). Spread the 3 needed columns first.
+    orders = rebalance_for_map(
+        table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"), spark
+    )
     zero = F.col("o_orderkey") - F.col("o_orderkey")  # provably-zero bigint
     return orders.select(
         "o_orderkey",

@@ -682,6 +682,9 @@ def llm_emb_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_PERTURB_SPARK.replace("embedding", "vec")).alias("vec"),
         )
     )
+    # one-row-group fixture scans are 1 task; the 2048-term sign-bit fold
+    # per row is the heavy map work — spread before computing signatures
+    corpus = rebalance_for_map(corpus, spark)
     sigs = scoped_persist(
         corpus.select(
             "vec_id",

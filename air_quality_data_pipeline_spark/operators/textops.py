@@ -611,7 +611,11 @@ def llm_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     from pyspark.sql import Window
 
-    docs = table(spark, sf_dir, "documents")
+    # one-row-group fixture scans are 1 task; spread before the heavy
+    # per-row map work (profiled single-task stage; see OPTIMIZATION_r10.md)
+    docs = rebalance_for_map(
+        table(spark, sf_dir, "documents").select("lang", "text"), spark
+    )
     g = docs.select(
         "lang",
         F.explode(F.expr(shingles_spark(tokens_spark("text"), 2))).alias("bigram"),
@@ -1114,7 +1118,11 @@ def llm_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer math end to end — see module comment — so a 1000-executor run
     reproduces this result bit for bit."""
     apply_engine_conf(spark)
-    docs = table(spark, sf_dir, "documents")
+    # one-row-group fixture scans are 1 task; spread before the heavy
+    # per-row map work (profiled single-task stage; see OPTIMIZATION_r10.md)
+    docs = rebalance_for_map(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
     t = docs.select(
         "doc_id", F.expr(token_hashes_spark_sql(tokens_spark("text"))).alias("th")
     )
@@ -3343,7 +3351,14 @@ def llm_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical exact-ratio doubles in both engines — the agg_entropy
     recipe)."""
     apply_engine_conf(spark)
-    docs = table(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    # one-row-group fixture scans are 1 task; spread before the heavy
+    # per-row map work (profiled single-task stage; see OPTIMIZATION_r10.md)
+    docs = rebalance_for_map(
+        table(spark, sf_dir, "documents")
+        .select("source", "text")
+        .filter(F.length("text") >= 2),
+        spark,
+    )
     bg = docs.select(
         "source",
         F.expr("explode(sequence(1, length(text) - 1))").alias("j"),

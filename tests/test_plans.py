@@ -821,12 +821,15 @@ def test_uniqueness_is_single_pass_multi_distinct(spark, sf_dir):
 
 
 def test_2hop_is_equi_joins_no_cartesian(spark, sf_dir):
-    """graph_2hop: wedge expansion and distance-1 removal are equi-joins
-    (hash-joinable at any scale) — never a cartesian; the anti join is
-    planned as a real LeftAnti."""
+    """graph_2hop (round-10 sparse-bitmap form): reach words build via
+    equi-joins + bit_or hash aggregates — never a cartesian, never a pair
+    row; the old wedge-distinct + LeftAnti machinery must NOT come back
+    (it expanded sum-of-degree² path rows — 61.8M at sf0.1)."""
     plan = _executed_plan(spark, "graph_2hop", sf_dir)
     assert "CartesianProduct" not in plan
-    assert "LeftAnti" in plan
+    assert "bit_or" in plan, plan
+    assert "bit_count" in plan, plan
+    assert "LeftAnti" not in plan, "wedge-distinct/anti-join form resurfaced"
 
 
 def test_kcore_final_round_broadcasts_the_core(spark, sf_dir):
@@ -1724,14 +1727,17 @@ def test_harmonic_frontiers_reuse_edges_no_cartesian(spark, sf_dir):
 
 
 def test_pref_attach_anti_join_on_pair_grain(spark, sf_dir):
-    # wedge -> candidate anti-join -> degree joins: all equi-joins on
-    # int pair/node grains; no cartesian, no Python
+    # round-10 sparse-bitmap form: candidates come from r2 & ~r1 & ~self
+    # word arithmetic (the closed-pair removal IS the mask — no anti join,
+    # no sum-of-degree² wedge groupBy), n_common from bit_count over the
+    # pair's neighbor words; all equi-joins on int grains, no cartesian,
+    # no Python
     plan = _executed_plan(spark, "graph_pref_attach", sf_dir)
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" not in plan
-    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) .*LeftAnti", plan) or "LeftAnti" in plan, (
-        f"closed-pair removal must be an anti equi-join:\n{plan}"
-    )
+    assert "bit_or" in plan, plan
+    assert "bit_count" in plan, plan
+    assert "LeftAnti" not in plan, "wedge/anti-join form resurfaced"
 
 
 def test_lexical_diversity_cell_grain_exchanges_only(spark, sf_dir):
