@@ -41,7 +41,7 @@ from ..functions.text import (
     tokens_spark,
 )
 from ..registry import register
-from ..session import apply_engine_conf, scoped_persist
+from ..session import apply_engine_conf, scoped_persist, set_compute_dense_floor
 from ..tables import rebalance_for_map, table
 
 # --- llm_exact_dedup ---------------------------------------------------------
@@ -145,8 +145,10 @@ def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # heavy (guide §2: compute-blind coalescing). Lowering the coalesce
     # floor for this query keeps those stages wide; at cluster scale the
     # stages carry GBs and the floor is never the binding constraint.
-    # Restored to the 1MB default by the next query's apply_engine_conf.
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+    # Derivation + build→execute sequencing contract: session.py
+    # set_compute_dense_floor. Restored by the next query's
+    # apply_engine_conf.
+    set_compute_dense_floor(spark)
     docs = table(spark, sf_dir, "documents")
     corpus = docs.select("doc_id", "text").unionByName(
         docs.select(
@@ -1105,6 +1107,12 @@ def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 x 16 bands) is the same plan with different constants. Near-dups
     synthesized as drop-last-token twins, as in llm_minhash_dedup."""
     apply_engine_conf(spark)
+    # the bucket pair-expansion + hamming verify stage reads < 1 MB of
+    # (band, bv) buckets but runs nested per-bucket transforms — AQE's
+    # byte-based coalescing folded it onto ONE task (0.92 s CPU at sf0.1,
+    # profiled r11). Same compute-blind-coalescing fix as
+    # llm_minhash_dedup; restored by the next query's apply_engine_conf.
+    set_compute_dense_floor(spark)
     docs = table(spark, sf_dir, "documents")
     corpus = docs.select("doc_id", "text").unionByName(
         docs.select(
@@ -1544,11 +1552,24 @@ def llm_minhash_est_err(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lesson)
         (F.col("doc_id") < 100) & (F.size(F.split(F.col("text"), " ")) >= 3)
     )
-    sh_expr = shingle_hashes_spark_sql(
-        token_hashes_spark_sql(tokens_spark("text")), mod=SHINGLE_MOD_WIDE
+    # round-11 (profiled: two ~0.9 s single-task stages at sf0.1): (1) the
+    # token-hash transform was nested INSIDE the shingle lambda, so every
+    # element_at re-evaluated the whole md5 token array — O(n²) md5 calls
+    # per doc (the llm_ngram_novelty bug); materialize th first. (2) sigs
+    # feeds BOTH sides of the pair join and was recomputed per side —
+    # cache the ≤100-row panel instead.
+    hashed = docs.select(
+        "doc_id", F.expr(token_hashes_spark_sql(tokens_spark("text"))).alias("th")
     )
-    sub = docs.select("doc_id", F.array_distinct(F.expr(sh_expr)).alias("sh"))
-    sigs = sub.select("doc_id", "sh", F.expr(_MH_EST_SPARK).alias("sig"))
+    sub = hashed.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(shingle_hashes_spark_sql("th", mod=SHINGLE_MOD_WIDE))
+        ).alias("sh"),
+    )
+    sigs = scoped_persist(
+        sub.select("doc_id", "sh", F.expr(_MH_EST_SPARK).alias("sig"))
+    )
     a = sigs.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("sig").alias("sig_a")
     )

@@ -40,7 +40,7 @@ from ..functions.vectors import (
     l2_norm,
 )
 from ..registry import register
-from ..session import apply_engine_conf, scoped_persist
+from ..session import apply_engine_conf, scoped_persist, set_compute_dense_floor
 from ..tables import rebalance_for_map, table
 
 DIMS = 64  # fixture embedding width (TESTDATA.md)
@@ -427,9 +427,10 @@ def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the candidate rescore + per-query window stage is MBs of shuffle but
     # CPU-dense cosine folds; the stock 1MB AQE coalesce floor folded it
     # onto one core (profiled: a single 414 ms task at sf0.1). Same
-    # compute-blind-coalescing fix as llm_minhash_dedup; restored by the
-    # next query's apply_engine_conf.
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+    # compute-blind-coalescing fix as llm_minhash_dedup (derivation +
+    # sequencing contract: session.py set_compute_dense_floor); restored
+    # by the next query's apply_engine_conf.
+    set_compute_dense_floor(spark)
     v = _vectors(spark, sf_dir)
     cent = v.filter(F.col("vec_id") < _N_CENT).select(
         F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
@@ -671,6 +672,12 @@ def llm_emb_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines build the identical input. Demo cap exists only because
     the ORACLE must also run; the Spark side has no all-pairs stage."""
     apply_engine_conf(spark)
+    # the candidate-join + exact-cosine verify stage reads < 1 MB of id
+    # pairs but each row pays three 64-term interpreted cosine folds —
+    # AQE's byte-based coalescing folded it onto ONE task (1.72 s CPU at
+    # sf0.1, profiled r11). Same compute-blind-coalescing fix as
+    # llm_minhash_dedup; restored by the next query's apply_engine_conf.
+    set_compute_dense_floor(spark)
     base = (
         table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < _LSH_CAP)

@@ -1262,21 +1262,44 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     score reproducible no matter how partitions are laid out."""
     apply_engine_conf(spark)
     docs = rebalance_for_map(table(spark, sf_dir, "documents"), spark)
+    # round-11 (guide §2.4 "two operations keyed the same way can share one
+    # exchange"): the (doc_id, s) dedup and the per-shingle min-window BOTH
+    # only need rows co-located by s — hashpartitioning(s) satisfies the
+    # dedup's (doc_id, s) clustering requirement, so an explicit
+    # repartition("s") lets the dedup aggregate AND the window ride ONE
+    # exchange instead of two (the old distinct exchanged on (doc_id, s),
+    # then the window re-exchanged on s). The exchange now carries raw
+    # exploded pairs rather than deduped ones, but within-doc repeated
+    # shingles are ~0.1% of rows (260 704 raw vs 260 388 distinct at
+    # sf0.1), so the swap removes a full 260k-row exchange for free. The
+    # md5/shingle compute still runs in the rebalanced scan stage, and
+    # every exchanged row is a pair of longs — never text.
+    # round-11, the bigger fix (guide §1.2 "per-task work", profiled 65.8 s
+    # CPU at sf0.1): the old one-expression form nested the md5 token-hash
+    # transform INSIDE the shingle lambda, so every element_at(th, i+j)
+    # re-evaluated the WHOLE token-hash array — 3 full md5 passes over the
+    # doc per shingle position, O(n²) md5 calls per doc. Materializing th
+    # as its own projection first (the llm_minhash_dedup pattern) hashes
+    # each token exactly once; CollapseProject leaves a multiply-referenced
+    # non-cheap alias alone, so the split survives optimization.
+    hashed = docs.select(
+        "doc_id",
+        F.expr(token_hashes_spark_sql(tokens_spark("text"))).alias("th"),
+    )
     sh = (
-        docs.select(
+        hashed.select(
             "doc_id",
-            F.explode(
-                F.expr(shingle_hashes_spark_sql(token_hashes_spark_sql(tokens_spark("text"))))
-            ).alias("s"),
+            F.explode(F.expr(shingle_hashes_spark_sql("th"))).alias("s"),
         )
-        .distinct()
+        .repartition("s")
+        .dropDuplicates(["doc_id", "s"])
     )
     from pyspark.sql import Window
 
     # min-over-window instead of aggregate+join-back: the per-shingle first
-    # occurrence and its redistribution to member rows share ONE exchange on
-    # s (an unbounded min needs no frame sort state), cutting the plan from
-    # 4 shuffles to 3.
+    # occurrence and its redistribution to member rows need no extra
+    # exchange at all — both dedup and window reuse the repartition("s")
+    # layout (an unbounded min needs no frame state).
     w = Window.partitionBy("s")
     tagged = sh.select("doc_id", "s", F.min("doc_id").over(w).alias("first_doc"))
     return (

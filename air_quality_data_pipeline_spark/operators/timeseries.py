@@ -4198,17 +4198,23 @@ def ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     libm ln quantized the ts_entropy_rate way); a day that exhausts the
     risk set is an exact 0.0 via the zeroed flag, never ln(0)."""
     apply_engine_conf(spark)
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate", "o_orderstatus"
+    )
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    dur = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate", "o_orderstatus")
-        .agg(F.max("l_shipdate").alias("last_ship"))
-        .select(
-            F.col("o_orderpriority").alias("priority"),
-            F.datediff("last_ship", "o_orderdate").alias("t_days"),
-            F.when(F.col("o_orderstatus") != "O", 1).otherwise(0).alias("is_event"),
-        )
+    # Aggregate BEFORE the join (guide §2.3): the order attributes in the
+    # oracle's GROUP BY are functionally dependent on o_orderkey, so
+    # max(l_shipdate) per order can collapse lineitem map-side FIRST —
+    # the join then carries one row per order instead of one per line,
+    # and the old post-join groupBy on the wide 4-column key (orderkey +
+    # string priority + date + status) disappears entirely. Same rows,
+    # same values: an inner join on the key then max per key == max per
+    # key then inner join on the key.
+    last = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("last_ship"))
+    dur = last.join(o, last.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("last_ship", "o_orderdate").alias("t_days"),
+        F.when(F.col("o_orderstatus") != "O", 1).otherwise(0).alias("is_event"),
     )
     cells = dur.groupBy("priority", "t_days").agg(
         F.sum("is_event").cast("bigint").alias("d"),

@@ -96,12 +96,21 @@ def main() -> None:
 
     errors: dict[str, str] = {}
 
+    # Measurement-honesty fix (VERDICT r10 item 1, guide §1): the graph
+    # family memoizes its persisted co-purchase edge set per session, so
+    # without eviction runs 2-5 of the median-of-5 loop read a warm cache
+    # and the reported median is a warm-cache number. Evict before every
+    # timed run so each sample computes cold from the parquet inputs. The
+    # memo's legitimate cross-QUERY reuse in driver passes is unchanged.
+    from air_quality_data_pipeline_spark.operators.graph import reset_edge_memo
+
     def time_set(names: list[str]) -> dict[str, float]:
         timings: dict[str, float] = {}
         for name in names:
             samples: list[float] = []
             for _ in range(runs):
                 try:
+                    reset_edge_memo()
                     df = specs[name].builder(spark, sf_dir)
                     t0 = time.perf_counter()
                     df.write.mode("overwrite").format("noop").save()

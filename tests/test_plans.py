@@ -396,11 +396,13 @@ def test_bitmap_distinct_carries_bitmaps_not_values(spark, sf_dir):
 
 
 def test_ngram_novelty_reuses_shingle_partitioning(spark, sf_dir):
-    # the first-seen aggregate and the join both key on the shingle hash; the
-    # persisted exploded frame must be exchanged on s ONCE (plus the final
-    # per-doc aggregate exchange) — no third shuffle of the fact side
+    # round-11 shape: the (doc_id, s) dedup AND the first-seen min-window
+    # share ONE explicit repartition("s") exchange (hashpartitioning(s)
+    # satisfies the dedup's (doc_id, s) clustering), so the only hash
+    # exchanges are that one plus the final per-doc aggregate — the old
+    # third exchange (distinct on (doc_id, s)) must not come back
     plan = _executed_plan(spark, "llm_ngram_novelty", sf_dir)
-    assert plan.count("Exchange hashpartitioning") <= 3
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
 
 
 def test_median_smooth_single_window(spark, sf_dir):
@@ -1712,17 +1714,23 @@ def test_calendar_profile_single_collapse_window_on_cells(spark, sf_dir):
 
 
 def test_harmonic_frontiers_reuse_edges_no_cartesian(spark, sf_dir):
-    # the three frontier joins and both set subtractions must be
-    # equi-joins over the memoized edge cache — no cartesian anywhere,
-    # and the fact table must not be re-scanned per frontier
+    # round-10 sparse-bitmap form (ADVICE r10 refresh): BFS reach sets are
+    # (node, word_idx, int64 word) rows built by equi-join + bit_or hash
+    # aggregates over the memoized edge cache, distance classes are
+    # bit_count mask arithmetic — no cartesian anywhere, no LeftAnti (the
+    # retired round-9 path-expansion form), and the edge/reach caches must
+    # be reused, not re-derived per round
     plan = _executed_plan(spark, "graph_harmonic", sf_dir)
     assert "CartesianProduct" not in plan
+    assert "bit_or" in plan, plan
+    assert "bit_count" in plan, plan
+    assert "LeftAnti" not in plan, "path-expansion/anti-join form resurfaced"
     # the only BNLJ allowed is the edge build's 1-row mean-threshold
     # broadcast (shared with every graph operator)
     for m in re.finditer(r"BroadcastNestedLoopJoin [^\n]*", plan):
         assert "m#" in m.group(0), f"unexpected BNLJ: {m.group(0)}"
     assert len(re.findall(r"InMemoryTableScan", plan)) >= 3, (
-        f"frontier joins must reuse cached edge/frontier tables:\n{plan}"
+        f"reach-word joins must reuse cached edge/reach tables:\n{plan}"
     )
 
 

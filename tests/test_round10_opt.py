@@ -49,6 +49,10 @@ HOSTILE_ROWS = [
     (None, [0.5] * 64),                            # null array
     ([float("nan")] + [0.5] * 63, [0.5] * 64),     # NaN element
     ([1e308] * 64, [1e308] * 64),                  # overflow to inf
+    # 64-wide array with a NULL element: the UNROLLED branch (not the
+    # fallback) must reproduce the fold's NULL propagation (ADVICE r10 —
+    # the one shape where the fast path itself handles element NULLs)
+    ([0.5] * 30 + [None] + [0.5] * 33, [0.5] * 64),
 ]
 
 
