@@ -30,8 +30,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..registry import register
-from ..session import apply_engine_conf, scoped_persist
-from ..tables import table
+from ..session import apply_engine_conf, scoped_persist, set_compute_dense_floor
+from ..tables import rebalance_for_map, table
 
 _SCALE = 1_000_000_000_000  # 10^12 fixed-point scale
 _ITERS = 3
@@ -80,7 +80,18 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             _EDGE_MEMO.pop(k).unpersist()
         except Exception:
             pass  # stale session already stopped
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # round-11: the self-join's map side (scan + hash + shuffle write of
+    # 600k key pairs at sf0.1) ran on the 1-3 tasks the one-row-group
+    # fixture scan yields, and the reduce side coalesced to ~11 tasks
+    # under the stock 1MB AQE floor — together most of the cold edge
+    # build's wall (interleaved A/B: 2.7 s -> 1.4 s). The rebalance is
+    # semantically inert (a groupBy-join consumes it); the floor is the
+    # compute-dense coalescing fix shared with llm_minhash_dedup,
+    # restored by the next query's apply_engine_conf.
+    set_compute_dense_floor(spark)
+    li = rebalance_for_map(
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey"), spark
+    )
     l1 = li.alias("l1")
     l2 = li.alias("l2")
     pair_counts = (

@@ -967,6 +967,11 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.expr("transform(embedding, x -> cast(x as double))").alias("vec"),
     )
+    # one-row-group fixture scan = 1 task; the 20-query x corpus cosine
+    # scoring is the whole query (profiled: a single 1.3 s task at sf0.1)
+    # — spread the scan before the broadcast-scoring pass, exactly the
+    # llm_sim_search fix from round 10
+    v = rebalance_for_map(v, spark)
     q = v.filter(F.col("vec_id") < _HARD_NEG_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("qlabel"),

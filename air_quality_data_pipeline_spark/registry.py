@@ -71,27 +71,78 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # registry are ignored (lets the list name queries before they land);
 # everything not listed keeps module order after the priority block.
 #
-# Round-10 window, in need-order (VERDICT r9 items 1-3): every name owed a
-# driver row fits in EXACTLY 50 slots — len()-verified by the registry
-# accounting tests, not by comment arithmetic.
-# (a) the 29 round-9 additions with NO driver row (round-9
-#     DEFERRED_FIRST_ROW, listing order). Seven of them (agg_levene,
-#     agg_jackknife_ratio, ts_sax, ts_hurst, ts_pacf, llm_fleiss_kappa,
-#     f_hash_rng) also took the ADVICE r9 numeric-hardening fixes this
-#     round, so their first row samples the FIXED code.
-# (b) the 9 ROUND10_RESAMPLE debts staged last round: st_approx_distinct's
-#     first-ever rows-only row (VERDICT r8 item 2 / r9 item 1) plus the
-#     eight changed-code re-samples.
-# (c) fresh rows-only rows for llm_minhash_lsh + agg_sketch_union (stale
-#     since r05 — VERDICT r9 item 1).
-# (d) src_http: CODE changed this round (promoted to a registered Spark 4
-#     Python DataSource, VERDICT r9 item 3).
-# (e) the 8 round-10 additions (growth capped at the leftover window
-#     budget, VERDICT r9 item 2).
-# (f) 1 filler slot: ref_pipeline, the oldest green (r03) not re-sampled
-#     since.
+# Round-11 window, in need-order (VERDICT r10 items 2-4) — len()-verified by
+# the registry accounting tests:
+# (a) the 7 batch-2 operators from the interrupted round-10 build that have
+#     never had a driver row (VERDICT r10 item 2 — the whole deferral
+#     ledger clears this round; DEFERRED_FIRST_ROW is now empty).
+# (b) the 12 operators whose CODE changed in the round-11 optimization
+#     pass (frontier CC, per-round persists in the iterative graph family,
+#     the O(n^2) shingle-hash fixes, compute-dense coalesce floors, the
+#     ts_survival_km pre-join collapse, the adamic-adar packing guard,
+#     and llm_minhash_dedup's floor-helper refactor) — their rows must
+#     sample the NEW code.
+# (c) fresh rows-only rows for the 3 rows-only-by-design entries
+#     (st_approx_distinct, llm_minhash_lsh, agg_sketch_union), re-sampled
+#     per VERDICT r10 item 2.
+# (d) 28 oldest-green fillers: every remaining slot goes to round-1 greens
+#     not re-sampled since (the oldest evidence in the ledger).
 DRIVER_PRIORITY = [
-    # (a) round-9 first rows, deferral-listing order
+    # (a) round-10 batch-2 first rows
+    "agg_ols2",
+    "sample_neyman",
+    "ts_runs_test",
+    "ts_survival_km",
+    "llm_ece",
+    "llm_filter_funnel",
+    "llm_rrf_fusion",
+    # (b) round-11 changed-code re-samples
+    "graph_cc",
+    "graph_cc_shuffle",
+    "graph_eigencentrality",
+    "graph_hits",
+    "graph_pagerank",
+    "graph_label_prop",
+    "graph_adamic_adar",
+    "llm_ngram_novelty",
+    "llm_minhash_est_err",
+    "llm_simhash_neardup",
+    "llm_emb_lsh",
+    "llm_minhash_dedup",
+    # (c) rows-only refresh
+    "st_approx_distinct",
+    "llm_minhash_lsh",
+    "agg_sketch_union",
+    # (d) oldest greens (all last sampled r01)
+    "agg_collect_set",
+    "agg_count_distinct",
+    "agg_count_grp",
+    "agg_cube",
+    "agg_global_count",
+    "agg_quantiles",
+    "agg_rollup",
+    "agg_stats",
+    "agg_superset",
+    "f_cast_int",
+    "f_coalesce",
+    "f_fmt_ts",
+    "f_haversine",
+    "f_interp",
+    "f_lower",
+    "f_parse_ts",
+    "flagship",
+    "flt_exists",
+    "flt_geo",
+    "flt_isin",
+    "flt_notnull",
+    "flt_numeric",
+    "join_anti",
+    "join_bcast",
+    "join_bucketed",
+    "join_dim",
+    "join_nested_corr",
+    "join_range",
+    # ---- 50-slot fold: names below only order the registry tail ----
     "agg_levene",
     "agg_jackknife_ratio",
     "agg_bayes_shrink",
@@ -113,7 +164,6 @@ DRIVER_PRIORITY = [
     "win_reset_cumsum",
     "f_hash_rng",
     "ts_hurst",
-    "graph_eigencentrality",
     "agg_tail_contrib",
     "dq_heaping",
     "dq_null_correlation",
@@ -121,8 +171,6 @@ DRIVER_PRIORITY = [
     "ts_pacf",
     "llm_fleiss_kappa",
     "llm_curriculum_phase",
-    # (b) staged re-samples (ROUND10_RESAMPLE, round-9 bookkeeping)
-    "st_approx_distinct",
     "win_ntile",
     "join_salted",
     "llm_incr_dedup",
@@ -131,12 +179,7 @@ DRIVER_PRIORITY = [
     "win_skyline",
     "agg_skew_kurt",
     "agg_weighted_median",
-    # (c) stale rows-only refresh (last sampled r05)
-    "llm_minhash_lsh",
-    "agg_sketch_union",
-    # (d) code changed round 10: Python DataSource promotion
     "src_http",
-    # (e) round-10 additions
     "agg_hodges_lehmann",
     "agg_basket_pairs",
     "graph_katz",
@@ -145,10 +188,7 @@ DRIVER_PRIORITY = [
     "ts_haar_energy",
     "llm_dp_count",
     "llm_epoch_plan",
-    # (f) filler: oldest green
     "ref_pipeline",
-    # ---- 50-slot fold: names below only order the registry tail ----
-    # round-9 window greens (sampled r09), window order
     "agg_mannwhitney",
     "agg_anova",
     "ts_bollinger",
@@ -193,13 +233,11 @@ DRIVER_PRIORITY = [
     "ts_volatility",
     "ts_outages",
     "llm_langid_eval",
-    "llm_minhash_est_err",
     "f_time_bucket",
     "dq_label_balance",
     "agg_topn_other",
     "llm_source_overlap",
     "ts_forecast_eval",
-    # round-8 window greens (sampled r08), window order
     "llm_char_entropy",
     "llm_dataset_interleave",
     "dq_volume_anomaly",
@@ -228,7 +266,6 @@ DRIVER_PRIORITY = [
     "ts_markov_transitions",
     "dq_funcdep",
     "llm_readability",
-    "graph_hits",
     "agg_ttest",
     "llm_jsd_drift",
     "graph_degree_dist",
@@ -241,37 +278,12 @@ DRIVER_PRIORITY = [
     "agg_geomean",
     "ts_cov_matrix",
     "ts_decay_score",
-    "llm_simhash_neardup",
-    "graph_label_prop",
     "dq_chi2",
     "llm_emb_covariance",
     "ts_holt",
-    "graph_cc_shuffle",
     "llm_cross_dedup",
-    # round-1 greens (stale filler pool), module order
-    "flagship",
-    "flt_isin",
-    "flt_notnull",
-    "flt_numeric",
-    "flt_geo",
-    "flt_exists",
-    "join_bcast",
     "join_semi",
-    "join_anti",
-    "join_dim",
-    "join_nested_corr",
-    "join_bucketed",
-    "join_range",
-    "agg_count_grp",
-    "agg_collect_set",
-    "agg_count_distinct",
-    "agg_global_count",
-    "agg_superset",
-    "agg_stats",
-    "agg_rollup",
-    "agg_cube",
     "proj_select",
-    "agg_quantiles",
     "sort_asc",
     "topk",
     "limit_page",
@@ -285,47 +297,28 @@ DRIVER_PRIORITY = [
     "win_frame",
     "win_offsets",
     "win_distribution",
-    "f_parse_ts",
-    "f_haversine",
-    "f_lower",
-    "f_coalesce",
-    "f_cast_int",
-    "f_fmt_ts",
-    "f_interp",
 ]
 
 # The driver reads the FIRST 50 registry entries; names past the fold only
 # order the remainder of the registry.
 DRIVER_WINDOW = DRIVER_PRIORITY[:50]
 
-# Round 10 clears the ENTIRE debt ledger: all 29 round-9 first rows, all 9
-# staged re-samples, both stale rows-only refreshes, the src_http code
-# change, and the 8 round-10 batch-1 additions ride the window together
-# (48 slots + 2 free, one spent on the oldest-green filler). New operators
-# registered in a round must be added to DEFERRED_FIRST_ROW in the same
-# commit IF the window is already full — the round-6 lesson: a @register
-# without window accounting ships a red suite.
-#
-# Batch 2 (SURVEY §2.AH) landed AFTER the round-10 window was sealed full,
-# so its 7 operators are the ONLY staged round-11 debt: first driver rows
-# next round, 7 of 50 slots — far under the budget the accounting test
-# enforces, leaving 43 slots for re-samples and oldest-green rotation.
-DEFERRED_FIRST_ROW: set[str] = {
-    "agg_ols2",
-    "ts_survival_km",
-    "ts_runs_test",
-    "llm_rrf_fusion",
-    "llm_ece",
-    "llm_filter_funnel",
-    "sample_neyman",
-}
+# Round 11 clears the ENTIRE debt ledger: the 7 round-10 batch-2 first
+# rows, all 12 round-11 changed-code re-samples, and the 3 rows-only
+# refreshes ride the window together (22 slots + 28 oldest-green
+# fillers). New operators registered in a round must be added to
+# DEFERRED_FIRST_ROW in the same commit IF the window is already full —
+# the round-6 lesson: a @register without window accounting ships a red
+# suite. Round 11 is an optimization round: no new operators, so the
+# deferral ledger is EMPTY — the close_round freshness gate passes with
+# an empty never-sampled set (VERDICT r10 item 2's done-condition).
+DEFERRED_FIRST_ROW: set[str] = set()
 
-# Names owed a round-11 window slot that are NOT first rows: changed-code
+# Names owed a round-12 window slot that are NOT first rows: changed-code
 # re-samples and deliberate rows-only slots. Kept as code (not a comment)
-# so the accounting tests can enforce the round-11 budget. Empty: every
-# round-10 code change (ADVICE r9 numeric hardening, the src_http
-# DataSource promotion) rides the round-10 window itself.
-ROUND11_RESAMPLE: set[str] = set()
+# so the accounting tests can enforce the round-12 budget. Empty: every
+# round-11 code change rides the round-11 window itself.
+ROUND12_RESAMPLE: set[str] = set()
 
 
 def load_all_queries() -> dict[str, QuerySpec]:

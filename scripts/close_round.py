@@ -18,6 +18,11 @@ Gates (BASELINE.md anchors):
   this round), or in an explicit deferral ledger — catches the
   st_approx_distinct class (registered in r8, never sampled, unstaged)
   automatically. Skip with --skip-freshness only to measure on a broken tree.
+  long-tail sweep (VERDICT r10 item 8): a full-registry sweep_all run (or
+  --sweep FILE to reuse one) is compared against the newest committed
+  SWEEP_r*.json — a >2x per-query regression past a 1 s floor, a vanished
+  query, or a sweep error refuses the seal; the slowest-15 table is printed
+  as the seal record. --skip-sweep skips it loudly.
 
 Exit 0 = sealed; exit 1 = DO NOT SEAL (fix or re-measure on an idle host —
 concurrent scaling studies inflate readings ~20%, BASELINE.md round-8 note).
@@ -95,11 +100,11 @@ def check_driver_row_freshness(extra_names: tuple = ()) -> list[str]:
     from air_quality_data_pipeline_spark.registry import (
         DEFERRED_FIRST_ROW,
         DRIVER_WINDOW,
-        ROUND11_RESAMPLE,
+        ROUND12_RESAMPLE,
         load_all_queries,
     )
 
-    staged = set(DRIVER_WINDOW) | DEFERRED_FIRST_ROW | ROUND11_RESAMPLE
+    staged = set(DRIVER_WINDOW) | DEFERRED_FIRST_ROW | ROUND12_RESAMPLE
     names = [*load_all_queries(), *extra_names]  # extras: test seam
     orphans = sorted(n for n in names if n not in sampled | staged)
     if orphans:
@@ -110,12 +115,79 @@ def check_driver_row_freshness(extra_names: tuple = ()) -> list[str]:
     return []
 
 
+# Long-tail regression guard (VERDICT r10 item 8): the headline+heavy bench
+# covers 20 of ~430 queries; round-10's biggest win (llm_minhash_lsh, 42.5 s)
+# was invisible to it. The seal therefore also compares a full-registry
+# sweep (scripts/sweep_all.py) against the newest committed SWEEP_r*.json
+# and refuses on a >2x regression. The 2x factor sits above the host's
+# documented ±40% noise band; the absolute floor keeps 0.2 s -> 0.5 s
+# latency jitter from tripping the gate.
+SWEEP_REGRESSION_FACTOR = 2.0
+SWEEP_ABS_FLOOR_SEC = 1.0
+
+
+def check_sweep(sweep_path: str | None) -> list[str]:
+    """Compare a sweep JSON against the newest committed SWEEP_r*.json.
+
+    Prints the slowest-15 table (the seal record). Returns problems for
+    queries that regressed >2x (and past the absolute floor) or vanished.
+    With no committed reference yet, records the table and passes.
+    """
+    import glob
+
+    if sweep_path is None:
+        print("sweep guard: running scripts/sweep_all.py (use --sweep FILE to reuse)")
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "sweep_all.py"),
+             "--runs", "2", "--out", "/tmp/close_round_sweep.json"],
+            capture_output=True, text=True, timeout=3600,
+        )
+        if proc.returncode != 0:
+            return [f"sweep_all.py failed: {proc.stderr[-500:]}"]
+        sweep_path = "/tmp/close_round_sweep.json"
+    cur = json.load(open(sweep_path))
+    timings: dict[str, float] = cur.get("timings", cur)
+    if cur.get("errors"):
+        return [f"sweep recorded query errors: {cur['errors']}"]
+    print("sweep slowest-15 (the seal record):")
+    for name, sec in sorted(timings.items(), key=lambda kv: -kv[1])[:15]:
+        print(f"  {name:28s} {sec:7.3f}")
+    refs = sorted(glob.glob(os.path.join(REPO, "SWEEP_r*.json")))
+    if not refs:
+        print("sweep guard: no committed SWEEP_r*.json reference yet — recording only")
+        return []
+    ref = json.load(open(refs[-1]))
+    ref_t: dict[str, float] = ref.get("timings", ref)
+    problems = []
+    for name, prev in ref_t.items():
+        now = timings.get(name)
+        if now is None:
+            problems.append(f"sweep: {name} present in {os.path.basename(refs[-1])} "
+                            f"but missing from the current sweep")
+        elif now > max(SWEEP_REGRESSION_FACTOR * prev, SWEEP_ABS_FLOOR_SEC):
+            problems.append(
+                f"sweep: {name} regressed {prev:.3f}s -> {now:.3f}s "
+                f"(>{SWEEP_REGRESSION_FACTOR}x vs {os.path.basename(refs[-1])})"
+            )
+    return problems
+
+
 def main() -> int:
     if "--skip-freshness" in sys.argv:
         sys.argv.remove("--skip-freshness")
         freshness: list[str] = []
     else:
         freshness = check_driver_row_freshness()
+    sweep_file = None
+    skip_sweep = False
+    if "--skip-sweep" in sys.argv:
+        sys.argv.remove("--skip-sweep")
+        skip_sweep = True
+        print("WARNING: --skip-sweep — the long-tail regression guard did not run")
+    if "--sweep" in sys.argv:
+        i = sys.argv.index("--sweep")
+        sweep_file = sys.argv[i + 1]
+        del sys.argv[i : i + 2]
     if len(sys.argv) > 2 and sys.argv[1] == "--reuse":
         blob = json.load(open(sys.argv[2]))
         parsed = blob.get("parsed", blob)  # accept BENCH_r{N}.json or raw line
@@ -123,7 +195,8 @@ def main() -> int:
     else:
         parsed = fresh_bench()
         src = "fresh bench.py run"
-    problems = freshness + check(parsed)
+    sweep_problems = [] if skip_sweep else check_sweep(sweep_file)
+    problems = freshness + check(parsed) + sweep_problems
     headline = parsed.get("value")
     heavy = parsed.get("heavy_total_wall")
     print(

@@ -49,3 +49,29 @@ def test_check_flags_regressions():
     assert check({"value": 10.0, "heavy_total_wall": 20.0})
     assert check({"value": 10.0, "heavy_total_wall": 5.0, "errors": {"q": "boom"}})
     assert not check({"value": 10.0, "heavy_total_wall": 5.0})
+
+
+def test_sweep_guard_flags_regressions_and_missing(tmp_path, monkeypatch):
+    """check_sweep must refuse a >2x long-tail regression (past the 1 s
+    absolute floor) and a query that vanished from the sweep, and must
+    pass flat timings — VERDICT r10 item 8's guard."""
+    import close_round
+
+    ref = {"timings": {"q_slow": 3.0, "q_fast": 0.2, "q_gone": 1.0}}
+    (tmp_path / "SWEEP_r98.json").write_text(json.dumps(ref))
+    monkeypatch.setattr(close_round, "REPO", str(tmp_path))
+
+    cur = tmp_path / "sweep.json"
+    # regressed + missing
+    cur.write_text(json.dumps({"timings": {"q_slow": 6.5, "q_fast": 0.5}}))
+    probs = close_round.check_sweep(str(cur))
+    assert any("q_slow" in p for p in probs)
+    assert any("q_gone" in p for p in probs)
+    # q_fast 0.2 -> 0.5 is >2x but under the absolute floor: latency noise
+    assert not any("q_fast" in p for p in probs)
+    # flat sweep passes
+    cur.write_text(json.dumps({"timings": {"q_slow": 3.1, "q_fast": 0.2, "q_gone": 0.9}}))
+    assert close_round.check_sweep(str(cur)) == []
+    # sweep-side errors refuse the seal
+    cur.write_text(json.dumps({"timings": {}, "errors": {"q_slow": "boom"}}))
+    assert close_round.check_sweep(str(cur))

@@ -7,7 +7,7 @@ from air_quality_data_pipeline_spark.registry import (
     DEFERRED_FIRST_ROW,
     DRIVER_PRIORITY,
     DRIVER_WINDOW,
-    ROUND11_RESAMPLE,
+    ROUND12_RESAMPLE,
     load_all_queries,
 )
 
@@ -109,10 +109,10 @@ def test_deferred_set_is_minimal_and_real():
 
 
 def test_next_round_resample_names_real():
-    """ROUND11_RESAMPLE entries must be registered and genuinely outside
+    """ROUND12_RESAMPLE entries must be registered and genuinely outside
     the current window (otherwise they are already being sampled and the
     bookkeeping is stale)."""
-    for n in ROUND11_RESAMPLE:
+    for n in ROUND12_RESAMPLE:
         assert n in SPECS, f"resample name not registered: {n}"
         assert n not in DRIVER_WINDOW, f"resample name is inside the window: {n}"
 
@@ -121,10 +121,10 @@ def test_next_window_budget_not_exceeded():
     """VERDICT r8 item 3: per-round registry growth is capped at what the
     NEXT driver window can clear. Every query owed a future driver row —
     new operators (DEFERRED_FIRST_ROW), changed-code re-samples and the
-    deliberate rows-only slots (ROUND11_RESAMPLE) — must fit in 50 slots,
+    deliberate rows-only slots (ROUND12_RESAMPLE) — must fit in 50 slots,
     so adding an operator without window headroom fails the suite in the
     same commit."""
-    owed = len(DEFERRED_FIRST_ROW | ROUND11_RESAMPLE)
+    owed = len(DEFERRED_FIRST_ROW | ROUND12_RESAMPLE)
     assert owed <= 50, (
         f"{owed} queries owed a driver row exceed the 50-slot next-round "
         f"window; stop adding operators or rotate first"
