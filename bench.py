@@ -50,8 +50,9 @@ HEADLINE = [
 # item 10 — the headline set alone would miss a regression here; the
 # scaling studies only run per-round). Timed with the same protocol,
 # reported as a separate "heavy" line inside the same JSON object.
-# Regression anchor (BASELINE.md round-8 note): heavy_total_wall 8.2 s
-# median at sf0.1 on this host, envelope 7.3-9.2 s, 2x gate = 16.4 s.
+# Regression anchor (BASELINE.md round-11 re-anchor): heavy_total_wall
+# 3.4 s COLD median at sf0.1 (the edge memo is evicted before every
+# timed run since round 11 — see time_set), 2x gate = 6.8 s.
 HEAVY = [
     "graph_triangles",
     "join_fuzzy",

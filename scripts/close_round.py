@@ -38,7 +38,11 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE_ANCHOR = 24.7  # sec, sf0.1 (BASELINE.md r1 median)
-HEAVY_ANCHOR = 8.2  # sec, sf0.1 (BASELINE.md r8 pinned)
+# Re-anchored in round 11 (BASELINE.md): bench.py now evicts the graph
+# edge memo before every timed run, so graph_triangles is measured COLD —
+# the old 8.2 s r8 anchor was a warm-protocol number on the pre-rewrite
+# wedge-join form. 3.4 s = the round-11 closing cold heavy total.
+HEAVY_ANCHOR = 3.4  # sec, sf0.1 (BASELINE.md r11 cold-protocol anchor)
 GATE_FACTOR = 2.0
 
 
